@@ -15,8 +15,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end span extraction (PP-Structure recovery analog).
+
+    Loads sf0.001 documents, synthesizes the interleaved (doc_id, spans)
+    corpus per BASELINE.json input_hint (paddleocr_spark/synth.py), runs the
+    extraction pipeline (paddleocr_spark/pipeline.py) and returns the
+    extracted table (doc_id, spans array<struct<kind,text,media_ref,offset>>)
+    with offset = reading-order rank.
+    """
+    from paddleocr_spark.pipeline import extract
+    from paddleocr_spark.synth import synth_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return extract(synth_spans(docs))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,387 @@
+"""Pure-NumPy/pandas kernels — the executable spec shared by the Spark pipeline
+and the single-node oracle (SURVEY.md §5: "make the oracle the same code imported
+twice").
+
+Each kernel transcribes the *semantics* of a reference operator from
+hoonisone/PaddleOCR (file:line cited per function). No reference code is copied;
+the reference is C-extension/OpenCV-backed Python over ndarrays of quad points,
+while these kernels operate on axis-aligned `(x1, y1, x2, y2)` int boxes carried
+in plain Python/numpy structures — the representation our Spark pipeline uses
+(SURVEY.md §1.1).
+
+Everything here is deterministic and order-stable: given the same set of input
+rows in ANY order, output order is identical (kernels sort internally exactly the
+way the reference does). That property is what makes the distributed pipeline
+partition-count-invariant (SURVEY.md §7 "What's hard" #2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Style-token stripping (P11)
+# ---------------------------------------------------------------------------
+
+#: The reference's style_token list, ppstructure/predict_system.py:151-156.
+#: QUIRK preserved exactly: '<strike>' appears twice and '</strike>' is absent,
+#: so closing strike tags SURVIVE stripping. Span-sequence equality depends on
+#: replicating this.
+STYLE_TOKENS = [
+    "<strike>", "<strike>", "<sup>", "</sub>", "<b>", "</b>", "<sub>",
+    "</sup>", "<overline>", "</overline>", "<underline>", "</underline>",
+    "<i>", "</i>",
+]
+
+#: Same token set as a single-pass regex alternation (for JVM-side
+#: ``regexp_replace``). Single-pass == the reference's sequential loop as long
+#: as removing one token never *creates* another (true for any text that does
+#: not embed split token fragments; our corpus never does — asserted in tests).
+STYLE_TOKEN_REGEX = (
+    "<strike>|<sup>|</sub>|<b>|</b>|<sub>|</sup>|<overline>|</overline>"
+    "|<underline>|</underline>|<i>|</i>"
+)
+
+
+def strip_style_tokens(text: str) -> str:
+    """Sequential replace loop, semantics of ppstructure/predict_system.py:157-162."""
+    for token in STYLE_TOKENS:
+        if token in text:
+            text = text.replace(token, "")
+    return text
+
+
+# ---------------------------------------------------------------------------
+# Reading order: sorted_boxes (O1)
+# ---------------------------------------------------------------------------
+
+def sorted_boxes_indices(boxes_xy: np.ndarray) -> np.ndarray:
+    """Reading order of line boxes within a region/page.
+
+    Semantics of tools/infer/predict_system.py:131-152 (``sorted_boxes``):
+    stable sort by (y_topleft, x_topleft), then a restricted bubble pass where
+    adjacent boxes whose top-left ys differ by <10 px swap into x order. The
+    tolerance is chained/transitive — a plain ``floor(y/10)`` banding is NOT
+    bit-equal (SURVEY.md O1).
+
+    Args:
+        boxes_xy: float/int array [N, 2] of (x_topleft, y_topleft).
+    Returns:
+        int array [N] — indices into the input, in reading order.
+    """
+    n = len(boxes_xy)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    # Python's sorted() is stable, matching the reference's use of sorted().
+    order = sorted(range(n), key=lambda i: (boxes_xy[i][1], boxes_xy[i][0]))
+    _boxes = list(order)
+    for i in range(n - 1):
+        for j in range(i, -1, -1):
+            a, b = _boxes[j], _boxes[j + 1]
+            if (abs(boxes_xy[b][1] - boxes_xy[a][1]) < 10
+                    and boxes_xy[b][0] < boxes_xy[a][0]):
+                _boxes[j], _boxes[j + 1] = _boxes[j + 1], _boxes[j]
+            else:
+                break
+    return np.asarray(_boxes, dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Reading order: sorted_layout_boxes (O2) — single/double column resolution
+# ---------------------------------------------------------------------------
+
+def sorted_layout_indices(bboxes: np.ndarray, w: float) -> tuple[np.ndarray, list[str]]:
+    """Column-aware region ordering.
+
+    Semantics of ppstructure/recovery/recovery_to_doc.py:83-148
+    (``sorted_layout_boxes``): pre-sort regions by (y1, x1); scan buffering a
+    left column (x1 < w/4 and x2 < 3w/4) and a right column (x1 > w/4 and
+    x2 > w/2); any region spanning the middle flushes left-then-right buffers
+    and is emitted as layout='single'. Dedicated last-box handling: a final box
+    strictly below the previous one that straddles w/2 is 'single'; otherwise it
+    joins the right (x2 > w/2) or left (x1 < w/2) buffer before the flush.
+
+    Args:
+        bboxes: array [N, 4] of (x1, y1, x2, y2).
+        w: page width.
+    Returns:
+        (indices [N] in emission order, layout label per emitted index
+        ('single' | 'double'), aligned with the returned indices).
+    """
+    n = len(bboxes)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), []
+    if n == 1:
+        return np.zeros(1, dtype=np.int64), ["single"]
+
+    order = sorted(range(n), key=lambda i: (bboxes[i][1], bboxes[i][0]))
+    _boxes = list(order)
+    layout: dict[int, str] = {}
+
+    new_res: list[int] = []
+    res_left: list[int] = []
+    res_right: list[int] = []
+    i = 0
+    while True:
+        if i >= n:
+            break
+        idx = _boxes[i]
+        x1, y1, x2, _ = bboxes[idx]
+        if i == n - 1:
+            prev = _boxes[i - 1]
+            if (y1 > bboxes[prev][3] and x1 < w / 2 and x2 > w / 2):
+                new_res += res_left
+                new_res += res_right
+                layout[idx] = "single"
+                new_res.append(idx)
+            else:
+                if x2 > w / 2:
+                    layout[idx] = "double"
+                    res_right.append(idx)
+                    new_res += res_left
+                    new_res += res_right
+                elif x1 < w / 2:
+                    layout[idx] = "double"
+                    res_left.append(idx)
+                    new_res += res_left
+                    new_res += res_right
+            res_left = []
+            res_right = []
+            break
+        elif x1 < w / 4 and x2 < 3 * w / 4:
+            layout[idx] = "double"
+            res_left.append(idx)
+            i += 1
+        elif x1 > w / 4 and x2 > w / 2:
+            layout[idx] = "double"
+            res_right.append(idx)
+            i += 1
+        else:
+            new_res += res_left
+            new_res += res_right
+            layout[idx] = "single"
+            new_res.append(idx)
+            res_left = []
+            res_right = []
+            i += 1
+    if res_left:
+        new_res += res_left
+    if res_right:
+        new_res += res_right
+    return (np.asarray(new_res, dtype=np.int64),
+            [layout[k] for k in new_res])
+
+
+# ---------------------------------------------------------------------------
+# Region segmentation (D1 analog) — gap-based connected runs in y
+# ---------------------------------------------------------------------------
+
+def segment_regions(kinds: list[str], boxes: np.ndarray,
+                    gap_factor: float = 1.5) -> np.ndarray:
+    """Group line boxes into layout regions.
+
+    Stand-in for the reference's DBNet prob-map connected components +
+    PicoDet layout regions (ppocr/postprocess/db_postprocess.py:104-155,
+    picodet_postprocess.py:81-250): since our synthetic geometry derives from
+    span offsets (FIXTURES.md §1), connectivity reduces to 1-D runs — two
+    consecutive lines (in sorted_boxes order) join the same region iff the
+    vertical gap between them is < gap_factor × line height AND their kinds
+    agree AND they overlap horizontally (disjoint x-ranges = different columns,
+    like disconnected components in the DBNet probability map). Non-text kinds
+    (media/table/title) are always their own region,
+    mirroring PP-Structure where figure/table/title are distinct layout
+    regions (ppstructure/predict_system.py:118-176).
+
+    Args:
+        kinds: per-line kind, aligned with boxes.
+        boxes: array [N, 4] (x1, y1, x2, y2) — in READING ORDER already
+            (call sorted_boxes_indices first).
+    Returns:
+        int array [N] region ids (0-based, in first-appearance order).
+    """
+    n = len(kinds)
+    region = np.zeros(n, dtype=np.int64)
+    rid = 0
+    for i in range(1, n):
+        h_prev = boxes[i - 1][3] - boxes[i - 1][1]
+        gap = boxes[i][1] - boxes[i - 1][3]
+        x_overlap = not (boxes[i][0] >= boxes[i - 1][2]
+                         or boxes[i][2] <= boxes[i - 1][0])
+        same = (
+            kinds[i] == kinds[i - 1]
+            and kinds[i] == "text"
+            and gap < gap_factor * max(h_prev, 1)
+            and gap > -max(h_prev, 1)  # vertical jump backwards breaks runs
+            and x_overlap  # disjoint columns never connect
+        )
+        if not same:
+            rid += 1
+        region[i] = rid
+    return region
+
+
+# ---------------------------------------------------------------------------
+# CTC-style decode (R3)
+# ---------------------------------------------------------------------------
+
+def ctc_decode(ids: np.ndarray, probs: np.ndarray | None,
+               charset: list[str]) -> tuple[str, float]:
+    """CTC greedy decode of one sequence.
+
+    Semantics of ppocr/postprocess/rec_postprocess.py:83-115 + :157-185
+    (``BaseRecLabelDecode.decode`` with is_remove_duplicate=True and
+    ``CTCLabelDecode``): drop consecutive duplicate ids, drop blank (id 0),
+    map ids→chars via the dictionary (index 0 is the blank, charset[i] maps
+    id i+1), join; score = mean of kept probs (0.0 if none kept — the
+    reference substitutes conf_list=[0]).
+    """
+    ids = np.asarray(ids)
+    selection = np.ones(len(ids), dtype=bool)
+    if len(ids) >= 2:
+        selection[1:] = ids[1:] != ids[:-1]
+    selection &= ids != 0
+    kept = ids[selection]
+    text = "".join(charset[int(t) - 1] for t in kept)
+    if probs is None:
+        conf = [1.0] * int(selection.sum())
+    else:
+        conf = list(np.asarray(probs)[selection])
+    if len(conf) == 0:
+        conf = [0.0]
+    return text, float(np.mean(conf))
+
+
+# ---------------------------------------------------------------------------
+# hard_nms (D5)
+# ---------------------------------------------------------------------------
+
+def hard_nms(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float = 0.5,
+             top_k: int = -1, candidate_size: int = 200) -> np.ndarray:
+    """Greedy IoU suppression; returns kept indices in pick order.
+
+    Semantics of ppocr/postprocess/picodet_postprocess.py:19-66 (``hard_nms`` +
+    ``iou_of``): ascending argsort of scores, keep only the top
+    ``candidate_size`` candidates, repeatedly pick the current max, suppress
+    the rest with IoU > threshold (eps=1e-5 in the IoU denominator), stop at
+    ``top_k`` picks.
+    """
+    boxes = np.asarray(boxes, dtype=np.float64)
+    scores = np.asarray(scores, dtype=np.float64)
+    picked: list[int] = []
+    indexes = np.argsort(scores, kind="stable")
+    indexes = indexes[-candidate_size:]
+    while len(indexes) > 0:
+        current = indexes[-1]
+        picked.append(int(current))
+        if 0 < top_k == len(picked) or len(indexes) == 1:
+            break
+        current_box = boxes[current, :]
+        indexes = indexes[:-1]
+        rest = boxes[indexes, :]
+        lt = np.maximum(rest[:, :2], current_box[:2])
+        rb = np.minimum(rest[:, 2:], current_box[2:])
+        wh = np.clip(rb - lt, 0.0, None)
+        overlap = wh[:, 0] * wh[:, 1]
+        area_r = np.clip(rest[:, 2] - rest[:, 0], 0, None) * np.clip(
+            rest[:, 3] - rest[:, 1], 0, None)
+        area_c = max(current_box[2] - current_box[0], 0) * max(
+            current_box[3] - current_box[1], 0)
+        iou = overlap / (area_r + area_c - overlap + 1e-5)
+        indexes = indexes[iou <= iou_threshold]
+    return np.asarray(picked, dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Table cell matching (J1)
+# ---------------------------------------------------------------------------
+
+def match_cells(ocr_boxes: np.ndarray, cell_boxes: np.ndarray) -> np.ndarray:
+    """Assign each OCR box to the argmin cell by (1 - IoU, L1-corner distance).
+
+    Semantics of ppstructure/table/matcher.py:19-97 (``distance``,
+    ``compute_iou``, ``TableMatch.match_result``): the L1 metric is
+    |dx1|+|dy1|+|dx2|+|dy2| + min(|dx1|+|dy1|, |dx2|+|dy2|); ties resolve to
+    the first cell in input order (``distances.index(sorted[0])``).
+
+    Returns int array [N_ocr] of assigned cell indices.
+    """
+    out = np.empty(len(ocr_boxes), dtype=np.int64)
+    for i, g in enumerate(np.asarray(ocr_boxes, dtype=np.float64)):
+        best_key = None
+        best_j = 0
+        for j, p in enumerate(np.asarray(cell_boxes, dtype=np.float64)):
+            d1 = abs(p[0] - g[0]) + abs(p[1] - g[1])
+            d2 = abs(p[2] - g[2]) + abs(p[3] - g[3])
+            dis = d1 + d2 + min(d1, d2)
+            s1 = (g[2] - g[0]) * (g[3] - g[1])
+            s2 = (p[2] - p[0]) * (p[3] - p[1])
+            left, right = max(g[0], p[0]), min(g[2], p[2])
+            top, bot = max(g[1], p[1]), min(g[3], p[3])
+            if left >= right or top >= bot:
+                iou = 0.0
+            else:
+                inter = (right - left) * (bot - top)
+                iou = inter / (s1 + s2 - inter)
+            key = (1.0 - iou, dis)
+            if best_key is None or key < best_key:
+                best_key = key
+                best_j = j
+        out[i] = best_j
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Whole-document ordering kernel — the composition used by the pipeline
+# ---------------------------------------------------------------------------
+
+def order_document(kinds: list[str], xs: np.ndarray, ys: np.ndarray,
+                   x2s: np.ndarray, y2s: np.ndarray,
+                   page_width: float) -> np.ndarray:
+    """Full reading-order resolution for one document.
+
+    Mirrors the reference's recovery path (SURVEY.md §3.2): line-level
+    ``sorted_boxes`` (O1) → region segmentation (D1 analog) → region-level
+    ``sorted_layout_boxes`` (O2) → ordered emission walking regions in order
+    and lines within regions (``convert_info_docx`` order,
+    recovery_to_doc.py:31-80).
+
+    Args: per-span geometry arrays, all aligned; any input order.
+    Returns:
+        int array [N]: rank[i] = reading-order position (0-based) of input
+        span i.
+    """
+    n = len(kinds)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    xy = np.stack([np.asarray(xs, dtype=np.float64),
+                   np.asarray(ys, dtype=np.float64)], axis=1)
+    line_order = sorted_boxes_indices(xy)
+
+    k_sorted = [kinds[i] for i in line_order]
+    boxes_sorted = np.stack([
+        np.asarray(xs, dtype=np.float64)[line_order],
+        np.asarray(ys, dtype=np.float64)[line_order],
+        np.asarray(x2s, dtype=np.float64)[line_order],
+        np.asarray(y2s, dtype=np.float64)[line_order],
+    ], axis=1)
+    regions = segment_regions(k_sorted, boxes_sorted)
+
+    n_regions = int(regions.max()) + 1
+    region_bbox = np.empty((n_regions, 4), dtype=np.float64)
+    for r in range(n_regions):
+        mask = regions == r
+        region_bbox[r] = [
+            boxes_sorted[mask, 0].min(), boxes_sorted[mask, 1].min(),
+            boxes_sorted[mask, 2].max(), boxes_sorted[mask, 3].max(),
+        ]
+    region_order, _ = sorted_layout_indices(region_bbox, page_width)
+    region_rank = np.empty(n_regions, dtype=np.int64)
+    region_rank[region_order] = np.arange(n_regions)
+
+    # Emit: regions in layout order; within a region, lines keep sorted_boxes
+    # order (which is their order in boxes_sorted).
+    keys = region_rank[regions] * (len(kinds) + 1) + np.arange(n)
+    emit = np.argsort(keys, kind="stable")  # positions within boxes_sorted
+    rank = np.empty(n, dtype=np.int64)
+    rank[line_order[emit]] = np.arange(n)
+    return rank

@@ -1,0 +1,229 @@
+"""Kernel unit tests — the densest coverage goes to the two reading-order
+kernels, since they define span-sequence equality (SURVEY.md §7 step 4)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from paddleocr_spark.kernels import (
+    ctc_decode, hard_nms, match_cells, segment_regions,
+    sorted_boxes_indices, sorted_layout_indices, strip_style_tokens,
+)
+
+
+# ---------------------------------------------------------------- sorted_boxes
+
+def test_sorted_boxes_basic_rows():
+    # two rows, left-to-right within a row
+    xy = np.array([[50, 100], [10, 100], [10, 50], [90, 52]])
+    idx = sorted_boxes_indices(xy)
+    assert idx.tolist() == [2, 3, 1, 0]
+
+
+def test_sorted_boxes_10px_tolerance_swaps():
+    # |dy| < 10: x order wins even though y differs
+    xy = np.array([[100, 20], [10, 24]])
+    assert sorted_boxes_indices(xy).tolist() == [1, 0]
+    # |dy| >= 10: y order wins
+    xy = np.array([[100, 20], [10, 30]])
+    assert sorted_boxes_indices(xy).tolist() == [0, 1]
+
+
+def test_sorted_boxes_chained_tolerance_not_banding():
+    # y = 0, 8, 16: chained <10 steps bubble across a 16px total gap —
+    # a floor(y/10) banding would NOT reorder the third box.
+    xy = np.array([[30, 0], [20, 8], [10, 16]])
+    idx = sorted_boxes_indices(xy)
+    # reference: sort -> [ (0,30),(8,20),(16,10) ]; bubble pass i=0: pair
+    # (0,1) |dy|=8 and x 20<30 -> swap => [(8,20),(0,30),(16,10)]
+    # i=1: j=1 pair now ((0,30),(16,10)): |dy|=16 no swap, break.
+    assert idx.tolist() == [1, 0, 2]
+
+
+def test_sorted_boxes_bubble_break_semantics():
+    # The inner loop breaks at the first non-swap — later closer boxes do
+    # not leapfrog.
+    xy = np.array([[10, 0], [30, 5], [20, 9]])
+    idx = sorted_boxes_indices(xy)
+    # sorted: [(0,10),(5,30),(9,20)]; i=0: (0,10)vs(5,30): 30>10 no swap.
+    # i=1: (5,30)vs(9,20): swap -> [(0,10),(9,20),(5,30)]; j=0: (0,10)vs(9,20)
+    # no swap, break.
+    assert idx.tolist() == [0, 2, 1]
+
+
+def test_sorted_boxes_empty_and_single():
+    assert sorted_boxes_indices(np.empty((0, 2))).tolist() == []
+    assert sorted_boxes_indices(np.array([[5, 5]])).tolist() == [0]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 300), st.integers(0, 300)),
+                min_size=0, max_size=30))
+def test_sorted_boxes_is_permutation_and_input_order_invariant(pts):
+    xy = np.array(pts, dtype=np.float64).reshape(-1, 2)
+    idx = sorted_boxes_indices(xy)
+    assert sorted(idx.tolist()) == list(range(len(pts)))
+    if len(pts) > 1:
+        # Invariance: feeding a reversed copy yields the same box sequence
+        # (distinct boxes required for strict invariance; dedupe)
+        uniq = sorted(set(pts))
+        xy2 = np.array(uniq, dtype=np.float64).reshape(-1, 2)
+        seq1 = [tuple(xy2[i]) for i in sorted_boxes_indices(xy2)]
+        xy3 = xy2[::-1].copy()
+        seq2 = [tuple(xy3[i]) for i in sorted_boxes_indices(xy3)]
+        assert seq1 == seq2
+
+
+# --------------------------------------------------------- sorted_layout_boxes
+
+W = 1000
+
+
+def test_layout_single_column():
+    bb = np.array([[120, 40, 800, 50], [120, 60, 800, 70]])
+    idx, layout = sorted_layout_indices(bb, W)
+    assert idx.tolist() == [0, 1]
+    assert layout == ["single", "single"]
+
+
+def test_layout_two_columns_left_then_right():
+    # interleaved rows, left column flushed before right
+    bb = np.array([
+        [10, 40, 340, 50],    # L0
+        [520, 40, 850, 50],   # R0
+        [10, 60, 340, 70],    # L1
+        [520, 60, 850, 70],   # R1
+    ])
+    idx, layout = sorted_layout_indices(bb, W)
+    assert idx.tolist() == [0, 2, 1, 3]
+    assert layout == ["double"] * 4
+
+
+def test_layout_spanning_region_flushes_columns():
+    bb = np.array([
+        [10, 40, 340, 50],     # L0
+        [520, 40, 850, 50],    # R0
+        [120, 60, 800, 70],    # spanning -> flush L,R then emit single
+        [10, 80, 340, 90],     # L1 (after flush)
+        [520, 80, 850, 90],    # R1
+    ])
+    idx, layout = sorted_layout_indices(bb, W)
+    assert idx.tolist() == [0, 1, 2, 3, 4]
+    assert layout == ["double", "double", "single", "double", "double"]
+
+
+def test_layout_last_box_single_when_below_and_straddling():
+    bb = np.array([
+        [10, 40, 340, 50],
+        [520, 40, 850, 50],
+        [100, 80, 900, 95],   # below prev (80 > 50), straddles w/2
+    ])
+    idx, layout = sorted_layout_indices(bb, W)
+    assert idx.tolist() == [0, 1, 2]
+    assert layout[-1] == "single"
+
+
+def test_layout_last_box_joins_right_column():
+    bb = np.array([
+        [10, 40, 340, 50],
+        [520, 45, 850, 55],   # last in sort order; not below prev's y2
+    ])
+    idx, layout = sorted_layout_indices(bb, W)
+    assert idx.tolist() == [0, 1]
+    assert layout == ["double", "double"]
+
+
+def test_layout_single_box():
+    idx, layout = sorted_layout_indices(np.array([[0, 0, 10, 10]]), W)
+    assert idx.tolist() == [0] and layout == ["single"]
+
+
+# ------------------------------------------------------------ segment_regions
+
+def test_segment_regions_merges_close_text_lines():
+    kinds = ["text", "text", "text"]
+    boxes = np.array([[120, 40, 400, 50], [120, 54, 400, 64], [120, 68, 400, 78]])
+    assert segment_regions(kinds, boxes).tolist() == [0, 0, 0]
+
+
+def test_segment_regions_breaks_on_gap_kind_and_column():
+    kinds = ["text", "text", "media", "text", "text"]
+    boxes = np.array([
+        [120, 40, 400, 50],
+        [120, 90, 400, 100],    # big gap -> break
+        [120, 104, 320, 184],   # kind change -> break
+        [10, 200, 340, 210],    # after media -> break
+        [520, 200, 850, 210],   # disjoint x (other column) -> break
+    ])
+    assert segment_regions(kinds, boxes).tolist() == [0, 1, 2, 3, 4]
+
+
+# ----------------------------------------------------------------- ctc_decode
+
+def test_ctc_decode_dedup_and_blank():
+    charset = list("abc")
+    ids = np.array([1, 1, 0, 1, 2, 2, 0, 3])
+    probs = np.array([0.9, 0.8, 0.5, 0.7, 0.6, 0.5, 0.4, 1.0])
+    text, score = ctc_decode(ids, probs, charset)
+    assert text == "aabc"
+    assert abs(score - np.mean([0.9, 0.7, 0.6, 1.0])) < 1e-12
+
+
+def test_ctc_decode_all_blank_scores_zero():
+    text, score = ctc_decode(np.array([0, 0, 0]), np.array([1.0, 1.0, 1.0]),
+                             list("ab"))
+    assert text == "" and score == 0.0
+
+
+# ------------------------------------------------------------------- hard_nms
+
+def test_hard_nms_suppresses_overlaps():
+    boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [20, 20, 30, 30]],
+                     dtype=float)
+    scores = np.array([0.9, 0.8, 0.7])
+    kept = hard_nms(boxes, scores, iou_threshold=0.5)
+    assert kept.tolist() == [0, 2]
+
+
+def test_hard_nms_top_k_and_candidate_size():
+    boxes = np.array([[i * 20, 0, i * 20 + 10, 10] for i in range(5)],
+                     dtype=float)
+    scores = np.array([0.1, 0.9, 0.5, 0.7, 0.3])
+    assert hard_nms(boxes, scores, 0.5, top_k=2).tolist() == [1, 3]
+    # candidate_size keeps only the top-2 scores as candidates at all
+    assert hard_nms(boxes, scores, 0.5, candidate_size=2).tolist() == [1, 3]
+
+
+# ---------------------------------------------------------------- match_cells
+
+def test_match_cells_argmin_and_tie_first_cell():
+    cells = np.array([[0, 0, 10, 10], [20, 0, 30, 10]], dtype=float)
+    boxes = np.array([[1, 1, 9, 9], [21, 1, 29, 9]], dtype=float)
+    assert match_cells(boxes, cells).tolist() == [0, 1]
+    # equidistant box between two identical cells -> first cell wins
+    cells = np.array([[0, 0, 10, 10], [0, 0, 10, 10]], dtype=float)
+    boxes = np.array([[2, 2, 8, 8]], dtype=float)
+    assert match_cells(boxes, cells).tolist() == [0]
+
+
+# --------------------------------------------------------- strip_style_tokens
+
+def test_strip_tokens_and_strike_survivor():
+    assert strip_style_tokens("<b>x</b>") == "x"
+    assert strip_style_tokens("<i>a</i><sup>b</sup><sub>c</sub>") == "abc"
+    # ppstructure/predict_system.py:151-156 lists '<strike>' twice and never
+    # '</strike>' — the closing tag must SURVIVE.
+    assert strip_style_tokens("<strike>x</strike>") == "x</strike>"
+    assert strip_style_tokens("<overline>y</overline><underline>z</underline>") == "yz"
+
+
+def test_strip_tokens_regex_matches_loop():
+    import re
+
+    from paddleocr_spark.kernels import STYLE_TOKEN_REGEX
+    samples = ["<b>x</b>", "a</strike>", "<strike>q<strike>", "<sup>8</sup>",
+               "plain", "<i><b>nested</b></i>"]
+    for s in samples:
+        assert re.sub(STYLE_TOKEN_REGEX, "", s) == strip_style_tokens(s)

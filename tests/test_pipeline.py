@@ -1,0 +1,97 @@
+"""End-to-end span-sequence equality vs the oracle (the TIPC golden-diff
+analog, SURVEY.md §5) + partition-count invariance."""
+
+from __future__ import annotations
+
+import pytest
+
+from paddleocr_spark.oracle import extract_pandas
+from paddleocr_spark.pipeline import extract
+from paddleocr_spark.synth import synth_spans, synth_spans_pandas
+
+
+def _collect(df):
+    return {r["doc_id"]: [s.asDict() for s in r["spans"]] for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def oracle_rows(documents_pdf):
+    out = extract_pandas(documents_pdf)
+    return {r.doc_id: r.spans for r in out.itertuples()}
+
+
+def test_synth_spark_equals_pandas(documents, documents_pdf):
+    spark_rows = _collect(synth_spans(documents))
+    oracle = {r.doc_id: r.spans for r in synth_spans_pandas(documents_pdf).itertuples()}
+    assert spark_rows == oracle
+
+
+def test_extract_equals_oracle(documents, oracle_rows):
+    spark_rows = _collect(extract(synth_spans(documents)))
+    assert set(spark_rows) == set(oracle_rows)
+    mismatched = [k for k in spark_rows if spark_rows[k] != oracle_rows[k]]
+    assert mismatched == []
+
+
+def test_extract_partition_invariant(documents, oracle_rows):
+    """SURVEY.md §7 hard-point #2: identical output at any partitioning."""
+    for n in (1, 7):
+        rows = _collect(extract(synth_spans(documents.repartition(n))))
+        assert rows == oracle_rows
+
+
+def test_extract_covers_fixture_paths(documents, oracle_rows):
+    """The synthetic corpus actually exercises every fixture knob."""
+    rows = oracle_rows
+    all_spans = [s for v in rows.values() for s in v]
+    kinds = {s["kind"] for s in all_spans}
+    assert kinds == {"text", "title", "table", "media"}
+    # style survivor quirk visible in output
+    assert any(s["text"] and "</strike>" in s["text"] for s in all_spans)
+    # no stripped tokens remain
+    for tok in ("<b>", "</b>", "<i>", "</i>", "<sup>", "</sup>", "<sub>",
+                "</sub>", "<strike>", "<overline>", "</overline>",
+                "<underline>", "</underline>"):
+        assert not any(s["text"] and tok in s["text"] for s in all_spans)
+    # a media-heavy skew doc exists (did=13 -> 400 extra media spans)
+    assert "doc_0000013" in rows
+    assert sum(1 for s in rows["doc_0000013"] if s["kind"] == "media") >= 400
+    # a double-column doc exists (did % 50 == 7)
+    assert "doc_0000007" in rows
+    # output offsets are exactly 0..n-1 per doc
+    for v in rows.values():
+        assert [s["offset"] for s in v] == list(range(len(v)))
+
+
+def test_double_column_reads_left_column_before_right(documents_pdf):
+    """Double-column docs (did%50==7): no region straddles w/2 in the
+    synthetic geometry, so the recovery_to_doc.py:118-147 flush order means
+    ALL left-column spans precede ALL right-column spans."""
+    import pandas as pd
+
+    from paddleocr_spark.oracle import extract_pandas
+    from paddleocr_spark.synth import synth_spans_pandas
+
+    # purpose-built long double-column docs (did%50==7) with many chunks so
+    # several media spans (kind rule (did*7+13i)%23==5) land in BOTH columns
+    pdf = pd.DataFrame({
+        "doc_id": [107, 157, 207, 257],
+        "text": ["word " * 600, "lorem ipsum " * 300, "alpha beta " * 280,
+                 "x" * 4000],
+    })
+    src = synth_spans_pandas(pdf)
+    out = extract_pandas(pdf)
+    out_rows = {r.doc_id: r.spans for r in out.itertuples()}
+    checked_docs = 0
+    for doc_id, spans in zip(src["doc_id"], src["spans"]):
+        if doc_id not in out_rows:
+            continue
+        # media_refs are unique per doc; x = input offset % 1000 gives column
+        media_col = {s["media_ref"]: ("L" if s["offset"] % 1000 == 10 else "R")
+                     for s in spans if s["kind"] == "media"}
+        seq = [media_col[s["media_ref"]] for s in out_rows[doc_id]
+               if s["kind"] == "media"]
+        if len(seq) >= 2:
+            checked_docs += 1
+            assert seq == sorted(seq), doc_id  # all L before all R
+    assert checked_docs > 0

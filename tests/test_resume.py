@@ -1,0 +1,64 @@
+"""Lineage resume: kill after k committed partitions, rerun, assert no
+duplicate and no missing documents (FIXTURES.md §5, SURVEY.md §7 step 7)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from paddleocr_spark.lineage import LINEAGE_SCHEMA, run_extract
+from paddleocr_spark.pipeline import extract
+from paddleocr_spark.synth import synth_spans
+
+
+@pytest.fixture()
+def extracted(documents):
+    return extract(synth_spans(documents))
+
+
+def test_resume_no_dupes_no_missing(spark, extracted, tmp_path):
+    out = str(tmp_path / "out")
+    full = {r["doc_id"] for r in extracted.select("doc_id").collect()}
+
+    # first run "dies" after 5 of 16 buckets committed
+    s1 = run_extract(spark, extracted, out, "run1", n_buckets=16, max_parts=5)
+    assert s1["parts_done"] == 5 and s1["parts_skipped"] == 0
+
+    # resume processes exactly the remaining 11
+    s2 = run_extract(spark, extracted, out, "run2", n_buckets=16)
+    assert s2["parts_done"] == 11 and s2["parts_skipped"] == 5
+
+    got = spark.read.parquet(f"{out}/extracted")
+    ids = [r["doc_id"] for r in got.select("doc_id").collect()]
+    assert len(ids) == len(set(ids)), "duplicate documents after resume"
+    assert set(ids) == full, "missing documents after resume"
+
+    lin = spark.read.schema(LINEAGE_SCHEMA).parquet(f"{out}/lineage")
+    per_part = lin.groupBy("part_id").count().collect()
+    assert len(per_part) == 16
+    assert all(r["count"] == 1 for r in per_part), "partition committed twice"
+    # lineage metrics reconcile with the data
+    tot = lin.agg(F.sum("doc_count"), F.sum("span_count")).collect()[0]
+    assert tot[0] == len(full)
+    assert tot[1] == got.select(F.sum(F.size("spans"))).collect()[0][0]
+
+    # third run is a no-op
+    s3 = run_extract(spark, extracted, out, "run3", n_buckets=16)
+    assert s3["parts_done"] == 0 and s3["parts_skipped"] == 16
+
+
+def test_uncommitted_bucket_is_overwritten_idempotently(spark, extracted,
+                                                        tmp_path):
+    """Crash between data write and lineage append: rerun overwrites the
+    orphan bucket data; nothing duplicates."""
+    out = str(tmp_path / "out2")
+    # simulate the crash: write bucket data for 3 parts but drop their lineage
+    run_extract(spark, extracted, out, "run1", n_buckets=8, max_parts=3)
+    import shutil
+    shutil.rmtree(f"{out}/lineage")
+    # rerun from scratch: all 8 parts reprocessed, orphan data overwritten
+    s = run_extract(spark, extracted, out, "run2", n_buckets=8)
+    assert s["parts_done"] == 8
+    got = spark.read.parquet(f"{out}/extracted")
+    ids = [r["doc_id"] for r in got.select("doc_id").collect()]
+    assert len(ids) == len(set(ids))
