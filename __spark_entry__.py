@@ -31,19 +31,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    """One entry per implemented operator from SURVEY.md §2 plus the
+    training-data pipeline ops (dedup / similarity / text analysis).
+    Registry lives in paddleocr_spark/entry_queries.py.
     """
-    return {}
+    from paddleocr_spark.entry_queries import queries as _q
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB twins for every SQL-expressible entry in ``queries()``.
+    ``flagship_extract`` is intentionally absent (iterative reading-order
+    kernels are not SQL-expressible; pytest checks span-sequence equality
+    against the pandas oracle instead — tests/test_pipeline.py).
     """
-    return {}
+    from paddleocr_spark.entry_queries import oracle_sql as _o
+    return _o()

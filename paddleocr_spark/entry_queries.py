@@ -1,0 +1,753 @@
+"""Driver-contract query registry: Spark callables + DuckDB oracle twins.
+
+``__spark_entry__.queries()`` / ``oracle_sql()`` delegate here. Every
+SQL-expressible operator from SURVEY.md §2 (and the training-data ops in
+``paddleocr_spark.functions``) gets a pair:
+
+* a Spark callable ``(spark, sf_dir) -> DataFrame``
+* an ANSI-SQL string DuckDB runs on the same parquet views
+
+The driver compares row-count + schema + order-insensitive value hash, so
+both sides cast numerics to BIGINT/DOUBLE explicitly, round every float to
+4dp, and alias columns identically.
+
+The flagship pipeline's synth corpus (paddleocr_spark/synth.py) is mirrored
+here as a DuckDB CTE (:data:`SYNTH_CTE`) built from the same constants —
+that lets the explode/geometry/filter/strip stages be hash-checked against
+an independent SQL restatement. The reading-order kernels (O1/O2 bubble
+pass + column scan) are NOT SQL-expressible, so ``flagship_extract`` has no
+oracle entry (driver records the weaker rows-only check); its per-document
+span counts and kind histograms ARE SQL-expressible and get full oracles.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import geometry as G
+from . import synth as S
+from .functions import dedup as D
+from .functions import similarity as SIM
+from .functions import textfns as T
+from .pipeline import (det_filter, drop_score_filter, explode_spans, extract,
+                       strip_styles, with_geometry)
+from .synth import synth_spans
+
+# ---------------------------------------------------------------------------
+# DuckDB mirror of the synthetic interleaved corpus (synth.py twin #3)
+# ---------------------------------------------------------------------------
+
+SYNTH_CTE = f"""
+synth_base AS (
+    SELECT doc_id AS did, coalesce(text, '') AS src FROM documents
+),
+synth_n AS (
+    SELECT did, src,
+           least({S.MAX_CHUNKS}, greatest(1,
+               CAST(ceil(length(src) / {S.CHUNK}.0) AS BIGINT))) AS n,
+           CASE WHEN did % 997 = 13 THEN 400
+                WHEN did % 211 = 13 THEN 40 + did % 23
+                ELSE 0 END AS extra
+    FROM synth_base
+),
+synth_i AS (
+    SELECT did, src, n,
+           unnest(generate_series(0, n + extra - 1)) AS i
+    FROM synth_n
+),
+synth_kind AS (
+    SELECT did, src, n, i,
+           CASE WHEN i >= n THEN 'media'
+                WHEN (did * 7 + i * 13) % 23 = 5 THEN 'media'
+                WHEN i = 0 AND did % 3 = 0 THEN 'title'
+                WHEN (did + i) % 29 = 11 THEN 'table'
+                ELSE 'text' END AS kind,
+           substring(src, CAST(i * {S.CHUNK} + 1 AS INT), {S.CHUNK}) AS chunk,
+           (did + 31 * i) % 12 AS m
+    FROM synth_i
+),
+synth_spans AS (
+    SELECT printf('doc_%07d', did) AS doc_id,
+           did, i AS span_idx, kind,
+           CASE WHEN kind = 'media' THEN NULL
+                WHEN kind = 'text' THEN
+                    CASE WHEN (did * 3 + i) % 41 = 17 THEN ''
+                         ELSE CASE m
+                             WHEN 0 THEN '<b>' || chunk || '</b>'
+                             WHEN 1 THEN '<i>' || chunk || '</i>'
+                             WHEN 2 THEN '<sup>' || chunk || '</sup>'
+                             WHEN 3 THEN chunk || '</strike>'
+                             WHEN 4 THEN '<strike>' || chunk || '<strike>'
+                             ELSE chunk END END
+                ELSE chunk END AS text,
+           CASE WHEN kind = 'media' THEN 'img://h/' || printf('%X',
+                ((did % {S.MEDIA_HASH_P}) * {S.MEDIA_HASH_A}
+                 + i * 97) % {S.MEDIA_HASH_M})
+                ELSE NULL END AS media_ref,
+           CASE WHEN did % 50 = 7 THEN
+                    ({S.Y0} + (i // 2) * {S.ROW_STEP}
+                     + ((i // 2) // {S.ROW_BLOCK}) * {S.BLOCK_GAP})
+                    * {G.PAGE_WIDTH} + 10 + (i % 2) * 510
+                WHEN (did + i) % 19 = 3 AND i > 0 AND kind = 'text' THEN
+                    ({S.Y0} + (i - 1) * {S.ROW_STEP}
+                     + ((i - 1) // {S.ROW_BLOCK}) * {S.BLOCK_GAP}
+                     + {S.TIE_DY}) * {G.PAGE_WIDTH} + 60
+                ELSE ({S.Y0} + i * {S.ROW_STEP}
+                      + (i // {S.ROW_BLOCK}) * {S.BLOCK_GAP})
+                     * {G.PAGE_WIDTH} + 120
+           END AS "offset"
+    FROM synth_kind
+)"""
+
+#: Geometry columns on top of synth_spans (with_geometry twin).
+GEOM_CTE = f"""
+synth_geom AS (
+    SELECT *,
+           "offset" % {G.PAGE_WIDTH} AS x1,
+           "offset" // {G.PAGE_WIDTH} AS y1,
+           CASE kind WHEN 'media' THEN {G.KIND_WIDTH_FIXED['media']}
+                     WHEN 'table' THEN {G.KIND_WIDTH_FIXED['table']}
+                     WHEN 'title' THEN {G.KIND_WIDTH_FIXED['title']}
+                     ELSE CASE WHEN length(coalesce(text, '')) = 0
+                               THEN {G.EMPTY_TEXT_WIDTH}
+                               ELSE {G.TEXT_WIDTH_BASE}
+                                    + length(text) % {G.TEXT_WIDTH_MOD} END
+           END AS w,
+           CASE kind WHEN 'text' THEN {G.KIND_HEIGHT['text']}
+                     WHEN 'title' THEN {G.KIND_HEIGHT['title']}
+                     WHEN 'table' THEN {G.KIND_HEIGHT['table']}
+                     ELSE {G.KIND_HEIGHT['media']} END AS h
+    FROM synth_spans
+)"""
+
+#: Survivors of det filter (P9) + drop_score (P10) — the pre-order pipeline.
+KEPT_CTE = f"""
+synth_kept AS (
+    SELECT *,
+           {G.SCORE_BASE_MILLI}
+           + ((did * 7 + span_idx * 173) % {G.SCORE_MOD})
+             * {G.SCORE_SPREAD_NUM} // {G.SCORE_SPREAD_DEN} AS score_milli
+    FROM synth_geom
+    WHERE w > {G.MIN_SIDE} AND h > {G.MIN_SIDE}
+),
+synth_final AS (
+    SELECT * FROM synth_kept
+    WHERE kind != 'text'
+       OR score_milli >= {int(round(G.DROP_SCORE * G.SCORE_MOD))}
+)"""
+
+# The exact reference token set — note '</strike>' is ABSENT (the reference
+# quirk, ppstructure/predict_system.py:151-156): closing strike tags survive.
+STYLE_RE = ("<strike>|<sup>|</sub>|<b>|</b>|<sub>|</sup>|<overline>"
+            "|</overline>|<underline>|</underline>|<i>|</i>")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+
+def _spans_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return explode_spans(synth_spans(_docs(spark, sf_dir)))
+
+
+def _spans_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = with_geometry(_spans_exploded(spark, sf_dir))
+    return drop_score_filter(det_filter(s))
+
+
+# ---------------------------------------------------------------------------
+# Flagship pipeline stage queries (S/P-ops over the synth corpus)
+# ---------------------------------------------------------------------------
+
+def q_explode_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S3 + posexplode: the corpus scan, one row per span."""
+    return _spans_exploded(spark, sf_dir).select(
+        "doc_id", F.col("span_idx").cast("long").alias("span_idx"),
+        "kind", "text", "media_ref",
+        F.col("offset").cast("long").alias("offset"))
+
+
+def q_span_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry derivation (detector-box analog) as JVM expressions."""
+    s = with_geometry(_spans_exploded(spark, sf_dir))
+    return s.select(
+        "doc_id", F.col("span_idx").cast("long").alias("span_idx"), "kind",
+        F.col("x1").cast("long").alias("x1"),
+        F.col("y1").cast("long").alias("y1"),
+        F.col("x2").cast("long").alias("x2"),
+        F.col("y2").cast("long").alias("y2"))
+
+
+def q_det_drop_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 min-side filter + P10 drop_score filter, fused."""
+    return _spans_kept(spark, sf_dir).select(
+        "doc_id", F.col("span_idx").cast("long").alias("span_idx"), "kind")
+
+
+def q_style_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 style-token strip (single-pass JVM regexp) on surviving spans."""
+    return strip_styles(_spans_kept(spark, sf_dir)).select(
+        "doc_id", F.col("span_idx").cast("long").alias("span_idx"), "text")
+
+
+def q_flagship_span_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end invariant: per-doc span count of the REAL pipeline output
+    (kernels included) == SQL-derivable survivor count."""
+    out = extract(synth_spans(_docs(spark, sf_dir)))
+    return out.select(
+        "doc_id", F.size("spans").cast("long").alias("n_spans"))
+
+
+def q_flagship_kind_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end invariant #2: per-doc kind histogram of the pipeline output."""
+    out = extract(synth_spans(_docs(spark, sf_dir)))
+    return (out.select("doc_id", F.explode("spans").alias("s"))
+            .groupBy("doc_id", F.col("s.kind").alias("kind"))
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+def q_flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship itself, exploded to rows. No SQL oracle (the O1/O2
+    reading-order kernels are iterative); pytest checks span-sequence
+    equality vs the pandas oracle instead (tests/test_pipeline.py)."""
+    out = extract(synth_spans(_docs(spark, sf_dir)))
+    return out.select(
+        "doc_id", F.posexplode("spans").alias("pos", "s")
+    ).select(
+        "doc_id", F.col("s.offset").cast("long").alias("order"),
+        F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"))
+
+
+# ---------------------------------------------------------------------------
+# Relational operator demos (S4, O4, J1, A4, A5, P14)
+# ---------------------------------------------------------------------------
+
+def q_union_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 SimpleDataSet analog: multi-source union + deterministic
+    ratio-sampling (mod-based stand-in for seeded sample)."""
+    docs = _docs(spark, sf_dir)
+    a = (docs.filter(F.col("source") == "src0")
+         .select("doc_id", "source", F.lit("fileA").alias("file_tag")))
+    b = (docs.filter(F.col("doc_id") % 10 < 3)
+         .select("doc_id", "source", F.lit("fileB").alias("file_tag")))
+    return a.unionByName(b).filter(F.col("doc_id") % 100 < 37)
+
+
+def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 NMS top-k analog: per-class rank ≤ 5 by score (window rank)."""
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id"))
+    return (_events(spark, sf_dir)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("event_type", F.col("rank").cast("long").alias("rank"),
+                    "event_id", F.round("value", 4).alias("value")))
+
+
+def q_cell_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 TableMatch.match_result: spatial theta-join, each OCR box to the
+    argmin cell by (1-IoU, L1-corner distance), ties to first cell
+    (matcher.py:76-97). Boxes/cells synthesized from lineitem; the join is
+    co-partitioned by table id (never a global crossJoin)."""
+    li = _lineitem(spark, sf_dir).filter(F.col("l_linenumber") <= 4)
+    boxes = li.select(
+        (F.col("l_orderkey") % 50).alias("t_id"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("box_id"),
+        ((F.col("l_partkey") % 40) * 20).cast("double").alias("bx1"),
+        ((F.col("l_suppkey") % 30) * 25).cast("double").alias("by1"),
+    ).select("t_id", "box_id", "bx1", "by1",
+             (F.col("bx1") + 30).alias("bx2"), (F.col("by1") + 20).alias("by2"))
+    cells = (boxes.select("t_id").distinct()
+             .crossJoin(spark.range(12).select(F.col("id").alias("cell_id")))
+             .select("t_id", "cell_id",
+                     ((F.col("cell_id") % 4) * 200).cast("double").alias("cx1"),
+                     ((F.col("cell_id") / 4).cast("long") * 250)
+                     .cast("double").alias("cy1"))
+             .select("t_id", "cell_id", "cx1", "cy1",
+                     (F.col("cx1") + 199).alias("cx2"),
+                     (F.col("cy1") + 249).alias("cy2")))
+    j = boxes.join(cells, "t_id")
+    d1 = F.abs(F.col("cx1") - F.col("bx1")) + F.abs(F.col("cy1") - F.col("by1"))
+    d2 = F.abs(F.col("cx2") - F.col("bx2")) + F.abs(F.col("cy2") - F.col("by2"))
+    dis = d1 + d2 + F.least(d1, d2)
+    ix = F.greatest(F.lit(0.0), F.least("bx2", "cx2") - F.greatest("bx1", "cx1"))
+    iy = F.greatest(F.lit(0.0), F.least("by2", "cy2") - F.greatest("by1", "cy1"))
+    inter = ix * iy
+    sa = (F.col("bx2") - F.col("bx1")) * (F.col("by2") - F.col("by1"))
+    sb = (F.col("cx2") - F.col("cx1")) * (F.col("cy2") - F.col("cy1"))
+    one_minus_iou = 1.0 - inter / (sa + sb - inter)
+    w = Window.partitionBy("t_id", "box_id").orderBy(
+        one_minus_iou, dis, F.col("cell_id"))
+    return (j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("t_id", "box_id", "cell_id"))
+
+
+def q_rec_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 RecMetric: exact-match acc (space-stripped) + avg normalized edit
+    distance (rec_metric.py:61-160) over deterministic pred/target pairs."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("tgt"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .otherwise(F.translate("text", "ae", "ea")).alias("pred"))
+    return d.agg(
+        F.round(F.avg(
+            F.when(F.replace("pred", F.lit(" "), F.lit("")) ==
+                   F.replace("tgt", F.lit(" "), F.lit("")), 1.0)
+            .otherwise(0.0)), 4).alias("exact_acc"),
+        F.round(F.avg(
+            1.0 - F.levenshtein("pred", "tgt")
+            / F.greatest(F.length("pred"), F.length("tgt"), F.lit(1))
+            .cast("double")), 4).alias("norm_edit_sim"),
+        F.count("*").cast("long").alias("n"))
+
+
+def q_det_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 DetMetric.combine_results: global precision/recall/hmean from
+    per-image matched counts (det_metric.py:24-79)."""
+    d = _docs(spark, sf_dir).select(
+        (F.col("n_chars") % 7 + 1).alias("gt"),
+        ((F.col("n_chars") * 3) % 8).alias("det"),
+    ).select("gt", "det",
+             F.least("gt", "det", (F.col("gt") * F.col("det")) % 5)
+             .alias("matched"))
+    agg = d.agg(F.sum("matched").cast("double").alias("m"),
+                F.sum("det").cast("double").alias("d"),
+                F.sum("gt").cast("double").alias("g"))
+    p = F.col("m") / F.col("d")
+    r = F.col("m") / F.col("g")
+    return agg.select(
+        F.round(p, 4).alias("precision"), F.round(r, 4).alias("recall"),
+        F.round(2 * p * r / (p + r), 4).alias("hmean"))
+
+
+def q_strq2b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14 full-width→half-width fold via translate()."""
+    return T.strq2b(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        # flagship pipeline stages
+        "explode_spans": q_explode_spans,
+        "span_geometry": q_span_geometry,
+        "det_drop_filters": q_det_drop_filters,
+        "style_strip": q_style_strip,
+        "flagship_span_counts": q_flagship_span_counts,
+        "flagship_kind_counts": q_flagship_kind_counts,
+        "flagship_extract": q_flagship_extract,        # rows-only
+        # relational operator demos
+        "union_sample": q_union_sample,
+        "topk_window": q_topk_window,
+        "cell_match": q_cell_match,
+        "rec_metric": q_rec_metric,
+        "det_metric": q_det_metric,
+        "strq2b": q_strq2b,
+        # text analysis
+        "token_count": T.token_count,
+        "lang_id": T.lang_id,
+        "quality_score": T.quality_score,
+        "fingerprint": T.fingerprint,
+        # dedup
+        "dedup_exact": D.dedup_exact,
+        "dedup_minhash_pairs": D.dedup_minhash_pairs,
+        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
+        "dedup_simhash": D.dedup_simhash,
+        # similarity search
+        "ann_cosine_topk": SIM.ann_cosine_topk,
+        "ann_lsh_buckets": SIM.ann_lsh_buckets,
+        "embedding_neardup": SIM.embedding_neardup,
+    }
+
+
+_WORDS = ("list_filter(string_split(lower(text), ' '), w -> w != '')")
+_WORDS_CO = ("list_filter(string_split(lower(coalesce(text, '')), ' '), "
+             "x -> x != '')")
+
+_CORPUS_CTE = f"""
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {D.DUP_OFFSET}, text FROM documents
+    WHERE doc_id % {D.DUP_EVERY} = 0
+    UNION ALL
+    SELECT doc_id + {2 * D.DUP_OFFSET},
+           'dup ' || array_to_string(string_split(text, ' ')[2:], ' ')
+    FROM documents WHERE doc_id % {D.NEAR_EVERY} = 0
+)"""
+
+_SHINGLE_CTE = f"""
+shing AS (
+    SELECT doc_id,
+           list_sort(list_distinct(CASE WHEN len(w) < 3
+               THEN [array_to_string(w, ' ')]
+               ELSE list_transform(generate_series(1, len(w) - 2),
+                    i -> array_to_string(w[i:i+2], ' ')) END)) AS sh
+    FROM (SELECT doc_id, {_WORDS_CO} AS w FROM corpus)
+)"""
+
+_BANDS_CTE = f"""
+mh AS (
+    SELECT doc_id,
+           list_transform(generate_series(0, {D.MINHASH_K - 1}), k ->
+               list_aggregate(list_transform(sh,
+                   s -> md5(CAST(k AS VARCHAR) || ':' || s)), 'min')) AS mh
+    FROM shing
+),
+bands AS (
+    SELECT doc_id, b AS band,
+           md5(array_to_string(
+               mh[b * {D.MINHASH_ROWS} + 1 : b * {D.MINHASH_ROWS}
+                  + {D.MINHASH_ROWS}], '')) AS band_hash
+    FROM mh CROSS JOIN (SELECT unnest(generate_series(0,
+        {D.MINHASH_BANDS - 1})) AS b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+)"""
+
+def _lsh_code_sql(tbl: str) -> str:
+    """Correlated scalar subquery computing the LSH bucket of {tbl}.embedding."""
+    return f"""(
+    SELECT CAST(sum(CASE WHEN dot > 0
+                THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)
+    FROM (
+        SELECT p.p,
+               list_sum(list_transform(generate_series(1,
+                   len({tbl}.embedding)),
+                   d -> ((strpos('0123456789abcdef', substring(
+                           md5(CAST(p.p AS VARCHAR) || ':'
+                               || CAST(d - 1 AS VARCHAR)), 1, 1)) - 1)
+                         / 7.5 - 1.0)
+                        * CAST({tbl}.embedding[d] AS DOUBLE))) AS dot
+        FROM (SELECT unnest(generate_series(0, {SIM.LSH_PLANES - 1})) AS p) p
+    ) code
+)"""
+
+_COS = ("""round(
+    list_sum(list_transform(generate_series(1, len({a})),
+        i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+    4)""")
+
+
+def _stopword_hits(lang: str) -> str:
+    arr = ", ".join(f"'{s}'" for s in T.LANG_STOPWORDS[lang])
+    return (f"CAST(len(list_filter(w, x -> list_contains([{arr}], x))) "
+            f"AS BIGINT) AS hits_{lang}")
+
+
+def oracle_sql() -> dict[str, str]:
+    sqls: dict[str, str] = {}
+
+    sqls["explode_spans"] = f"""
+WITH {SYNTH_CTE.lstrip()}
+SELECT doc_id, span_idx, kind, text, media_ref, CAST("offset" AS BIGINT) AS "offset"
+FROM synth_spans"""
+
+    sqls["span_geometry"] = f"""
+WITH {SYNTH_CTE.lstrip()}, {GEOM_CTE.lstrip()}
+SELECT doc_id, span_idx, kind,
+       CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1,
+       CAST(x1 + w AS BIGINT) AS x2, CAST(y1 + h AS BIGINT) AS y2
+FROM synth_geom"""
+
+    sqls["det_drop_filters"] = f"""
+WITH {SYNTH_CTE.lstrip()}, {GEOM_CTE.lstrip()}, {KEPT_CTE.lstrip()}
+SELECT doc_id, span_idx, kind FROM synth_final"""
+
+    sqls["style_strip"] = f"""
+WITH {SYNTH_CTE.lstrip()}, {GEOM_CTE.lstrip()}, {KEPT_CTE.lstrip()}
+SELECT doc_id, span_idx,
+       regexp_replace(text, '{STYLE_RE}', '', 'g') AS text
+FROM synth_final"""
+
+    sqls["flagship_span_counts"] = f"""
+WITH {SYNTH_CTE.lstrip()}, {GEOM_CTE.lstrip()}, {KEPT_CTE.lstrip()}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+FROM synth_final GROUP BY doc_id"""
+
+    sqls["flagship_kind_counts"] = f"""
+WITH {SYNTH_CTE.lstrip()}, {GEOM_CTE.lstrip()}, {KEPT_CTE.lstrip()}
+SELECT doc_id, kind, CAST(count(*) AS BIGINT) AS n
+FROM synth_final GROUP BY doc_id, kind"""
+
+    # flagship_extract: intentionally no oracle (iterative order kernels).
+
+    sqls["union_sample"] = """
+SELECT doc_id, source, 'fileA' AS file_tag FROM documents
+WHERE source = 'src0' AND doc_id % 100 < 37
+UNION ALL
+SELECT doc_id, source, 'fileB' AS file_tag FROM documents
+WHERE doc_id % 10 < 3 AND doc_id % 100 < 37"""
+
+    sqls["topk_window"] = """
+SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id,
+       round(value, 4) AS value
+FROM (
+    SELECT event_type, event_id, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value DESC, event_id) AS rank
+    FROM events
+) WHERE rank <= 5"""
+
+    sqls["cell_match"] = """
+WITH boxes AS (
+    SELECT l_orderkey % 50 AS t_id,
+           l_orderkey * 10 + l_linenumber AS box_id,
+           CAST((l_partkey % 40) * 20 AS DOUBLE) AS bx1,
+           CAST((l_suppkey % 30) * 25 AS DOUBLE) AS by1,
+           CAST((l_partkey % 40) * 20 + 30 AS DOUBLE) AS bx2,
+           CAST((l_suppkey % 30) * 25 + 20 AS DOUBLE) AS by2
+    FROM lineitem WHERE l_linenumber <= 4
+),
+cells AS (
+    SELECT t.t_id, c.cell_id,
+           CAST((c.cell_id % 4) * 200 AS DOUBLE) AS cx1,
+           CAST((c.cell_id // 4) * 250 AS DOUBLE) AS cy1,
+           CAST((c.cell_id % 4) * 200 + 199 AS DOUBLE) AS cx2,
+           CAST((c.cell_id // 4) * 250 + 249 AS DOUBLE) AS cy2
+    FROM (SELECT DISTINCT t_id FROM boxes) t
+    CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS cell_id) c
+),
+scored AS (
+    SELECT b.t_id, b.box_id, c.cell_id,
+           1.0 - greatest(0.0, least(bx2, cx2) - greatest(bx1, cx1))
+                 * greatest(0.0, least(by2, cy2) - greatest(by1, cy1))
+                 / ((bx2-bx1)*(by2-by1) + (cx2-cx1)*(cy2-cy1)
+                    - greatest(0.0, least(bx2, cx2) - greatest(bx1, cx1))
+                      * greatest(0.0, least(by2, cy2) - greatest(by1, cy1)))
+               AS omi,
+           abs(cx1-bx1) + abs(cy1-by1) + abs(cx2-bx2) + abs(cy2-by2)
+           + least(abs(cx1-bx1) + abs(cy1-by1),
+                   abs(cx2-bx2) + abs(cy2-by2)) AS dis
+    FROM boxes b JOIN cells c ON b.t_id = c.t_id
+)
+SELECT t_id, box_id, cell_id FROM (
+    SELECT t_id, box_id, cell_id,
+           row_number() OVER (PARTITION BY t_id, box_id
+                              ORDER BY omi, dis, cell_id) AS rn
+    FROM scored
+) WHERE rn = 1"""
+
+    sqls["rec_metric"] = """
+WITH pairs AS (
+    SELECT text AS tgt,
+           CASE WHEN doc_id % 3 = 0 THEN text
+                ELSE translate(text, 'ae', 'ea') END AS pred
+    FROM documents
+)
+SELECT round(avg(CASE WHEN replace(pred, ' ', '') = replace(tgt, ' ', '')
+                 THEN 1.0 ELSE 0.0 END), 4) AS exact_acc,
+       round(avg(1.0 - levenshtein(pred, tgt)
+                 / CAST(greatest(length(pred), length(tgt), 1) AS DOUBLE)),
+             4) AS norm_edit_sim,
+       CAST(count(*) AS BIGINT) AS n
+FROM pairs"""
+
+    sqls["det_metric"] = """
+WITH d AS (
+    SELECT n_chars % 7 + 1 AS gt, (n_chars * 3) % 8 AS det
+    FROM documents
+), m AS (
+    SELECT gt, det, least(gt, det, (gt * det) % 5) AS matched FROM d
+), agg AS (
+    SELECT CAST(sum(matched) AS DOUBLE) AS m, CAST(sum(det) AS DOUBLE) AS d,
+           CAST(sum(gt) AS DOUBLE) AS g
+    FROM m
+)
+SELECT round(m / d, 4) AS precision, round(m / g, 4) AS recall,
+       round(2 * (m/d) * (m/g) / (m/d + m/g), 4) AS hmean
+FROM agg"""
+
+    sqls["strq2b"] = f"""
+SELECT doc_id,
+       translate(substring('ＡＢＣＤＥ', CAST(doc_id % 5 AS INT) + 1, 1)
+                 || '　'
+                 || substring('０１２３４', CAST(doc_id % 5 AS INT) + 1, 1)
+                 || text, '{T.FW}', '{T.HW}') AS folded
+FROM documents"""
+
+    sqls["token_count"] = f"""
+SELECT doc_id,
+       CAST(len({_WORDS}) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(lower(text),
+            '{T.BPE_TOKEN_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents"""
+
+    hit_cols = ",\n       ".join(
+        _stopword_hits(lg) for lg in T.LANG_STOPWORDS)
+    first = next(iter(T.LANG_STOPWORDS))
+    best = "greatest(" + ", ".join(
+        f"hits_{lg}" for lg in T.LANG_STOPWORDS) + ")"
+    pred = "CASE WHEN " + best + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN hits_{lg} = {best} THEN '{lg}'"
+        for lg in T.LANG_STOPWORDS) + " END"
+    sqls["lang_id"] = f"""
+WITH w AS (SELECT doc_id, lang, {_WORDS} AS w FROM documents),
+h AS (SELECT doc_id, lang,
+       {hit_cols}
+      FROM w)
+SELECT doc_id, lang, {pred} AS pred_lang,
+       hits_{", hits_".join(T.LANG_STOPWORDS)}
+FROM h"""
+    assert first == "en"
+
+    arr = ", ".join(f"'{s}'" for s in T.QUALITY_STOPWORDS)
+    sqls["quality_score"] = f"""
+WITH f AS (
+    SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(len({_WORDS}) AS DOUBLE) AS n_words,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                w -> list_contains([{arr}], w))) AS DOUBLE) AS n_stop,
+           CAST(length(text) - length(regexp_replace(text,
+                '[.,;:!?''"()-]', '', 'g')) AS DOUBLE) AS n_punct
+    FROM documents
+), r AS (
+    SELECT doc_id,
+           CASE WHEN n_words > 0 THEN (n_chars - n_words + 1) / n_words
+                ELSE 0.0 END AS mean_wl,
+           CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS pr,
+           CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END AS sr,
+           n_words
+    FROM f
+)
+SELECT doc_id, round(mean_wl, 4) AS mean_word_len,
+       round(pr, 4) AS punct_ratio, round(sr, 4) AS stopword_ratio,
+       round(0.4 * least(n_words / 100.0, 1.0)
+             + 0.2 * (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0
+                      THEN 1.0 ELSE 0.0 END)
+             + 0.2 * (1.0 - least(pr * 5.0, 1.0))
+             + 0.2 * least(sr * 10.0, 1.0), 4) AS quality
+FROM r"""
+
+    sqls["fingerprint"] = f"""
+WITH w AS (SELECT doc_id, text, {_WORDS} AS w FROM documents)
+SELECT doc_id,
+       CASE WHEN len(w) < 5 THEN md5(coalesce(text, ''))
+            ELSE list_aggregate(list_transform(generate_series(1, len(w) - 4),
+                 i -> md5(array_to_string(w[i:i+4], ' '))), 'min')
+       END AS fingerprint
+FROM w"""
+
+    sqls["dedup_exact"] = f"""
+WITH {_CORPUS_CTE.lstrip()}
+SELECT md5(coalesce(text, '')) AS content_hash,
+       CAST(count(*) AS BIGINT) AS copies,
+       min(doc_id) AS keeper_doc_id
+FROM corpus GROUP BY 1 HAVING count(*) > 1"""
+
+    sqls["dedup_minhash_pairs"] = f"""
+WITH {_CORPUS_CTE.lstrip()}, {_SHINGLE_CTE.lstrip()}, {_BANDS_CTE.lstrip()}
+SELECT doc_a, doc_b FROM cand"""
+
+    sqls["dedup_ngram_jaccard"] = f"""
+WITH {_CORPUS_CTE.lstrip()}, {_SHINGLE_CTE.lstrip()}, {_BANDS_CTE.lstrip()},
+j AS (
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / (len(sa.sh) + len(sb.sh)
+                    - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+    FROM cand c
+    JOIN shing sa ON sa.doc_id = c.doc_a
+    JOIN shing sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5"""
+
+    sqls["dedup_simhash"] = f"""
+WITH {_CORPUS_CTE.lstrip()},
+w AS (
+    SELECT doc_id, list_distinct({_WORDS_CO}) AS w FROM corpus
+),
+wx AS (SELECT doc_id, unnest(w) AS word FROM w),
+bits AS (
+    SELECT wx.doc_id, j.j,
+           CASE WHEN CAST(floor((strpos('0123456789abcdef',
+                substring(md5(word), (j.j // 4) + 1, 1)) - 1)
+                / power(2, j.j % 4)) AS BIGINT) % 2 = 1
+                THEN 1 ELSE -1 END AS vote
+    FROM wx CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) j
+),
+sb AS (
+    SELECT doc_id, j,
+           CASE WHEN sum(vote) > 0 THEN CAST(power(2, j) AS BIGINT)
+                ELSE 0 END AS bit
+    FROM bits GROUP BY doc_id, j
+),
+sim AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash
+        FROM sb GROUP BY doc_id)
+SELECT w.doc_id, coalesce(sim.simhash, 0) AS simhash,
+       CAST(coalesce(sim.simhash, 0) // 1 % 256 AS BIGINT) AS band0,
+       CAST(coalesce(sim.simhash, 0) // 256 % 256 AS BIGINT) AS band1,
+       CAST(coalesce(sim.simhash, 0) // 65536 % 256 AS BIGINT) AS band2,
+       CAST(coalesce(sim.simhash, 0) // 16777216 % 256 AS BIGINT) AS band3
+FROM w LEFT JOIN sim ON w.doc_id = sim.doc_id"""
+
+    cos_qe = _COS.format(a="q.q", b="e.embedding")
+    sqls["ann_cosine_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings
+           WHERE vec_id < {SIM.TOPK_QUERIES}),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           {cos_qe} AS cosine,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+               list_sum(list_transform(generate_series(1, len(q.q)),
+                   i -> CAST(q.q[i] AS DOUBLE)
+                        * CAST(e.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.q,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               DESC, e.vec_id) AS rank
+    FROM q CROSS JOIN embeddings e
+    WHERE e.vec_id != q.query_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine
+FROM scored WHERE rank <= {SIM.TOPK_K}"""
+
+    sqls["ann_lsh_buckets"] = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+coded AS (SELECT vec_id, {_lsh_code_sql('v')} AS bucket FROM v)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
+       min(vec_id) AS min_vec_id
+FROM coded GROUP BY bucket"""
+
+    cos_ab = _COS.format(a="a.embedding", b="b.embedding")
+    sqls["embedding_neardup"] = f"""
+WITH base AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + {SIM.VEC_DUP_OFFSET}, embedding FROM embeddings
+    WHERE vec_id % {SIM.VEC_DUP_EVERY} = 0
+),
+v AS (SELECT vec_id, embedding, {_lsh_code_sql('base')} AS bucket FROM base)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {cos_ab} AS cosine
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos_ab} >= 0.9"""
+
+    return sqls

@@ -1,0 +1,38 @@
+"""Training-data pipeline functions — first-class components beyond the
+reference's own operators (dedup, similarity search, text analysis).
+
+Everything here is expressed with JVM-side Spark SQL expressions (higher-order
+functions over arrays, window ranking, band-joins) — zero Python UDFs — so it
+whole-stage-codegens and scales; each public op has a DuckDB oracle twin in
+``paddleocr_spark.oracle_queries`` used by ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .dedup import (dedup_exact, dedup_minhash_pairs, dedup_ngram_jaccard,
+                    dedup_simhash, noisy_corpus)
+from .similarity import ann_cosine_topk, ann_lsh_buckets, embedding_neardup
+from .textfns import fingerprint, lang_id, quality_score, strq2b, token_count
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Headline secondary queries timed by bench.py."""
+    return {
+        "dedup_minhash": dedup_minhash_pairs,
+        "dedup_simhash": dedup_simhash,
+        "ann_cosine_topk": ann_cosine_topk,
+        "token_count": token_count,
+        "quality_score": quality_score,
+    }
+
+
+__all__ = [
+    "dedup_exact", "dedup_minhash_pairs", "dedup_ngram_jaccard",
+    "dedup_simhash", "noisy_corpus", "ann_cosine_topk", "ann_lsh_buckets",
+    "embedding_neardup", "fingerprint", "lang_id", "quality_score", "strq2b",
+    "token_count", "bench_queries",
+]

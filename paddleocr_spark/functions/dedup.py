@@ -1,0 +1,173 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of each op at 10^12 docs):
+
+* exact: single hash-groupBy on md5(text) — one shuffle, map-side partial agg.
+* MinHash+LSH: shingle → K minhashes → band buckets → self-join **on band
+  bucket** (an equi-join Catalyst hashes; never an O(n²) crossJoin). Band
+  buckets are tiny equivalence classes, so the join's per-key fan-out is
+  bounded; skewed buckets are handled by AQE skew-join.
+* SimHash: per-doc 32-bit signature computed entirely with higher-order
+  functions (no explode ⇒ no 32× row blowup before the shuffle).
+* n-gram Jaccard: exact verification ONLY on the LSH candidate pairs
+  (classic two-phase near-dup: cheap recall pass, exact precision pass).
+
+Hashing uses md5 hex strings (lexicographic min), identical in Spark and
+DuckDB — that's what makes the oracle cross-check exact.
+
+All corpus ops run over :func:`noisy_corpus`, which injects deterministic
+duplicates (exact + near) so dedup does observable work on the clean
+synthetic corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: MinHash parameters: K hashes in B bands of R rows (K = B*R).
+MINHASH_K = 16
+MINHASH_BANDS = 4
+MINHASH_ROWS = 4
+
+#: Near-duplicate mutation: every DUP_EVERY-th doc gets an exact copy under
+#: doc_id+DUP_OFFSET; every NEAR_EVERY-th doc a near copy (first word
+#: replaced) under doc_id+2*DUP_OFFSET.
+DUP_OFFSET = 1_000_000
+DUP_EVERY = 5
+NEAR_EVERY = 7
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def noisy_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ injected exact dups ∪ injected near dups (deterministic)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    exact = (docs.filter(F.col("doc_id") % DUP_EVERY == 0)
+             .select((F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text"))
+    near = (docs.filter(F.col("doc_id") % NEAR_EVERY == 0)
+            .select((F.col("doc_id") + 2 * DUP_OFFSET).alias("doc_id"),
+                    F.expr("concat('dup ', concat_ws(' ', "
+                           "slice(split(text, ' '), 2, "
+                           "greatest(size(split(text, ' ')) - 1, 0))))"
+                           ).alias("text")))
+    return docs.unionByName(exact).unionByName(near)
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy; keeper = min(doc_id) per content hash."""
+    c = noisy_corpus(spark, sf_dir)
+    return (c.groupBy(F.md5(F.coalesce("text", F.lit(""))).alias("content_hash"))
+            .agg(F.count("*").cast("long").alias("copies"),
+                 F.min("doc_id").alias("keeper_doc_id"))
+            .filter(F.col("copies") > 1))
+
+
+def shingles_col(n: int = 3):
+    """Distinct word n-gram shingles of lower(text), sorted (set semantics)."""
+    return F.expr(
+        "array_sort(array_distinct(CASE WHEN size(w) < {n} "
+        "THEN array(concat_ws(' ', w)) "
+        "ELSE transform(sequence(1, size(w) - {m}), "
+        "  i -> concat_ws(' ', slice(w, i, {n}))) END))".format(
+            n=n, m=n - 1))
+
+
+def with_shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
+    return corpus.select(
+        "doc_id",
+        F.expr("filter(split(lower(coalesce(text, '')), ' '), x -> x != '')"
+               ).alias("w"),
+    ).select("doc_id", shingles_col(n).alias("sh"))
+
+
+def minhash_bands(corpus: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash): K md5-minhashes folded into B band hashes."""
+    sh = with_shingles(corpus)
+    mh = sh.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, {k}), k -> "
+            "  array_min(transform(sh, s -> md5(concat(k, ':', s)))))".format(
+                k=MINHASH_K - 1)
+        ).alias("mh"))
+    return mh.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            "transform(sequence(0, {b}), b -> "
+            "  md5(concat_ws('', slice(mh, b * {r} + 1, {r}))))".format(
+                b=MINHASH_BANDS - 1, r=MINHASH_ROWS))
+        ).alias("band", "band_hash"))
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 minhash band bucket (a < b)."""
+    bands = minhash_bands(noisy_corpus(spark, sf_dir))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact word-3-gram Jaccard on the LSH candidate pairs (precision pass).
+
+    Output: (doc_a, doc_b, jaccard) with jaccard ≥ threshold, rounded 4dp.
+    """
+    corpus = noisy_corpus(spark, sf_dir)
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    sh = with_shingles(corpus)
+    j = (pairs
+         .join(sh.select(F.col("doc_id").alias("doc_a"),
+                         F.col("sh").alias("sh_a")), "doc_a")
+         .join(sh.select(F.col("doc_id").alias("doc_b"),
+                         F.col("sh").alias("sh_b")), "doc_b")
+         .select(
+             "doc_a", "doc_b",
+             F.expr("size(array_intersect(sh_a, sh_b))").alias("inter"),
+             F.expr("size(sh_a) + size(sh_b)").alias("tot"))
+         .select(
+             "doc_a", "doc_b",
+             F.round(F.col("inter")
+                     / (F.col("tot") - F.col("inter")), 4).alias("jaccard")))
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document, plus its 4 byte-bands.
+
+    Bit j of a word's hash = bit (j%4) of hex digit j/4 of md5(word), decoded
+    arithmetically (floor(dv / 2^(j%4)) % 2) so Spark and DuckDB agree without
+    engine-specific bit ops. Signature bit j is the sign of the ±1 vote sum
+    over distinct words. At scale, near-dup lookup joins on any equal byte
+    band (standard simhash blocking); here we emit signature + bands.
+    """
+    corpus = noisy_corpus(spark, sf_dir)
+    df = corpus.select(
+        "doc_id",
+        F.expr("array_distinct(filter(split(lower(coalesce(text, '')), ' '),"
+               " x -> x != ''))").alias("w"))
+    sim = df.select(
+        "doc_id",
+        F.expr(
+            "aggregate(sequence(0, 31), 0L, (acc, j) -> acc + "
+            "CASE WHEN aggregate(w, 0L, (s, x) -> s + CASE WHEN "
+            "  CAST(floor((instr('0123456789abcdef', "
+            "    substring(md5(x), CAST(j / 4 AS INT) + 1, 1)) - 1) "
+            "    / power(2, j % 4)) AS BIGINT) % 2 = 1 "
+            "  THEN 1 ELSE -1 END) > 0 "
+            "THEN CAST(power(2, j) AS BIGINT) ELSE 0L END)"
+        ).alias("simhash"))
+    return sim.select(
+        "doc_id", "simhash",
+        *[(F.floor(F.col("simhash") / F.lit(256 ** i)) % 256)
+          .cast("long").alias(f"band{i}") for i in range(4)])

@@ -1,0 +1,163 @@
+"""Text-analysis operators for large-scale corpus curation.
+
+Language-ID (stopword-hit heuristic), quality scoring (length / punctuation /
+stopword ratios), token counting (whitespace + BPE-ish regex), document
+fingerprinting (min-hash over word shingles — a winnowing-lite rolling
+fingerprint), and the reference's full-width fold (strQ2B,
+tools/end2end/eval_end2end.py:26-35).
+
+All pure JVM expressions (split / higher-order functions / regexp) — no
+Python UDFs — so every op whole-stage-codegens and survives a 100× scale-up.
+Each op's DuckDB oracle lives in paddleocr_spark/oracle_queries.py; column
+names and rounding are part of the contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Stopword sets for the n-gram/stopword lang-ID heuristic. Order is the
+#: tie-break precedence (en > de > fr > es).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "une", "est", "pour"],
+    "es": ["el", "los", "y", "las", "una", "es", "por", "como"],
+}
+
+#: English stopwords used by the quality score's stopword-ratio feature.
+QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
+
+#: BPE-ish token pattern: letter runs | digit runs | single non-space symbol.
+#: Kept RE2/Java-portable (no lookarounds, no unicode classes).
+BPE_TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+#: Full-width → half-width fold (strQ2B analog): the full-width codepoints we
+#: inject in fixtures, mapped to their ASCII halves; U+3000 → space.
+FW = "　ＡＢＣＤＥ０１２３４，．！？"
+HW = " ABCDE01234,.!?"
+
+
+def docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def words_col(text_col: str = "text"):
+    """Whitespace tokenization of lowercased text, empty tokens dropped."""
+    return F.expr(
+        f"filter(split(lower({text_col}), ' '), w -> w != '')")
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts: whitespace words + BPE-ish regex tokens."""
+    return docs_table(spark, sf_dir).select(
+        "doc_id",
+        F.size(words_col()).cast("long").alias("n_words"),
+        F.size(F.expr(
+            f"regexp_extract_all(lower(text), '{BPE_TOKEN_PATTERN}', 0)"
+        )).cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language identification.
+
+    Counts (with repeats) how many tokens fall in each language's stopword
+    set; predicted language = argmax with fixed precedence en>de>fr>es,
+    'und' (undetermined) when all counts are zero.
+    """
+    df = docs_table(spark, sf_dir).select(
+        "doc_id", "lang", words_col().alias("w"))
+    hits = {}
+    for lg, sw in LANG_STOPWORDS.items():
+        arr = ", ".join(f"'{s}'" for s in sw)
+        hits[lg] = F.expr(
+            f"size(filter(w, x -> array_contains(array({arr}), x)))"
+        ).cast("long")
+    df = df.select(
+        "doc_id", "lang",
+        *[hits[lg].alias(f"hits_{lg}") for lg in LANG_STOPWORDS])
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in LANG_STOPWORDS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lg in LANG_STOPWORDS:  # dict order == precedence
+        pred = pred.when(F.col(f"hits_{lg}") == best, F.lit(lg))
+    return df.select(
+        "doc_id", "lang", pred.alias("pred_lang"),
+        *[F.col(f"hits_{lg}") for lg in LANG_STOPWORDS])
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality score in [0,1].
+
+    Features: word count (saturating at 100), mean word length (target 3-10),
+    punctuation ratio (penalized above 20%), stopword ratio (reward presence).
+    The exact formula is arbitrary but fixed — the contract is determinism and
+    oracle parity, mirroring how curation pipelines bin documents by score.
+    """
+    arr = ", ".join(f"'{s}'" for s in QUALITY_STOPWORDS)
+    df = docs_table(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").cast("double").alias("n_chars"),
+        F.size(words_col()).cast("double").alias("n_words"),
+        F.size(F.expr(
+            f"filter(split(lower(text), ' '), "
+            f"w -> array_contains(array({arr}), w))"
+        )).cast("double").alias("n_stop"),
+        (F.length("text") - F.length(
+            F.regexp_replace("text", "[.,;:!?'\"()-]", ""))
+         ).cast("double").alias("n_punct"),
+    )
+    mean_wl = F.when(F.col("n_words") > 0,
+                     (F.col("n_chars") - F.col("n_words") + 1)
+                     / F.col("n_words")).otherwise(F.lit(0.0))
+    punct_ratio = F.when(F.col("n_chars") > 0,
+                         F.col("n_punct") / F.col("n_chars")).otherwise(0.0)
+    stop_ratio = F.when(F.col("n_words") > 0,
+                        F.col("n_stop") / F.col("n_words")).otherwise(0.0)
+    score = (
+        0.4 * F.least(F.col("n_words") / 100.0, F.lit(1.0))
+        + 0.2 * F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), 1.0).otherwise(0.0)
+        + 0.2 * (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0)))
+        + 0.2 * F.least(stop_ratio * 10.0, F.lit(1.0))
+    )
+    return df.select(
+        "doc_id",
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: lexicographic-min MD5 over word 5-gram shingles
+    (winnowing-lite); whole-text MD5 when the doc has fewer than 5 words."""
+    df = docs_table(spark, sf_dir).select(
+        "doc_id", "text", words_col().alias("w"))
+    return df.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(w) < 5 THEN md5(coalesce(text, ''))"
+            " ELSE array_min(transform(sequence(1, size(w) - 4),"
+            "   i -> md5(concat_ws(' ', slice(w, i, 5))))) END"
+        ).alias("fingerprint"),
+    )
+
+
+def strq2b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-width → half-width unicode fold (strQ2B, P14 analog):
+    deterministically prefix full-width chars, then fold with translate()."""
+    df = docs_table(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.expr("substring('ＡＢＣＤＥ', CAST(doc_id % 5 AS INT) + 1, 1)"),
+            F.lit("　"),
+            F.expr("substring('０１２３４', CAST(doc_id % 5 AS INT) + 1, 1)"),
+            F.col("text"),
+        ).alias("widened"))
+    return df.select(
+        "doc_id", F.translate("widened", FW, HW).alias("folded"))
