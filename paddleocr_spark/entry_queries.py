@@ -340,6 +340,41 @@ def q_strq2b(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.strq2b(spark, sf_dir)
 
 
+def q_ctc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1+R2+R3: CTC encode (JVM) → sort-to-batch mapInPandas decode →
+    conditional 180° flip. Round-trip invariant: decoded text == input text
+    filtered to the charset; score 1.0 (0.0 for empty)."""
+    from .operators.recognize import classify_rotate, recognize
+    spans = _docs(spark, sf_dir).select(
+        F.format_string("doc_%07d", F.col("doc_id")).alias("doc_id"),
+        F.lit(0).cast("long").alias("span_idx"),
+        "text",
+        F.lit(0).alias("x1"), F.lit(100).alias("x2"),
+        F.lit(0).alias("y1"), F.lit(10).alias("y2"))
+    out = classify_rotate(recognize(spans))
+    return out.select("doc_id", "span_idx", "rec_text",
+                      F.round("rec_score", 4).alias("rec_score"),
+                      "cls_label")
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: media spans → distinct refs → Arrow-batched
+    (stubbed) decode → exploded per-dim features. The decode itself is a
+    deterministic md5-derived fake (container lacks cv2), but the schema,
+    dedup-by-ref, mapInPandas batch shape, and feature explode are the real
+    production plumbing (paddleocr_spark/multimodal.py)."""
+    from .multimodal import media_features
+    feats = media_features(synth_spans(_docs(spark, sf_dir)))
+    return feats.select(
+        "media_ref", F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.posexplode("feature").alias("dim", "v"),
+    ).select("media_ref", "width", "height", "n_frames",
+             F.col("dim").cast("long").alias("dim"),
+             F.round(F.col("v").cast("double"), 4).alias("value"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -361,6 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_metric": q_rec_metric,
         "det_metric": q_det_metric,
         "strq2b": q_strq2b,
+        "ctc_roundtrip": q_ctc_roundtrip,
         # text analysis
         "token_count": T.token_count,
         "lang_id": T.lang_id,
@@ -589,6 +625,31 @@ SELECT doc_id,
                  || substring('０１２３４', CAST(doc_id % 5 AS INT) + 1, 1)
                  || text, '{T.FW}', '{T.HW}') AS folded
 FROM documents"""
+
+    from .operators.recognize import CHARSET
+    cs_sql = CHARSET.replace("'", "''")
+    sqls["ctc_roundtrip"] = f"""
+WITH base AS (
+    SELECT printf('doc_%07d', doc_id) AS doc_id,
+           CAST(0 AS BIGINT) AS span_idx, coalesce(text, '') AS text
+    FROM documents
+),
+dec AS (
+    SELECT doc_id, span_idx,
+           array_to_string(list_filter(
+               list_transform(generate_series(1, length(text)),
+                              i -> substring(text, CAST(i AS INT), 1)),
+               c -> strpos('{cs_sql}', c) > 0), '') AS rec_text0
+    FROM base
+)
+SELECT doc_id, span_idx,
+       CASE WHEN substring(md5(doc_id || ':0'), 1, 1) = '0'
+            THEN reverse(rec_text0) ELSE rec_text0 END AS rec_text,
+       CAST(CASE WHEN length(rec_text0) > 0 THEN 1.0 ELSE 0.0 END
+            AS DOUBLE) AS rec_score,
+       CASE WHEN substring(md5(doc_id || ':0'), 1, 1) = '0'
+            THEN '180' ELSE '0' END AS cls_label
+FROM dec"""
 
     sqls["token_count"] = f"""
 SELECT doc_id,

@@ -105,8 +105,16 @@ def minhash_bands(corpus: DataFrame) -> DataFrame:
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: docs sharing ≥1 minhash band bucket (a < b)."""
-    bands = minhash_bands(noisy_corpus(spark, sf_dir))
+    """LSH candidate pairs: docs sharing ≥1 minhash band bucket (a < b).
+
+    The band table is persisted before the self-join — otherwise Spark
+    computes the shingle→minhash chain twice (once per join side). At
+    10^12-doc scale the band table is materialized to its own Iceberg
+    table instead (it is also the incremental-dedup index: new docs join
+    against it without recomputing the corpus).
+    """
+    bands = minhash_bands(noisy_corpus(spark, sf_dir)).persist()
+    bands.count()  # materialize before the self-join reads it twice
     a = bands.alias("a")
     b = bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))

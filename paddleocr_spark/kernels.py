@@ -353,35 +353,43 @@ def order_document(kinds: list[str], xs: np.ndarray, ys: np.ndarray,
     n = len(kinds)
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    xy = np.stack([np.asarray(xs, dtype=np.float64),
-                   np.asarray(ys, dtype=np.float64)], axis=1)
+    if n == 1:
+        return np.zeros(1, dtype=np.int64)
+    # Plain-list composition: per-document calls are tiny (median a handful
+    # of spans), where small-ndarray construction overhead dominates — the
+    # sub-kernels accept any sequence-of-sequences, so stay in lists and
+    # convert once at the end. Semantics identical to the array path.
+    xy = [(float(xs[i]), float(ys[i])) for i in range(n)]
     line_order = sorted_boxes_indices(xy)
 
     k_sorted = [kinds[i] for i in line_order]
-    boxes_sorted = np.stack([
-        np.asarray(xs, dtype=np.float64)[line_order],
-        np.asarray(ys, dtype=np.float64)[line_order],
-        np.asarray(x2s, dtype=np.float64)[line_order],
-        np.asarray(y2s, dtype=np.float64)[line_order],
-    ], axis=1)
+    boxes_sorted = [(xy[i][0], xy[i][1], float(x2s[i]), float(y2s[i]))
+                    for i in line_order]
     regions = segment_regions(k_sorted, boxes_sorted)
 
-    n_regions = int(regions.max()) + 1
-    region_bbox = np.empty((n_regions, 4), dtype=np.float64)
-    for r in range(n_regions):
-        mask = regions == r
-        region_bbox[r] = [
-            boxes_sorted[mask, 0].min(), boxes_sorted[mask, 1].min(),
-            boxes_sorted[mask, 2].max(), boxes_sorted[mask, 3].max(),
-        ]
+    n_regions = int(regions[-1]) + 1  # region ids are nondecreasing
+    inf = float("inf")
+    region_bbox = [[inf, inf, -inf, -inf] for _ in range(n_regions)]
+    for i in range(n):
+        b = boxes_sorted[i]
+        rb = region_bbox[regions[i]]
+        if b[0] < rb[0]:
+            rb[0] = b[0]
+        if b[1] < rb[1]:
+            rb[1] = b[1]
+        if b[2] > rb[2]:
+            rb[2] = b[2]
+        if b[3] > rb[3]:
+            rb[3] = b[3]
     region_order, _ = sorted_layout_indices(region_bbox, page_width)
-    region_rank = np.empty(n_regions, dtype=np.int64)
-    region_rank[region_order] = np.arange(n_regions)
+    region_rank = [0] * n_regions
+    for r, idx in enumerate(region_order):
+        region_rank[int(idx)] = r
 
     # Emit: regions in layout order; within a region, lines keep sorted_boxes
-    # order (which is their order in boxes_sorted).
-    keys = region_rank[regions] * (len(kinds) + 1) + np.arange(n)
-    emit = np.argsort(keys, kind="stable")  # positions within boxes_sorted
+    # order (their index order in boxes_sorted — sorted() is stable).
+    emit = sorted(range(n), key=lambda i: region_rank[regions[i]])
     rank = np.empty(n, dtype=np.int64)
-    rank[line_order[emit]] = np.arange(n)
+    for out_pos, j in enumerate(emit):
+        rank[line_order[j]] = out_pos
     return rank

@@ -1,0 +1,103 @@
+"""Multimodal column plumbing — opaque binary media + typed metadata.
+
+Media spans carry a ``media_ref`` (content-addressed, e.g. ``img://h/<hex>``)
+rather than inline bytes; at 10^12-doc scale the bytes live in an object
+store and only flow through executors inside Arrow batches. This module
+implements the Spark-side plumbing — schema, partitioning, Arrow batch
+shape — for decode / feature-extract / resize / frame-sample stages:
+
+* :func:`decode_media` — ``mapInPandas`` over (media_ref, content) rows.
+  The actual image/audio decode is STUBBED (cv2/PIL/ffmpeg are not in this
+  container): with ``fake=True`` (default) it derives deterministic
+  metadata + features from the ref's md5, so every downstream stage and
+  test is real; ``fake=False`` raises NotImplementedError at the exact
+  seam where cv2.imdecode would run (paddleocr.py:529-571 img_decode).
+* :func:`media_features` — per-ref feature rows for the whole corpus:
+  dedup media by ref FIRST (content-addressed storage ⇒ decode each blob
+  once, join back many — the media-analog of common-subplan reuse J7).
+* :func:`frame_sample` — video frame-sampling analog: explodes n_frames
+  into (ref, frame_idx) rows with a deterministic stride, the PDF→pages
+  explode shape (S2, utility.py:97-128).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = ("media_ref string, width long, height long, n_frames long, "
+                "feature array<float>")
+
+FEATURE_DIM = 8
+
+
+def _fake_decode(ref: str) -> tuple[int, int, int, list[float]]:
+    """Deterministic stand-in for cv2.imdecode + feature extraction."""
+    h = hashlib.md5(ref.encode()).digest()
+    width = 64 + h[0] * 4
+    height = 64 + h[1] * 4
+    n_frames = 1 + h[2] % 8
+    feat = (np.frombuffer(h[:FEATURE_DIM], dtype=np.uint8)
+            .astype(np.float32) / 255.0)
+    return width, height, n_frames, feat.tolist()
+
+
+def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
+    """(media_ref [, content:binary]) → decoded metadata + feature vector.
+
+    Arrow-batched grouped decode; never per-row Python UDFs. The batch
+    shape (whole Arrow record batches in, one decoded row out per input
+    row) is the production contract — swapping the stub for cv2 changes
+    only the body of ``decode_one``.
+    """
+
+    def decode_one(ref: str) -> tuple[int, int, int, list[float]]:
+        if not fake:
+            raise NotImplementedError(
+                "real media decode requires cv2/PIL (not in this container); "
+                "this is the cv2.imdecode seam (paddleocr.py:529-571)")
+        return _fake_decode(ref)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [decode_one(r) for r in pdf["media_ref"]]
+            yield pd.DataFrame({
+                "media_ref": pdf["media_ref"],
+                "width": [d[0] for d in decoded],
+                "height": [d[1] for d in decoded],
+                "n_frames": [d[2] for d in decoded],
+                "feature": [d[3] for d in decoded],
+            })
+
+    return (media.select("media_ref").mapInPandas(batches,
+                                                  schema=MEDIA_SCHEMA))
+
+
+def media_features(documents: DataFrame) -> DataFrame:
+    """All media spans → distinct refs → decode once per blob.
+
+    The distinct() is the scale-critical step: media refs are
+    content-addressed, so duplicated media across documents (common at web
+    scale) decodes exactly once; consumers join features back by ref.
+    """
+    refs = (documents
+            .select(F.explode("spans").alias("s"))
+            .filter(F.col("s.kind") == "media")
+            .select(F.col("s.media_ref").alias("media_ref"))
+            .distinct())
+    return decode_media(refs)
+
+
+def frame_sample(features: DataFrame, stride: int = 2) -> DataFrame:
+    """Video frame-sampling analog: one row per sampled frame index
+    (0, stride, 2*stride, ... < n_frames) — the explode(pages) shape."""
+    return features.select(
+        "media_ref", "n_frames",
+        F.explode(F.sequence(
+            F.lit(0), F.col("n_frames") - 1, F.lit(stride))
+        ).alias("frame_idx"))

@@ -1,0 +1,113 @@
+"""Recognition-analog stage (R1/R2/R3) — sort-to-batch Arrow map + CTC decode.
+
+The reference's recognizer (tools/infer/predict_rec.py:393-633) sorts crops
+by aspect ratio so same-batch crops share padded width (argsort :396-400),
+runs the model in batches of 6, CTC-decodes
+(ppocr/postprocess/rec_postprocess.py:157-185), and scatters results back by
+index. The classifier (tools/infer/predict_cls.py:74-122) is the same shape
+plus a conditional 180° flip when label=='180' and score>0.9.
+
+Spark restatement:
+
+* the "model input" is a deterministic CTC id-sequence encoding of the span
+  text (charset lookup + duplicate/blank injection) built with JVM
+  higher-order functions — the stand-in for the Paddle tensor;
+* ``sortWithinPartitions(aspect)`` is the sort-to-batch trick — NO shuffle,
+  it only reorders rows inside each partition so Arrow batches handed to the
+  Python worker have uniform width (padding-minimization at scale);
+* ``mapInPandas`` decodes whole Arrow batches through the shared
+  :func:`paddleocr_spark.kernels.ctc_decode` kernel (vectorized; never
+  per-row Python UDFs);
+* results carry their ``(doc_id, span_idx)`` keys — order is restored by
+  key, never by row position (SURVEY.md J3: we do not rely on zip order).
+
+Round-trip contract: ``decode(encode(text)) == text`` exactly, score 1.0
+(0.0 for empty text — the reference's conf_list=[0] fallback), which makes
+the stage oracle-checkable end to end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernels import ctc_decode
+
+#: Recognition charset (id 0 is the CTC blank; charset[i] maps id i+1 —
+#: ppocr/postprocess/rec_postprocess.py:42-62 plus use_space_char ' ').
+CHARSET = (
+    "abcdefghijklmnopqrstuvwxyz0123456789"
+    ".,;:!?'\"()<>/-_=+*&%$#@[]{}|\\^~` "
+)
+
+REC_SCHEMA = ("doc_id string, span_idx long, rec_text string, "
+              "rec_score double")
+
+
+def ctc_encode_expr(text_col: str = "text"):
+    """CTC id sequence for a text column, as a pure JVM expression.
+
+    Per char c (1-based id = position in CHARSET): emit the id twice
+    (simulating the model dwelling two timesteps per glyph) and append a
+    blank (0) after every char — blanks between repeats are exactly what
+    CTC decoding needs to preserve doubled letters. Unknown chars map to
+    blank and vanish on decode (the reference drops out-of-dict chars,
+    rec_postprocess.py:58-61 'unsupport type' path).
+    """
+    cs = CHARSET.replace("\\", "\\\\").replace("'", "\\'")
+    return F.expr(
+        f"flatten(transform(split(coalesce({text_col}, ''), ''), "
+        f"c -> array(instr('{cs}', c), instr('{cs}', c), 0)))")
+
+
+def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    charset = list(CHARSET)
+    for pdf in it:
+        texts, scores = [], []
+        for ids in pdf["ids"]:
+            t, s = ctc_decode(ids, None, charset)
+            texts.append(t)
+            scores.append(s)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "span_idx": pdf["span_idx"].astype("int64"),
+            "rec_text": texts,
+            "rec_score": scores,
+        })
+
+
+def recognize(spans: DataFrame) -> DataFrame:
+    """R2+R3: encode (JVM) → sort-to-batch → Arrow-batched CTC decode.
+
+    Input needs (doc_id, span_idx, text, x1, x2, y1, y2); aspect = w/h drives
+    the within-partition sort (predict_rec.py:396-400 argsort analog).
+    """
+    enc = spans.select(
+        "doc_id", F.col("span_idx").cast("long").alias("span_idx"),
+        ctc_encode_expr("text").alias("ids"),
+        ((F.col("x2") - F.col("x1"))
+         / F.greatest(F.col("y2") - F.col("y1"), F.lit(1))).alias("aspect"))
+    batched = enc.sortWithinPartitions("aspect")
+    return batched.mapInPandas(_decode_batches, schema=REC_SCHEMA)
+
+
+def classify_rotate(rec: DataFrame, cls_thresh: float = 0.9) -> DataFrame:
+    """R1 TextClassifier analog: flip iff label=='180' and score > thresh
+    (predict_cls.py:112-122). The deterministic "classifier" labels a span
+    '180' when its md5 first hex digit is 0 (≈1/16 of spans); the flip is
+    string reversal (the 1-D stand-in for the 180° image rotation).
+    """
+    label = F.when(
+        F.expr("substring(md5(concat(doc_id, ':', span_idx)), 1, 1)") == "0",
+        F.lit("180")).otherwise(F.lit("0"))
+    score = F.lit(0.95)
+    return rec.select(
+        "doc_id", "span_idx",
+        F.when((label == "180") & (score > cls_thresh),
+               F.reverse("rec_text")).otherwise(F.col("rec_text"))
+        .alias("rec_text"),
+        "rec_score",
+        label.alias("cls_label"))

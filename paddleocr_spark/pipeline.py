@@ -4,19 +4,24 @@ Restates the reference dataflow (SURVEY.md §3.2):
 
     documents → explode spans → geometry (JVM) → det filter P9 (JVM)
     → drop_score P10 (JVM) → style strip P11 (JVM regexp)
-    → per-doc reading-order kernel (applyInPandas: sorted_boxes O1 +
-      region segmentation D1 + sorted_layout_boxes O2 + ordered emission O5)
+    → repartition(n, doc_id) + sortWithinPartitions → mapInArrow kernel
+      (sorted_boxes O1 + region segmentation D1 + sorted_layout_boxes O2 +
+      ordered emission O5, Arrow-native reassembly)
     → extracted (doc_id, spans array<struct<kind,text,media_ref,offset>>)
 
-Exactly ONE shuffle end-to-end: the ``groupBy(doc_id)`` feeding the grouped
-kernel. Everything before it is map-side whole-stage-codegen; the kernel
-returns fully assembled documents so no re-aggregation shuffle follows.
+Exactly ONE payload shuffle end-to-end: the explicit hash repartition on
+doc_id feeding the kernel. Everything before it is map-side
+whole-stage-codegen; the kernel emits fully assembled documents so no
+re-aggregation shuffle follows. The kernel is ``mapInArrow`` (not
+per-group ``applyInPandas``, not pandas) for two measured reasons — see
+``order_and_assemble`` — and string columns are only ever moved by
+vectorized Arrow ``take``, never through per-span Python objects.
 Reference parity citations live in paddleocr_spark/kernels.py.
 """
 
 from __future__ import annotations
 
-import pandas as pd
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, IntegerType, StringType, StructField,
@@ -112,42 +117,135 @@ def strip_styles(spans: DataFrame) -> DataFrame:
         "text", F.regexp_replace("text", STYLE_TOKEN_REGEX, ""))
 
 
-def _order_assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Grouped-map kernel: one document in → one assembled row out.
+def _order_ranks(doc_ids, kinds, x1, y1, x2, y2):
+    """Per-document reading-order resolution over a sorted run of spans.
 
-    Sorts input by span_idx first so the result is invariant to partition
-    arrival order, then delegates to kernels.order_document (O1+D1+O2+O5).
+    Args are aligned arrays sorted by (doc_id, span_idx); doc_ids must be
+    grouped (all rows of a doc contiguous). Returns (starts, take, offsets):
+    document start indices, a take-index array mapping output position →
+    input row (docs in input order, spans in reading order), and the
+    within-doc output offsets.
     """
-    pdf = pdf.sort_values("span_idx", kind="stable")
-    rank = order_document(
-        pdf["kind"].tolist(),
-        pdf["x1"].to_numpy(), pdf["y1"].to_numpy(),
-        pdf["x2"].to_numpy(), pdf["y2"].to_numpy(),
-        G.PAGE_WIDTH,
-    )
-    order = rank.argsort(kind="stable")
-    kinds = pdf["kind"].to_numpy()[order]
-    texts = pdf["text"].to_numpy()[order]
-    refs = pdf["media_ref"].to_numpy()[order]
-    spans = [
-        {"kind": str(k),
-         "text": None if t is None else str(t),
-         "media_ref": None if r is None else str(r),
-         "offset": int(i)}
-        for i, (k, t, r) in enumerate(zip(kinds, texts, refs))
-    ]
-    return pd.DataFrame(
-        [[pdf["doc_id"].iloc[0], spans]], columns=["doc_id", "spans"])
+    n = len(doc_ids)
+    bounds = np.flatnonzero(doc_ids[1:] != doc_ids[:-1]) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [n]])
+    take = np.empty(n, dtype=np.int64)
+    for s, e in zip(starts, ends):
+        if e - s == 1:
+            take[s] = s
+            continue
+        rank = order_document(
+            list(kinds[s:e]), x1[s:e], y1[s:e], x2[s:e], y2[s:e],
+            G.PAGE_WIDTH)
+        take[s:e] = s + rank.argsort(kind="stable")
+    sizes = ends - starts
+    offsets = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+    return starts, take, offsets
 
 
-def order_and_assemble(spans: DataFrame) -> DataFrame:
-    """Reading-order resolution + document re-assembly (the one shuffle)."""
-    return (
-        spans.select("doc_id", "span_idx", "kind", "text", "media_ref",
-                     "x1", "y1", "x2", "y2")
-        .groupBy("doc_id")
-        .applyInPandas(_order_assemble, schema=EXTRACTED_SCHEMA)
-    )
+def _emit_arrow(tbl: "pa.Table"):
+    """Assemble one run of complete documents into an Arrow RecordBatch of
+    (doc_id, spans) — all column shuffling via vectorized Arrow take, no
+    per-span Python objects."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    doc = np.asarray(tbl.column("doc_id").to_pylist(), dtype=object)
+    x1 = tbl.column("x1").to_numpy()
+    y1 = tbl.column("y1").to_numpy()
+    x2 = tbl.column("x2").to_numpy()
+    y2 = tbl.column("y2").to_numpy()
+    kinds = np.asarray(tbl.column("kind").to_pylist(), dtype=object)
+    starts, take, offsets = _order_ranks(doc, kinds, x1, y1, x2, y2)
+
+    idx = pa.array(take)
+    kind_o = pc.take(tbl.column("kind").combine_chunks(), idx)
+    text_o = pc.take(tbl.column("text").combine_chunks(), idx)
+    ref_o = pc.take(tbl.column("media_ref").combine_chunks(), idx)
+    struct = pa.StructArray.from_arrays(
+        [kind_o, text_o, ref_o, pa.array(offsets, type=pa.int32())],
+        names=["kind", "text", "media_ref", "offset"])
+    list_offsets = pa.array(
+        np.concatenate([starts, [len(doc)]]).astype(np.int32))
+    spans = pa.ListArray.from_arrays(list_offsets, struct)
+    doc_ids = pa.array([doc[s] for s in starts], type=pa.string())
+    return pa.RecordBatch.from_arrays([doc_ids, spans],
+                                      names=["doc_id", "spans"])
+
+
+def _assemble_arrow(it):
+    """mapInArrow body: batches of one hash-partition arrive sorted by
+    (doc_id, span_idx); the last (possibly incomplete) document of each
+    batch is carried into the next before assembly."""
+    import pyarrow as pa
+
+    carry: pa.Table | None = None
+    for rb in it:
+        tbl = pa.Table.from_batches([rb])
+        if carry is not None:
+            tbl = pa.concat_tables([carry, tbl]).combine_chunks()
+        n = tbl.num_rows
+        if n == 0:
+            continue
+        doc = tbl.column("doc_id")
+        last = doc[n - 1]
+        cut = n - 1
+        while cut > 0 and doc[cut - 1] == last:
+            cut -= 1
+        carry = tbl.slice(cut)
+        if cut > 0:
+            yield _emit_arrow(tbl.slice(0, cut))
+    if carry is not None and carry.num_rows:
+        yield _emit_arrow(carry)
+
+
+def order_and_assemble(spans: DataFrame,
+                       num_partitions: int | None = None) -> DataFrame:
+    """Reading-order resolution + document re-assembly (the one shuffle).
+
+    Physical strategy (deliberate, see BENCH notes): an EXPLICIT
+    ``repartition(n, doc_id)`` + ``sortWithinPartitions`` + ``mapInPandas``
+    instead of ``groupBy(doc_id).applyInPandas``, because
+
+    * per-group applyInPandas pays Arrow slicing + pandas construction per
+      document — ruinous for web-scale corpora of small docs (40k docs/task
+      at sf0.1 ⇒ the Python stage dominated wall time ~2×);
+    * AQE coalesces shuffle partitions by BYTE size, but this stage is
+      CPU-bound in Python at very low bytes/CPU — byte-based coalescing
+      collapsed it to ~9 tasks on 32 cores. An explicit repartition count
+      is exempt from AQE coalescing, keeping the Python stage wide.
+
+    Hash partitioning on doc_id guarantees each document lands whole in one
+    partition; the within-partition sort makes output independent of both
+    partition count and input row order.
+    """
+    if num_partitions is None:
+        sc = spans.sparkSession.sparkContext
+        num_partitions = sc.defaultParallelism * 2
+    df = (spans.select("doc_id", "span_idx", "kind", "text", "media_ref",
+                       "x1", "y1", "x2", "y2")
+          .repartition(num_partitions, "doc_id")
+          .sortWithinPartitions("doc_id", "span_idx"))
+    return df.mapInArrow(_assemble_arrow, schema=EXTRACTED_SCHEMA)
+
+
+def ensure_input_parallelism(documents: DataFrame,
+                             min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition when the scan is under-partitioned.
+
+    A single small parquet file (or a handful of Iceberg manifests) arrives
+    as 1 task, serializing every narrow stage before the first shuffle. At
+    production scale the Iceberg scan is already wide and this is a no-op
+    check; in the sandbox it is the difference between 1 core and 32 doing
+    the synth/explode/filter work.
+    """
+    sc = documents.sparkSession.sparkContext
+    if min_partitions is None:
+        min_partitions = sc.defaultParallelism
+    if documents.rdd.getNumPartitions() < min_partitions:
+        return documents.repartition(min_partitions)
+    return documents
 
 
 def extract(documents: DataFrame,
@@ -158,6 +256,7 @@ def extract(documents: DataFrame,
     whose spans are all filtered out do not appear (matching the reference,
     which emits nothing for empty results, predict_system.py:84-88).
     """
+    documents = ensure_input_parallelism(documents)
     s = explode_spans(documents)
     s = with_geometry(s)
     s = det_filter(s)

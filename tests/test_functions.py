@@ -1,0 +1,114 @@
+"""Tests for the training-data pipeline ops (dedup / similarity / text)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from paddleocr_spark.functions import (ann_cosine_topk, dedup_exact,
+                                       dedup_minhash_pairs,
+                                       dedup_ngram_jaccard, dedup_simhash,
+                                       embedding_neardup, fingerprint,
+                                       lang_id, quality_score, token_count)
+from paddleocr_spark.functions.dedup import (DUP_EVERY, DUP_OFFSET,
+                                             NEAR_EVERY)
+from paddleocr_spark.functions.similarity import (VEC_DUP_EVERY,
+                                                  VEC_DUP_OFFSET)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dedup_exact_finds_all_injected_copies(spark):
+    rows = dedup_exact(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    expected = len([d for d in range(n_docs) if d % DUP_EVERY == 0])
+    assert len(rows) == expected
+    # keeper is always the original (min doc_id), copies exactly 2
+    assert all(r["copies"] == 2 and r["keeper_doc_id"] < DUP_OFFSET
+               for r in rows)
+
+
+def test_minhash_recalls_exact_and_near_dups(spark):
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in dedup_minhash_pairs(spark, SF).collect()}
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    # every injected exact duplicate must be recalled (all bands equal)
+    for d in range(0, n_docs, DUP_EVERY):
+        assert (d, d + DUP_OFFSET) in pairs
+    # near dups (one word changed) should be recalled in the vast majority
+    near = [d for d in range(n_docs) if d % NEAR_EVERY == 0]
+    hit = sum((d, d + 2 * DUP_OFFSET) in pairs for d in near)
+    assert hit / len(near) > 0.9
+
+
+def test_jaccard_verifies_candidates(spark):
+    rows = dedup_ngram_jaccard(spark, SF).collect()
+    by_pair = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    # injected exact dups (original, original+OFFSET) score exactly 1.0;
+    # injected near dups (one word changed) score high but < 1.0
+    exact = [v for (a, b), v in by_pair.items()
+             if a < DUP_OFFSET and a % DUP_EVERY == 0
+             and b == a + DUP_OFFSET]
+    near = [v for (a, b), v in by_pair.items()
+            if a < DUP_OFFSET and a % NEAR_EVERY == 0
+            and b == a + 2 * DUP_OFFSET]
+    assert exact and all(v == 1.0 for v in exact)
+    assert near and all(0.5 <= v < 1.0 for v in near)
+
+
+def test_simhash_identical_for_exact_dups(spark):
+    rows = dedup_simhash(spark, SF).collect()
+    sig = {r["doc_id"]: r["simhash"] for r in rows}
+    for d in range(0, 500, DUP_EVERY):
+        assert sig[d] == sig[d + DUP_OFFSET]
+    # bands decompose the signature
+    for r in rows[:20]:
+        total = sum(r[f"band{i}"] * (256 ** i) for i in range(4))
+        assert total == r["simhash"]
+
+
+def test_embedding_neardup_finds_injected_vectors(spark):
+    rows = embedding_neardup(spark, SF).collect()
+    pairs = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in rows}
+    n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    for v in range(0, n, VEC_DUP_EVERY):
+        assert pairs[(v, v + VEC_DUP_OFFSET)] == pytest.approx(1.0)
+    assert len(pairs) == len(range(0, n, VEC_DUP_EVERY))
+
+
+def test_ann_topk_matches_bruteforce_numpy(spark):
+    import numpy as np
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()}
+    rows = ann_cosine_topk(spark, SF).collect()
+    for q in {r["query_id"] for r in rows}:
+        got = [r["vec_id"] for r in sorted(
+            (r for r in rows if r["query_id"] == q),
+            key=lambda r: r["rank"])]
+        qv = emb[q]
+        cos = {v: float(qv @ e / (np.linalg.norm(qv) * np.linalg.norm(e)))
+               for v, e in emb.items() if v != q}
+        want = [v for v, _ in sorted(
+            cos.items(), key=lambda kv: (-kv[1], kv[0]))][:10]
+        assert got == want
+
+
+def test_text_analysis_basics(spark):
+    tc = {r["doc_id"]: r for r in token_count(spark, SF).collect()}
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(f"{SF}/documents.parquet").collect()}
+    for d, text in list(docs.items())[:50]:
+        assert tc[d]["n_words"] == len([w for w in text.split(" ") if w])
+        assert tc[d]["n_chars"] == len(text)
+
+    li = lang_id(spark, SF).collect()
+    assert all(r["pred_lang"] in ("en", "de", "fr", "es", "und")
+               for r in li)
+
+    qs = quality_score(spark, SF).collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in qs)
+
+    fp = fingerprint(spark, SF).collect()
+    assert all(len(r["fingerprint"]) == 32 for r in fp)
+    # identical text → identical fingerprint (compare vs a hand dup)
+    assert len({r["fingerprint"] for r in fp}) > 400  # mostly distinct

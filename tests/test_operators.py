@@ -1,0 +1,149 @@
+"""Tests for the recognition stage, multimodal plumbing, sources, and
+streaming incremental extraction."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from paddleocr_spark.multimodal import (decode_media, frame_sample,
+                                        media_features)
+from paddleocr_spark.operators.recognize import (CHARSET, classify_rotate,
+                                                 recognize)
+from paddleocr_spark.sources import read_label_files
+
+SF = "/root/testdata/sf0.001"
+
+
+def _spans_df(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    return docs.select(
+        F.format_string("doc_%07d", F.col("doc_id")).alias("doc_id"),
+        F.lit(0).cast("long").alias("span_idx"),
+        "text",
+        F.lit(0).alias("x1"), F.lit(300).alias("x2"),
+        F.lit(0).alias("y1"), F.lit(10).alias("y2"))
+
+
+def test_ctc_roundtrip_exact(spark):
+    spans = _spans_df(spark)
+    rec = {r["doc_id"]: r for r in recognize(spans).collect()}
+    for r in spans.collect():
+        expect = "".join(c for c in (r["text"] or "") if c in CHARSET)
+        got = rec[r["doc_id"]]
+        assert got["rec_text"] == expect
+        assert got["rec_score"] == (1.0 if expect else 0.0)
+
+
+def test_classify_rotate_flips_meaningfully(spark):
+    out = classify_rotate(recognize(_spans_df(spark))).collect()
+    flipped = [r for r in out if r["cls_label"] == "180"]
+    straight = [r for r in out if r["cls_label"] == "0"]
+    assert flipped and straight  # both classes occur (~1/16 flip rate)
+    # flip is an exact reversal (check one doc against recognize output)
+    rec = {r["doc_id"]: r["rec_text"]
+           for r in recognize(_spans_df(spark)).collect()}
+    for r in flipped[:5]:
+        assert r["rec_text"] == rec[r["doc_id"]][::-1]
+
+
+def test_recognize_is_partition_invariant(spark):
+    spans = _spans_df(spark)
+    a = sorted((r["doc_id"], r["rec_text"])
+               for r in recognize(spans.repartition(1)).collect())
+    b = sorted((r["doc_id"], r["rec_text"])
+               for r in recognize(spans.repartition(13)).collect())
+    assert a == b
+
+
+def test_media_decode_deterministic_and_batched(spark):
+    from paddleocr_spark.synth import synth_spans
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    feats = media_features(synth_spans(docs))
+    rows = feats.collect()
+    assert rows
+    # refs are distinct (decode-once contract)
+    refs = [r["media_ref"] for r in rows]
+    assert len(refs) == len(set(refs))
+    # deterministic across reruns and partitionings
+    again = {r["media_ref"]: r for r in feats.collect()}
+    for r in rows[:20]:
+        a = again[r["media_ref"]]
+        assert (a["width"], a["height"], a["n_frames"]) == \
+            (r["width"], r["height"], r["n_frames"])
+        assert a["feature"] == r["feature"]
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= v <= 1.0 for v in r["feature"])
+
+
+def test_media_decode_real_path_is_gated(spark):
+    refs = spark.createDataFrame([("img://h/AB",)], "media_ref string")
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        decode_media(refs, fake=False).collect()
+
+
+def test_frame_sample_strides(spark):
+    refs = spark.createDataFrame(
+        [("a", 1), ("b", 5), ("c", 8)],
+        "media_ref string, n_frames long")
+    feats = refs.withColumn("width", F.lit(1)).withColumn(
+        "height", F.lit(1)).withColumn("feature", F.array())
+    out = frame_sample(feats, stride=2)
+    got = sorted((r["media_ref"], r["frame_idx"]) for r in out.collect())
+    assert got == [("a", 0), ("b", 0), ("b", 2), ("b", 4),
+                   ("c", 0), ("c", 2), ("c", 4), ("c", 6)]
+
+
+def test_read_label_files_union_and_sampling(spark, tmp_path):
+    f1 = tmp_path / "labels1.txt"
+    f2 = tmp_path / "labels2.txt"
+    f1.write_text("".join(f"img_{i}.jpg\t{{\"n\":{i}}}\n" for i in range(100)))
+    f2.write_text("".join(f"pic_{i}.jpg\t{{\"n\":{i}}}\n" for i in range(50)))
+    df = read_label_files(spark, [str(f1), str(f2)], ratios=[1.0, 0.5])
+    rows = df.collect()
+    n1 = sum(1 for r in rows if r["source_file"] == "labels1.txt")
+    n2 = sum(1 for r in rows if r["source_file"] == "labels2.txt")
+    assert n1 == 100
+    assert 10 <= n2 <= 40  # ~50% of 50, hash-based
+    # deterministic
+    assert sorted(r["img_path"] for r in rows) == sorted(
+        r["img_path"] for r in df.collect())
+
+
+def test_streaming_incremental_processes_only_new_files(spark, tmp_path):
+    from paddleocr_spark.streaming import run_incremental
+    from paddleocr_spark.synth import synth_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = synth_spans(docs)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+
+    corpus.filter(F.col("doc_id") < "doc_0000250").coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    n1 = run_incremental(spark, in_dir, out_dir, ck_dir)
+    assert n1 == 1
+    first = spark.read.option("recursiveFileLookup", "true") \
+        .parquet(out_dir).select("doc_id").collect()
+    ids1 = {r["doc_id"] for r in first}
+
+    corpus.filter(F.col("doc_id") >= "doc_0000250").coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    n2 = run_incremental(spark, in_dir, out_dir, ck_dir)
+    assert n2 == 1
+    allrows = spark.read.option("recursiveFileLookup", "true") \
+        .parquet(out_dir).select("doc_id").collect()
+    ids = [r["doc_id"] for r in allrows]
+    # no duplicates, first batch untouched, both batches present
+    assert len(ids) == len(set(ids))
+    assert ids1 <= set(ids)
+    assert len(set(ids)) > len(ids1)
+
+    # draining again with no new files processes nothing new
+    n3 = run_incremental(spark, in_dir, out_dir, ck_dir)
+    final = spark.read.option("recursiveFileLookup", "true") \
+        .parquet(out_dir).count()
+    assert final == len(ids)
