@@ -297,6 +297,88 @@ def q_cell_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("t_id", "box_id", "cell_id"))
 
 
+def q_cell_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 get_pred_html splice core: per-cell text assembly — matched boxes'
+    texts joined space-separated in box order (matcher.py:99-138's
+    ``' '.join`` per </td>)."""
+    assigned = q_cell_match(spark, sf_dir)
+    withtext = assigned.withColumn(
+        "txt", F.concat(F.lit("w"), (F.col("box_id") % 100).cast("string")))
+    return (withtext.groupBy("t_id", "cell_id")
+            .agg(F.array_join(
+                F.expr("transform(sort_array(collect_list("
+                       "struct(box_id, txt))), s -> s.txt)"), " ")
+                .alias("cell_text"),
+                F.count("*").cast("long").alias("n_boxes")))
+
+
+def q_e2e_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 end2end eval core (eval_end2end.py:71-180): gt×pred box join on
+    IoU>0.5 + per-pair edit distance. Gt/pred synthesized from lineitem;
+    preds for l_linenumber ≤ 2 are the gt box jittered by 2px (match), the
+    rest shifted far away (no match)."""
+    li = _lineitem(spark, sf_dir).filter(F.col("l_linenumber") <= 4)
+    base = li.select(
+        (F.col("l_orderkey") % 50).alias("t_id"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("gid"),
+        ((F.col("l_partkey") % 40) * 20).cast("double").alias("x1"),
+        ((F.col("l_suppkey") % 30) * 25).cast("double").alias("y1"),
+        F.col("l_linenumber").alias("ln"))
+    gt = base.select(
+        "t_id", F.col("gid").alias("gt_id"), "x1", "y1",
+        (F.col("x1") + 30).alias("x2"), (F.col("y1") + 20).alias("y2"),
+        F.concat(F.lit("text"), (F.col("gid") % 97).cast("string"))
+        .alias("gt_text"))
+    shift = F.when(F.col("ln") <= 2, F.lit(2.0)).otherwise(F.lit(5000.0))
+    pred = base.select(
+        "t_id", F.col("gid").alias("pred_id"),
+        (F.col("x1") + shift).alias("px1"), (F.col("y1") + shift).alias("py1"),
+        (F.col("x1") + shift + 30).alias("px2"),
+        (F.col("y1") + shift + 20).alias("py2"),
+        F.concat(F.lit("text"), ((F.col("gid") + 1) % 97).cast("string"))
+        .alias("pred_text"))
+    j = gt.join(pred, "t_id")
+    ix = F.greatest(F.lit(0.0), F.least("x2", "px2") - F.greatest("x1", "px1"))
+    iy = F.greatest(F.lit(0.0), F.least("y2", "py2") - F.greatest("y1", "py1"))
+    inter = ix * iy
+    union = ((F.col("x2") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+             + (F.col("px2") - F.col("px1")) * (F.col("py2") - F.col("py1"))
+             - inter)
+    matched = j.filter(inter / union > 0.5)
+    return matched.agg(
+        F.count("*").cast("long").alias("n_matched"),
+        F.round(F.avg(F.levenshtein("gt_text", "pred_text")), 4)
+        .alias("avg_edit"),
+        F.round(F.avg(F.when(F.col("gt_text") == F.col("pred_text"), 1.0)
+                      .otherwise(0.0)), 4).alias("exact_rate"))
+
+
+def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 mean-over-list analog via the aggregate() higher-order fn: ordered
+    fold over the embedding array (predict_system.py:202's np.mean)."""
+    vecs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return vecs.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.expr(
+            "aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE))"
+        ) / F.size("embedding"), 4).alias("mean_val"),
+        F.round(F.expr(
+            "aggregate(embedding, CAST(-1e30 AS DOUBLE), "
+            "(a, x) -> greatest(a, CAST(x AS DOUBLE)))"), 4)
+        .alias("max_val"))
+
+
+def q_page_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+P13: page explode + first-N-pages limit (paddleocr.py:692-697).
+    Pages derive from span geometry (y DIV page height 1100); keep page<2."""
+    s = with_geometry(_spans_exploded(spark, sf_dir))
+    pages = s.select(
+        "doc_id", F.col("span_idx").cast("long").alias("span_idx"),
+        F.floor(F.col("y1") / 1100).cast("long").alias("page_idx"))
+    return pages.filter(F.col("page_idx") < 2)
+
+
 def q_rec_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 RecMetric: exact-match acc (space-stripped) + avg normalized edit
     distance (rec_metric.py:61-160) over deterministic pred/target pairs."""
@@ -393,6 +475,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_sample": q_union_sample,
         "topk_window": q_topk_window,
         "cell_match": q_cell_match,
+        "cell_texts": q_cell_texts,
+        "e2e_eval": q_e2e_eval,
+        "embed_stats": q_embed_stats,
+        "page_limit": q_page_limit,
         "rec_metric": q_rec_metric,
         "det_metric": q_det_metric,
         "strq2b": q_strq2b,
@@ -549,8 +635,7 @@ FROM (
     FROM events
 ) WHERE rank <= 5"""
 
-    sqls["cell_match"] = """
-WITH boxes AS (
+    cell_base = """boxes AS (
     SELECT l_orderkey % 50 AS t_id,
            l_orderkey * 10 + l_linenumber AS box_id,
            CAST((l_partkey % 40) * 20 AS DOUBLE) AS bx1,
@@ -580,13 +665,78 @@ scored AS (
            + least(abs(cx1-bx1) + abs(cy1-by1),
                    abs(cx2-bx2) + abs(cy2-by2)) AS dis
     FROM boxes b JOIN cells c ON b.t_id = c.t_id
+),
+assigned AS (
+    SELECT t_id, box_id, cell_id FROM (
+        SELECT t_id, box_id, cell_id,
+               row_number() OVER (PARTITION BY t_id, box_id
+                                  ORDER BY omi, dis, cell_id) AS rn
+        FROM scored
+    ) WHERE rn = 1
+)"""
+
+    sqls["cell_match"] = f"""
+WITH {cell_base}
+SELECT t_id, box_id, cell_id FROM assigned"""
+
+    sqls["cell_texts"] = f"""
+WITH {cell_base}
+SELECT t_id, cell_id,
+       string_agg('w' || CAST(box_id % 100 AS VARCHAR), ' '
+                  ORDER BY box_id) AS cell_text,
+       CAST(count(*) AS BIGINT) AS n_boxes
+FROM assigned GROUP BY t_id, cell_id"""
+
+    sqls["e2e_eval"] = """
+WITH base AS (
+    SELECT l_orderkey % 50 AS t_id,
+           l_orderkey * 10 + l_linenumber AS gid,
+           CAST((l_partkey % 40) * 20 AS DOUBLE) AS x1,
+           CAST((l_suppkey % 30) * 25 AS DOUBLE) AS y1,
+           l_linenumber AS ln
+    FROM lineitem WHERE l_linenumber <= 4
+),
+gt AS (
+    SELECT t_id, gid AS gt_id, x1, y1, x1 + 30 AS x2, y1 + 20 AS y2,
+           'text' || CAST(gid % 97 AS VARCHAR) AS gt_text
+    FROM base
+),
+pred AS (
+    SELECT t_id, gid AS pred_id,
+           x1 + CASE WHEN ln <= 2 THEN 2.0 ELSE 5000.0 END AS px1,
+           y1 + CASE WHEN ln <= 2 THEN 2.0 ELSE 5000.0 END AS py1,
+           x1 + CASE WHEN ln <= 2 THEN 2.0 ELSE 5000.0 END + 30 AS px2,
+           y1 + CASE WHEN ln <= 2 THEN 2.0 ELSE 5000.0 END + 20 AS py2,
+           'text' || CAST((gid + 1) % 97 AS VARCHAR) AS pred_text
+    FROM base
+),
+m AS (
+    SELECT gt_text, pred_text,
+           greatest(0.0, least(x2, px2) - greatest(x1, px1))
+           * greatest(0.0, least(y2, py2) - greatest(y1, py1)) AS inter,
+           (x2-x1)*(y2-y1) + (px2-px1)*(py2-py1)
+           - greatest(0.0, least(x2, px2) - greatest(x1, px1))
+             * greatest(0.0, least(y2, py2) - greatest(y1, py1)) AS u
+    FROM gt JOIN pred USING (t_id)
 )
-SELECT t_id, box_id, cell_id FROM (
-    SELECT t_id, box_id, cell_id,
-           row_number() OVER (PARTITION BY t_id, box_id
-                              ORDER BY omi, dis, cell_id) AS rn
-    FROM scored
-) WHERE rn = 1"""
+SELECT CAST(count(*) AS BIGINT) AS n_matched,
+       round(avg(levenshtein(gt_text, pred_text)), 4) AS avg_edit,
+       round(avg(CASE WHEN gt_text = pred_text THEN 1.0 ELSE 0.0 END), 4)
+           AS exact_rate
+FROM m WHERE inter / u > 0.5"""
+
+    sqls["embed_stats"] = """
+SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+             / len(embedding), 4) AS mean_val,
+       round(list_aggregate(list_transform(embedding,
+             x -> CAST(x AS DOUBLE)), 'max'), 4) AS max_val
+FROM embeddings"""
+
+    sqls["page_limit"] = f"""
+WITH {SYNTH_CTE.lstrip()}, {GEOM_CTE.lstrip()}
+SELECT doc_id, span_idx, CAST(y1 // 1100 AS BIGINT) AS page_idx
+FROM synth_geom WHERE y1 // 1100 < 2"""
 
     sqls["rec_metric"] = """
 WITH pairs AS (
