@@ -439,6 +439,26 @@ def q_ctc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "cls_label")
 
 
+def q_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 per-class hard_nms over (doc, label) groups — greedy IoU
+    suppression is iterative, so no SQL oracle (rows-only check; pytest
+    verifies the distributed result equals the kernel run single-node,
+    tests/test_operators.py)."""
+    from .operators.spatial import nms_per_class
+    li = _lineitem(spark, sf_dir).filter(F.col("l_linenumber") <= 3)
+    boxes = li.select(
+        F.format_string("doc_%03d", F.col("l_orderkey") % 20).alias("doc_id"),
+        F.when(F.col("l_partkey") % 2 == 0, "text").otherwise("table")
+        .alias("label"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("box_id"),
+        ((F.col("l_partkey") % 25) * 8).cast("double").alias("x1"),
+        ((F.col("l_suppkey") % 20) * 10).cast("double").alias("y1"),
+    ).select("doc_id", "label", "box_id", "x1", "y1",
+             (F.col("x1") + 40).alias("x2"), (F.col("y1") + 30).alias("y2"),
+             ((F.col("box_id") % 100) / 100.0).alias("score"))
+    return nms_per_class(boxes)
+
+
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: media spans → distinct refs → Arrow-batched
     (stubbed) decode → exploded per-dim features. The decode itself is a
@@ -483,6 +503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_metric": q_det_metric,
         "strq2b": q_strq2b,
         "ctc_roundtrip": q_ctc_roundtrip,
+        "media_decode": q_media_decode,
+        "nms_per_class": q_nms,                        # rows-only
         # text analysis
         "token_count": T.token_count,
         "lang_id": T.lang_id,
@@ -617,6 +639,32 @@ SELECT doc_id, kind, CAST(count(*) AS BIGINT) AS n
 FROM synth_final GROUP BY doc_id, kind"""
 
     # flagship_extract: intentionally no oracle (iterative order kernels).
+
+    sqls["media_decode"] = f"""
+WITH {SYNTH_CTE.lstrip()},
+refs AS (SELECT DISTINCT media_ref FROM synth_spans WHERE kind = 'media'),
+h AS (SELECT media_ref, md5(media_ref) AS hx FROM refs),
+b AS (
+    SELECT media_ref, d.d AS dim,
+           (strpos('0123456789abcdef', substring(hx, CAST(2*d.d + 1 AS INT),
+                1)) - 1) * 16
+           + (strpos('0123456789abcdef', substring(hx, CAST(2*d.d + 2 AS INT),
+                1)) - 1) AS byte
+    FROM h CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS d) d
+),
+meta AS (
+    SELECT media_ref,
+           max(CASE WHEN dim = 0 THEN 64 + byte * 4 END) AS width,
+           max(CASE WHEN dim = 1 THEN 64 + byte * 4 END) AS height,
+           max(CASE WHEN dim = 2 THEN 1 + byte % 8 END) AS n_frames
+    FROM b GROUP BY media_ref
+)
+SELECT b.media_ref, CAST(meta.width AS BIGINT) AS width,
+       CAST(meta.height AS BIGINT) AS height,
+       CAST(meta.n_frames AS BIGINT) AS n_frames,
+       CAST(b.dim AS BIGINT) AS dim,
+       round(CAST(b.byte AS DOUBLE) / 255.0, 4) AS value
+FROM b JOIN meta USING (media_ref)"""
 
     sqls["union_sample"] = """
 SELECT doc_id, source, 'fileA' AS file_tag FROM documents

@@ -16,11 +16,13 @@ from ..kernels import (ctc_decode, hard_nms, match_cells, order_document,
 from ..pipeline import (det_filter, drop_score_filter, explode_spans, extract,
                         order_and_assemble, strip_styles, with_geometry)
 from .recognize import classify_rotate, ctc_encode_expr, recognize
+from .spatial import nms_per_class, salted_repartition
 
 __all__ = [
     "ctc_decode", "hard_nms", "match_cells", "order_document",
     "segment_regions", "sorted_boxes_indices", "sorted_layout_indices",
     "strip_style_tokens", "det_filter", "drop_score_filter", "explode_spans",
     "extract", "order_and_assemble", "strip_styles", "with_geometry",
-    "classify_rotate", "ctc_encode_expr", "recognize",
+    "classify_rotate", "ctc_encode_expr", "recognize", "nms_per_class",
+    "salted_repartition",
 ]

@@ -1,0 +1,74 @@
+"""Spatial grouped operators: per-class NMS (D5) and skew-defusing salting.
+
+``hard_nms`` (kernels.py) is greedy and order-dependent — inherently
+iterative, so it runs as a grouped Arrow kernel per (doc, class), exactly
+the reference's per-image-per-class loop
+(ppocr/postprocess/picodet_postprocess.py:161-190) made distributed. The
+pre-NMS top-k cap (nms_top_k) is a JVM window rank so the expensive Python
+kernel only ever sees bounded groups.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..kernels import hard_nms
+
+NMS_SCHEMA = ("doc_id string, label string, box_id long, "
+              "x1 double, y1 double, x2 double, y2 double, "
+              "score double, keep_order long")
+
+
+def nms_per_class(boxes: DataFrame, iou_threshold: float = 0.5,
+                  nms_top_k: int = 1000, keep_top_k: int = 100,
+                  candidate_size: int = 200) -> DataFrame:
+    """PicoDet-style per-class NMS over (doc_id, label) groups.
+
+    Input: (doc_id, label, box_id, x1, y1, x2, y2, score).
+    Output: kept boxes with their greedy pick order (0-based).
+
+    JVM pre-stage: rank ≤ nms_top_k per (doc_id, label) by (score desc,
+    box_id) — the picodet nms_top_k cap (:182) — so group size into the
+    Python kernel is bounded regardless of detector fan-out.
+    """
+    w = Window.partitionBy("doc_id", "label").orderBy(
+        F.col("score").desc(), F.col("box_id"))
+    capped = (boxes.withColumn("rk", F.row_number().over(w))
+              .filter(F.col("rk") <= nms_top_k).drop("rk"))
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("box_id", kind="stable")  # arrival-order free
+        picked = hard_nms(
+            pdf[["x1", "y1", "x2", "y2"]].to_numpy(dtype=float),
+            pdf["score"].to_numpy(dtype=float),
+            iou_threshold=iou_threshold, top_k=keep_top_k,
+            candidate_size=candidate_size)
+        out = pdf.iloc[picked].copy()
+        out["keep_order"] = range(len(picked))
+        return out[["doc_id", "label", "box_id", "x1", "y1", "x2", "y2",
+                    "score", "keep_order"]]
+
+    return (capped.groupBy("doc_id", "label")
+            .applyInPandas(run, schema=NMS_SCHEMA))
+
+
+def salted_repartition(df: DataFrame, num_partitions: int, key: str,
+                       salt_buckets: int = 16) -> DataFrame:
+    """Repartition by (key, salt) to defuse hot keys (north-rule S8 analog).
+
+    Use when downstream work is per-ROW under a skewed key (e.g. decoding
+    media blobs where a handful of content-addressed refs repeat millions of
+    times). NOT for per-group kernels that need whole groups co-located
+    (reading order) — those take the plain hash repartition. The salt is
+    derived from the row content hash, so the layout is deterministic.
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                        F.lit(salt_buckets)))
+    return salted.repartition(num_partitions, F.col(key),
+                              F.col("_salt")).drop("_salt")

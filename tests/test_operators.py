@@ -147,3 +147,64 @@ def test_streaming_incremental_processes_only_new_files(spark, tmp_path):
     final = spark.read.option("recursiveFileLookup", "true") \
         .parquet(out_dir).count()
     assert final == len(ids)
+
+
+def test_nms_distributed_equals_kernel(spark):
+    import numpy as np
+
+    from paddleocr_spark.entry_queries import q_nms
+    from paddleocr_spark.kernels import hard_nms
+
+    rows = q_nms(spark, SF).collect()
+    # rebuild the input deterministically and run the kernel single-node
+    from paddleocr_spark.entry_queries import _lineitem
+    li = _lineitem(spark, SF).filter(F.col("l_linenumber") <= 3).collect()
+    groups: dict = {}
+    for r in li:
+        doc = f"doc_{r['l_orderkey'] % 20:03d}"
+        label = "text" if r["l_partkey"] % 2 == 0 else "table"
+        bid = r["l_orderkey"] * 10 + r["l_linenumber"]
+        x1 = float((r["l_partkey"] % 25) * 8)
+        y1 = float((r["l_suppkey"] % 20) * 10)
+        groups.setdefault((doc, label), []).append(
+            (bid, x1, y1, x1 + 40, y1 + 30, (bid % 100) / 100.0))
+    expected = {}
+    for key, items in groups.items():
+        items.sort()  # box_id order, as the operator sorts
+        boxes = np.array([[i[1], i[2], i[3], i[4]] for i in items])
+        scores = np.array([i[5] for i in items])
+        # JVM pre-cap: rank<=1000 by (score desc, box_id) — groups are small
+        picked = hard_nms(boxes, scores, iou_threshold=0.5, top_k=100,
+                          candidate_size=200)
+        expected[key] = [(items[p][0], ko) for ko, p in enumerate(picked)]
+    got: dict = {}
+    for r in rows:
+        got.setdefault((r["doc_id"], r["label"]), []).append(
+            (r["box_id"], r["keep_order"]))
+    for k in got:
+        got[k].sort(key=lambda t: t[1])
+    assert got == expected
+
+
+def test_salted_repartition_balances_hot_key(spark):
+    from pyspark.sql.functions import spark_partition_id
+
+    from paddleocr_spark.operators.spatial import salted_repartition
+
+    # 10k rows, 95% under ONE hot key
+    df = spark.range(10000).select(
+        F.when(F.col("id") % 20 != 0, "hot").otherwise(
+            F.concat(F.lit("k"), F.col("id"))).alias("key"),
+        F.col("id").alias("payload"))
+    plain = df.repartition(8, "key")
+    counts = [r["count"] for r in plain.groupBy(
+        spark_partition_id().alias("p")).count().collect()]
+    assert max(counts) > 9000  # hot key lands whole in one partition
+    salted = salted_repartition(df, 8, "key", salt_buckets=16)
+    counts_s = sorted(r["count"] for r in salted.groupBy(
+        spark_partition_id().alias("p")).count().collect())
+    assert len(counts_s) == 8
+    assert max(counts_s) < 3000  # hot key spread across partitions
+    # content preserved
+    assert salted.count() == 10000
+    assert salted.filter(F.col("key") == "hot").count() == 9500
