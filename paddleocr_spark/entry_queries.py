@@ -439,6 +439,45 @@ def q_ctc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "cls_label")
 
 
+def q_char_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fork A4 addition: char-level P/R/F1 via Hirschberg LCS over
+    deterministic (pred, target) pairs. No SQL oracle (LCS is not
+    SQL-expressible); pytest verifies the distributed counts against a
+    single-node run (tests/test_metrics.py)."""
+    from .functions.metrics import char_prf
+    pairs = _docs(spark, sf_dir).select(
+        F.when(F.col("doc_id") % 4 == 0, F.col("text"))
+        .otherwise(F.translate("text", "aeo", "eoa")).alias("pred"),
+        F.col("text").alias("target"))
+    return char_prf(pairs)
+
+
+def q_det_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 DetectionIoUEvaluator: greedy one-to-one IoU matching with
+    don't-care exclusion, per doc, combined globally. Rows-only (greedy
+    loop is iterative); pytest covers the kernel on hand-built cases."""
+    from .functions.metrics import det_eval
+    li = _lineitem(spark, sf_dir).filter(F.col("l_linenumber") <= 4)
+    base = li.select(
+        F.format_string("doc_%04d", F.col("l_orderkey") % 200)
+        .alias("doc_id"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("oid"),
+        ((F.col("l_partkey") % 40) * 30).cast("double").alias("x1"),
+        ((F.col("l_suppkey") % 30) * 30).cast("double").alias("y1"),
+        F.col("l_linenumber").alias("ln"))
+    gt = base.select(
+        "doc_id", F.col("oid").alias("gt_id"), "x1", "y1",
+        (F.col("x1") + 25).alias("x2"), (F.col("y1") + 18).alias("y2"),
+        (F.col("oid") % 11 == 0).alias("ignore"))
+    shift = F.when(F.col("ln") <= 3, F.lit(3.0)).otherwise(F.lit(7000.0))
+    det = base.select(
+        "doc_id", F.col("oid").alias("det_id"),
+        (F.col("x1") + shift).alias("x1"), (F.col("y1") + shift).alias("y1"),
+        (F.col("x1") + shift + 25).alias("x2"),
+        (F.col("y1") + shift + 18).alias("y2"))
+    return det_eval(gt, det)
+
+
 def q_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5 per-class hard_nms over (doc, label) groups — greedy IoU
     suppression is iterative, so no SQL oracle (rows-only check; pytest
@@ -505,6 +544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ctc_roundtrip": q_ctc_roundtrip,
         "media_decode": q_media_decode,
         "nms_per_class": q_nms,                        # rows-only
+        "char_prf_metric": q_char_prf,                 # rows-only
+        "det_eval_greedy": q_det_eval,                 # rows-only
         # text analysis
         "token_count": T.token_count,
         "lang_id": T.lang_id,

@@ -1,0 +1,232 @@
+"""Evaluation metrics as distributed operators (A4/A5/J4 + fork additions).
+
+* :func:`char_prf` — the fork's character-level precision/recall/F1 via
+  Hirschberg LCS (ppocr/metrics/rec_metric.py:29-59 ``hirschberg_lcs``,
+  :135-246 ``eval_full``): per-pair char counts in a batched Arrow UDF,
+  then pure-JVM per-char aggregation — the heavy LCS runs distributed, the
+  final report is a single-row agg.
+* :func:`det_eval` — DetectionIoUEvaluator semantics
+  (ppocr/metrics/eval_det_iou.py:12-230): per-image greedy one-to-one
+  IoU>0.5 matching with don't-care exclusion (area-precision>0.5), run as a
+  per-document grouped kernel; `combine_results` (:188-210) is the global
+  sum/ratio agg.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EPS = 1e-5  # rec_metric.py:71
+
+
+# ---------------------------------------------------------------------------
+# Hirschberg LCS (fork addition) — semantics of rec_metric.py:29-59
+# ---------------------------------------------------------------------------
+
+def _lcs_row(a: str, b: str) -> list[int]:
+    """Last row of the LCS length DP table for (a, b)."""
+    cur = [0] * (len(b) + 1)
+    for ch in a:
+        prev = cur[:]
+        for j, bj in enumerate(b, 1):
+            cur[j] = prev[j - 1] + 1 if ch == bj else max(cur[j], prev[j])
+    return cur
+
+
+def lcs_string(x: str, y: str) -> str:
+    """One canonical longest common subsequence, Hirschberg-style.
+
+    Matches the reference's reconstruction exactly, including the base
+    case: when either side has length 1, return the FIRST char of x that
+    occurs in y (rec_metric.py:46-51) — different equal-length LCSes have
+    different char multisets, and the char-PRF metric counts the chars of
+    this specific one.
+    """
+    if not x or not y:
+        return ""
+    if len(x) == 1 or len(y) == 1:
+        for ch in x:
+            if ch in y:
+                return ch
+        return ""
+    mid = len(x) // 2
+    left = _lcs_row(x[:mid], y)
+    right = _lcs_row(x[mid:][::-1], y[::-1])
+    split = max(range(len(y) + 1), key=lambda j: left[j] + right[len(y) - j])
+    return lcs_string(x[:mid], y[:split]) + lcs_string(x[mid:], y[split:])
+
+
+CHAR_COUNT_SCHEMA = "char string, n_label long, n_pred long, n_answer long"
+
+
+def _char_counts(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-batch partial char counts over (pred, target) pairs."""
+    for pdf in it:
+        label: dict[str, int] = {}
+        pred_c: dict[str, int] = {}
+        answer: dict[str, int] = {}
+        for pred, target in zip(pdf["pred"], pdf["target"]):
+            pred = (pred or "").replace(" ", "")      # ignore_space default
+            target = (target or "").replace(" ", "")
+            for c in pred:
+                pred_c[c] = pred_c.get(c, 0) + 1
+            for c in target:
+                label[c] = label.get(c, 0) + 1
+            for c in lcs_string(pred, target):
+                answer[c] = answer.get(c, 0) + 1
+        chars = sorted(set(label) | set(pred_c) | set(answer))
+        yield pd.DataFrame({
+            "char": chars,
+            "n_label": [label.get(c, 0) for c in chars],
+            "n_pred": [pred_c.get(c, 0) for c in chars],
+            "n_answer": [answer.get(c, 0) for c in chars],
+        })
+
+
+def char_prf(pairs: DataFrame) -> DataFrame:
+    """(pred, target) pairs → one-row char-level P/R/F1 report.
+
+    mean_* average per-char values over chars where they are defined
+    (recall needs the char in some target, precision in some pred, F1 in
+    either — rec_metric.py:205-233, eps'd denominators preserved);
+    overall_* are the total-count ratios (:237-239). All rounded 4dp.
+    """
+    partial = pairs.select("pred", "target").mapInPandas(
+        _char_counts, schema=CHAR_COUNT_SCHEMA)
+    per_char = (partial.groupBy("char")
+                .agg(F.sum("n_label").alias("n_label"),
+                     F.sum("n_pred").alias("n_pred"),
+                     F.sum("n_answer").alias("n_answer")))
+    recall = F.col("n_answer") / (F.col("n_label") + EPS)
+    precision = F.col("n_answer") / (F.col("n_pred") + EPS)
+    r_def = F.col("n_label") > 0
+    p_def = F.col("n_pred") > 0
+    r_val = F.when(r_def, recall).otherwise(0.0)
+    p_val = F.when(p_def, precision).otherwise(0.0)
+    f1 = 2 * r_val * p_val / (r_val + p_val + EPS)
+    agg = per_char.agg(
+        F.sum(F.when(r_def, recall)).alias("sum_r"),
+        F.sum(F.when(r_def, 1).otherwise(0)).alias("cnt_r"),
+        F.sum(F.when(p_def, precision)).alias("sum_p"),
+        F.sum(F.when(p_def, 1).otherwise(0)).alias("cnt_p"),
+        F.sum(f1).alias("sum_f1"),
+        F.count("*").alias("cnt_f1"),
+        F.sum("n_label").alias("tot_label"),
+        F.sum("n_pred").alias("tot_pred"),
+        F.sum("n_answer").alias("tot_answer"))
+    op = F.col("tot_answer") / (F.col("tot_pred") + EPS)
+    orc = F.col("tot_answer") / (F.col("tot_label") + EPS)
+    return agg.select(
+        F.round(F.col("sum_p") / (F.col("cnt_p") + EPS), 4)
+        .alias("mean_precision"),
+        F.round(F.col("sum_r") / (F.col("cnt_r") + EPS), 4)
+        .alias("mean_recall"),
+        F.round(F.col("sum_f1") / (F.col("cnt_f1") + EPS), 4)
+        .alias("mean_f1"),
+        F.round(op, 4).alias("overall_precision"),
+        F.round(orc, 4).alias("overall_recall"),
+        F.round(2 * orc * op / (orc + op + EPS), 4).alias("overall_f1"))
+
+
+# ---------------------------------------------------------------------------
+# Detection IoU evaluator (J4)
+# ---------------------------------------------------------------------------
+
+def det_match_counts(gt: np.ndarray, ignore: np.ndarray,
+                     det: np.ndarray,
+                     iou_constraint: float = 0.5,
+                     area_precision_constraint: float = 0.5
+                     ) -> tuple[int, int, int]:
+    """One image's (gtCare, detCare, detMatched), axis-aligned boxes.
+
+    Transcribes eval_det_iou.py:12-186: dets whose don't-care
+    area-precision (intersection / det area) exceeds the constraint are
+    excluded; matching is greedy first-come one-to-one over (gt, det) index
+    order with IoU > iou_constraint.
+    """
+    gt = np.asarray(gt, dtype=float).reshape(-1, 4)
+    det = np.asarray(det, dtype=float).reshape(-1, 4)
+    ignore = np.asarray(ignore, dtype=bool)
+
+    def inter(a, b):
+        w = min(a[2], b[2]) - max(a[0], b[0])
+        h = min(a[3], b[3]) - max(a[1], b[1])
+        return w * h if w > 0 and h > 0 else 0.0
+
+    def area(a):
+        return max(a[2] - a[0], 0.0) * max(a[3] - a[1], 0.0)
+
+    dc_idx = [i for i in range(len(gt)) if ignore[i]]
+    det_dc: list[int] = []
+    for j in range(len(det)):
+        for i in dc_idx:
+            da = area(det[j])
+            prec = 0.0 if da == 0 else inter(gt[i], det[j]) / da
+            if prec > area_precision_constraint:
+                det_dc.append(j)
+                break
+    gt_used = np.zeros(len(gt), dtype=bool)
+    det_used = np.zeros(len(det), dtype=bool)
+    matched = 0
+    for i in range(len(gt)):
+        for j in range(len(det)):
+            if (not gt_used[i] and not det_used[j]
+                    and i not in dc_idx and j not in det_dc):
+                u = area(gt[i]) + area(det[j]) - inter(gt[i], det[j])
+                iou = inter(gt[i], det[j]) / u if u > 0 else 0.0
+                if iou > iou_constraint:
+                    gt_used[i] = True
+                    det_used[j] = True
+                    matched += 1
+    return (len(gt) - len(dc_idx), len(det) - len(det_dc), matched)
+
+
+DET_EVAL_SCHEMA = "doc_id string, gt_care long, det_care long, matched long"
+
+
+def det_eval(gt: DataFrame, det: DataFrame) -> DataFrame:
+    """Per-doc greedy evaluator + global combine_results.
+
+    gt: (doc_id, gt_id, x1, y1, x2, y2, ignore:boolean);
+    det: (doc_id, det_id, x1, y1, x2, y2).
+    Returns one row (precision, recall, hmean, n_images).
+    """
+    g = gt.select("doc_id", F.col("gt_id").alias("oid"),
+                  "x1", "y1", "x2", "y2",
+                  F.col("ignore").cast("boolean").alias("ignore"),
+                  F.lit("gt").alias("side"))
+    d = det.select("doc_id", F.col("det_id").alias("oid"),
+                   "x1", "y1", "x2", "y2",
+                   F.lit(False).alias("ignore"), F.lit("det").alias("side"))
+    both = g.unionByName(d)
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["side", "oid"], kind="stable")
+        gt_rows = pdf[pdf["side"] == "gt"]
+        det_rows = pdf[pdf["side"] == "det"]
+        gc, dc, m = det_match_counts(
+            gt_rows[["x1", "y1", "x2", "y2"]].to_numpy(dtype=float),
+            gt_rows["ignore"].to_numpy(dtype=bool),
+            det_rows[["x1", "y1", "x2", "y2"]].to_numpy(dtype=float))
+        return pd.DataFrame([[key[0], gc, dc, m]],
+                            columns=["doc_id", "gt_care", "det_care",
+                                     "matched"])
+
+    per_doc = both.groupBy("doc_id").applyInPandas(run,
+                                                   schema=DET_EVAL_SCHEMA)
+    agg = per_doc.agg(F.sum("matched").cast("double").alias("m"),
+                      F.sum("det_care").cast("double").alias("d"),
+                      F.sum("gt_care").cast("double").alias("g"),
+                      F.count("*").cast("long").alias("n_images"))
+    p = F.when(F.col("d") == 0, 0.0).otherwise(F.col("m") / F.col("d"))
+    r = F.when(F.col("g") == 0, 0.0).otherwise(F.col("m") / F.col("g"))
+    return agg.select(
+        F.round(p, 4).alias("precision"), F.round(r, 4).alias("recall"),
+        F.round(F.when(p + r == 0, 0.0).otherwise(2 * p * r / (p + r)), 4)
+        .alias("hmean"),
+        "n_images")

@@ -1,0 +1,133 @@
+"""Tests for char-level LCS P/R/F1 and the greedy detection evaluator."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from paddleocr_spark.functions.metrics import (EPS, char_prf,
+                                               det_match_counts, det_eval,
+                                               lcs_string)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ref_lcs_len(x: str, y: str) -> int:
+    """Independent O(nm) LCS length for cross-checking."""
+    m, n = len(x), len(y)
+    dp = np.zeros((m + 1, n + 1), dtype=int)
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            dp[i][j] = (dp[i - 1][j - 1] + 1 if x[i - 1] == y[j - 1]
+                        else max(dp[i - 1][j], dp[i][j - 1]))
+    return int(dp[m][n])
+
+
+def test_lcs_string_is_a_true_lcs():
+    cases = [("abcde", "ace"), ("kitten", "sitting"), ("", "abc"),
+             ("abc", ""), ("same", "same"), ("abab", "baba"),
+             ("a", "xyz"), ("xyz", "z")]
+    for x, y in cases:
+        s = lcs_string(x, y)
+        assert len(s) == _ref_lcs_len(x, y), (x, y, s)
+        # s must be a subsequence of both
+        for t in (x, y):
+            it = iter(t)
+            assert all(c in it for c in s), (x, y, s)
+
+
+def test_lcs_string_preserves_reference_quirk():
+    """The reference's Hirschberg base case (rec_metric.py:46-51) is lossy
+    for some inputs — ('spark rocks', 'sparse docks') has true LCS length 9
+    ('spar ocks') but the reference returns 'sparocks' (8). The metric is
+    DEFINED by the reference's counts, so we reproduce them, not the
+    optimum."""
+    assert lcs_string("spark rocks", "sparse docks") == "sparocks"
+    assert _ref_lcs_len("spark rocks", "sparse docks") == 9
+
+
+def test_char_prf_identity_pairs(spark):
+    pairs = spark.createDataFrame(
+        [("hello world", "hello world"), ("abc", "abc")],
+        "pred string, target string")
+    row = char_prf(pairs).collect()[0]
+    # perfect prediction: everything ≈ 1 (eps-damped)
+    assert row["overall_precision"] == pytest.approx(1.0, abs=1e-3)
+    assert row["overall_recall"] == pytest.approx(1.0, abs=1e-3)
+    assert row["mean_f1"] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_char_prf_matches_single_node_reference(spark):
+    """Distributed counts == the reference eval_full count semantics run
+    single-node in plain Python."""
+    pdf = spark.read.parquet(f"{SF}/documents.parquet").limit(80).collect()
+    raw = [(("x" + r["text"][:60]), r["text"][:60]) for r in pdf]
+    pairs = spark.createDataFrame(raw, "pred string, target string")
+    got = char_prf(pairs).collect()[0]
+
+    label: dict = {}
+    predc: dict = {}
+    answer: dict = {}
+    for pred, target in raw:
+        pred = pred.replace(" ", "")
+        target = target.replace(" ", "")
+        for c in pred:
+            predc[c] = predc.get(c, 0) + 1
+        for c in target:
+            label[c] = label.get(c, 0) + 1
+        for c in lcs_string(pred, target):
+            answer[c] = answer.get(c, 0) + 1
+    chars = set(label) | set(predc)
+    recalls, precisions, f1s = [], [], []
+    for c in chars:
+        r = answer.get(c, 0) / (label[c] + EPS) if c in label else 0
+        if c in label:
+            recalls.append(r)
+        p = answer.get(c, 0) / (predc[c] + EPS) if c in predc else 0
+        if c in predc:
+            precisions.append(p)
+        f1s.append(2 * r * p / (r + p + EPS))
+    tot_l = sum(label.values())
+    tot_p = sum(predc.values())
+    tot_a = sum(answer.values())
+    assert got["mean_recall"] == pytest.approx(
+        sum(recalls) / (len(recalls) + EPS), abs=1e-4)
+    assert got["mean_precision"] == pytest.approx(
+        sum(precisions) / (len(precisions) + EPS), abs=1e-4)
+    assert got["mean_f1"] == pytest.approx(
+        sum(f1s) / (len(f1s) + EPS), abs=1e-4)
+    assert got["overall_precision"] == pytest.approx(
+        tot_a / (tot_p + EPS), abs=1e-4)
+    assert got["overall_recall"] == pytest.approx(
+        tot_a / (tot_l + EPS), abs=1e-4)
+
+
+def test_det_match_counts_hand_cases():
+    # two gts, one det matching the first
+    gt = [[0, 0, 10, 10], [20, 20, 30, 30]]
+    det = [[1, 1, 10, 10]]
+    assert det_match_counts(gt, [False, False], det) == (2, 1, 1)
+    # don't-care gt absorbs a det fully inside it
+    gt = [[0, 0, 100, 100]]
+    det = [[10, 10, 20, 20]]
+    assert det_match_counts(gt, [True], det) == (0, 0, 0)
+    # greedy first-come: det 0 pairs with gt 0 even if det 1 overlaps more
+    gt = [[0, 0, 10, 10]]
+    det = [[0, 0, 9, 10], [0, 0, 10, 10]]
+    assert det_match_counts(gt, [False], det) == (1, 2, 1)
+    # empty everything
+    assert det_match_counts(np.empty((0, 4)), [], np.empty((0, 4))) == (0, 0, 0)
+
+
+def test_det_eval_distributed_equals_kernel(spark):
+    from paddleocr_spark.entry_queries import q_det_eval
+    row = q_det_eval(spark, SF).collect()[0]
+    assert row["n_images"] > 0
+    # ln<=3 dets are 3px-jittered 25x18 boxes → IoU ≈ (22*15)/(2*450-330) ≈ 0.58 > 0.5
+    # so most care-gts match; precision/recall must be high but not 1
+    assert 0.5 < row["precision"] <= 1.0
+    assert 0.5 < row["recall"] <= 1.0
+    assert row["hmean"] == pytest.approx(
+        2 * row["precision"] * row["recall"]
+        / (row["precision"] + row["recall"]), abs=2e-4)
