@@ -478,6 +478,33 @@ def q_det_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return det_eval(gt, det)
 
 
+def q_teds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 TEDS: tree-edit-distance similarity over deterministic table-html
+    pairs built from documents (pred mutates one header cell and drops the
+    last body cell for every third doc). Rows-only (tree edit distance is
+    iterative); pytest pins hand-computed scores (tests/test_teds.py)."""
+    from .functions.teds import teds
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("pair_id"),
+        F.expr("slice(filter(split(lower(text), ' '), x -> x != ''), 1, 6)")
+        .alias("w"))
+    cell = ("concat('<table><thead><tr><td>', element_at(w, 1), "
+            "'</td><td>', {h2}, '</td></tr></thead><tbody><tr><td>', "
+            "element_at(w, 3), '</td><td>', element_at(w, 4), "
+            "'</td></tr>{tail}</tbody></table>')")
+    true_html = cell.format(h2="element_at(w, 2)",
+                            tail="<tr><td>x</td><td>y</td></tr>")
+    pred_html = ("CASE WHEN pair_id % 3 = 0 THEN "
+                 + cell.format(h2="'MUT'", tail="")
+                 + " ELSE " + cell.format(
+                     h2="element_at(w, 2)",
+                     tail="<tr><td>x</td><td>y</td></tr>") + " END")
+    pairs = docs.filter(F.size("w") >= 4).select(
+        "pair_id", F.expr(pred_html).alias("pred_html"),
+        F.expr(true_html).alias("true_html"))
+    return teds(pairs)
+
+
 def q_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5 per-class hard_nms over (doc, label) groups — greedy IoU
     suppression is iterative, so no SQL oracle (rows-only check; pytest
@@ -546,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nms_per_class": q_nms,                        # rows-only
         "char_prf_metric": q_char_prf,                 # rows-only
         "det_eval_greedy": q_det_eval,                 # rows-only
+        "teds_metric": q_teds,                         # rows-only
         # text analysis
         "token_count": T.token_count,
         "lang_id": T.lang_id,

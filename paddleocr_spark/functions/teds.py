@@ -1,0 +1,255 @@
+"""TEDS — Tree-Edit-Distance-based Similarity for table structure (A6).
+
+Reproduces the semantics of the reference's TEDS evaluator
+(ppstructure/table/table_metric/table_metric.py:93-214):
+
+* parse the first ``<table>`` of each HTML string;
+* ``td`` nodes carry ``(colspan, rowspan)`` and their content as a CHAR
+  TOKEN list — ``tokenize`` (:107-118) emits ``<tag>`` tokens, individual
+  text characters, recursive children, ``</tag>``, and tail characters;
+* edit costs (``CustomConfig``, :41-52): delete = insert = 1; rename = 1
+  when tag/colspan/rowspan differ, else for ``td`` with any content the
+  normalized Levenshtein between the token lists, else 0;
+* TEDS = 1 − distance / max(#descendants(pred), #descendants(true)),
+  0.0 when either side is empty or has no table (:143-167).
+
+The reference computes the distance with APTED; we use the classic
+Zhang–Shasha algorithm — both are exact tree edit distance under the same
+cost model, so the scores agree. No lxml/apted dependency: the constrained
+table-HTML grammar is parsed with a small tokenizer.
+
+Spark surface: :func:`teds` scores (pred_html, true_html) pairs in an
+Arrow-batched UDF (the per-pair DP is the heavy part and embarrassingly
+parallel) and returns per-pair scores; average with a plain agg.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TOKEN_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>'\"]|'[^']*'|\"[^\"]*\")*?)(/?)>|([^<]+)")
+_ATTR_RE = re.compile(r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]+))")
+
+#: HTML void elements that never take a closing tag.
+_VOID = {"br", "hr", "img", "meta", "link", "input"}
+
+
+class _Elem:
+    __slots__ = ("tag", "attrib", "text", "children", "tail")
+
+    def __init__(self, tag: str):
+        self.tag = tag
+        self.attrib: dict[str, str] = {}
+        self.text = ""
+        self.children: list[_Elem] = []
+        self.tail = ""
+
+
+def _parse_html(s: str) -> list[_Elem]:
+    """Parse a constrained table-HTML string into an element forest."""
+    root = _Elem("__root__")
+    stack = [root]
+    for m in _TOKEN_RE.finditer(s or ""):
+        if m.group(5) is not None:  # text run
+            cur = stack[-1]
+            if cur.children:
+                cur.children[-1].tail += m.group(5)
+            else:
+                cur.text += m.group(5)
+            continue
+        closing, tag, attrs, selfclose = (m.group(1), m.group(2).lower(),
+                                          m.group(3) or "", m.group(4))
+        if closing:
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
+            continue
+        el = _Elem(tag)
+        for am in _ATTR_RE.finditer(attrs):
+            el.attrib[am.group(1).lower()] = (
+                am.group(2) or am.group(3) or am.group(4) or "")
+        stack[-1].children.append(el)
+        if not selfclose and tag not in _VOID:
+            stack.append(el)
+    return root.children
+
+
+def _find_table(nodes: list[_Elem]) -> _Elem | None:
+    for n in nodes:
+        if n.tag == "table":
+            return n
+        found = _find_table(n.children)
+        if found is not None:
+            return found
+    return None
+
+
+def _tokenize(node: _Elem, out: list[str]) -> None:
+    """table_metric.py:107-118 ``tokenize``: tag token, text chars,
+    children, closing token (tag != 'unk'), tail chars (tag != 'td')."""
+    out.append(f"<{node.tag}>")
+    out.extend(node.text)
+    for c in node.children:
+        _tokenize(c, out)
+    if node.tag != "unk":
+        out.append(f"</{node.tag}>")
+    if node.tag != "td":
+        out.extend(node.tail)
+
+
+class _TNode:
+    __slots__ = ("tag", "colspan", "rowspan", "content", "children")
+
+    def __init__(self, tag, colspan=None, rowspan=None, content=None):
+        self.tag = tag
+        self.colspan = colspan
+        self.rowspan = rowspan
+        self.content = content
+        self.children: list[_TNode] = []
+
+
+def _load_tree(el: _Elem) -> _TNode:
+    """table_metric.py:119-141 ``load_html_tree``: td is a leaf carrying
+    its token content (minus its own open/close tokens)."""
+    if el.tag == "td":
+        toks: list[str] = []
+        _tokenize(el, toks)
+        return _TNode("td", int(el.attrib.get("colspan", "1")),
+                      int(el.attrib.get("rowspan", "1")), toks[1:-1])
+    node = _TNode(el.tag)
+    for c in el.children:
+        node.children.append(_load_tree(c))
+    return node
+
+
+def _n_descendants(el: _Elem) -> int:
+    return sum(1 + _n_descendants(c) for c in el.children)
+
+
+def _norm_lev(a: list[str], b: list[str]) -> float:
+    """rapidfuzz Levenshtein.normalized_distance on token sequences."""
+    if not a and not b:
+        return 0.0
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ai = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ai != b[j - 1]))
+        prev = cur
+    return prev[lb] / max(la, lb)
+
+
+def _rename_cost(n1: _TNode, n2: _TNode) -> float:
+    """CustomConfig.rename (table_metric.py:41-52)."""
+    if (n1.tag != n2.tag or n1.colspan != n2.colspan
+            or n1.rowspan != n2.rowspan):
+        return 1.0
+    if n1.tag == "td" and (n1.content or n2.content):
+        return _norm_lev(n1.content or [], n2.content or [])
+    return 0.0
+
+
+def tree_edit_distance(t1: _TNode, t2: _TNode) -> float:
+    """Zhang–Shasha exact tree edit distance; delete=insert=1,
+    rename=_rename_cost (same cost model as the reference's APTED)."""
+
+    def postorder(root):
+        nodes, l = [], []
+        def walk(n):
+            first = None
+            for c in n.children:
+                idx = walk(c)
+                if first is None:
+                    first = l[idx]
+            nodes.append(n)
+            l.append(first if first is not None else len(nodes) - 1)
+            return len(nodes) - 1
+        walk(root)
+        return nodes, l
+
+    n1, l1 = postorder(t1)
+    n2, l2 = postorder(t2)
+    kr1 = [i for i in range(len(n1))
+           if i == len(n1) - 1 or not any(l1[j] == l1[i] and j > i
+                                          for j in range(len(n1)))]
+    kr2 = [i for i in range(len(n2))
+           if i == len(n2) - 1 or not any(l2[j] == l2[i] and j > i
+                                          for j in range(len(n2)))]
+    td = np.zeros((len(n1), len(n2)))
+
+    def treedist(i, j):
+        li, lj = l1[i], l2[j]
+        m, n = i - li + 2, j - lj + 2
+        fd = np.zeros((m, n))
+        for x in range(1, m):
+            fd[x][0] = fd[x - 1][0] + 1
+        for y in range(1, n):
+            fd[0][y] = fd[0][y - 1] + 1
+        for x in range(1, m):
+            for y in range(1, n):
+                xi, yj = li + x - 1, lj + y - 1
+                if l1[xi] == li and l2[yj] == lj:
+                    fd[x][y] = min(
+                        fd[x - 1][y] + 1, fd[x][y - 1] + 1,
+                        fd[x - 1][y - 1] + _rename_cost(n1[xi], n2[yj]))
+                    td[xi][yj] = fd[x][y]
+                else:
+                    p, q = l1[xi] - li, l2[yj] - lj
+                    fd[x][y] = min(fd[x - 1][y] + 1, fd[x][y - 1] + 1,
+                                   fd[p][q] + td[xi][yj])
+        return fd[m - 1][n - 1]
+
+    for i in kr1:
+        for j in kr2:
+            treedist(i, j)
+    return float(td[len(n1) - 1][len(n2) - 1])
+
+
+def teds_score(pred_html: str | None, true_html: str | None) -> float:
+    """table_metric.py:143-167 ``evaluate`` for one pair."""
+    if not pred_html or not true_html:
+        return 0.0
+    pt = _find_table(_parse_html(pred_html))
+    tt = _find_table(_parse_html(true_html))
+    if pt is None or tt is None:
+        return 0.0
+    n_nodes = max(_n_descendants(pt), _n_descendants(tt))
+    if n_nodes == 0:
+        return 1.0 if _rename_cost(_load_tree(pt), _load_tree(tt)) == 0 else 0.0
+    dist = tree_edit_distance(_load_tree(pt), _load_tree(tt))
+    return 1.0 - dist / n_nodes
+
+
+TEDS_SCHEMA = "pair_id long, teds double"
+
+
+def teds(pairs: DataFrame) -> DataFrame:
+    """(pair_id, pred_html, true_html) → (pair_id, teds) via Arrow batches."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "pair_id": pdf["pair_id"].astype("int64"),
+                "teds": [round(teds_score(p, t), 4) for p, t in
+                         zip(pdf["pred_html"], pdf["true_html"])],
+            })
+
+    return (pairs.select("pair_id", "pred_html", "true_html")
+            .mapInPandas(run, schema=TEDS_SCHEMA))
+
+
+def teds_batch_avg(pairs: DataFrame) -> DataFrame:
+    """batch_evaluate average (table_metric.py:169-183)."""
+    return teds(pairs).agg(
+        F.round(F.avg("teds"), 4).alias("avg_teds"),
+        F.count("*").cast("long").alias("n_tables"))
