@@ -29,6 +29,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--max-parts", type=int, default=None)
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--mode", choices=["batch", "incremental"],
+                    default="batch",
+                    help="batch: lineage-table resume; incremental: "
+                         "Structured Streaming AvailableNow with "
+                         "checkpointed file tracking")
     args = ap.parse_args(argv)
 
     from paddleocr_spark.lineage import run_extract
@@ -38,11 +43,24 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("paddleocr-spark-extract", cores=args.cores)
     t0 = time.time()
-    docs = spark.read.parquet(args.input)
-    spans = synth_spans(docs)
-    extracted = transform(spans, create_operators(DEFAULT_CONFIG))
-    summary = run_extract(spark, extracted, args.output, args.run_id,
-                          n_buckets=args.buckets, max_parts=args.max_parts)
+    if args.mode == "incremental":
+        import os
+
+        from paddleocr_spark.streaming import run_incremental
+        in_dir = os.path.dirname(args.input) if args.input.endswith(
+            ".parquet") and not os.path.isdir(args.input) else args.input
+        n = run_incremental(
+            spark, in_dir, os.path.join(args.output, "extracted"),
+            os.path.join(args.output, "checkpoint"))
+        summary = {"run_id": args.run_id, "mode": "incremental",
+                   "batches": n}
+    else:
+        docs = spark.read.parquet(args.input)
+        spans = synth_spans(docs)
+        extracted = transform(spans, create_operators(DEFAULT_CONFIG))
+        summary = run_extract(spark, extracted, args.output, args.run_id,
+                              n_buckets=args.buckets,
+                              max_parts=args.max_parts)
     summary["wall_sec"] = round(time.time() - t0, 3)
     print(json.dumps(summary))
     spark.stop()
