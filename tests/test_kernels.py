@@ -227,3 +227,48 @@ def test_strip_tokens_regex_matches_loop():
                "plain", "<i><b>nested</b></i>"]
     for s in samples:
         assert re.sub(STYLE_TOKEN_REGEX, "", s) == strip_style_tokens(s)
+
+
+# ------------------------------------------------------------- order_document
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(
+    st.tuples(st.sampled_from(["text", "title", "table", "media"]),
+              st.integers(0, 900), st.integers(0, 400),
+              st.integers(5, 300), st.integers(5, 60)),
+    min_size=1, max_size=25))
+def test_order_document_is_permutation_and_follows_items(spans):
+    """rank must be a permutation, and permuting the input must permute the
+    ranks identically (the property that makes the distributed pipeline
+    partition-layout-invariant)."""
+    from paddleocr_spark.kernels import order_document
+
+    kinds = [s[0] for s in spans]
+    xs = np.array([s[1] for s in spans], dtype=np.float64)
+    ys = np.array([s[2] for s in spans], dtype=np.float64)
+    x2 = xs + np.array([s[3] for s in spans])
+    y2 = ys + np.array([s[4] for s in spans])
+    rank = order_document(kinds, xs, ys, x2, y2, 1000.0)
+    assert sorted(rank.tolist()) == list(range(len(spans)))
+
+    # Strict follow-the-item invariance needs distinct top-left corners:
+    # sorted_boxes sorts on (y, x) only, so identical corners tie-break by
+    # input order — deterministic in the pipeline because rows are always
+    # pre-sorted by (doc_id, span_idx) before the kernel.
+    if len({(s[1], s[2]) for s in spans}) == len(spans):
+        perm = np.arange(len(spans))[::-1]
+        rank2 = order_document([kinds[i] for i in perm], xs[perm], ys[perm],
+                               x2[perm], y2[perm], 1000.0)
+        assert rank2.tolist() == rank[perm].tolist()
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 900), st.integers(0, 900)),
+                min_size=1, max_size=20))
+def test_sorted_layout_is_permutation(pts):
+    boxes = np.array([[x, y, x + 80, y + 20] for x, y in pts],
+                     dtype=np.float64)
+    idx, layout = sorted_layout_indices(boxes, 1000.0)
+    assert sorted(idx.tolist()) == list(range(len(pts)))
+    assert len(layout) == len(pts)
+    assert set(layout) <= {"single", "double"}
