@@ -379,6 +379,26 @@ def q_page_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.filter(F.col("page_idx") < 2)
 
 
+def q_dim_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference scale demo: fact (lineitem) ⋈ broadcast small dim
+    (part). The reference never needs broadcast (its joins are per-page,
+    SURVEY §2.7); at 100 TB a small-dim enrichment join is routine, and the
+    broadcast hint keeps the fact side shuffle-free (BroadcastHashJoin in
+    the plan). revenue is rounded to 2dp, not the module's usual 4dp:
+    at ~1e8 sums a 4dp boundary would sit inside double-summation-order
+    noise and make the parity compare flaky."""
+    li = _lineitem(spark, sf_dir)
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet")).select(
+        "p_partkey", "p_brand")
+    j = li.join(F.broadcast(part),
+                li.l_partkey == part.p_partkey)
+    return (j.groupBy("p_brand")
+            .agg(F.count("*").cast("long").alias("n_items"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
 def q_rec_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 RecMetric: exact-match acc (space-stripped) + avg normalized edit
     distance (rec_metric.py:61-160) over deterministic pred/target pairs."""
@@ -562,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_window": q_topk_window,
         "cell_match": q_cell_match,
         "cell_texts": q_cell_texts,
+        "dim_join_broadcast": q_dim_join_broadcast,
         "e2e_eval": q_e2e_eval,
         "embed_stats": q_embed_stats,
         "page_limit": q_page_limit,
@@ -854,6 +875,12 @@ FROM embeddings"""
 WITH {SYNTH_CTE.lstrip()}, {GEOM_CTE.lstrip()}
 SELECT doc_id, span_idx, CAST(y1 // 1100 AS BIGINT) AS page_idx
 FROM synth_geom WHERE y1 // 1100 < 2"""
+
+    sqls["dim_join_broadcast"] = """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand"""
 
     sqls["rec_metric"] = """
 WITH pairs AS (
