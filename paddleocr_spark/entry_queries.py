@@ -608,6 +608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_cosine_topk": SIM.ann_cosine_topk,
         "ann_lsh_buckets": SIM.ann_lsh_buckets,
+        "ann_ivf_assign": SIM.ivf_assign,
+        "ann_ivf_topk": SIM.ann_ivf_topk,
         "embedding_neardup": SIM.embedding_neardup,
     }
 
@@ -679,12 +681,13 @@ def _lsh_code_sql(tbl: str) -> str:
     ) code
 )"""
 
-_COS = ("""round(
+_COS_RAW = ("""(
     list_sum(list_transform(generate_series(1, len({a})),
         i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
     / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-       * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-    4)""")
+       * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""")
+
+_COS = "round(" + _COS_RAW + ", 4)"
 
 
 def _stopword_hits(lang: str) -> str:
@@ -1090,6 +1093,60 @@ coded AS (SELECT vec_id, {_lsh_code_sql('v')} AS bucket FROM v)
 SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
        min(vec_id) AS min_vec_id
 FROM coded GROUP BY bucket"""
+
+    cents_cte = (f"c AS (SELECT vec_id AS centroid_id, embedding AS c "
+                 f"FROM embeddings WHERE vec_id % {SIM.IVF_CENTROID_EVERY}"
+                 f" = 1)")
+    assign_cte = f"""
+scored AS (
+    SELECT v.vec_id, c.centroid_id,
+           {_COS_RAW.format(a='v.embedding', b='c.c')} AS cos
+    FROM v CROSS JOIN c
+),
+assign AS (
+    SELECT vec_id, centroid_id, cos FROM (
+        SELECT vec_id, centroid_id, cos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, centroid_id) AS rn
+        FROM scored
+    ) WHERE rn = 1
+)"""
+    sqls["ann_ivf_assign"] = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+{cents_cte},
+{assign_cte.lstrip()}
+SELECT vec_id, centroid_id, round(cos, 4) AS cosine FROM assign"""
+
+    sqls["ann_ivf_topk"] = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+{cents_cte},
+{assign_cte.lstrip()},
+q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings
+      WHERE vec_id < {SIM.IVF_QUERIES}),
+probes AS (
+    SELECT query_id, q, centroid_id FROM (
+        SELECT q.query_id, q.q, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   {_COS_RAW.format(a='q.q', b='c.c')} DESC,
+                   c.centroid_id) AS rn
+        FROM q CROSS JOIN c
+    ) WHERE rn <= {SIM.IVF_NPROBE}
+),
+cand AS (
+    SELECT p.query_id, a.vec_id,
+           {_COS_RAW.format(a='p.q', b='v.embedding')} AS cos
+    FROM probes p JOIN assign a USING (centroid_id)
+    JOIN v ON v.vec_id = a.vec_id
+    WHERE a.vec_id != p.query_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+       round(cos, 4) AS cosine
+FROM (
+    SELECT query_id, vec_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, vec_id) AS rank
+    FROM cand
+) WHERE rank <= {SIM.IVF_K}"""
 
     cos_ab = _COS.format(a="a.embedding", b="b.embedding")
     sqls["embedding_neardup"] = f"""

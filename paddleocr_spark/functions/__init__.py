@@ -17,7 +17,8 @@ from .dedup import (dedup_exact, dedup_minhash_pairs, dedup_ngram_jaccard,
                     dedup_simhash, noisy_corpus)
 from .metrics import char_prf, det_eval, lcs_string
 from .teds import teds, teds_batch_avg, teds_score
-from .similarity import ann_cosine_topk, ann_lsh_buckets, embedding_neardup
+from .similarity import (ann_cosine_topk, ann_ivf_topk, ann_lsh_buckets,
+                         embedding_neardup, ivf_assign)
 from .textfns import fingerprint, lang_id, quality_score, strq2b, token_count
 
 
@@ -37,5 +38,5 @@ __all__ = [
     "dedup_simhash", "noisy_corpus", "ann_cosine_topk", "ann_lsh_buckets",
     "embedding_neardup", "fingerprint", "lang_id", "quality_score", "strq2b",
     "token_count", "bench_queries", "char_prf", "det_eval", "lcs_string",
-    "teds", "teds_batch_avg", "teds_score",
+    "teds", "teds_batch_avg", "teds_score", "ann_ivf_topk", "ivf_assign",
 ]

@@ -125,3 +125,75 @@ def embedding_neardup(spark: SparkSession, sf_dir: str,
             .select("vec_a", "vec_b",
                     F.round(cosine_col("ea", "eb"), 4).alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+#: IVF coarse quantizer: deterministic centroid sample + probe count.
+IVF_CENTROID_EVERY = 31
+IVF_NPROBE = 2
+IVF_QUERIES = 4
+IVF_K = 5
+
+
+def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic coarse centroids: every 31st vector (~3% of corpus).
+
+    A real deployment k-means-refines these; the IVF *mechanics* (assign →
+    probe → rank within probed cells) are identical and that is what the
+    oracle checks. Deterministic selection keeps Spark and DuckDB equal."""
+    return (_vecs(spark, sf_dir)
+            .filter(F.col("vec_id") % IVF_CENTROID_EVERY == 1)
+            .select(F.col("vec_id").alias("centroid_id"),
+                    F.col("embedding").alias("c")))
+
+
+def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index build: each vector → nearest centroid by cosine.
+
+    Broadcast the (tiny) centroid set against the corpus — at 10^12 vectors
+    this is the only scan of the big side; the result is the partition key
+    for cell-local search. Ties rank by centroid_id for determinism."""
+    from pyspark.sql.window import Window
+    vecs = _vecs(spark, sf_dir)
+    cents = ivf_centroids(spark, sf_dir)
+    scored = (vecs.crossJoin(F.broadcast(cents))
+              .select("vec_id", "centroid_id",
+                      cosine_col("embedding", "c").alias("cos")))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("centroid_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "centroid_id",
+                    F.round("cos", 4).alias("cosine")))
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search: probe the NPROBE nearest cells per query, exact-rank
+    only the vectors inside them (the O(N) → O(N/cells · nprobe) path)."""
+    from pyspark.sql.window import Window
+    vecs = _vecs(spark, sf_dir)
+    cents = ivf_centroids(spark, sf_dir)
+    assign = ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
+
+    queries = (vecs.filter(F.col("vec_id") < IVF_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q")))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("centroid_id"))
+    probes = (queries.crossJoin(F.broadcast(cents))
+              .select("query_id", "q", "centroid_id",
+                      cosine_col("q", "c").alias("qcos"))
+              .withColumn("rn", F.row_number().over(wq))
+              .filter(F.col("rn") <= IVF_NPROBE)
+              .select("query_id", "q", "centroid_id"))
+
+    cand = (probes.join(assign, "centroid_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .join(vecs, "vec_id")
+            .select("query_id", "vec_id",
+                    cosine_col("q", "embedding").alias("cos")))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id"))
+    return (cand.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= IVF_K)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    "vec_id", F.round("cos", 4).alias("cosine")))

@@ -112,3 +112,36 @@ def test_text_analysis_basics(spark):
     assert all(len(r["fingerprint"]) == 32 for r in fp)
     # identical text → identical fingerprint (compare vs a hand dup)
     assert len({r["fingerprint"] for r in fp}) > 400  # mostly distinct
+
+
+def test_ivf_assignment_covers_corpus_and_topk_is_subset_of_probed(spark):
+    import numpy as np
+
+    from paddleocr_spark.functions.similarity import (IVF_CENTROID_EVERY,
+                                                      IVF_NPROBE, ann_ivf_topk,
+                                                      ivf_assign)
+    assign = {r["vec_id"]: r["centroid_id"]
+              for r in ivf_assign(spark, SF).collect()}
+    n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert len(assign) == n  # every vector assigned exactly once
+    cents = {v for v in range(n) if v % IVF_CENTROID_EVERY == 1}
+    assert set(assign.values()) <= cents
+    for c in cents:
+        assert assign[c] == c  # a centroid is its own nearest centroid
+
+    # IVF results must come only from probed cells, ranked by cosine
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()}
+    rows = ann_ivf_topk(spark, SF).collect()
+    assert rows
+    for q in {r["query_id"] for r in rows}:
+        qv = emb[q]
+        ccos = {c: float(qv @ emb[c] / (np.linalg.norm(qv)
+                                        * np.linalg.norm(emb[c])))
+                for c in cents}
+        probed = set(sorted(ccos, key=lambda c: (-ccos[c], c))[:IVF_NPROBE])
+        mine = [r for r in rows if r["query_id"] == q]
+        for r in mine:
+            assert assign[r["vec_id"]] in probed
+        ranks = [r["rank"] for r in sorted(mine, key=lambda r: r["rank"])]
+        assert ranks == list(range(1, len(mine) + 1))
