@@ -11,6 +11,13 @@ The driver compares row-count + schema + order-insensitive value hash, so
 both sides cast numerics to BIGINT/DOUBLE explicitly, round every float to
 4dp, and alias columns identically.
 
+Signed-zero contract: every rounded DOUBLE in the DuckDB SQL gets a ``+ 0``
+appended. DuckDB ``round()`` preserves IEEE -0.0 (a mean that rounds to
+negative zero prints '-0.0000') while Spark ``round()`` goes through
+BigDecimal and always emits +0.0; ``-0.0 + 0 = +0.0`` and is a no-op for
+every other value, so the append makes the two engines hash-equal on all
+rounded outputs.
+
 The flagship pipeline's synth corpus (paddleocr_spark/synth.py) is mirrored
 here as a DuckDB CTE (:data:`SYNTH_CTE`) built from the same constants —
 that lets the explode/geometry/filter/strip stages be hash-checked against
@@ -687,7 +694,7 @@ _COS_RAW = ("""(
     / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""")
 
-_COS = "round(" + _COS_RAW + ", 4)"
+_COS = "(round(" + _COS_RAW + ", 4) + 0)"
 
 
 def _stopword_hits(lang: str) -> str:
@@ -756,7 +763,7 @@ SELECT b.media_ref, CAST(meta.width AS BIGINT) AS width,
        CAST(meta.height AS BIGINT) AS height,
        CAST(meta.n_frames AS BIGINT) AS n_frames,
        CAST(b.dim AS BIGINT) AS dim,
-       round(CAST(b.byte AS DOUBLE) / 255.0, 4) AS value
+       round(CAST(b.byte AS DOUBLE) / 255.0, 4) + 0 AS value
 FROM b JOIN meta USING (media_ref)"""
 
     sqls["union_sample"] = """
@@ -768,7 +775,7 @@ WHERE doc_id % 10 < 3 AND doc_id % 100 < 37"""
 
     sqls["topk_window"] = """
 SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id,
-       round(value, 4) AS value
+       round(value, 4) + 0 AS value
 FROM (
     SELECT event_type, event_id, value,
            row_number() OVER (PARTITION BY event_type
@@ -861,17 +868,17 @@ m AS (
     FROM gt JOIN pred USING (t_id)
 )
 SELECT CAST(count(*) AS BIGINT) AS n_matched,
-       round(avg(levenshtein(gt_text, pred_text)), 4) AS avg_edit,
+       round(avg(levenshtein(gt_text, pred_text)), 4) + 0 AS avg_edit,
        round(avg(CASE WHEN gt_text = pred_text THEN 1.0 ELSE 0.0 END), 4)
-           AS exact_rate
+           + 0 AS exact_rate
 FROM m WHERE inter / u > 0.5"""
 
     sqls["embed_stats"] = """
 SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
        round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
-             / len(embedding), 4) AS mean_val,
+             / len(embedding), 4) + 0 AS mean_val,
        round(list_aggregate(list_transform(embedding,
-             x -> CAST(x AS DOUBLE)), 'max'), 4) AS max_val
+             x -> CAST(x AS DOUBLE)), 'max'), 4) + 0 AS max_val
 FROM embeddings"""
 
     sqls["page_limit"] = f"""
@@ -881,7 +888,7 @@ FROM synth_geom WHERE y1 // 1100 < 2"""
 
     sqls["dim_join_broadcast"] = """
 SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(l_extendedprice * (1 - l_discount)), 2) + 0 AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand"""
 
@@ -893,10 +900,10 @@ WITH pairs AS (
     FROM documents
 )
 SELECT round(avg(CASE WHEN replace(pred, ' ', '') = replace(tgt, ' ', '')
-                 THEN 1.0 ELSE 0.0 END), 4) AS exact_acc,
+                 THEN 1.0 ELSE 0.0 END), 4) + 0 AS exact_acc,
        round(avg(1.0 - levenshtein(pred, tgt)
                  / CAST(greatest(length(pred), length(tgt), 1) AS DOUBLE)),
-             4) AS norm_edit_sim,
+             4) + 0 AS norm_edit_sim,
        CAST(count(*) AS BIGINT) AS n
 FROM pairs"""
 
@@ -911,8 +918,8 @@ WITH d AS (
            CAST(sum(gt) AS DOUBLE) AS g
     FROM m
 )
-SELECT round(m / d, 4) AS precision, round(m / g, 4) AS recall,
-       round(2 * (m/d) * (m/g) / (m/d + m/g), 4) AS hmean
+SELECT round(m / d, 4) + 0 AS precision, round(m / g, 4) + 0 AS recall,
+       round(2 * (m/d) * (m/g) / (m/d + m/g), 4) + 0 AS hmean
 FROM agg"""
 
     sqls["strq2b"] = f"""
@@ -994,13 +1001,13 @@ WITH f AS (
            n_words
     FROM f
 )
-SELECT doc_id, round(mean_wl, 4) AS mean_word_len,
-       round(pr, 4) AS punct_ratio, round(sr, 4) AS stopword_ratio,
+SELECT doc_id, round(mean_wl, 4) + 0 AS mean_word_len,
+       round(pr, 4) + 0 AS punct_ratio, round(sr, 4) + 0 AS stopword_ratio,
        round(0.4 * least(n_words / 100.0, 1.0)
              + 0.2 * (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0
                       THEN 1.0 ELSE 0.0 END)
              + 0.2 * (1.0 - least(pr * 5.0, 1.0))
-             + 0.2 * least(sr * 10.0, 1.0), 4) AS quality
+             + 0.2 * least(sr * 10.0, 1.0), 4) + 0 AS quality
 FROM r"""
 
     sqls["fingerprint"] = f"""
@@ -1029,7 +1036,7 @@ j AS (
     SELECT c.doc_a, c.doc_b,
            round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
                  / (len(sa.sh) + len(sb.sh)
-                    - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+                    - len(list_intersect(sa.sh, sb.sh))), 4) + 0 AS jaccard
     FROM cand c
     JOIN shing sa ON sa.doc_id = c.doc_a
     JOIN shing sb ON sb.doc_id = c.doc_b
@@ -1115,7 +1122,7 @@ assign AS (
 WITH v AS (SELECT vec_id, embedding FROM embeddings),
 {cents_cte},
 {assign_cte.lstrip()}
-SELECT vec_id, centroid_id, round(cos, 4) AS cosine FROM assign"""
+SELECT vec_id, centroid_id, round(cos, 4) + 0 AS cosine FROM assign"""
 
     sqls["ann_ivf_topk"] = f"""
 WITH v AS (SELECT vec_id, embedding FROM embeddings),
@@ -1140,7 +1147,7 @@ cand AS (
     WHERE a.vec_id != p.query_id
 )
 SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
-       round(cos, 4) AS cosine
+       round(cos, 4) + 0 AS cosine
 FROM (
     SELECT query_id, vec_id, cos,
            row_number() OVER (PARTITION BY query_id

@@ -4,7 +4,7 @@ reference's own operators (dedup, similarity search, text analysis).
 Everything here is expressed with JVM-side Spark SQL expressions (higher-order
 functions over arrays, window ranking, band-joins) — zero Python UDFs — so it
 whole-stage-codegens and scales; each public op has a DuckDB oracle twin in
-``paddleocr_spark.oracle_queries`` used by ``__spark_entry__``.
+``paddleocr_spark.entry_queries`` used by ``__spark_entry__``.
 """
 
 from __future__ import annotations

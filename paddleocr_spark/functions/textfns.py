@@ -8,7 +8,7 @@ tools/end2end/eval_end2end.py:26-35).
 
 All pure JVM expressions (split / higher-order functions / regexp) — no
 Python UDFs — so every op whole-stage-codegens and survives a 100× scale-up.
-Each op's DuckDB oracle lives in paddleocr_spark/oracle_queries.py; column
+Each op's DuckDB oracle lives in paddleocr_spark/entry_queries.py; column
 names and rounding are part of the contract.
 """
 
