@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 LINEAGE_SCHEMA = ("run_id string, part_id int, doc_count long, "
@@ -69,40 +69,39 @@ def run_extract(spark: SparkSession, extracted: DataFrame, out_dir: str,
     # pushes down as an IN-filter).
     df = df.filter(F.col("part_id").isin(todo))
 
+    # Per-partition metrics ride the write pass itself as Observation
+    # metrics (a map-side conditional aggregate, no extra action) — the
+    # output is never read back. Cost: O(len(todo)) conditional sums per
+    # row inside one whole-stage-codegen agg; n_buckets is an O(100-1000)
+    # config, vs. the alternative of a second full scan of everything just
+    # written (ruinous at 100 TB — a sum(size(spans)) re-read is a full
+    # pass over the payload column).
+    obs = Observation(f"lineage_{run_id}")
+    metrics = []
+    for p in todo:
+        is_p = F.col("part_id") == p
+        metrics.append(F.sum(F.when(is_p, 1).otherwise(0))
+                       .alias(f"docs_{p}"))
+        metrics.append(F.sum(F.when(is_p, F.size("spans")).otherwise(0))
+                       .alias(f"spans_{p}"))
+    df = df.observe(obs, *metrics)
+
     (df.write.mode("overwrite")
        .option("partitionOverwriteMode", "dynamic")
        .partitionBy("part_id")
        .parquet(data_dir))
 
-    # Per-partition metrics from the files just written (metadata-cheap).
-    stats = (spark.read.parquet(data_dir)
-             .filter(F.col("part_id").isin(todo))
-             .groupBy("part_id")
-             .agg(F.count("*").alias("doc_count"),
-                  F.sum(F.size("spans")).alias("span_count")))
+    got = obs.get
     now = time.time()
-    lineage = stats.select(
-        F.lit(run_id).alias("run_id"),
-        F.col("part_id").cast("int"),
-        F.col("doc_count").cast("long"),
-        F.col("span_count").cast("long"),
-        F.lit("committed").alias("status"),
-        F.lit(now).alias("committed_at"),
-    )
-    # Buckets that produced zero documents still need a lineage row, else a
-    # rerun would re-process them forever.
-    present = {r["part_id"] for r in stats.select("part_id").collect()}
-    empty = [p for p in todo if p not in present]
-    if empty:
-        empty_df = spark.createDataFrame(
-            [(run_id, p, 0, 0, "committed", now) for p in empty],
-            schema=LINEAGE_SCHEMA)
-        lineage = lineage.unionByName(empty_df)
+    # Buckets that produced zero documents get a lineage row too (sum over
+    # an empty set observes as NULL → 0), else a rerun would re-process
+    # them forever.
+    rows = [(run_id, p, int(got[f"docs_{p}"] or 0),
+             int(got[f"spans_{p}"] or 0), "committed", now) for p in todo]
+    lineage = spark.createDataFrame(rows, schema=LINEAGE_SCHEMA)
     lineage.coalesce(1).write.mode("append").parquet(lineage_dir)
 
-    agg = (spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_dir)
-           .filter(F.col("part_id").isin(todo))
-           .agg(F.sum("doc_count"), F.sum("span_count")).collect()[0])
     return {"run_id": run_id, "parts_done": len(todo),
             "parts_skipped": len(done),
-            "docs": int(agg[0] or 0), "spans": int(agg[1] or 0)}
+            "docs": sum(r[2] for r in rows),
+            "spans": sum(r[3] for r in rows)}
