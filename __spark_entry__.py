@@ -40,10 +40,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every SQL-expressible entry in ``queries()``.
-    ``flagship_extract`` is intentionally absent (iterative reading-order
-    kernels are not SQL-expressible; pytest checks span-sequence equality
-    against the pandas oracle instead — tests/test_pipeline.py).
+    """DuckDB twins for every entry in ``queries()``.
+
+    SQL-expressible operators get a real SQL restatement; the iterative
+    ones (flagship reading order, greedy NMS, LCS, greedy IoU, TEDS) read
+    committed expected-output fixtures generated single-node by
+    tools/make_fixtures.py at the gate SF (sf0.01).
     """
     from paddleocr_spark.entry_queries import oracle_sql as _o
     return _o()

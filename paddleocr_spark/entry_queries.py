@@ -21,10 +21,17 @@ rounded outputs.
 The flagship pipeline's synth corpus (paddleocr_spark/synth.py) is mirrored
 here as a DuckDB CTE (:data:`SYNTH_CTE`) built from the same constants —
 that lets the explode/geometry/filter/strip stages be hash-checked against
-an independent SQL restatement. The reading-order kernels (O1/O2 bubble
-pass + column scan) are NOT SQL-expressible, so ``flagship_extract`` has no
-oracle entry (driver records the weaker rows-only check); its per-document
-span counts and kind histograms ARE SQL-expressible and get full oracles.
+an independent SQL restatement.
+
+Iterative operators (the O1/O2 reading-order kernels, greedy NMS,
+Hirschberg LCS, greedy IoU matching, tree edit distance) are not
+SQL-restatable, but their outputs on the FIXED sf0.01 gate input are just
+tables: tools/make_fixtures.py computes them single-node (DuckDB input
+synthesis + pandas/NumPy computation, never Spark) into committed parquet
+under fixtures/, and their oracle SQL is a plain ``read_parquet`` of the
+fixture. Those five oracles are therefore valid ONLY at the driver's
+correctness scale factor (sf0.01) — running tools/parity_check.py at
+another sf fails exactly those five, by construction.
 """
 
 from __future__ import annotations
@@ -154,6 +161,17 @@ STYLE_RE = ("<strike>|<sup>|</sub>|<b>|</b>|<sub>|</sup>|<overline>"
             "|</overline>|<underline>|</underline>|<i>|</i>")
 
 
+#: Committed expected-output fixtures for the non-SQL-expressible queries
+#: (generated by tools/make_fixtures.py at sf0.01 — the driver's gate SF).
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
+
+
+def _fixture_sql(name: str, select: str) -> str:
+    path = os.path.join(FIXTURE_DIR, f"{name}.sf0_01.parquet")
+    return f"SELECT {select} FROM read_parquet('{path}')"
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -227,9 +245,11 @@ def q_flagship_kind_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship itself, exploded to rows. No SQL oracle (the O1/O2
-    reading-order kernels are iterative); pytest checks span-sequence
-    equality vs the pandas oracle instead (tests/test_pipeline.py)."""
+    """The flagship itself, exploded to rows. The O1/O2 reading-order
+    kernels are iterative (no SQL restatement), so the oracle is a committed
+    expected-output fixture computed single-node by tools/make_fixtures.py;
+    pytest additionally checks span-sequence equality vs the pandas oracle
+    (tests/test_pipeline.py)."""
     out = extract(synth_spans(_docs(spark, sf_dir)))
     return out.select(
         "doc_id", F.posexplode("spans").alias("pos", "s")
@@ -468,9 +488,9 @@ def q_ctc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_char_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fork A4 addition: char-level P/R/F1 via Hirschberg LCS over
-    deterministic (pred, target) pairs. No SQL oracle (LCS is not
-    SQL-expressible); pytest verifies the distributed counts against a
-    single-node run (tests/test_metrics.py)."""
+    deterministic (pred, target) pairs. LCS is not SQL-expressible: the
+    oracle is a committed fixture (tools/make_fixtures.py); pytest verifies
+    the distributed counts against a single-node run (tests/test_metrics.py)."""
     from .functions.metrics import char_prf
     pairs = _docs(spark, sf_dir).select(
         F.when(F.col("doc_id") % 4 == 0, F.col("text"))
@@ -481,8 +501,9 @@ def q_char_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_det_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 DetectionIoUEvaluator: greedy one-to-one IoU matching with
-    don't-care exclusion, per doc, combined globally. Rows-only (greedy
-    loop is iterative); pytest covers the kernel on hand-built cases."""
+    don't-care exclusion, per doc, combined globally. The greedy loop is
+    iterative: the oracle is a committed fixture (tools/make_fixtures.py);
+    pytest covers the kernel on hand-built cases."""
     from .functions.metrics import det_eval
     li = _lineitem(spark, sf_dir).filter(F.col("l_linenumber") <= 4)
     base = li.select(
@@ -508,8 +529,9 @@ def q_det_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_teds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 TEDS: tree-edit-distance similarity over deterministic table-html
     pairs built from documents (pred mutates one header cell and drops the
-    last body cell for every third doc). Rows-only (tree edit distance is
-    iterative); pytest pins hand-computed scores (tests/test_teds.py)."""
+    last body cell for every third doc). Tree edit distance is iterative:
+    the oracle is a committed fixture (tools/make_fixtures.py); pytest pins
+    hand-computed scores (tests/test_teds.py)."""
     from .functions.teds import teds
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("pair_id"),
@@ -534,9 +556,9 @@ def q_teds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5 per-class hard_nms over (doc, label) groups — greedy IoU
-    suppression is iterative, so no SQL oracle (rows-only check; pytest
-    verifies the distributed result equals the kernel run single-node,
-    tests/test_operators.py)."""
+    suppression is iterative, so the oracle is a committed fixture
+    (tools/make_fixtures.py); pytest verifies the distributed result equals
+    the kernel run single-node (tests/test_operators.py)."""
     from .operators.spatial import nms_per_class
     li = _lineitem(spark, sf_dir).filter(F.col("l_linenumber") <= 3)
     boxes = li.select(
@@ -583,7 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "style_strip": q_style_strip,
         "flagship_span_counts": q_flagship_span_counts,
         "flagship_kind_counts": q_flagship_kind_counts,
-        "flagship_extract": q_flagship_extract,        # rows-only
+        "flagship_extract": q_flagship_extract,        # fixture oracle
         # relational operator demos
         "union_sample": q_union_sample,
         "topk_window": q_topk_window,
@@ -598,10 +620,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strq2b": q_strq2b,
         "ctc_roundtrip": q_ctc_roundtrip,
         "media_decode": q_media_decode,
-        "nms_per_class": q_nms,                        # rows-only
-        "char_prf_metric": q_char_prf,                 # rows-only
-        "det_eval_greedy": q_det_eval,                 # rows-only
-        "teds_metric": q_teds,                         # rows-only
+        "nms_per_class": q_nms,                        # fixture oracle
+        "char_prf_metric": q_char_prf,                 # fixture oracle
+        "det_eval_greedy": q_det_eval,                 # fixture oracle
+        "teds_metric": q_teds,                         # fixture oracle
         # text analysis
         "token_count": T.token_count,
         "lang_id": T.lang_id,
@@ -738,7 +760,24 @@ WITH {SYNTH_CTE.lstrip()}, {GEOM_CTE.lstrip()}, {KEPT_CTE.lstrip()}
 SELECT doc_id, kind, CAST(count(*) AS BIGINT) AS n
 FROM synth_final GROUP BY doc_id, kind"""
 
-    # flagship_extract: intentionally no oracle (iterative order kernels).
+    # Committed-fixture oracles (tools/make_fixtures.py; sf0.01 only): the
+    # five iterative operators whose expected outputs are pinned as parquet.
+    sqls["flagship_extract"] = _fixture_sql(
+        "flagship_extract",
+        'doc_id, CAST("order" AS BIGINT) AS "order", kind, text, media_ref')
+    sqls["nms_per_class"] = _fixture_sql(
+        "nms_per_class",
+        "doc_id, label, CAST(box_id AS BIGINT) AS box_id, x1, y1, x2, y2, "
+        "score, CAST(keep_order AS BIGINT) AS keep_order")
+    sqls["char_prf_metric"] = _fixture_sql(
+        "char_prf_metric",
+        "mean_precision, mean_recall, mean_f1, overall_precision, "
+        "overall_recall, overall_f1")
+    sqls["det_eval_greedy"] = _fixture_sql(
+        "det_eval_greedy",
+        "precision, recall, hmean, CAST(n_images AS BIGINT) AS n_images")
+    sqls["teds_metric"] = _fixture_sql(
+        "teds_metric", "CAST(pair_id AS BIGINT) AS pair_id, teds")
 
     sqls["media_decode"] = f"""
 WITH {SYNTH_CTE.lstrip()},

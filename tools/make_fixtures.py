@@ -1,0 +1,245 @@
+#!/usr/bin/env python
+"""Generate committed expected-output fixtures for the non-SQL queries.
+
+The driver's correctness gate hash-compares each ``queries()`` entry with
+its ``oracle_sql()`` twin at sf=0.01. Five operators are iterative (greedy
+NMS, Hirschberg LCS, greedy IoU matching, tree edit distance, the O1/O2
+reading-order kernels) and cannot be restated in SQL — but their outputs on
+the FIXED sf0.01 input are just tables, so the oracle can be a committed
+parquet file produced by an independent single-node computation, and the
+oracle SQL a plain ``read_parquet`` of it. That upgrades the five entries
+from the driver's weaker rows-only check to full hash rows — pinning, in
+particular, the flagship's distributed shuffle/carry path
+(pipeline.order_and_assemble), which pytest-in-repo covers only at tiny
+scale.
+
+Independence: input synthesis runs in DuckDB (the same engine the driver's
+gate uses, never Spark) and the per-group computation in plain
+pandas/NumPy. The iterative kernels themselves are imported from
+``paddleocr_spark.kernels``/``oracle`` — the sanctioned "oracle == kernels
+imported twice" rule (SURVEY.md §5): exact order ties cannot be re-derived
+two ways without breaking bit-equality. Everything AROUND the kernels
+(grouping, aggregation, rounding, assembly) is re-implemented here.
+
+Usage: python tools/make_fixtures.py [sf_dir] [out_dir]
+Defaults: /root/testdata/sf0.01 → /root/repo/fixtures (committed).
+
+Float rounding replicates Spark's ``F.round`` (BigDecimal HALF_UP over the
+shortest decimal repr) via :func:`f_round`; per-pair TEDS uses Python
+``round`` because the Spark side rounds inside the Arrow UDF with Python
+``round`` too.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from paddleocr_spark.functions.metrics import (EPS, det_match_counts,
+                                               lcs_string)
+from paddleocr_spark.functions.teds import teds_score
+from paddleocr_spark.kernels import hard_nms
+from paddleocr_spark.oracle import extract_pandas
+
+
+def f_round(x: float, scale: int = 4) -> float:
+    """Spark F.round semantics for DoubleType: HALF_UP on the shortest
+    decimal representation (BigDecimal.valueOf == repr for our ranges)."""
+    return float(Decimal(repr(float(x))).quantize(
+        Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP))
+
+
+def fx_flagship_extract(con, sf_dir: str) -> pd.DataFrame:
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = extract_pandas(docs)
+    rows = []
+    for doc_id, spans in zip(out["doc_id"], out["spans"]):
+        for s in spans:
+            rows.append((doc_id, s["offset"], s["kind"], s["text"],
+                         s["media_ref"]))
+    return pd.DataFrame(rows, columns=["doc_id", "order", "kind", "text",
+                                       "media_ref"]).astype(
+        {"order": "int64"})
+
+
+def fx_nms_per_class(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_nms input, synthesized in DuckDB; hard_nms per group."""
+    base = con.sql(f"""
+        SELECT printf('doc_%03d', l_orderkey % 20) AS doc_id,
+               CASE WHEN l_partkey % 2 = 0 THEN 'text' ELSE 'table' END
+                   AS label,
+               l_orderkey * 10 + l_linenumber AS box_id,
+               CAST((l_partkey % 25) * 8 AS DOUBLE) AS x1,
+               CAST((l_suppkey % 20) * 10 AS DOUBLE) AS y1,
+               CAST((l_partkey % 25) * 8 + 40 AS DOUBLE) AS x2,
+               CAST((l_suppkey % 20) * 10 + 30 AS DOUBLE) AS y2,
+               CAST(box_id % 100 AS DOUBLE) / 100.0 AS score
+        FROM read_parquet('{os.path.join(sf_dir, "lineitem.parquet")}')
+        WHERE l_linenumber <= 3
+    """).df()
+    outs = []
+    for (doc_id, label), g in base.groupby(["doc_id", "label"], sort=True):
+        # JVM pre-cap: rank <= nms_top_k by (score desc, box_id)
+        g = g.sort_values(["score", "box_id"],
+                          ascending=[False, True]).head(1000)
+        g = g.sort_values("box_id", kind="stable")
+        picked = hard_nms(g[["x1", "y1", "x2", "y2"]].to_numpy(dtype=float),
+                          g["score"].to_numpy(dtype=float),
+                          iou_threshold=0.5, top_k=100, candidate_size=200)
+        out = g.iloc[picked].copy()
+        out["keep_order"] = range(len(picked))
+        outs.append(out)
+    return (pd.concat(outs, ignore_index=True)
+            .astype({"box_id": "int64", "keep_order": "int64"})
+            [["doc_id", "label", "box_id", "x1", "y1", "x2", "y2",
+              "score", "keep_order"]])
+
+
+def fx_char_prf(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_char_prf single-node: pairs in DuckDB, counts + the
+    rec_metric.py:205-239 report re-derived in plain Python."""
+    pairs = con.sql(f"""
+        SELECT CASE WHEN doc_id % 4 = 0 THEN text
+                    ELSE translate(text, 'aeo', 'eoa') END AS pred,
+               text AS target
+        FROM read_parquet('{os.path.join(sf_dir, "documents.parquet")}')
+    """).df()
+    label: dict[str, int] = {}
+    pred_c: dict[str, int] = {}
+    answer: dict[str, int] = {}
+    for pred, target in zip(pairs["pred"], pairs["target"]):
+        pred = (pred or "").replace(" ", "")
+        target = (target or "").replace(" ", "")
+        for c in pred:
+            pred_c[c] = pred_c.get(c, 0) + 1
+        for c in target:
+            label[c] = label.get(c, 0) + 1
+        for c in lcs_string(pred, target):
+            answer[c] = answer.get(c, 0) + 1
+    chars = sorted(set(label) | set(pred_c) | set(answer))
+    sum_r = cnt_r = sum_p = cnt_p = sum_f1 = 0.0
+    for c in chars:
+        nl, np_, na = label.get(c, 0), pred_c.get(c, 0), answer.get(c, 0)
+        recall = na / (nl + EPS)
+        precision = na / (np_ + EPS)
+        r_val = recall if nl > 0 else 0.0
+        p_val = precision if np_ > 0 else 0.0
+        if nl > 0:
+            sum_r += recall
+            cnt_r += 1
+        if np_ > 0:
+            sum_p += precision
+            cnt_p += 1
+        sum_f1 += 2 * r_val * p_val / (r_val + p_val + EPS)
+    tot_label = float(sum(label.values()))
+    tot_pred = float(sum(pred_c.values()))
+    tot_answer = float(sum(answer.values()))
+    op = tot_answer / (tot_pred + EPS)
+    orc = tot_answer / (tot_label + EPS)
+    return pd.DataFrame([{
+        "mean_precision": f_round(sum_p / (cnt_p + EPS)),
+        "mean_recall": f_round(sum_r / (cnt_r + EPS)),
+        "mean_f1": f_round(sum_f1 / (len(chars) + EPS)),
+        "overall_precision": f_round(op),
+        "overall_recall": f_round(orc),
+        "overall_f1": f_round(2 * orc * op / (orc + op + EPS)),
+    }])
+
+
+def fx_det_eval(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_det_eval single-node: greedy per-doc counts +
+    combine_results (det_metric.py:24-79)."""
+    base = con.sql(f"""
+        SELECT printf('doc_%04d', l_orderkey % 200) AS doc_id,
+               l_orderkey * 10 + l_linenumber AS oid,
+               CAST((l_partkey % 40) * 30 AS DOUBLE) AS x1,
+               CAST((l_suppkey % 30) * 30 AS DOUBLE) AS y1,
+               l_linenumber AS ln
+        FROM read_parquet('{os.path.join(sf_dir, "lineitem.parquet")}')
+        WHERE l_linenumber <= 4
+    """).df()
+    m = d = g = 0
+    n_images = 0
+    for _, grp in base.groupby("doc_id", sort=True):
+        grp = grp.sort_values("oid", kind="stable")
+        gt = np.column_stack([grp["x1"], grp["y1"],
+                              grp["x1"] + 25, grp["y1"] + 18])
+        ignore = (grp["oid"] % 11 == 0).to_numpy()
+        shift = np.where(grp["ln"] <= 3, 3.0, 7000.0)
+        det = np.column_stack([grp["x1"] + shift, grp["y1"] + shift,
+                               grp["x1"] + shift + 25,
+                               grp["y1"] + shift + 18])
+        gc, dc, mm = det_match_counts(gt, ignore, det)
+        m += mm
+        d += dc
+        g += gc
+        n_images += 1
+    p = 0.0 if d == 0 else m / d
+    r = 0.0 if g == 0 else m / g
+    h = 0.0 if p + r == 0 else 2 * p * r / (p + r)
+    return pd.DataFrame([{
+        "precision": f_round(p), "recall": f_round(r), "hmean": f_round(h),
+        "n_images": np.int64(n_images)}])
+
+
+def fx_teds(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_teds single-node: pairs in DuckDB, teds_score +
+    Python round per pair (matching the Arrow UDF's rounding)."""
+    docs = os.path.join(sf_dir, "documents.parquet")
+    cell = ("'<table><thead><tr><td>' || w[1] || '</td><td>' || {h2} || "
+            "'</td></tr></thead><tbody><tr><td>' || w[3] || '</td><td>' || "
+            "w[4] || '</td></tr>{tail}</tbody></table>'")
+    true_html = cell.format(h2="w[2]", tail="<tr><td>x</td><td>y</td></tr>")
+    pred_html = ("CASE WHEN pair_id % 3 = 0 THEN " + cell.format(
+        h2="'MUT'", tail="") + " ELSE " + cell.format(
+        h2="w[2]", tail="<tr><td>x</td><td>y</td></tr>") + " END")
+    pairs = con.sql(f"""
+        WITH w AS (
+            SELECT doc_id AS pair_id,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x != '')[1:6] AS w
+            FROM read_parquet('{docs}')
+        )
+        SELECT pair_id, {pred_html} AS pred_html, {true_html} AS true_html
+        FROM w WHERE len(w) >= 4
+    """).df()
+    return pd.DataFrame({
+        "pair_id": pairs["pair_id"].astype("int64"),
+        "teds": [round(teds_score(p, t), 4) for p, t in
+                 zip(pairs["pred_html"], pairs["true_html"])],
+    })
+
+
+FIXTURES = {
+    "flagship_extract": fx_flagship_extract,
+    "nms_per_class": fx_nms_per_class,
+    "char_prf_metric": fx_char_prf,
+    "det_eval_greedy": fx_det_eval,
+    "teds_metric": fx_teds,
+}
+
+
+def main() -> int:
+    import duckdb
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures")
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    for name, fn in FIXTURES.items():
+        df = fn(con, sf_dir)
+        path = os.path.join(out_dir, f"{name}.sf0_01.parquet")
+        df.to_parquet(path, index=False)
+        print(f"{name}: {len(df)} rows -> {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
