@@ -634,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": D.dedup_minhash_pairs,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
         "dedup_simhash": D.dedup_simhash,
+        "simhash_pairs": D.simhash_pairs,
         # similarity search
         "ann_cosine_topk": SIM.ann_cosine_topk,
         "ann_lsh_buckets": SIM.ann_lsh_buckets,
@@ -692,23 +693,33 @@ cand AS (
      AND a.doc_id < b.doc_id
 )"""
 
-def _lsh_code_sql(tbl: str) -> str:
-    """Correlated scalar subquery computing the LSH bucket of {tbl}.embedding."""
+def _lsh_band_code_sql(vtbl: str, btbl: str) -> str:
+    """Correlated scalar subquery: banded LSH code of {vtbl}.embedding for
+    band {btbl}.band, with R planes from the ``params`` CTE (twin of
+    similarity._band_code_expr / lsh_planes_for)."""
     return f"""(
     SELECT CAST(sum(CASE WHEN dot > 0
                 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)
     FROM (
         SELECT p.p,
                list_sum(list_transform(generate_series(1,
-                   len({tbl}.embedding)),
+                   len({vtbl}.embedding)),
                    d -> ((strpos('0123456789abcdef', substring(
-                           md5(CAST(p.p AS VARCHAR) || ':'
+                           md5(CAST({btbl}.band AS VARCHAR) || ':'
+                               || CAST(p.p AS VARCHAR) || ':'
                                || CAST(d - 1 AS VARCHAR)), 1, 1)) - 1)
                          / 7.5 - 1.0)
-                        * CAST({tbl}.embedding[d] AS DOUBLE))) AS dot
-        FROM (SELECT unnest(generate_series(0, {SIM.LSH_PLANES - 1})) AS p) p
+                        * CAST({vtbl}.embedding[d] AS DOUBLE))) AS dot
+        FROM (SELECT unnest(generate_series(0,
+                  (SELECT r FROM params) - 1)) AS p) p
     ) code
 )"""
+
+
+def _lsh_params_cte(corpus: str) -> str:
+    """R = max(4, ceil(log2(n / target))) — twin of similarity.lsh_planes_for."""
+    return (f"params AS (SELECT greatest(4, CAST(ceil(log2(count(*) "
+            f"/ {SIM.LSH_TARGET_BUCKET}.0)) AS BIGINT)) AS r FROM {corpus})")
 
 _COS_RAW = ("""(
     list_sum(list_transform(generate_series(1, len({a})),
@@ -1082,8 +1093,7 @@ j AS (
 )
 SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5"""
 
-    sqls["dedup_simhash"] = f"""
-WITH {_CORPUS_CTE.lstrip()},
+    simhash_cte = f"""
 w AS (
     SELECT doc_id, list_distinct({_WORDS_CO}) AS w FROM corpus
 ),
@@ -1103,13 +1113,40 @@ sb AS (
     FROM bits GROUP BY doc_id, j
 ),
 sim AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash
-        FROM sb GROUP BY doc_id)
-SELECT w.doc_id, coalesce(sim.simhash, 0) AS simhash,
-       CAST(coalesce(sim.simhash, 0) // 1 % 256 AS BIGINT) AS band0,
-       CAST(coalesce(sim.simhash, 0) // 256 % 256 AS BIGINT) AS band1,
-       CAST(coalesce(sim.simhash, 0) // 65536 % 256 AS BIGINT) AS band2,
-       CAST(coalesce(sim.simhash, 0) // 16777216 % 256 AS BIGINT) AS band3
-FROM w LEFT JOIN sim ON w.doc_id = sim.doc_id"""
+        FROM sb GROUP BY doc_id),
+sig AS (SELECT w.doc_id, coalesce(sim.simhash, 0) AS simhash
+        FROM w LEFT JOIN sim ON w.doc_id = sim.doc_id)"""
+
+    sqls["dedup_simhash"] = f"""
+WITH {_CORPUS_CTE.lstrip()}, {simhash_cte.lstrip()}
+SELECT doc_id, simhash,
+       CAST(simhash // 1 % 256 AS BIGINT) AS band0,
+       CAST(simhash // 256 % 256 AS BIGINT) AS band1,
+       CAST(simhash // 65536 % 256 AS BIGINT) AS band2,
+       CAST(simhash // 16777216 % 256 AS BIGINT) AS band3
+FROM sig"""
+
+    sqls["simhash_pairs"] = f"""
+WITH {_CORPUS_CTE.lstrip()}, {simhash_cte.lstrip()},
+sbands AS (
+    SELECT doc_id, simhash, b.b AS band_idx,
+           CAST(floor(simhash / power(256, b.b)) AS BIGINT) % 256 AS band_val
+    FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b
+),
+scand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS sig_a, b.simhash AS sig_b
+    FROM sbands a JOIN sbands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(list_sum(list_transform(generate_series(0, 31), j ->
+           CASE WHEN CAST(floor(sig_a / power(2, j)) AS BIGINT) % 2
+                 != CAST(floor(sig_b / power(2, j)) AS BIGINT) % 2
+           THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+FROM scand
+WHERE hamming <= {D.SIMHASH_HAMMING_MAX}"""
 
     cos_qe = _COS.format(a="q.q", b="e.embedding")
     sqls["ann_cosine_topk"] = f"""
@@ -1135,13 +1172,23 @@ FROM scored WHERE rank <= {SIM.TOPK_K}"""
 
     sqls["ann_lsh_buckets"] = f"""
 WITH v AS (SELECT vec_id, embedding FROM embeddings),
-coded AS (SELECT vec_id, {_lsh_code_sql('v')} AS bucket FROM v)
-SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
+{_lsh_params_cte('v')},
+coded AS (
+    SELECT v.vec_id, b.band, {_lsh_band_code_sql('v', 'b')} AS code
+    FROM v CROSS JOIN (SELECT unnest(generate_series(0,
+        {SIM.LSH_BANDS - 1})) AS band) b
+)
+SELECT CAST(band AS BIGINT) AS band, code AS bucket,
+       CAST(count(*) AS BIGINT) AS n_vecs,
        min(vec_id) AS min_vec_id
-FROM coded GROUP BY bucket"""
+FROM coded GROUP BY band, code"""
 
+    # IVF centroid stride: twin of similarity.ivf_centroid_every (~√n cells).
+    every_sql = ("(SELECT CASE WHEN count(*) <= 1 THEN 1 ELSE greatest(1, "
+                 "count(*) // CAST(ceil(sqrt(count(*))) AS BIGINT)) END "
+                 "FROM embeddings)")
     cents_cte = (f"c AS (SELECT vec_id AS centroid_id, embedding AS c "
-                 f"FROM embeddings WHERE vec_id % {SIM.IVF_CENTROID_EVERY}"
+                 f"FROM embeddings WHERE vec_id % {every_sql}"
                  f" = 1)")
     assign_cte = f"""
 scored AS (
@@ -1194,7 +1241,7 @@ FROM (
     FROM cand
 ) WHERE rank <= {SIM.IVF_K}"""
 
-    cos_ab = _COS.format(a="a.embedding", b="b.embedding")
+    cos_ab = _COS.format(a="ea.embedding", b="eb.embedding")
     sqls["embedding_neardup"] = f"""
 WITH base AS (
     SELECT vec_id, embedding FROM embeddings
@@ -1202,10 +1249,28 @@ WITH base AS (
     SELECT vec_id + {SIM.VEC_DUP_OFFSET}, embedding FROM embeddings
     WHERE vec_id % {SIM.VEC_DUP_EVERY} = 0
 ),
-v AS (SELECT vec_id, embedding, {_lsh_code_sql('base')} AS bucket FROM base)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       {cos_ab} AS cosine
-FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+{_lsh_params_cte('base')},
+coded AS (
+    SELECT base.vec_id, b.band, {_lsh_band_code_sql('base', 'b')} AS code
+    FROM base CROSS JOIN (SELECT unnest(generate_series(0,
+        {SIM.LSH_BANDS - 1})) AS band) b
+),
+sub AS (
+    SELECT vec_id, band, code,
+           (row_number() OVER (PARTITION BY band, code ORDER BY vec_id) - 1)
+           // {SIM.LSH_BUCKET_CAP} AS sub
+    FROM coded
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM sub a JOIN sub b
+      ON a.band = b.band AND a.code = b.code AND a.sub = b.sub
+     AND a.vec_id < b.vec_id
+)
+SELECT cand.vec_a, cand.vec_b, {cos_ab} AS cosine
+FROM cand
+JOIN base ea ON ea.vec_id = cand.vec_a
+JOIN base eb ON eb.vec_id = cand.vec_b
 WHERE {cos_ab} >= 0.9"""
 
     return sqls

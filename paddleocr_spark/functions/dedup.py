@@ -207,3 +207,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "simhash",
         *[(F.floor(F.col("simhash") / F.lit(256 ** i)) % 256)
           .cast("long").alias(f"band{i}") for i in range(4)])
+
+
+#: SimHash near-dup verification threshold (bits). With 4 byte bands over a
+#: 32-bit signature, any pair at hamming ≤ 3 differs in at most 3 bands, so
+#: it MUST share at least one equal band (pigeonhole) — the band-join
+#: blocking is lossless for this threshold.
+SIMHASH_HAMMING_MAX = 3
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str,
+                  max_hamming: int = SIMHASH_HAMMING_MAX) -> DataFrame:
+    """SimHash near-dup lookup: band-join candidates, exact hamming verify.
+
+    Two-phase like the MinHash path: candidates are docs sharing ≥1 of the
+    4 byte bands (equi-join on (band_idx, band_val) — never all-pairs;
+    exact dups share all 4), then the exact 32-bit hamming distance —
+    computed arithmetically (floor(sig/2^j) % 2) so Spark and DuckDB agree
+    without engine bit ops — keeps pairs ≤ max_hamming. At corpus scale the
+    signature table is materialized once (it is the incremental simhash
+    index); here the plan recomputes it per join side, which the optimizer
+    de-duplicates via the exchange reuse of the self-join.
+    """
+    sim = dedup_simhash(spark, sf_dir)
+    bands = sim.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[F.col(f"band{i}") for i in range(4)]))
+        .alias("band_idx", "band_val"))
+    a = bands.select(F.col("doc_id").alias("doc_a"),
+                     F.col("simhash").alias("sig_a"),
+                     "band_idx", "band_val")
+    b = bands.select(F.col("doc_id").alias("doc_b"),
+                     F.col("simhash").alias("sig_b"),
+                     "band_idx", "band_val")
+    cand = (a.join(b, ["band_idx", "band_val"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sig_a", "sig_b").distinct())
+    ham = F.expr(
+        "aggregate(sequence(0, 31), 0L, (acc, j) -> acc + "
+        "CASE WHEN CAST(floor(sig_a / power(2, j)) AS BIGINT) % 2 "
+        "  != CAST(floor(sig_b / power(2, j)) AS BIGINT) % 2 "
+        "THEN 1L ELSE 0L END)")
+    return (cand.select("doc_a", "doc_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))

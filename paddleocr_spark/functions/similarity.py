@@ -4,11 +4,21 @@
   broadcast the (small) query set against the corpus, dot products via
   ``zip_with``/``aggregate`` higher-order functions (JVM-side, no Python).
   At 10^12 scale the query side is always the broadcast side.
-* :func:`ann_lsh_buckets` — the scale path: random-hyperplane LSH codes
-  (deterministic md5-derived hyperplanes), bucket equi-join + rank within
-  bucket, turning O(N·Q) into O(N + Q·bucket_size).
-* :func:`embedding_neardup` — embedding-cosine near-duplicate detection over
-  a corpus with injected duplicate vectors (bucket-join, cos ≥ threshold).
+* :func:`ann_lsh_buckets` / :func:`embedding_neardup` — the scale path:
+  banded random-hyperplane LSH (B bands × R planes, the same AND/OR
+  construction the MinHash dedup uses). R derives from corpus size
+  (:func:`lsh_planes_for`), so expected bucket occupancy stays ~constant as
+  the corpus grows — the round-1 single-table 8-plane scheme had a FIXED
+  256 buckets, making within-bucket work O(N²/256); here bucket count is
+  B·2^R with R ~ log2(N/target), and a hard per-bucket occupancy cap
+  (:data:`LSH_BUCKET_CAP`) bounds the self-join fan-out under adversarial
+  skew (identical vectors): buckets overflow into deterministic sub-buckets
+  of ≤cap rows, trading cross-sub-bucket recall for a hard O(cap²) bound
+  per join key.
+* :func:`ivf_assign` / :func:`ann_ivf_topk` — IVF coarse quantization with
+  the centroid count derived from corpus size (~√N cells, the standard IVF
+  sizing), so cells and centroid table grow in balance; round 1's fixed
+  ``vec_id % 31`` rule made the "tiny broadcast" O(N).
 
 Dot-product folds are ordered (aggregate folds left-to-right), so results are
 deterministic at any parallelism; cosines are rounded to 4dp as part of the
@@ -17,13 +27,20 @@ output contract (FP summation order differs across engines).
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-#: Number of random hyperplanes (LSH code bits).
-LSH_PLANES = 8
+#: Banded hyperplane LSH: B independent band tables (OR), R planes each (AND).
+LSH_BANDS = 4
+#: Target expected bucket occupancy — R = ceil(log2(n / target)).
+LSH_TARGET_BUCKET = 32
+#: Hard per-(band, code) occupancy cap: larger buckets split into
+#: deterministic sub-buckets of ≤cap rows (bounded self-join work per key).
+LSH_BUCKET_CAP = 128
 #: Near-dup injection: every k-th vector re-appears under vec_id+offset.
 VEC_DUP_OFFSET = 1_000_000
 VEC_DUP_EVERY = 10
@@ -69,7 +86,6 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str,
               .filter(F.col("vec_id") != F.col("query_id"))
               .select("query_id", "vec_id",
                       cosine_col("q", "embedding").alias("cos")))
-    from pyspark.sql.window import Window
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -78,25 +94,63 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str,
                     "vec_id", F.round("cos", 4).alias("cosine")))
 
 
-def lsh_code_col(vec: str = "embedding", planes: int = LSH_PLANES):
-    """Random-hyperplane LSH code: bit p = sign of <w_p, x> where the
-    hyperplane weight w_p[d] = hexdigit(md5(p||':'||d)) / 7.5 - 1 ∈ [-1, 1]
-    (deterministic, engine-portable — no RNG)."""
+# ---------------------------------------------------------------------------
+# Banded hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def lsh_planes_for(n: int, target: int = LSH_TARGET_BUCKET) -> int:
+    """Planes per band so expected occupancy ≈ target: ceil(log2(n/target)),
+    floored at 4. MUST stay formula-identical to the DuckDB twin
+    (entry_queries._lsh_params_cte)."""
+    if n <= 0:
+        return 4
+    return max(4, math.ceil(math.log2(n / float(target))))
+
+
+def _band_code_expr(planes: int, vec: str = "embedding",
+                    band: str = "band"):
+    """Per-band LSH code: bit p = sign of <w_{band,p}, x>, hyperplane weight
+    w[d] = hexdigit(md5(band:p:d)) / 7.5 - 1 ∈ [-1, 1] (deterministic,
+    engine-portable — no RNG; the band id in the seed makes the B band
+    tables independent)."""
     return F.expr(
         "aggregate(sequence(0, {pm}), 0L, (code, p) -> code + "
         "CASE WHEN aggregate(sequence(0, size({v}) - 1), 0D, (acc, d) -> "
         "  acc + ((instr('0123456789abcdef', substring("
-        "    md5(concat(p, ':', d)), 1, 1)) - 1) / 7.5 - 1.0) "
+        "    md5(concat(CAST({b} AS STRING), ':', CAST(p AS STRING), ':', "
+        "        CAST(d AS STRING))), 1, 1)) - 1) / 7.5 - 1.0) "
         "    * CAST(element_at({v}, d + 1) AS DOUBLE)) > 0 "
         "THEN CAST(power(2, p) AS BIGINT) ELSE 0L END)".format(
-            pm=planes - 1, v=vec))
+            pm=planes - 1, v=vec, b=band))
+
+
+def lsh_band_table(vecs: DataFrame, planes: int,
+                   bands: int = LSH_BANDS,
+                   cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """(vec_id, embedding) → (vec_id, band, code, sub): B rows per vector.
+
+    ``sub`` is the deterministic overflow split: within a (band, code)
+    bucket, rows rank by vec_id and spill into sub-buckets of ≤cap — the
+    join key is (band, code, sub), so per-key work is O(cap²) no matter how
+    skewed the bucket (e.g. millions of identical vectors).
+    """
+    banded = vecs.select(
+        "vec_id",
+        F.explode(F.expr(f"sequence(0, {bands - 1})")).alias("band"),
+        "embedding",
+    ).select("vec_id", "band", _band_code_expr(planes).alias("code"))
+    w = Window.partitionBy("band", "code").orderBy("vec_id")
+    return banded.withColumn(
+        "sub", ((F.row_number().over(w) - 1) / cap).cast("long"))
 
 
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH bucket assignment + per-bucket population (the ANN index build)."""
-    vecs = _vecs(spark, sf_dir).select(
-        "vec_id", lsh_code_col().alias("bucket"))
-    return (vecs.groupBy("bucket")
+    """LSH index build: per-(band, bucket) population (R from corpus size)."""
+    vecs = _vecs(spark, sf_dir)
+    planes = lsh_planes_for(vecs.count())
+    bands = lsh_band_table(vecs, planes)
+    return (bands.groupBy(F.col("band").cast("long").alias("band"),
+                          F.col("code").alias("bucket"))
             .agg(F.count("*").cast("long").alias("n_vecs"),
                  F.min("vec_id").alias("min_vec_id")))
 
@@ -112,36 +166,65 @@ def neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_neardup(spark: SparkSession, sf_dir: str,
                       threshold: float = 0.9) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH-bucket join (scale path):
-    only vectors in the same hyperplane bucket are compared exactly."""
-    vecs = neardup_corpus(spark, sf_dir).select(
-        "vec_id", "embedding", lsh_code_col().alias("bucket"))
-    a = vecs.select(F.col("vec_id").alias("vec_a"),
-                    F.col("embedding").alias("ea"), "bucket")
-    b = vecs.select(F.col("vec_id").alias("vec_b"),
-                    F.col("embedding").alias("eb"), "bucket")
-    return (a.join(b, "bucket")
+    """Embedding-cosine near-dup pairs via banded-LSH blocking.
+
+    Two-phase like the MinHash dedup: (1) candidate pairs = vectors sharing
+    any (band, code, sub) key — narrow rows (no embeddings) through the
+    self-join, then distinct; (2) exact cosine only on candidates, joining
+    the embeddings back. Identical vectors get identical codes in every
+    band, so exact dups are always candidates (cap permitting).
+    """
+    corpus = neardup_corpus(spark, sf_dir)
+    planes = lsh_planes_for(corpus.count())
+    bands = lsh_band_table(corpus.select("vec_id", "embedding"), planes)
+    a = bands.select(F.col("vec_id").alias("vec_a"), "band", "code", "sub")
+    b = bands.select(F.col("vec_id").alias("vec_b"), "band", "code", "sub")
+    cand = (a.join(b, ["band", "code", "sub"])
             .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b").distinct())
+    ea = corpus.select(F.col("vec_id").alias("vec_a"),
+                       F.col("embedding").alias("ea"))
+    eb = corpus.select(F.col("vec_id").alias("vec_b"),
+                       F.col("embedding").alias("eb"))
+    return (cand.join(ea, "vec_a").join(eb, "vec_b")
             .select("vec_a", "vec_b",
                     F.round(cosine_col("ea", "eb"), 4).alias("cosine"))
             .filter(F.col("cosine") >= threshold))
 
 
-#: IVF coarse quantizer: deterministic centroid sample + probe count.
-IVF_CENTROID_EVERY = 31
+# ---------------------------------------------------------------------------
+# IVF coarse quantization
+# ---------------------------------------------------------------------------
+
 IVF_NPROBE = 2
 IVF_QUERIES = 4
 IVF_K = 5
 
 
+def ivf_centroid_every(n: int) -> int:
+    """Centroid sampling stride for ~√n cells (standard IVF sizing: cell
+    count and cell size grow in balance). MUST stay formula-identical to
+    the DuckDB twin (entry_queries: the centroid CTE's scalar subquery)."""
+    if n <= 1:
+        return 1
+    cells = math.ceil(math.sqrt(n))
+    return max(1, n // cells)
+
+
 def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic coarse centroids: every 31st vector (~3% of corpus).
+    """Deterministic coarse centroids: every ⌊n/⌈√n⌉⌋-th vector → ~√n cells.
 
     A real deployment k-means-refines these; the IVF *mechanics* (assign →
     probe → rank within probed cells) are identical and that is what the
-    oracle checks. Deterministic selection keeps Spark and DuckDB equal."""
-    return (_vecs(spark, sf_dir)
-            .filter(F.col("vec_id") % IVF_CENTROID_EVERY == 1)
+    oracle checks. Deterministic selection keeps Spark and DuckDB equal.
+    At 10^12 vectors √N centroids make the brute-force assign itself the
+    bottleneck — the production path assigns hierarchically (quantize the
+    centroid set again); the broadcast-assign shape below is the leaf step
+    of that hierarchy and is what we demonstrate.
+    """
+    vecs = _vecs(spark, sf_dir)
+    every = ivf_centroid_every(vecs.count())
+    return (vecs.filter(F.col("vec_id") % every == 1)
             .select(F.col("vec_id").alias("centroid_id"),
                     F.col("embedding").alias("c")))
 
@@ -149,10 +232,9 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index build: each vector → nearest centroid by cosine.
 
-    Broadcast the (tiny) centroid set against the corpus — at 10^12 vectors
-    this is the only scan of the big side; the result is the partition key
-    for cell-local search. Ties rank by centroid_id for determinism."""
-    from pyspark.sql.window import Window
+    Broadcast the (~√N) centroid set against the corpus — one scan of the
+    big side; the result is the partition key for cell-local search. Ties
+    rank by centroid_id for determinism."""
     vecs = _vecs(spark, sf_dir)
     cents = ivf_centroids(spark, sf_dir)
     scored = (vecs.crossJoin(F.broadcast(cents))
@@ -169,7 +251,6 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search: probe the NPROBE nearest cells per query, exact-rank
     only the vectors inside them (the O(N) → O(N/cells · nprobe) path)."""
-    from pyspark.sql.window import Window
     vecs = _vecs(spark, sf_dir)
     cents = ivf_centroids(spark, sf_dir)
     assign = ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")

@@ -117,14 +117,15 @@ def test_text_analysis_basics(spark):
 def test_ivf_assignment_covers_corpus_and_topk_is_subset_of_probed(spark):
     import numpy as np
 
-    from paddleocr_spark.functions.similarity import (IVF_CENTROID_EVERY,
-                                                      IVF_NPROBE, ann_ivf_topk,
-                                                      ivf_assign)
+    from paddleocr_spark.functions.similarity import (IVF_NPROBE,
+                                                      ann_ivf_topk,
+                                                      ivf_assign,
+                                                      ivf_centroid_every)
     assign = {r["vec_id"]: r["centroid_id"]
               for r in ivf_assign(spark, SF).collect()}
     n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
     assert len(assign) == n  # every vector assigned exactly once
-    cents = {v for v in range(n) if v % IVF_CENTROID_EVERY == 1}
+    cents = {v for v in range(n) if v % ivf_centroid_every(n) == 1}
     assert set(assign.values()) <= cents
     for c in cents:
         assert assign[c] == c  # a centroid is its own nearest centroid
@@ -145,3 +146,49 @@ def test_ivf_assignment_covers_corpus_and_topk_is_subset_of_probed(spark):
             assert assign[r["vec_id"]] in probed
         ranks = [r["rank"] for r in sorted(mine, key=lambda r: r["rank"])]
         assert ranks == list(range(1, len(mine) + 1))
+
+
+def test_lsh_bucket_cap_bounds_skewed_buckets(spark):
+    """Adversarial skew: many identical vectors land in ONE (band, code)
+    bucket; the deterministic sub-bucket split must bound every join key's
+    occupancy at LSH_BUCKET_CAP regardless."""
+    from paddleocr_spark.functions.similarity import (LSH_BANDS,
+                                                      LSH_BUCKET_CAP,
+                                                      lsh_band_table,
+                                                      lsh_planes_for)
+    n = 3 * LSH_BUCKET_CAP + 7
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(1, 8), i -> CAST(1.0 AS FLOAT))")
+        .alias("embedding"))
+    bands = lsh_band_table(vecs, lsh_planes_for(n))
+    occ = (bands.groupBy("band", "code", "sub").count().collect())
+    assert max(r["count"] for r in occ) <= LSH_BUCKET_CAP
+    # identical vectors share codes: per band, exactly ceil(n/cap) subs
+    per_band = {}
+    for r in occ:
+        per_band.setdefault(r["band"], []).append(r["count"])
+    import math
+    for band, counts in per_band.items():
+        assert len(counts) == math.ceil(n / LSH_BUCKET_CAP)
+        assert sum(counts) == n
+
+
+def test_lsh_planes_scale_with_corpus_size():
+    from paddleocr_spark.functions.similarity import lsh_planes_for
+    assert lsh_planes_for(50) == 4          # floor
+    assert lsh_planes_for(500) == 4
+    assert lsh_planes_for(10**6) == 15      # ~2^15*32 buckets per band
+    assert lsh_planes_for(10**12) == 35     # occupancy stays ~constant
+
+
+def test_simhash_pairs_finds_exact_dups_at_hamming_zero(spark):
+    from paddleocr_spark.functions.dedup import simhash_pairs
+    rows = simhash_pairs(spark, SF).collect()
+    ham = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    # injected exact copies share the signature -> hamming 0, always found
+    # (pigeonhole: <=3 differing bits cannot touch all 4 byte bands)
+    for d in range(0, n, DUP_EVERY):
+        assert ham[(d, d + DUP_OFFSET)] == 0
+    assert all(h <= 3 for h in ham.values())
