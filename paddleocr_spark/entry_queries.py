@@ -48,6 +48,7 @@ from . import synth as S
 from .functions import dedup as D
 from .functions import similarity as SIM
 from .functions import textfns as T
+from .operators import table as TBL
 from .pipeline import (det_filter, drop_score_filter, explode_spans, extract,
                        strip_styles, with_geometry)
 from .synth import synth_spans
@@ -620,6 +621,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strq2b": q_strq2b,
         "ctc_roundtrip": q_ctc_roundtrip,
         "media_decode": q_media_decode,
+        # D7/J2/A7 table-structure family (operators/table.py)
+        "table_structure": TBL.table_structure,
+        "table_html": TBL.table_html,
+        "table_token_acc": TBL.table_token_acc,
         "nms_per_class": q_nms,                        # fixture oracle
         "char_prf_metric": q_char_prf,                 # fixture oracle
         "det_eval_greedy": q_det_eval,                 # fixture oracle
@@ -736,6 +741,48 @@ def _stopword_hits(lang: str) -> str:
             f"AS BIGINT) AS hits_{lang}")
 
 
+#: Shared J1 synthesis CTE chain (boxes/cells/scored/assigned).
+CELL_BASE_CTE = """boxes AS (
+    SELECT l_orderkey % 50 AS t_id,
+           l_orderkey * 10 + l_linenumber AS box_id,
+           CAST((l_partkey % 40) * 20 AS DOUBLE) AS bx1,
+           CAST((l_suppkey % 30) * 25 AS DOUBLE) AS by1,
+           CAST((l_partkey % 40) * 20 + 30 AS DOUBLE) AS bx2,
+           CAST((l_suppkey % 30) * 25 + 20 AS DOUBLE) AS by2
+    FROM lineitem WHERE l_linenumber <= 4
+),
+cells AS (
+    SELECT t.t_id, c.cell_id,
+           CAST((c.cell_id % 4) * 200 AS DOUBLE) AS cx1,
+           CAST((c.cell_id // 4) * 250 AS DOUBLE) AS cy1,
+           CAST((c.cell_id % 4) * 200 + 199 AS DOUBLE) AS cx2,
+           CAST((c.cell_id // 4) * 250 + 249 AS DOUBLE) AS cy2
+    FROM (SELECT DISTINCT t_id FROM boxes) t
+    CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS cell_id) c
+),
+scored AS (
+    SELECT b.t_id, b.box_id, c.cell_id,
+           1.0 - greatest(0.0, least(bx2, cx2) - greatest(bx1, cx1))
+                 * greatest(0.0, least(by2, cy2) - greatest(by1, cy1))
+                 / ((bx2-bx1)*(by2-by1) + (cx2-cx1)*(cy2-cy1)
+                    - greatest(0.0, least(bx2, cx2) - greatest(bx1, cx1))
+                      * greatest(0.0, least(by2, cy2) - greatest(by1, cy1)))
+               AS omi,
+           abs(cx1-bx1) + abs(cy1-by1) + abs(cx2-bx2) + abs(cy2-by2)
+           + least(abs(cx1-bx1) + abs(cy1-by1),
+                   abs(cx2-bx2) + abs(cy2-by2)) AS dis
+    FROM boxes b JOIN cells c ON b.t_id = c.t_id
+),
+assigned AS (
+    SELECT t_id, box_id, cell_id FROM (
+        SELECT t_id, box_id, cell_id,
+               row_number() OVER (PARTITION BY t_id, box_id
+                                  ORDER BY omi, dis, cell_id) AS rn
+        FROM scored
+    ) WHERE rn = 1
+)"""
+
+
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
 
@@ -833,45 +880,7 @@ FROM (
     FROM events
 ) WHERE rank <= 5"""
 
-    cell_base = """boxes AS (
-    SELECT l_orderkey % 50 AS t_id,
-           l_orderkey * 10 + l_linenumber AS box_id,
-           CAST((l_partkey % 40) * 20 AS DOUBLE) AS bx1,
-           CAST((l_suppkey % 30) * 25 AS DOUBLE) AS by1,
-           CAST((l_partkey % 40) * 20 + 30 AS DOUBLE) AS bx2,
-           CAST((l_suppkey % 30) * 25 + 20 AS DOUBLE) AS by2
-    FROM lineitem WHERE l_linenumber <= 4
-),
-cells AS (
-    SELECT t.t_id, c.cell_id,
-           CAST((c.cell_id % 4) * 200 AS DOUBLE) AS cx1,
-           CAST((c.cell_id // 4) * 250 AS DOUBLE) AS cy1,
-           CAST((c.cell_id % 4) * 200 + 199 AS DOUBLE) AS cx2,
-           CAST((c.cell_id // 4) * 250 + 249 AS DOUBLE) AS cy2
-    FROM (SELECT DISTINCT t_id FROM boxes) t
-    CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS cell_id) c
-),
-scored AS (
-    SELECT b.t_id, b.box_id, c.cell_id,
-           1.0 - greatest(0.0, least(bx2, cx2) - greatest(bx1, cx1))
-                 * greatest(0.0, least(by2, cy2) - greatest(by1, cy1))
-                 / ((bx2-bx1)*(by2-by1) + (cx2-cx1)*(cy2-cy1)
-                    - greatest(0.0, least(bx2, cx2) - greatest(bx1, cx1))
-                      * greatest(0.0, least(by2, cy2) - greatest(by1, cy1)))
-               AS omi,
-           abs(cx1-bx1) + abs(cy1-by1) + abs(cx2-bx2) + abs(cy2-by2)
-           + least(abs(cx1-bx1) + abs(cy1-by1),
-                   abs(cx2-bx2) + abs(cy2-by2)) AS dis
-    FROM boxes b JOIN cells c ON b.t_id = c.t_id
-),
-assigned AS (
-    SELECT t_id, box_id, cell_id FROM (
-        SELECT t_id, box_id, cell_id,
-               row_number() OVER (PARTITION BY t_id, box_id
-                                  ORDER BY omi, dis, cell_id) AS rn
-        FROM scored
-    ) WHERE rn = 1
-)"""
+    cell_base = CELL_BASE_CTE
 
     sqls["cell_match"] = f"""
 WITH {cell_base}
@@ -1272,5 +1281,115 @@ FROM cand
 JOIN base ea ON ea.vec_id = cand.vec_a
 JOIN base eb ON eb.vec_id = cand.vec_b
 WHERE {cos_ab} >= 0.9"""
+
+    # --- D7/J2/A7 table-structure family (builders in operators/table.py) ---
+    t_cte = "t AS (SELECT DISTINCT l_orderkey % 50 AS t_id FROM lineitem)"
+    ids_pred = TBL.table_ids_sql("t_id % 11 = 3", "duck")
+    ids_gt = TBL.table_ids_sql("FALSE", "duck")
+    dec_pred = TBL.table_decode_sql(ids_pred, "duck")
+    dec_gt = TBL.table_decode_sql(ids_gt, "duck")
+    tokrows_cte = f"""
+toks AS (SELECT t_id, {dec_pred} AS tokens FROM t),
+postab AS (SELECT t_id, tokens,
+           unnest(generate_series(1, len(tokens))) AS i FROM toks),
+tokrows AS (SELECT t_id, CAST(i - 1 AS BIGINT) AS pos,
+            tokens[CAST(i AS INT)] AS token FROM postab)"""
+
+    sqls["table_structure"] = f"""
+WITH {t_cte}, {tokrows_cte.lstrip()}
+SELECT t_id, pos, token FROM tokrows"""
+
+    sqls["table_token_acc"] = f"""
+WITH {t_cte},
+per AS (SELECT t_id, array_to_string({dec_pred}, '') AS pred_str,
+               array_to_string({dec_gt}, '') AS gt_str FROM t)
+SELECT round(sum(CASE WHEN pred_str = gt_str THEN 1 ELSE 0 END)
+             / (count(*) + 1e-6), 4) + 0 AS token_acc,
+       CAST(sum(CASE WHEN pred_str = gt_str THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct,
+       CAST(count(*) AS BIGINT) AS n_tables
+FROM per"""
+
+    td_in = "token IN ('</td>', '<td></td>')"
+    sqls["table_html"] = f"""
+WITH {CELL_BASE_CTE.lstrip()},
+{t_cte}, {tokrows_cte.lstrip()},
+bcont AS (
+    SELECT t_id, cell_id, box_id,
+           CASE box_id % 7
+                WHEN 0 THEN '<b>w' || CAST(box_id % 100 AS VARCHAR)
+                WHEN 1 THEN 'w' || CAST(box_id % 100 AS VARCHAR) || '</b>'
+                WHEN 2 THEN ' w' || CAST(box_id % 100 AS VARCHAR)
+                WHEN 3 THEN ''
+                ELSE 'w' || CAST(box_id % 100 AS VARCHAR) END AS content
+    FROM assigned
+),
+wn AS (
+    SELECT *, count(*) OVER (PARTITION BY t_id, cell_id) AS n,
+           row_number() OVER (PARTITION BY t_id, cell_id
+                              ORDER BY box_id) - 1 AS i,
+           first_value(content) OVER (PARTITION BY t_id, cell_id
+                                      ORDER BY box_id) AS first_c
+    FROM bcont
+),
+mg AS (
+    SELECT *, CASE WHEN strpos(c2, '</b>') > 0
+                   THEN substring(c2, 1, greatest(length(c2) - 4, 0))
+                   ELSE c2 END AS c3
+    FROM (
+        SELECT *, CASE WHEN strpos(c1, '<b>') > 0
+                       THEN substring(c1, 4) ELSE c1 END AS c2
+        FROM (
+            SELECT *, CASE WHEN substring(content, 1, 1) = ' '
+                           THEN substring(content, 2)
+                           ELSE content END AS c1
+            FROM wn
+        )
+    )
+),
+pieces AS (
+    SELECT t_id, cell_id, i, n, first_c,
+           CASE WHEN n = 1 THEN TRUE
+                ELSE content != '' AND c3 != '' END AS kept,
+           CASE WHEN n = 1 THEN content
+                ELSE c3 || CASE WHEN i != n - 1
+                                AND substring(c3, greatest(length(c3), 1),
+                                              1) != ' '
+                           THEN ' ' ELSE '' END END AS piece
+    FROM mg
+),
+celltxt AS (
+    SELECT t_id, cell_id,
+           CASE WHEN max(n) > 1 AND strpos(min(first_c), '<b>') > 0
+                THEN '<b>' || coalesce(string_agg(
+                     CASE WHEN kept THEN piece END, '' ORDER BY i), '')
+                     || '</b>'
+                ELSE coalesce(string_agg(
+                     CASE WHEN kept THEN piece END, '' ORDER BY i), '')
+           END AS cell_content
+    FROM pieces GROUP BY t_id, cell_id
+),
+tw AS (
+    SELECT t_id, pos, token,
+           CASE WHEN {td_in} THEN
+               sum(CASE WHEN {td_in} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY t_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+           END AS td_idx
+    FROM tokrows
+),
+ex AS (
+    SELECT tw.t_id, tw.pos,
+           CASE WHEN tw.td_idx IS NULL THEN tw.token
+                WHEN tw.token = '<td></td>'
+                THEN '<td>' || coalesce(c.cell_content, '') || '</td>'
+                ELSE coalesce(c.cell_content, '') || '</td>' END AS exp
+    FROM tw LEFT JOIN celltxt c
+      ON c.t_id = tw.t_id AND c.cell_id = tw.td_idx
+)
+SELECT t_id, '<html><body><table>'
+       || string_agg(exp, '' ORDER BY pos)
+       || '</table></body></html>' AS html
+FROM ex GROUP BY t_id"""
 
     return sqls

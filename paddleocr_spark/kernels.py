@@ -393,3 +393,85 @@ def order_document(kinds: list[str], xs: np.ndarray, ys: np.ndarray,
     for out_pos, j in enumerate(emit):
         rank[line_order[j]] = out_pos
     return rank
+
+
+# ---------------------------------------------------------------------------
+# Table structure decode (D7) + pred-HTML walk (J2)
+# ---------------------------------------------------------------------------
+
+def table_label_decode(ids, dict_character) -> list[str]:
+    """One sequence of TableLabelDecode.decode, tokens only.
+
+    Semantics of ppocr/postprocess/table_postprocess.py:63-98 with the
+    AttnLabelDecode special tokens (rec_postprocess.py:469-481): id 0 is
+    'sos', the last id 'eos'; break at the first eos with idx > 0 — an eos
+    AT idx 0 falls through to the ignored_tokens check and is skipped, not
+    a break (the `idx > 0 and char_idx == end_idx` guard's exact order) —
+    and sos/eos are dropped wherever they appear before the break.
+    (Bbox decoding is geometry-free in our span model and not replicated.)
+    """
+    end_idx = len(dict_character) - 1
+    ignored = (0, end_idx)  # AttnLabelDecode.get_ignored_tokens analog
+    out: list[str] = []
+    for idx, char_idx in enumerate(ids):
+        char_idx = int(char_idx)
+        if idx > 0 and char_idx == end_idx:
+            break
+        if char_idx in ignored:
+            continue
+        out.append(dict_character[char_idx])
+    return out
+
+
+def get_pred_html(pred_structures, matched_index, ocr_contents) -> str:
+    """TableMatch.get_pred_html, ppstructure/table/matcher.py:99-138.
+
+    QUIRKS preserved exactly: every tag CONTAINING '</td>' consumes a cell
+    index; '<b>' / '</b>' detection is a substring test but the cut is an
+    unconditional [3:] / [:-4] slice; the single-space separator keys on
+    the ORIGINAL element index, so a skipped (emptied) last element leaves
+    the previous element's trailing space in place; the <b>-wrap triggers
+    only when the FIRST matched text contains '<b>' AND the cell has more
+    than one text; a single matched text splices RAW (no munging at all).
+    ``ocr_contents`` are plain strings (the reference carries (text, score)
+    tuples and reads [0]).
+    """
+    end_html: list[str] = []
+    td_index = 0
+    for tag in pred_structures:
+        if "</td>" in tag:
+            if "<td></td>" == tag:
+                end_html.append("<td>")
+            if td_index in matched_index:
+                b_with = False
+                if ("<b>" in ocr_contents[matched_index[td_index][0]]
+                        and len(matched_index[td_index]) > 1):
+                    b_with = True
+                    end_html.append("<b>")
+                for i, content_idx in enumerate(matched_index[td_index]):
+                    content = ocr_contents[content_idx]
+                    if len(matched_index[td_index]) > 1:
+                        if len(content) == 0:
+                            continue
+                        if content[0] == " ":
+                            content = content[1:]
+                        if "<b>" in content:
+                            content = content[3:]
+                        if "</b>" in content:
+                            content = content[:-4]
+                        if len(content) == 0:
+                            continue
+                        if (i != len(matched_index[td_index]) - 1
+                                and " " != content[-1]):
+                            content += " "
+                    end_html.append(content)
+                if b_with:
+                    end_html.append("</b>")
+            if "<td></td>" == tag:
+                end_html.append("</td>")
+            else:
+                end_html.append(tag)
+            td_index += 1
+        else:
+            end_html.append(tag)
+    return "".join(end_html)

@@ -1,0 +1,144 @@
+"""D7/J2/A7 table family: kernel hand cases + distributed differential."""
+
+from __future__ import annotations
+
+import pytest
+
+from paddleocr_spark.kernels import get_pred_html, table_label_decode
+from paddleocr_spark.operators.table import (EOS, SOS, TABLE_DICT,
+                                             TD_WALK_TOKENS, table_html,
+                                             table_structure,
+                                             table_token_acc)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# table_label_decode hand cases (table_postprocess.py:63-98 quirks)
+# ---------------------------------------------------------------------------
+
+def test_decode_breaks_at_first_eos_after_start():
+    ids = [1, 5, 12, EOS, 5, 12]  # garbage after eos must vanish
+    assert table_label_decode(ids, TABLE_DICT) == ["<thead>", "<tr>",
+                                                   "<td></td>"]
+
+
+def test_decode_eos_at_index_zero_is_skipped_not_break():
+    # idx>0 guard: an eos FIRST falls through to ignored_tokens -> continue
+    ids = [EOS, 1, 5, EOS]
+    assert table_label_decode(ids, TABLE_DICT) == ["<thead>", "<tr>"]
+
+
+def test_decode_drops_sos_anywhere():
+    ids = [SOS, 5, SOS, 12, EOS]
+    assert table_label_decode(ids, TABLE_DICT) == ["<tr>", "<td></td>"]
+
+
+# ---------------------------------------------------------------------------
+# get_pred_html hand cases (matcher.py:99-138 quirks)
+# ---------------------------------------------------------------------------
+
+def test_html_single_content_is_spliced_raw():
+    # n==1: no strip, no empty-skip, no <b> handling
+    html = get_pred_html(["<td></td>"], {0: [0]}, [" <b>x "])
+    assert html == "<td> <b>x </td>"
+
+
+def test_html_b_slice_cuts_first_three_chars_wherever_b_occurs():
+    # '<b>' detected ANYWHERE but the cut is an unconditional [3:]
+    html = get_pred_html(["<td></td>"], {0: [0, 1]}, ["ab<b>cd", "tail"])
+    # first content 'ab<b>cd' -> contains '<b>' and n>1 -> b_with wrap;
+    # munge: 'ab<b>cd'[3:] == '<b>cd' wait-no: [3:] of 'ab<b>cd' drops 'ab<'
+    assert html == "<td><b>b>cd tail</b></td>"
+
+
+def test_html_skipped_last_leaves_trailing_space():
+    # separator keys on ORIGINAL index: middle element keeps its ' ' even
+    # though the last element munges to empty and is skipped
+    html = get_pred_html(["<td></td>"], {0: [0, 1, 2]}, ["a", "b", ""])
+    assert html == "<td>a b </td>"
+
+
+def test_html_spanning_cell_uses_closing_tag_and_consumes_index():
+    toks = ["<td", ' colspan="2"', ">", "</td>", "<td></td>"]
+    html = get_pred_html(toks, {0: [0], 1: [1]}, ["A", "B"])
+    assert html == '<td colspan="2">A</td><td>B</td>'
+
+
+def test_html_unmatched_td_splices_nothing():
+    assert get_pred_html(["<td></td>"], {}, []) == "<td></td>"
+
+
+# ---------------------------------------------------------------------------
+# Distributed == kernel differential over the full 50-table universe
+# ---------------------------------------------------------------------------
+
+def _expected_htmls(spark):
+    """Compose expected html per table from the kernels + the cell_match
+    assignment collected once (single-node reference composition)."""
+    from paddleocr_spark.entry_queries import q_cell_match
+    from paddleocr_spark.operators.table import table_ids_sql
+    import pyspark.sql.functions as F
+
+    # decoded tokens per table, via the kernel over the synthesized ids
+    tabs = (spark.read.parquet(f"{SF}/lineitem.parquet")
+            .select((F.col("l_orderkey") % 50).alias("t_id")).distinct()
+            .select("t_id", F.expr(table_ids_sql("t_id % 11 = 3", "spark"))
+                    .alias("ids")).collect())
+    toks = {r["t_id"]: table_label_decode(r["ids"], TABLE_DICT)
+            for r in tabs}
+
+    def content(box_id: int) -> str:
+        x = str(box_id % 100)
+        return {0: "<b>w" + x, 1: "w" + x + "</b>", 2: " w" + x,
+                3: ""}.get(box_id % 7, "w" + x)
+
+    assigned = q_cell_match(spark, SF).collect()
+    per_table: dict[int, dict[int, list[int]]] = {}
+    contents: dict[int, list[str]] = {}
+    for r in sorted(assigned, key=lambda r: (r["t_id"], r["box_id"])):
+        m = per_table.setdefault(r["t_id"], {})
+        c = contents.setdefault(r["t_id"], [])
+        m.setdefault(r["cell_id"], []).append(len(c))
+        c.append(content(r["box_id"]))
+    out = {}
+    for t, tk in toks.items():
+        body = get_pred_html(tk, per_table.get(t, {}), contents.get(t, []))
+        out[t] = "<html><body><table>" + body + "</table></body></html>"
+    return out
+
+
+def test_table_html_matches_kernel_composition(spark):
+    got = {r["t_id"]: r["html"] for r in table_html(spark, SF).collect()}
+    want = _expected_htmls(spark)
+    assert set(got) == set(want)
+    bad = [t for t in want if got[t] != want[t]]
+    assert not bad, (bad[:3], got[bad[0]] if bad else None,
+                     want[bad[0]] if bad else None)
+
+
+def test_table_structure_tokens_match_kernel(spark):
+    import pyspark.sql.functions as F
+    from paddleocr_spark.operators.table import table_ids_sql
+    rows = table_structure(spark, SF).collect()
+    got: dict[int, list[str]] = {}
+    for r in sorted(rows, key=lambda r: (r["t_id"], r["pos"])):
+        got.setdefault(r["t_id"], []).append(r["token"])
+    tabs = (spark.read.parquet(f"{SF}/lineitem.parquet")
+            .select((F.col("l_orderkey") % 50).alias("t_id")).distinct()
+            .select("t_id", F.expr(table_ids_sql("t_id % 11 = 3", "spark"))
+                    .alias("ids")).collect())
+    for r in tabs:
+        assert got[r["t_id"]] == table_label_decode(r["ids"], TABLE_DICT)
+    # every table decodes to a well-formed run: td tokens present
+    assert all(any(t in TD_WALK_TOKENS for t in v) for v in got.values())
+
+
+def test_table_token_acc_sees_the_mutation(spark):
+    row = table_token_acc(spark, SF).collect()[0]
+    assert row["n_tables"] == 50
+    # tables with t_id % 11 == 3 mutate (dropped trailing cell) -> mismatch
+    expected_bad = len([t for t in range(50) if t % 11 == 3])
+    assert row["n_correct"] == 50 - expected_bad
+    assert row["token_acc"] == pytest.approx(
+        (50 - expected_bad) / (50 + 1e-6), abs=1e-4)
