@@ -48,6 +48,7 @@ from . import synth as S
 from .functions import dedup as D
 from .functions import similarity as SIM
 from .functions import textfns as T
+from .operators import kie as KIE
 from .operators import table as TBL
 from .pipeline import (det_filter, drop_score_filter, explode_spans, extract,
                        strip_styles, with_geometry)
@@ -575,6 +576,14 @@ def q_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nms_per_class(boxes)
 
 
+def q_orientation4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way orientation stage (ppstructure/predict_system.py:94-108): the
+    deterministic scanner-rotation is undone by the classifier-driven
+    inverse rotation; the oracle hash pins corrected == original."""
+    from .operators.recognize import orient4
+    return orient4(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: media spans → distinct refs → Arrow-batched
     (stubbed) decode → exploded per-dim features. The decode itself is a
@@ -625,6 +634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_structure": TBL.table_structure,
         "table_html": TBL.table_html,
         "table_token_acc": TBL.table_token_acc,
+        # J6 KIE SER->RE self-join + 4-way orientation (R1 extension)
+        "kie_pairs": KIE.kie_pairs,
+        "orientation4": q_orientation4,
         "nms_per_class": q_nms,                        # fixture oracle
         "char_prf_metric": q_char_prf,                 # fixture oracle
         "det_eval_greedy": q_det_eval,                 # fixture oracle
@@ -1281,6 +1293,60 @@ FROM cand
 JOIN base ea ON ea.vec_id = cand.vec_a
 JOIN base eb ON eb.vec_id = cand.vec_b
 WHERE {cos_ab} >= 0.9"""
+
+    # --- J6 KIE pairing + 4-way orientation ---
+    sqls["kie_pairs"] = f"""
+WITH ents0 AS (
+    SELECT doc_id, unnest(generate_series(0, 2 + n_chars % 5)) AS entity_id
+    FROM documents
+),
+ents AS (
+    SELECT doc_id, CAST(entity_id AS BIGINT) AS entity_id,
+           {KIE.LABEL_CASE} AS label
+    FROM ents0
+),
+qe AS (SELECT doc_id, entity_id AS head_id FROM ents
+       WHERE label = 'QUESTION'),
+ae AS (SELECT doc_id, entity_id AS tail_id FROM ents
+       WHERE label = 'ANSWER'),
+kcand AS (
+    SELECT qe.doc_id, head_id, tail_id
+    FROM qe JOIN ae USING (doc_id)
+    WHERE {KIE.CONFIRM}
+)
+SELECT doc_id, head_id, tail_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id, tail_id
+                                 ORDER BY head_id) AS rn
+    FROM kcand
+) WHERE rn = 1"""
+
+    sqls["orientation4"] = """
+WITH base AS (
+    SELECT doc_id, coalesce(text, '') AS t,
+           (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 4
+               AS cls
+    FROM documents
+),
+o AS (
+    SELECT doc_id, cls,
+           CASE WHEN length(t) <= 1 THEN t
+                WHEN cls = 1 THEN substring(t, length(t), 1)
+                                  || substring(t, 1, length(t) - 1)
+                WHEN cls = 2 THEN reverse(t)
+                WHEN cls = 3 THEN substring(t, 2) || substring(t, 1, 1)
+                ELSE t END AS otext
+    FROM base
+)
+SELECT doc_id, (['0', '90', '180', '270'])[cls + 1] AS angle,
+       CASE WHEN length(otext) <= 1 THEN otext
+            WHEN cls = 1 THEN substring(otext, 2)
+                              || substring(otext, 1, 1)
+            WHEN cls = 2 THEN reverse(otext)
+            WHEN cls = 3 THEN substring(otext, length(otext), 1)
+                              || substring(otext, 1, length(otext) - 1)
+            ELSE otext END AS corrected
+FROM o"""
 
     # --- D7/J2/A7 table-structure family (builders in operators/table.py) ---
     t_cte = "t AS (SELECT DISTINCT l_orderkey % 50 AS t_id FROM lineitem)"

@@ -111,3 +111,50 @@ def classify_rotate(rec: DataFrame, cls_thresh: float = 0.9) -> DataFrame:
         .alias("rec_text"),
         "rec_score",
         label.alias("cls_label"))
+
+
+def orient4(docs: DataFrame) -> DataFrame:
+    """4-way image-orientation stage (ppstructure/predict_system.py:94-108).
+
+    The reference's PULC text_image_orientation classifier predicts one of
+    0/90/180/270 and the page is rotated back upright before layout/OCR.
+    1-D text stand-in: the deterministic "scanner rotation" distorts the
+    pristine text (90° = rotate chars right by one, 180° = reverse,
+    270° = rotate left by one), the classifier label derives from the same
+    md5 digit the distortion used (a 100%-accurate classifier, like the
+    reference's 99%-acc PULC model on its own benchmark), and the
+    correction applies the inverse rotation — so corrected == original,
+    which is what the oracle hash pins.
+
+    Input (doc_id bigint, text); output (doc_id, angle, corrected).
+    """
+    cls = F.expr("(instr('0123456789abcdef', "
+                 "substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) % 4")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    n = F.length(t)
+    short = n <= 1
+    rot_r = F.concat(F.substring(t, -1, 1), F.expr(
+        "substring(coalesce(text, ''), 1, length(coalesce(text, '')) - 1)"))
+    rot_l = F.concat(F.expr("substring(coalesce(text, ''), 2)"),
+                     F.substring(t, 1, 1))
+    oriented = (F.when(short, t)
+                .when(cls == 1, rot_r)
+                .when(cls == 2, F.reverse(t))
+                .when(cls == 3, rot_l)
+                .otherwise(t))
+    df = docs.select("doc_id", cls.alias("cls"), oriented.alias("otext"))
+    ot = F.col("otext")
+    on = F.length(ot)
+    oshort = on <= 1
+    un_r = F.concat(F.expr("substring(otext, 2)"), F.substring(ot, 1, 1))
+    un_l = F.concat(F.substring(ot, -1, 1),
+                    F.expr("substring(otext, 1, length(otext) - 1)"))
+    corrected = (F.when(oshort, ot)
+                 .when(F.col("cls") == 1, un_r)
+                 .when(F.col("cls") == 2, F.reverse(ot))
+                 .when(F.col("cls") == 3, un_l)
+                 .otherwise(ot))
+    angle = F.expr("element_at(array('0', '90', '180', '270'), "
+                   "CAST(cls AS INT) + 1)")
+    return df.select("doc_id", angle.alias("angle"),
+                     corrected.alias("corrected"))

@@ -208,3 +208,39 @@ def test_salted_repartition_balances_hot_key(spark):
     # content preserved
     assert salted.count() == 10000
     assert salted.filter(F.col("key") == "hot").count() == 9500
+
+
+def test_kie_pairs_one_question_per_answer(spark):
+    from paddleocr_spark.operators.kie import kie_pairs, ser_entities
+    sf = "/root/testdata/sf0.001"
+    rows = kie_pairs(spark, sf).collect()
+    assert rows
+    # at most one head per (doc, tail) — the used_tail_id first-come rule
+    seen = set()
+    for r in rows:
+        key = (r["doc_id"], r["tail_id"])
+        assert key not in seen
+        seen.add(key)
+    # heads are QUESTIONs, tails ANSWERs
+    ents = {(r["doc_id"], r["entity_id"]): r["label"]
+            for r in ser_entities(spark, sf).collect()}
+    for r in rows[:50]:
+        assert ents[(r["doc_id"], r["head_id"])] == "QUESTION"
+        assert ents[(r["doc_id"], r["tail_id"])] == "ANSWER"
+
+
+def test_orient4_roundtrips_to_original(spark):
+    import pyspark.sql.functions as F
+    from paddleocr_spark.operators.recognize import orient4
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text")
+    out = {r["doc_id"]: (r["angle"], r["corrected"])
+           for r in orient4(docs).collect()}
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    angles = set()
+    for d, text in src.items():
+        angle, corrected = out[d]
+        assert corrected == text, (d, angle)
+        angles.add(angle)
+    assert angles == {"0", "90", "180", "270"}  # all four classes occur
