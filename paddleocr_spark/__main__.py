@@ -33,7 +33,11 @@ def main(argv: list[str] | None = None) -> int:
                     default="batch",
                     help="batch: lineage-table resume; incremental: "
                          "Structured Streaming AvailableNow with "
-                         "checkpointed file tracking")
+                         "checkpointed file tracking. In incremental mode "
+                         "--input must be a DIRECTORY containing ONLY raw "
+                         "documents-table parquet files (doc_id bigint, "
+                         "text, ...); synthesis runs inside each "
+                         "micro-batch")
     args = ap.parse_args(argv)
 
     from paddleocr_spark.lineage import run_extract
@@ -47,11 +51,17 @@ def main(argv: list[str] | None = None) -> int:
         import os
 
         from paddleocr_spark.streaming import run_incremental
-        in_dir = os.path.dirname(args.input) if args.input.endswith(
-            ".parquet") and not os.path.isdir(args.input) else args.input
+        # A dedicated directory is required: Spark file streams reject a
+        # single-file basePath, and widening to the parent directory would
+        # ingest sibling tables under the wrong schema.
+        if not os.path.isdir(args.input):
+            ap.error("--mode incremental needs --input to be a directory "
+                     "of raw documents parquet files (got a file path); "
+                     "copy/link the documents files into their own dir")
         n = run_incremental(
-            spark, in_dir, os.path.join(args.output, "extracted"),
-            os.path.join(args.output, "checkpoint"))
+            spark, args.input, os.path.join(args.output, "extracted"),
+            os.path.join(args.output, "checkpoint"),
+            input_format="documents")
         summary = {"run_id": args.run_id, "mode": "incremental",
                    "batches": n}
     else:

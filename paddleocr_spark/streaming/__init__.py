@@ -10,6 +10,8 @@ resumability maps to incremental batch processing. Two equivalent surfaces:
   (processed-files log) over an explicit lineage table.
 """
 
-from .incremental import DOCUMENTS_SCHEMA, run_incremental
+from .incremental import (DOCUMENTS_SCHEMA, RAW_DOCUMENTS_SCHEMA,
+                          run_incremental)
 
-__all__ = ["DOCUMENTS_SCHEMA", "run_incremental"]
+__all__ = ["DOCUMENTS_SCHEMA", "RAW_DOCUMENTS_SCHEMA",
+           "run_incremental"]

@@ -25,20 +25,41 @@ from ..pipeline import EXTRACTED_SCHEMA, extract
 #: (file streams require an explicit schema).
 DOCUMENTS_SCHEMA = EXTRACTED_SCHEMA
 
+#: Raw documents-table schema (the driver testdata shape) for
+#: input_format="documents": the corpus synthesis runs inside foreachBatch.
+RAW_DOCUMENTS_SCHEMA = ("doc_id long, text string, lang string, "
+                        "source string, n_chars long")
+
 
 def run_incremental(spark: SparkSession, input_dir: str, out_dir: str,
-                    checkpoint_dir: str) -> int:
-    """Drain all unprocessed document files; returns batches processed."""
+                    checkpoint_dir: str,
+                    input_format: str = "spans") -> int:
+    """Drain all unprocessed document files; returns batches processed.
+
+    ``input_format``: "spans" streams pre-synthesized
+    (doc_id string, spans array) files; "documents" streams the raw
+    documents table (doc_id bigint, text, ...) and runs the interleaved
+    corpus synthesis inside each micro-batch — the shape __main__'s
+    ``--mode incremental`` uses. The input dir must contain ONLY files of
+    the declared shape (file streams can't mix schemas).
+    """
+    if input_format not in ("spans", "documents"):
+        raise ValueError(f"unknown input_format: {input_format!r}")
+    schema = (DOCUMENTS_SCHEMA if input_format == "spans"
+              else RAW_DOCUMENTS_SCHEMA)
     n_batches = 0
 
     def process(batch_df, epoch_id: int) -> None:
         nonlocal n_batches
+        if input_format == "documents":
+            from ..synth import synth_spans
+            batch_df = synth_spans(batch_df)
         out = extract(batch_df)
         (out.write.mode("overwrite")
             .parquet(os.path.join(out_dir, f"batch={epoch_id}")))
         n_batches += 1
 
-    q = (spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(input_dir)
+    q = (spark.readStream.schema(schema).parquet(input_dir)
          .writeStream
          .trigger(availableNow=True)
          .option("checkpointLocation", checkpoint_dir)

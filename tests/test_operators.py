@@ -244,3 +244,20 @@ def test_orient4_roundtrips_to_original(spark):
         assert corrected == text, (d, angle)
         angles.add(angle)
     assert angles == {"0", "90", "180", "270"}  # all four classes occur
+
+
+def test_streaming_incremental_documents_format(spark, tmp_path):
+    """--mode incremental shape: raw documents in, synthesis per batch."""
+    from paddleocr_spark.streaming import run_incremental
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    in_dir = str(tmp_path / "in")
+    docs.coalesce(1).write.mode("append").parquet(in_dir)
+    n = run_incremental(spark, in_dir, str(tmp_path / "out"),
+                        str(tmp_path / "ck"), input_format="documents")
+    assert n == 1
+    out = spark.read.option("recursiveFileLookup", "true") \
+        .parquet(str(tmp_path / "out"))
+    assert out.schema.simpleString().startswith(
+        "struct<doc_id:string,spans:array<struct<kind:string")
+    assert out.count() > 400  # ~496 docs survive extraction at sf0.001
