@@ -539,10 +539,13 @@ def q_teds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("pair_id"),
         F.expr("slice(filter(split(lower(text), ' '), x -> x != ''), 1, 6)")
         .alias("w"))
-    cell = ("concat('<table><thead><tr><td>', element_at(w, 1), "
+    # full-document wrapper: teds_score mirrors the reference's
+    # body/table xpath requirement, so bare <table> fragments score 0.0
+    cell = ("concat('<html><body><table><thead><tr><td>', "
+            "element_at(w, 1), "
             "'</td><td>', {h2}, '</td></tr></thead><tbody><tr><td>', "
             "element_at(w, 3), '</td><td>', element_at(w, 4), "
-            "'</td></tr>{tail}</tbody></table>')")
+            "'</td></tr>{tail}</tbody></table></body></html>')")
     true_html = cell.format(h2="element_at(w, 2)",
                             tail="<tr><td>x</td><td>y</td></tr>")
     pred_html = ("CASE WHEN pair_id % 3 = 0 THEN "

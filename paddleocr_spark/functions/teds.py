@@ -91,6 +91,25 @@ def _find_table(nodes: list[_Elem]) -> _Elem | None:
     return None
 
 
+def _find_body_table(nodes: list[_Elem]) -> _Elem | None:
+    """The reference's ``pred.xpath('body/table')`` (table_metric.py:152):
+    relative to the single parse root, so only a full
+    ``<html><body><table>…`` document matches — a bare ``<table>`` fragment
+    (lxml.html.fromstring returns the fragment element itself) finds no
+    body/table and scores 0.0. Quirk preserved: callers must wrap."""
+    if not nodes:
+        return None
+    root = nodes[0]
+    if root.tag != "html":
+        return None
+    for b in root.children:
+        if b.tag == "body":
+            for t in b.children:
+                if t.tag == "table":
+                    return t
+    return None
+
+
 def _tokenize(node: _Elem, out: list[str]) -> None:
     """table_metric.py:107-118 ``tokenize``: tag token, text chars,
     children, closing token (tag != 'unk'), tail chars (tag != 'td')."""
@@ -219,8 +238,8 @@ def teds_score(pred_html: str | None, true_html: str | None) -> float:
     """table_metric.py:143-167 ``evaluate`` for one pair."""
     if not pred_html or not true_html:
         return 0.0
-    pt = _find_table(_parse_html(pred_html))
-    tt = _find_table(_parse_html(true_html))
+    pt = _find_body_table(_parse_html(pred_html))
+    tt = _find_body_table(_parse_html(true_html))
     if pt is None or tt is None:
         return 0.0
     n_nodes = max(_n_descendants(pt), _n_descendants(tt))

@@ -192,9 +192,10 @@ def fx_teds(con, sf_dir: str) -> pd.DataFrame:
     """entry_queries.q_teds single-node: pairs in DuckDB, teds_score +
     Python round per pair (matching the Arrow UDF's rounding)."""
     docs = os.path.join(sf_dir, "documents.parquet")
-    cell = ("'<table><thead><tr><td>' || w[1] || '</td><td>' || {h2} || "
+    cell = ("'<html><body><table><thead><tr><td>' || w[1] || "
+            "'</td><td>' || {h2} || "
             "'</td></tr></thead><tbody><tr><td>' || w[3] || '</td><td>' || "
-            "w[4] || '</td></tr>{tail}</tbody></table>'")
+            "w[4] || '</td></tr>{tail}</tbody></table></body></html>'")
     true_html = cell.format(h2="w[2]", tail="<tr><td>x</td><td>y</td></tr>")
     pred_html = ("CASE WHEN pair_id % 3 = 0 THEN " + cell.format(
         h2="'MUT'", tail="") + " ELSE " + cell.format(
