@@ -268,6 +268,11 @@ def hard_nms(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float = 0.5,
     boxes = np.asarray(boxes, dtype=np.float64)
     scores = np.asarray(scores, dtype=np.float64)
     picked: list[int] = []
+    # DELIBERATE DEVIATION: the reference uses np.argsort's default
+    # (unstable) sort, so its pick order on TIED scores depends on
+    # introsort internals; a stable sort makes tied picks deterministic
+    # across numpy versions/partitionings, which distributed equality
+    # tests require. Untied inputs are bit-identical to the reference.
     indexes = np.argsort(scores, kind="stable")
     indexes = indexes[-candidate_size:]
     while len(indexes) > 0:

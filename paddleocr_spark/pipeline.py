@@ -117,59 +117,139 @@ def strip_styles(spans: DataFrame) -> DataFrame:
         "text", F.regexp_replace("text", STYLE_TOKEN_REGEX, ""))
 
 
-def _order_ranks(doc_ids, kinds, x1, y1, x2, y2):
+def _order_ranks(doc_codes, kind_codes, text_code, kind_dict,
+                 x1, y1, x2, y2):
     """Per-document reading-order resolution over a sorted run of spans.
 
-    Args are aligned arrays sorted by (doc_id, span_idx); doc_ids must be
-    grouped (all rows of a doc contiguous). Returns (starts, take, offsets):
-    document start indices, a take-index array mapping output position →
-    input row (docs in input order, spans in reading order), and the
-    within-doc output offsets.
+    Args are aligned arrays sorted by (doc_id, span_idx); ``doc_codes``
+    must be grouped (all rows of a doc contiguous); kinds arrive
+    dictionary-encoded (``kind_codes`` + ``kind_dict``, ``text_code`` =
+    code of 'text' or -1). Returns (starts, take, offsets): document start
+    indices, a take-index array mapping output position → input row (docs
+    in input order, spans in reading order), and the within-doc output
+    offsets.
+
+    FAST PATH (the measured hot spot at web scale — per-doc Python kernel
+    calls dominate otherwise): a document's reading order equals its plain
+    stable (y, x) lexsort order whenever, on the lexsorted rows,
+
+    * **A** no adjacent pair has 0 < Δy < 10 with x decreasing — then the
+      sorted_boxes bubble pass (kernels.sorted_boxes_indices) never swaps;
+    * **B** every region except the doc's last fails BOTH column tests of
+      sorted_layout_boxes (x1 < w/4 ∧ x2 < 3w/4; x1 > w/4 ∧ x2 > w/2) —
+      then the O2 scan buffers nothing and emits scan order (the last
+      region always emits last whichever branch it takes,
+      recovery_to_doc.py:109-127); and
+    * **C** region (y1, x1) keys are nondecreasing in first-appearance
+      order — then O2's stable pre-sort is the identity.
+
+    A/B/C and the region segmentation itself (kernels.segment_regions'
+    run conditions) are all computed vectorized across the WHOLE batch;
+    only documents failing a condition take the exact per-doc kernel.
+    Bit-equality with the kernel on every doc is enforced by a hypothesis
+    differential fuzz (tests/test_kernels.py) and the committed flagship
+    fixture oracle.
     """
-    n = len(doc_ids)
-    bounds = np.flatnonzero(doc_ids[1:] != doc_ids[:-1]) + 1
+    n = len(doc_codes)
+    bounds = np.flatnonzero(doc_codes[1:] != doc_codes[:-1]) + 1
     starts = np.concatenate([[0], bounds])
     ends = np.concatenate([bounds, [n]])
-    take = np.empty(n, dtype=np.int64)
-    for s, e in zip(starts, ends):
+    n_docs = len(starts)
+    sizes = ends - starts
+    doc_idx = np.repeat(np.arange(n_docs), sizes)
+
+    # Global stable lexsort by (doc, y, x) — identical to sorted_boxes'
+    # pre-sort per doc (ties keep input order, matching Python sorted()).
+    order = np.lexsort((x1, y1, doc_idx))
+    xs, ys = x1[order], y1[order]
+    x2s, y2s = x2[order], y2[order]
+    ks = kind_codes[order]
+    dsorted = doc_idx[order]
+
+    same_doc = dsorted[1:] == dsorted[:-1]
+
+    # A: bubble pass is the identity.
+    dy = ys[1:] - ys[:-1]
+    viol_a = same_doc & (dy > 0) & (dy < 10) & (xs[1:] < xs[:-1])
+
+    # Region runs (kernels.segment_regions conditions, vectorized).
+    h_prev = np.maximum(y2s[:-1] - ys[:-1], 1)
+    gap = ys[1:] - y2s[:-1]
+    x_overlap = ~((xs[1:] >= x2s[:-1]) | (x2s[1:] <= xs[:-1]))
+    same_region = (same_doc & (ks[1:] == ks[:-1]) & (ks[1:] == text_code)
+                   & (gap < 1.5 * h_prev) & (gap > -h_prev) & x_overlap)
+    r_start = np.concatenate([[True], ~same_region])
+    r_starts = np.flatnonzero(r_start)
+    rx1 = np.minimum.reduceat(xs, r_starts)
+    ry1 = np.minimum.reduceat(ys, r_starts)
+    rx2 = np.maximum.reduceat(x2s, r_starts)
+    r_doc = dsorted[r_starts]
+    r_last = np.concatenate([r_doc[1:] != r_doc[:-1], [True]])
+
+    # B: all regions but the doc's last are 'single'.
+    w = float(G.PAGE_WIDTH)
+    left_col = (rx1 < w / 4) & (rx2 < 3 * w / 4)
+    right_col = (rx1 > w / 4) & (rx2 > w / 2)
+    viol_b = (left_col | right_col) & ~r_last
+
+    # C: region keys nondecreasing within doc.
+    r_same_doc = r_doc[1:] == r_doc[:-1]
+    key_dec = (ry1[1:] < ry1[:-1]) | ((ry1[1:] == ry1[:-1])
+                                      & (rx1[1:] < rx1[:-1]))
+    viol_c = r_same_doc & key_dec
+
+    complex_doc = np.zeros(n_docs, dtype=bool)
+    complex_doc[dsorted[1:][viol_a]] = True
+    complex_doc[r_doc[viol_b]] = True
+    complex_doc[r_doc[1:][viol_c]] = True
+
+    # Fast docs: reading order IS the lexsorted row order.
+    take = order.copy()
+    for d in np.flatnonzero(complex_doc):
+        s, e = starts[d], ends[d]
         if e - s == 1:
-            take[s] = s
             continue
         rank = order_document(
-            list(kinds[s:e]), x1[s:e], y1[s:e], x2[s:e], y2[s:e],
-            G.PAGE_WIDTH)
+            [kind_dict[c] for c in kind_codes[s:e]],
+            x1[s:e], y1[s:e], x2[s:e], y2[s:e], G.PAGE_WIDTH)
         take[s:e] = s + rank.argsort(kind="stable")
-    sizes = ends - starts
     offsets = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
     return starts, take, offsets
 
 
 def _emit_arrow(tbl: "pa.Table"):
     """Assemble one run of complete documents into an Arrow RecordBatch of
-    (doc_id, spans) — all column shuffling via vectorized Arrow take, no
-    per-span Python objects."""
+    (doc_id, spans) — all column movement via vectorized Arrow take and
+    dictionary codes; the only per-span Python objects are the kind
+    strings of documents on the exact-kernel slow path."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    doc = np.asarray(tbl.column("doc_id").to_pylist(), dtype=object)
+    doc_col = tbl.column("doc_id").combine_chunks()
+    kind_col = tbl.column("kind").combine_chunks()
+    doc_codes = np.asarray(doc_col.dictionary_encode().indices)
+    kind_enc = kind_col.dictionary_encode()
+    kind_codes = np.asarray(kind_enc.indices)
+    kind_dict = kind_enc.dictionary.to_pylist()
+    text_code = kind_dict.index("text") if "text" in kind_dict else -1
     x1 = tbl.column("x1").to_numpy()
     y1 = tbl.column("y1").to_numpy()
     x2 = tbl.column("x2").to_numpy()
     y2 = tbl.column("y2").to_numpy()
-    kinds = np.asarray(tbl.column("kind").to_pylist(), dtype=object)
-    starts, take, offsets = _order_ranks(doc, kinds, x1, y1, x2, y2)
+    starts, take, offsets = _order_ranks(
+        doc_codes, kind_codes, text_code, kind_dict, x1, y1, x2, y2)
 
     idx = pa.array(take)
-    kind_o = pc.take(tbl.column("kind").combine_chunks(), idx)
+    kind_o = pc.take(kind_col, idx)
     text_o = pc.take(tbl.column("text").combine_chunks(), idx)
     ref_o = pc.take(tbl.column("media_ref").combine_chunks(), idx)
     struct = pa.StructArray.from_arrays(
         [kind_o, text_o, ref_o, pa.array(offsets, type=pa.int32())],
         names=["kind", "text", "media_ref", "offset"])
     list_offsets = pa.array(
-        np.concatenate([starts, [len(doc)]]).astype(np.int32))
+        np.concatenate([starts, [len(doc_codes)]]).astype(np.int32))
     spans = pa.ListArray.from_arrays(list_offsets, struct)
-    doc_ids = pa.array([doc[s] for s in starts], type=pa.string())
+    doc_ids = pc.take(doc_col, pa.array(starts))
     return pa.RecordBatch.from_arrays([doc_ids, spans],
                                       names=["doc_id", "spans"])
 

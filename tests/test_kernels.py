@@ -272,3 +272,70 @@ def test_sorted_layout_is_permutation(pts):
     assert sorted(idx.tolist()) == list(range(len(pts)))
     assert len(layout) == len(pts)
     assert set(layout) <= {"single", "double"}
+
+
+# ---------------------------------------------------------------------------
+# Vectorized reading-order fast path: differential fuzz vs exact kernel
+# ---------------------------------------------------------------------------
+
+_span_st = st.tuples(
+    st.sampled_from(["text", "text", "text", "media", "table", "title"]),
+    st.integers(0, 40),      # x1 grid index
+    st.integers(0, 60),      # y1 grid index
+)
+
+
+def _build_doc(spans):
+    """(kind, xg, yg) draws → aligned box arrays; grids chosen to hit the
+    fast-path boundaries: x spans the w/4, w/2, 3w/4 column thresholds and
+    y steps of 3 produce |dy| in {0,3,6,9,12,...} straddling the 10px rule
+    and the gap<1.5h region condition (text h=10)."""
+    import paddleocr_spark.geometry as G
+    kinds, x1, y1, x2, y2 = [], [], [], [], []
+    for kind, xg, yg in spans:
+        x, y = xg * 25, yg * 3
+        w = G.KIND_WIDTH_FIXED.get(kind, 310)
+        h = G.KIND_HEIGHT[kind]
+        kinds.append(kind)
+        x1.append(x)
+        y1.append(y)
+        x2.append(x + w)
+        y2.append(y + h)
+    return kinds, x1, y1, x2, y2
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.lists(_span_st, min_size=1, max_size=9),
+                min_size=1, max_size=6))
+def test_order_ranks_fast_path_matches_exact_kernel(docs):
+    import numpy as np
+    from paddleocr_spark.kernels import order_document
+    from paddleocr_spark.pipeline import _order_ranks
+
+    kind_dict = ["text", "media", "table", "title"]
+    code = {k: i for i, k in enumerate(kind_dict)}
+    doc_codes, kind_codes = [], []
+    X1, Y1, X2, Y2 = [], [], [], []
+    per_doc = []
+    for d, spans in enumerate(docs):
+        kinds, x1, y1, x2, y2 = _build_doc(spans)
+        per_doc.append((kinds, x1, y1, x2, y2))
+        doc_codes += [d] * len(kinds)
+        kind_codes += [code[k] for k in kinds]
+        X1 += x1
+        Y1 += y1
+        X2 += x2
+        Y2 += y2
+    starts, take, offsets = _order_ranks(
+        np.asarray(doc_codes), np.asarray(kind_codes), code["text"],
+        kind_dict, np.asarray(X1), np.asarray(Y1), np.asarray(X2),
+        np.asarray(Y2))
+    # expected: per-doc exact kernel
+    pos = 0
+    exp_take = []
+    for kinds, x1, y1, x2, y2 in per_doc:
+        rank = order_document(kinds, np.asarray(x1), np.asarray(y1),
+                              np.asarray(x2), np.asarray(y2), 1000)
+        exp_take += list(pos + rank.argsort(kind="stable"))
+        pos += len(kinds)
+    assert list(take) == exp_take
