@@ -579,6 +579,101 @@ def q_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nms_per_class(boxes)
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 DetResizeForTest.resize_image_type0 over decoded media dims
+    (limit_side_len=960, limit_type='max' — predict_det.py:66-74)."""
+    from .multimodal import media_features, media_resize
+    feats = media_features(synth_spans(_docs(spark, sf_dir)))
+    return media_resize(feats)
+
+
+def q_attn_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 AttnLabelDecode (dead break-at-eos quirk preserved): the tail
+    appended after the eos id still decodes."""
+    from .operators.recognize import attn_decode
+    return attn_decode(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_e2e_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 E2EMetric mode-A full report (eval_end2end.py:71-180 +
+    combine: precision/recall/fmeasure on hits, character_acc and
+    avg-edit-distances from matched + unmatched contributions, eps=1e-9).
+
+    Same gt/pred universe as q_e2e_eval but positions are made injective
+    per table (row_number grid) so IoU>=0.5 matching is one-to-one by
+    construction and the reference's greedy IoU-descending tie-break
+    never fires — keeping the metric SQL-expressible. gid%13==0 gts are
+    don't-care (ignore), gid%3==0 preds carry the exact gt text (hits).
+    """
+    li = _lineitem(spark, sf_dir).filter(F.col("l_linenumber") <= 4)
+    base = li.select(
+        (F.col("l_orderkey") % 50).alias("t_id"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("gid"),
+        F.col("l_linenumber").alias("ln"))
+    w = Window.partitionBy("t_id").orderBy("gid")
+    base = base.withColumn("r", F.row_number().over(w) - 1).select(
+        "t_id", "gid", "ln",
+        ((F.col("r") % 37) * 40).cast("double").alias("x1"),
+        (F.floor(F.col("r") / 37) * 35).cast("double").alias("y1"))
+    gtxt = F.concat(F.lit("text"), (F.col("gid") % 97).cast("string"))
+    ptxt = F.when(F.col("gid") % 3 == 0, gtxt).otherwise(
+        F.concat(F.lit("text"), ((F.col("gid") + 1) % 97).cast("string")))
+    gt = base.select("t_id", F.col("gid").alias("gt_id"), "x1", "y1",
+                     (F.col("x1") + 25).alias("x2"),
+                     (F.col("y1") + 18).alias("y2"),
+                     gtxt.alias("gt_text"),
+                     (F.col("gid") % 13 == 0).alias("ignore"))
+    shift = F.when(F.col("ln") <= 3, F.lit(2.0)).otherwise(F.lit(9000.0))
+    pred = base.select("t_id", F.col("gid").alias("pred_id"),
+                       (F.col("x1") + shift).alias("px1"),
+                       (F.col("y1") + shift).alias("py1"),
+                       (F.col("x1") + shift + 25).alias("px2"),
+                       (F.col("y1") + shift + 18).alias("py2"),
+                       ptxt.alias("pred_text"))
+    j = gt.join(pred, "t_id")
+    ix = F.greatest(F.lit(0.0), F.least("x2", "px2") - F.greatest("x1", "px1"))
+    iy = F.greatest(F.lit(0.0), F.least("y2", "py2") - F.greatest("y1", "py1"))
+    inter = ix * iy
+    union = ((F.col("x2") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+             + (F.col("px2") - F.col("px1")) * (F.col("py2") - F.col("py1"))
+             - inter)
+    matched = (j.filter(inter / union >= 0.5)
+               .select("t_id", "gt_id", "pred_id", "gt_text", "pred_text",
+                       "ignore"))
+    un_gt = gt.join(matched.select("gt_id"), "gt_id", "left_anti")
+    un_dt = pred.join(matched.select("pred_id"), "pred_id", "left_anti")
+    mstats = matched.filter(~F.col("ignore")).agg(
+        F.count("*").alias("m_cnt"),
+        F.sum(F.when(F.col("gt_text") == F.col("pred_text"), 1)
+              .otherwise(0)).alias("hit"),
+        F.sum(F.levenshtein("gt_text", "pred_text")).alias("m_ed"),
+        F.sum(F.length("gt_text")).alias("m_chars"))
+    gstats = un_gt.filter(~F.col("ignore")).agg(
+        F.count("*").alias("g_cnt"),
+        F.sum(F.length("gt_text")).alias("g_chars"))
+    dstats = un_dt.agg(F.count("*").alias("d_cnt"),
+                       F.sum(F.length("pred_text")).alias("d_ed"))
+    n_img = gt.select("t_id").distinct().count()
+    row = mstats.crossJoin(gstats).crossJoin(dstats)
+    eps = F.lit(1e-9)
+    gt_count = F.col("m_cnt") + F.col("g_cnt")
+    dt_count = F.col("m_cnt") + F.col("d_cnt")
+    ed_sum = (F.col("m_ed") + F.col("g_chars") + F.col("d_ed")).cast("double")
+    chars = F.col("m_chars") + F.col("g_chars")
+    p = F.col("hit") / (dt_count + eps)
+    r = F.col("hit") / (gt_count + eps)
+    return row.select(
+        F.round(p, 4).alias("precision"),
+        F.round(r, 4).alias("recall"),
+        F.round(2.0 * p * r / (p + r + eps), 4).alias("fmeasure"),
+        F.round(1.0 - ed_sum / (chars + eps), 4).alias("character_acc"),
+        F.round(ed_sum / (gt_count + eps), 4).alias("avg_edit_dist_field"),
+        F.round(ed_sum / F.lit(float(n_img)), 4).alias("avg_edit_dist_img"),
+        F.col("hit").cast("long").alias("hit"),
+        gt_count.cast("long").alias("gt_count"),
+        dt_count.cast("long").alias("dt_count"))
+
+
 def q_orientation4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-way orientation stage (ppstructure/predict_system.py:94-108): the
     deterministic scanner-rotation is undone by the classifier-driven
@@ -640,6 +735,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # J6 KIE SER->RE self-join + 4-way orientation (R1 extension)
         "kie_pairs": KIE.kie_pairs,
         "orientation4": q_orientation4,
+        # P7 resize, R4 attn decode, A8 e2e metric (round-2 widening)
+        "media_resize": q_media_resize,
+        "attn_decode": q_attn_decode,
+        "e2e_metric": q_e2e_metric,
         "nms_per_class": q_nms,                        # fixture oracle
         "char_prf_metric": q_char_prf,                 # fixture oracle
         "det_eval_greedy": q_det_eval,                 # fixture oracle
@@ -1350,6 +1449,153 @@ SELECT doc_id, (['0', '90', '180', '270'])[cls + 1] AS angle,
                               || substring(otext, 1, length(otext) - 1)
             ELSE otext END AS corrected
 FROM o"""
+
+    # --- P7 media resize (DetResizeForTest type0, limit max/960) ---
+    sqls["media_resize"] = f"""
+WITH {SYNTH_CTE.lstrip()},
+refs AS (SELECT DISTINCT media_ref FROM synth_spans WHERE kind = 'media'),
+hx AS (SELECT media_ref, md5(media_ref) AS hx FROM refs),
+dims AS (
+    SELECT media_ref,
+           64 + ((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
+                 + strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 4
+               AS w,
+           64 + ((strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16
+                 + strpos('0123456789abcdef', substring(hx, 4, 1)) - 1) * 4
+               AS h
+    FROM hx
+),
+sc AS (
+    SELECT media_ref, w, h,
+           CASE WHEN greatest(h, w) > 960
+                THEN 960.0 / greatest(h, w) ELSE 1.0 END AS ratio
+    FROM dims
+),
+r0 AS (
+    SELECT media_ref, w, h,
+           CAST(floor(w * ratio) AS BIGINT) AS rw0,
+           CAST(floor(h * ratio) AS BIGINT) AS rh0
+    FROM sc
+)
+SELECT media_ref,
+       CAST(w AS BIGINT) AS src_w, CAST(h AS BIGINT) AS src_h,
+       greatest(32 * (rw0 // 32 + CASE WHEN rw0 % 32 > 16
+                OR (rw0 % 32 = 16 AND (rw0 // 32) % 2 = 1)
+                THEN 1 ELSE 0 END), 32) AS resize_w,
+       greatest(32 * (rh0 // 32 + CASE WHEN rh0 % 32 > 16
+                OR (rh0 % 32 = 16 AND (rh0 // 32) % 2 = 1)
+                THEN 1 ELSE 0 END), 32) AS resize_h,
+       round(greatest(32 * (rh0 // 32 + CASE WHEN rh0 % 32 > 16
+                OR (rh0 % 32 = 16 AND (rh0 // 32) % 2 = 1)
+                THEN 1 ELSE 0 END), 32) / CAST(h AS DOUBLE), 4) + 0
+           AS ratio_h,
+       round(greatest(32 * (rw0 // 32 + CASE WHEN rw0 % 32 > 16
+                OR (rw0 % 32 = 16 AND (rw0 // 32) % 2 = 1)
+                THEN 1 ELSE 0 END), 32) / CAST(w AS DOUBLE), 4) + 0
+           AS ratio_w
+FROM r0"""
+
+    # --- R4 AttnLabelDecode (dead break-at-eos quirk) ---
+    from .operators.recognize import CHARSET as _CS
+    cs2 = _CS.replace("'", "''")
+    eos_id = len(_CS) + 1
+    sqls["attn_decode"] = f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+ids AS (
+    SELECT doc_id,
+           ([0]
+            || list_transform(generate_series(1, length(t)),
+                 i -> strpos('{cs2}', substring(t, CAST(i AS INT), 1)))
+            || [{eos_id}]
+            || list_transform(generate_series(1, least(length(t), 2)),
+                 i -> strpos('{cs2}', substring(t, CAST(i AS INT), 1)))
+           ) AS ids
+    FROM base
+)
+SELECT doc_id,
+       array_to_string(list_transform(
+           list_filter(ids, i -> i != 0 AND i != {eos_id}),
+           i -> substring('{cs2}', CAST(i AS INT), 1)), '') AS attn_text
+FROM ids"""
+
+    # --- A8 E2EMetric mode-A full report ---
+    sqls["e2e_metric"] = """
+WITH base0 AS (
+    SELECT l_orderkey % 50 AS t_id,
+           l_orderkey * 10 + l_linenumber AS gid,
+           l_linenumber AS ln
+    FROM lineitem WHERE l_linenumber <= 4
+),
+geo AS (
+    SELECT t_id, gid, ln,
+           CAST(((row_number() OVER (PARTITION BY t_id ORDER BY gid)) - 1)
+                % 37 * 40 AS DOUBLE) AS x1,
+           CAST(((row_number() OVER (PARTITION BY t_id ORDER BY gid)) - 1)
+                // 37 * 35 AS DOUBLE) AS y1
+    FROM base0
+),
+egt AS (
+    SELECT t_id, gid AS gt_id, x1, y1, x1 + 25 AS x2, y1 + 18 AS y2,
+           'text' || CAST(gid % 97 AS VARCHAR) AS gt_text,
+           gid % 13 = 0 AS ignore
+    FROM geo
+),
+epred AS (
+    SELECT t_id, gid AS pred_id,
+           x1 + CASE WHEN ln <= 3 THEN 2.0 ELSE 9000.0 END AS px1,
+           y1 + CASE WHEN ln <= 3 THEN 2.0 ELSE 9000.0 END AS py1,
+           x1 + CASE WHEN ln <= 3 THEN 2.0 ELSE 9000.0 END + 25 AS px2,
+           y1 + CASE WHEN ln <= 3 THEN 2.0 ELSE 9000.0 END + 18 AS py2,
+           CASE WHEN gid % 3 = 0 THEN 'text' || CAST(gid % 97 AS VARCHAR)
+                ELSE 'text' || CAST((gid + 1) % 97 AS VARCHAR) END
+               AS pred_text
+    FROM geo
+),
+em AS (
+    SELECT gt_id, pred_id, gt_text, pred_text, ignore
+    FROM egt JOIN epred USING (t_id)
+    WHERE greatest(0.0, least(x2, px2) - greatest(x1, px1))
+          * greatest(0.0, least(y2, py2) - greatest(y1, py1))
+          / ((x2-x1)*(y2-y1) + (px2-px1)*(py2-py1)
+             - greatest(0.0, least(x2, px2) - greatest(x1, px1))
+               * greatest(0.0, least(y2, py2) - greatest(y1, py1))) >= 0.5
+),
+mstats AS (
+    SELECT count(*) AS m_cnt,
+           coalesce(sum(CASE WHEN gt_text = pred_text THEN 1 ELSE 0 END),
+                    0) AS hit,
+           coalesce(sum(levenshtein(gt_text, pred_text)), 0) AS m_ed,
+           coalesce(sum(length(gt_text)), 0) AS m_chars
+    FROM em WHERE NOT ignore
+),
+gstats AS (
+    SELECT count(*) AS g_cnt,
+           coalesce(sum(length(gt_text)), 0) AS g_chars
+    FROM egt WHERE NOT ignore
+      AND gt_id NOT IN (SELECT gt_id FROM em)
+),
+dstats AS (
+    SELECT count(*) AS d_cnt,
+           coalesce(sum(length(pred_text)), 0) AS d_ed
+    FROM epred WHERE pred_id NOT IN (SELECT pred_id FROM em)
+),
+nimg AS (SELECT CAST(count(DISTINCT t_id) AS DOUBLE) AS n FROM egt)
+SELECT round(hit / (m_cnt + d_cnt + 1e-9), 4) + 0 AS precision,
+       round(hit / (m_cnt + g_cnt + 1e-9), 4) + 0 AS recall,
+       round(2.0 * (hit / (m_cnt + d_cnt + 1e-9))
+                 * (hit / (m_cnt + g_cnt + 1e-9))
+             / (hit / (m_cnt + d_cnt + 1e-9)
+                + hit / (m_cnt + g_cnt + 1e-9) + 1e-9), 4) + 0 AS fmeasure,
+       round(1.0 - (m_ed + g_chars + d_ed)
+                   / (m_chars + g_chars + 1e-9), 4) + 0 AS character_acc,
+       round((m_ed + g_chars + d_ed) / (m_cnt + g_cnt + 1e-9), 4) + 0
+           AS avg_edit_dist_field,
+       round((m_ed + g_chars + d_ed) / (SELECT n FROM nimg), 4) + 0
+           AS avg_edit_dist_img,
+       CAST(hit AS BIGINT) AS hit,
+       CAST(m_cnt + g_cnt AS BIGINT) AS gt_count,
+       CAST(m_cnt + d_cnt AS BIGINT) AS dt_count
+FROM mstats, gstats, dstats"""
 
     # --- D7/J2/A7 table-structure family (builders in operators/table.py) ---
     t_cte = "t AS (SELECT DISTINCT l_orderkey % 50 AS t_id FROM lineitem)"

@@ -480,3 +480,18 @@ def get_pred_html(pred_structures, matched_index, ocr_contents) -> str:
         else:
             end_html.append(tag)
     return "".join(end_html)
+
+
+def attn_label_decode(ids, dict_character) -> str:
+    """AttnLabelDecode.decode, rec_postprocess.py:476-503 (the R4 family's
+    representative; __call__ passes is_remove_duplicate=False, :519).
+
+    QUIRK preserved: ``end_idx`` is itself in ``ignored_tokens`` and the
+    ignored ``continue`` precedes the ``break`` check, so the
+    break-at-eos is DEAD CODE — ids AFTER the eos token still decode.
+    dict layout: ['sos'] + charset + ['eos'] (add_special_char, :469-474).
+    """
+    end_idx = len(dict_character) - 1
+    ignored = (0, end_idx)
+    return "".join(dict_character[int(i)] for i in ids
+                   if int(i) not in ignored)

@@ -101,3 +101,51 @@ def frame_sample(features: DataFrame, stride: int = 2) -> DataFrame:
         F.explode(F.sequence(
             F.lit(0), F.col("n_frames") - 1, F.lit(stride))
         ).alias("frame_idx"))
+
+
+def media_resize(features: DataFrame, limit_side_len: int = 960,
+                 limit_type: str = "max") -> DataFrame:
+    """P7 ``DetResizeForTest.resize_image_type0`` over decoded media dims
+    (ppocr/data/imaug/operators.py:273-322, wired with limit_side_len=960
+    limit_type='max' at tools/infer/predict_det.py:66-74).
+
+    Faithful transcription as pure JVM expressions: ratio limits the max
+    (or min) side to ``limit_side_len``; ``int(h*ratio)`` truncates; the
+    /32 snap uses Python round()'s HALF-EVEN tie rule, reproduced here
+    with integer arithmetic (q + 1 iff rem > 16 or (rem == 16 and q odd))
+    so Spark and DuckDB agree without engine-specific bankers'-rounding
+    builtins; floor 32. The reference's <64px sum pre-padding never fires
+    for our decoded dims (min side 64) and is not replicated.
+
+    Input: (media_ref, width, height); output adds resize_w/resize_h and
+    4dp ratios (shape_list analog feeding inverse scaling, SURVEY O-DB 7).
+    """
+    L = float(limit_side_len)
+    h, w = F.col("height").cast("double"), F.col("width").cast("double")
+    if limit_type == "max":
+        ratio = F.when(F.greatest(h, w) > L, L / F.greatest(h, w)) \
+                 .otherwise(F.lit(1.0))
+    else:  # 'min' (the det default when unconfigured, operators.py:233-234)
+        ratio = F.when(F.least(h, w) < L, L / F.least(h, w)) \
+                 .otherwise(F.lit(1.0))
+
+    def snap32(r0):
+        q = F.floor(r0 / 32)
+        rem = r0 - 32 * q
+        up = (rem > 16) | ((rem == 16) & (q % 2 == 1))
+        return F.greatest(32 * (q + up.cast("long")), F.lit(32))
+
+    rh0 = F.floor(h * ratio)
+    rw0 = F.floor(w * ratio)
+    return features.select(
+        "media_ref",
+        F.col("width").cast("long").alias("src_w"),
+        F.col("height").cast("long").alias("src_h"),
+        snap32(rw0).cast("long").alias("resize_w"),
+        snap32(rh0).cast("long").alias("resize_h"),
+    ).select(
+        "*",
+        F.round(F.col("resize_h") / F.col("src_h").cast("double"), 4)
+        .alias("ratio_h"),
+        F.round(F.col("resize_w") / F.col("src_w").cast("double"), 4)
+        .alias("ratio_w"))

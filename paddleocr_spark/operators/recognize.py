@@ -158,3 +158,27 @@ def orient4(docs: DataFrame) -> DataFrame:
                    "CAST(cls AS INT) + 1)")
     return df.select("doc_id", angle.alias("angle"),
                      corrected.alias("corrected"))
+
+
+def attn_decode(docs: DataFrame) -> DataFrame:
+    """R4 AttnLabelDecode demo (kernels.attn_label_decode twin, pure JVM).
+
+    Deterministic "model output": ids = [sos] + encode(text) + [eos] +
+    encode(first-2-chars) — the tail after eos DECODES TOO (the reference's
+    break-at-eos is dead code: eos sits in ignored_tokens and the continue
+    precedes the break, rec_postprocess.py:484-489). Unknown chars encode
+    to id 0 (= sos) and vanish. Output: (doc_id, attn_text) =
+    charset-filtered text followed by its charset-filtered first 2 chars.
+    """
+    cs = CHARSET.replace("\\", "\\\\").replace("'", "\\'")
+    eos = len(CHARSET) + 1
+    # filter(c != '') guards the empty-text edge: split('', '') yields ['']
+    # and Spark's instr(s, '') is 1, which would fabricate a char id.
+    ids = (f"concat(array(0), transform(filter(split(coalesce(text, ''), "
+           f"''), c -> c != ''), c -> instr('{cs}', c)), array({eos}), "
+           f"transform(filter(split(substring(coalesce(text, ''), 1, 2), "
+           f"''), c -> c != ''), c -> instr('{cs}', c)))")
+    decoded = (f"concat_ws('', transform(filter({ids}, "
+               f"i -> i != 0 AND i != {eos}), "
+               f"i -> substring('{cs}', CAST(i AS INT), 1)))")
+    return docs.select("doc_id", F.expr(decoded).alias("attn_text"))

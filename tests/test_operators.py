@@ -261,3 +261,53 @@ def test_streaming_incremental_documents_format(spark, tmp_path):
     assert out.schema.simpleString().startswith(
         "struct<doc_id:string,spans:array<struct<kind:string")
     assert out.count() > 400  # ~496 docs survive extraction at sf0.001
+
+
+def test_media_resize_matches_reference_type0(spark):
+    """Pin DetResizeForTest.resize_image_type0 semantics (incl. Python
+    round()'s half-even /32 snap) against a direct transcription."""
+    from paddleocr_spark.multimodal import media_resize
+
+    def ref_resize(h, w, limit=960):
+        ratio = (limit / max(h, w)) if max(h, w) > limit else 1.0
+        rh, rw = int(h * ratio), int(w * ratio)
+        rh = max(int(round(rh / 32) * 32), 32)
+        rw = max(int(round(rw / 32) * 32), 32)
+        return rw, rh
+
+    dims = [(64, 64), (100, 1084), (1084, 100), (976, 980), (528, 528),
+            (1040, 1040), (80, 1008), (960, 961), (961, 960)]
+    df = spark.createDataFrame(
+        [(f"m{i}", w, h) for i, (h, w) in enumerate(dims)],
+        "media_ref string, width long, height long")
+    rows = {r["media_ref"]: r for r in media_resize(df).collect()}
+    for i, (h, w) in enumerate(dims):
+        rw, rh = ref_resize(h, w)
+        r = rows[f"m{i}"]
+        assert (r["resize_w"], r["resize_h"]) == (rw, rh), (h, w, dict(r))
+
+
+def test_attn_decode_dead_break_quirk(spark):
+    """ids after the eos token still decode (rec_postprocess.py:484-489:
+    eos is in ignored_tokens, continue precedes break)."""
+    from paddleocr_spark.kernels import attn_label_decode
+    from paddleocr_spark.operators.recognize import CHARSET, attn_decode
+    dict_c = ["sos"] + list(CHARSET) + ["eos"]
+    eos = len(dict_c) - 1
+    # kernel: tail after eos decodes
+    ids = [0, 1, 2, eos, 3]
+    assert attn_label_decode(ids, dict_c) == "abc"
+    # distributed op: filtered(text) + filtered(first 2 chars)
+    df = spark.createDataFrame([(1, "hello"), (2, "a"), (3, "")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["attn_text"] for r in attn_decode(df).collect()}
+    assert got == {1: "hellohe", 2: "aa", 3: ""}
+
+
+def test_e2e_metric_consistency(spark):
+    from paddleocr_spark.entry_queries import q_e2e_metric
+    r = q_e2e_metric(spark, "/root/testdata/sf0.001").collect()[0]
+    assert 0 < r["hit"] <= min(r["gt_count"], r["dt_count"])
+    assert 0.0 < r["precision"] < 1.0
+    assert 0.0 < r["recall"] < 1.0
+    assert r["character_acc"] < 1.0
