@@ -98,6 +98,11 @@ def drop_score_filter(spans: DataFrame,
     (predict_system.py:117-125; confidence analog per geometry.py).
 
     Integer milli-score comparison so the 0.500 boundary is exact.
+
+    The did parse is deliberately coupled to the synth corpus's
+    'doc_<number>' ids: the score is a deterministic stand-in for a model
+    confidence that in production arrives as its own column — this
+    expression is the fixture, not a general doc_id contract.
     """
     did = F.expr("CAST(substring(doc_id, 5) AS LONG)")
     smod = (did * 7 + F.col("span_idx") * 173) % G.SCORE_MOD
