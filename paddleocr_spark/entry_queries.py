@@ -674,6 +674,22 @@ def q_e2e_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         dt_count.cast("long").alias("dt_count"))
 
 
+def q_east_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 EAST locality-aware NMS (sequential weighted-merge scan +
+    standard NMS) per doc; committed-fixture oracle (iterative kernel)."""
+    from .operators.spatial import east_nms_locality
+    li = _lineitem(spark, sf_dir).filter(F.col("l_linenumber") <= 3)
+    boxes = li.select(
+        F.format_string("doc_%03d", F.col("l_orderkey") % 25).alias("doc_id"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("box_id"),
+        ((F.col("l_partkey") % 15) * 20).cast("double").alias("x1"),
+        ((F.col("l_suppkey") % 12) * 25).cast("double").alias("y1"),
+    ).select("doc_id", "box_id", "x1", "y1",
+             (F.col("x1") + 50).alias("x2"), (F.col("y1") + 35).alias("y2"),
+             (0.3 + (F.col("box_id") % 70) / 100.0).alias("score"))
+    return east_nms_locality(boxes)
+
+
 def q_preprocess_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 preprocess_image: alpha_to_color uint8 truncation, invert, and a
     real Otsu threshold (relational cumulative-window argmax) on
@@ -756,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attn_decode": q_attn_decode,
         "e2e_metric": q_e2e_metric,
         "preprocess_image": q_preprocess_image,
+        "east_nms": q_east_nms,                        # fixture oracle
         "nms_per_class": q_nms,                        # fixture oracle
         "char_prf_metric": q_char_prf,                 # fixture oracle
         "det_eval_greedy": q_det_eval,                 # fixture oracle
@@ -967,6 +984,10 @@ FROM synth_final GROUP BY doc_id, kind"""
         "precision, recall, hmean, CAST(n_images AS BIGINT) AS n_images")
     sqls["teds_metric"] = _fixture_sql(
         "teds_metric", "CAST(pair_id AS BIGINT) AS pair_id, teds")
+    sqls["east_nms"] = _fixture_sql(
+        "east_nms",
+        "doc_id, CAST(keep_order AS BIGINT) AS keep_order, "
+        "x1, y1, x2, y2, score")
 
     sqls["media_decode"] = f"""
 WITH {SYNTH_CTE.lstrip()},

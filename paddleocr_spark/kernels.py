@@ -529,3 +529,62 @@ def otsu_threshold(hist) -> int:
             best = var
             best_t = t
     return best_t
+
+
+def nms_locality(boxes, scores, thres: float = 0.3):
+    """EAST locality-aware NMS over axis-aligned boxes, transcribing
+    ppocr/postprocess/locality_aware_nms.py:173-193 (``nms_locality``) +
+    :56-70 (``standard_nms``) + :45-52 (``weighted_merge``).
+
+    Sequential scan in INPUT order (the reference feeds row-major score-map
+    order): the running poly p merges into the next box g whenever
+    IoU(g, p) > thres — merged coords are the score-weighted average,
+    merged score the sum — else p is flushed. The merged set then passes
+    standard NMS (score-descending greedy, suppress IoU > thres). The
+    reference's corner-wise weighted average of axis-aligned rectangles is
+    again an axis-aligned rectangle, so (x1,y1,x2,y2) carries exactly.
+
+    DELIBERATE DEVIATION (same as hard_nms): standard_nms's score argsort
+    is made stable (reference np.argsort is not), so tied scores pick
+    deterministically across numpy versions/partitionings.
+
+    Returns (boxes [K,4] float64, scores [K] float64) in pick order.
+    """
+    def iou(a, b):
+        ix = min(a[2], b[2]) - max(a[0], b[0])
+        iy = min(a[3], b[3]) - max(a[1], b[1])
+        if ix <= 0 or iy <= 0:
+            return 0.0
+        inter = ix * iy
+        ua = (a[2] - a[0]) * (a[3] - a[1])
+        ub = (b[2] - b[0]) * (b[3] - b[1])
+        union = ua + ub - inter
+        return 0.0 if union == 0 else inter / union
+
+    merged: list[list[float]] = []
+    p = None
+    for g, s in zip(np.asarray(boxes, dtype=np.float64),
+                    np.asarray(scores, dtype=np.float64)):
+        g = [float(g[0]), float(g[1]), float(g[2]), float(g[3]), float(s)]
+        if p is not None and iou(g, p) > thres:
+            # weighted_merge(g, p): merge INTO g (locality_aware_nms.py:45-52)
+            w = g[4] + p[4]
+            g = [(g[4] * g[i] + p[4] * p[i]) / w for i in range(4)] + [w]
+            p = g
+        else:
+            if p is not None:
+                merged.append(p)
+            p = g
+    if p is not None:
+        merged.append(p)
+    if not merged:
+        return np.empty((0, 4)), np.empty(0)
+
+    arr = np.asarray(merged, dtype=np.float64)
+    order = list(np.argsort(arr[:, 4], kind="stable")[::-1])
+    keep: list[int] = []
+    while order:
+        i = order.pop(0)
+        keep.append(i)
+        order = [t for t in order if iou(arr[i], arr[t]) <= thres]
+    return arr[keep, :4], arr[keep, 4]

@@ -72,3 +72,35 @@ def salted_repartition(df: DataFrame, num_partitions: int, key: str,
                         F.lit(salt_buckets)))
     return salted.repartition(num_partitions, F.col(key),
                               F.col("_salt")).drop("_salt")
+
+
+EAST_NMS_SCHEMA = ("doc_id string, keep_order long, x1 double, y1 double, "
+                   "x2 double, y2 double, score double")
+
+
+def east_nms_locality(boxes: DataFrame, thres: float = 0.3) -> DataFrame:
+    """D2 EAST locality-aware NMS distributed per document.
+
+    Input (doc_id, box_id, x1, y1, x2, y2, score); the kernel's sequential
+    merge scan runs over box_id order (the row-major score-map order
+    analog), as a grouped Arrow kernel exactly like nms_per_class. Output
+    carries the MERGED geometry (weighted averages) and summed scores in
+    pick order.
+    """
+    from ..kernels import nms_locality
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("box_id", kind="stable")
+        kept, scores = nms_locality(
+            pdf[["x1", "y1", "x2", "y2"]].to_numpy(dtype=float),
+            pdf["score"].to_numpy(dtype=float), thres=thres)
+        return pd.DataFrame({
+            "doc_id": key[0],
+            "keep_order": range(len(scores)),
+            "x1": kept[:, 0], "y1": kept[:, 1],
+            "x2": kept[:, 2], "y2": kept[:, 3],
+            "score": scores,
+        })
+
+    return boxes.groupBy("doc_id").applyInPandas(run,
+                                                 schema=EAST_NMS_SCHEMA)

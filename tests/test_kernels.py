@@ -339,3 +339,32 @@ def test_order_ranks_fast_path_matches_exact_kernel(docs):
         exp_take += list(pos + rank.argsort(kind="stable"))
         pos += len(kinds)
     assert list(take) == exp_take
+
+
+def test_nms_locality_weighted_merge_hand_case():
+    """Pin the EAST locality scan: adjacent overlapping boxes merge with
+    score-weighted coords + summed score; non-overlapping flush."""
+    import numpy as np
+    from paddleocr_spark.kernels import nms_locality
+    boxes = np.array([[0, 0, 10, 10],
+                      [2, 0, 12, 10],     # IoU with prev = 8/12 > 0.3 -> merge
+                      [100, 100, 110, 110]], dtype=float)
+    scores = np.array([1.0, 3.0, 0.5])
+    kept, ks = nms_locality(boxes, scores, thres=0.3)
+    # merged x1 = (3*2 + 1*0)/4 = 1.5; score 4.0; picked first (max score)
+    assert ks.tolist() == [4.0, 0.5]
+    assert kept[0].tolist() == [1.5, 0.0, 11.5, 10.0]
+    assert kept[1].tolist() == [100, 100, 110, 110]
+
+
+def test_nms_locality_scan_is_order_dependent():
+    """The merge chain follows INPUT order (row-major analog): moving the
+    far box between the two overlapping ones prevents the merge."""
+    import numpy as np
+    from paddleocr_spark.kernels import nms_locality
+    boxes = np.array([[0, 0, 10, 10], [100, 100, 110, 110],
+                      [2, 0, 12, 10]], dtype=float)
+    scores = np.array([1.0, 0.5, 3.0])
+    kept, ks = nms_locality(boxes, scores, thres=0.3)
+    # no merge happened; standard NMS then suppresses the 1.0 box (IoU .67)
+    assert ks.tolist() == [3.0, 0.5]

@@ -217,12 +217,41 @@ def fx_teds(con, sf_dir: str) -> pd.DataFrame:
     })
 
 
+def fx_east_nms(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_east_nms input in DuckDB; nms_locality per doc."""
+    from paddleocr_spark.kernels import nms_locality
+    base = con.sql(f"""
+        SELECT printf('doc_%03d', l_orderkey % 25) AS doc_id,
+               l_orderkey * 10 + l_linenumber AS box_id,
+               CAST((l_partkey % 15) * 20 AS DOUBLE) AS x1,
+               CAST((l_suppkey % 12) * 25 AS DOUBLE) AS y1,
+               CAST((l_partkey % 15) * 20 + 50 AS DOUBLE) AS x2,
+               CAST((l_suppkey % 12) * 25 + 35 AS DOUBLE) AS y2,
+               0.3 + CAST(box_id % 70 AS DOUBLE) / 100.0 AS score
+        FROM read_parquet('{os.path.join(sf_dir, "lineitem.parquet")}')
+        WHERE l_linenumber <= 3
+    """).df()
+    outs = []
+    for doc_id, g in base.groupby("doc_id", sort=True):
+        g = g.sort_values("box_id", kind="stable")
+        kept, scores = nms_locality(
+            g[["x1", "y1", "x2", "y2"]].to_numpy(dtype=float),
+            g["score"].to_numpy(dtype=float))
+        outs.append(pd.DataFrame({
+            "doc_id": doc_id, "keep_order": range(len(scores)),
+            "x1": kept[:, 0], "y1": kept[:, 1],
+            "x2": kept[:, 2], "y2": kept[:, 3], "score": scores}))
+    return (pd.concat(outs, ignore_index=True)
+            .astype({"keep_order": "int64"}))
+
+
 FIXTURES = {
     "flagship_extract": fx_flagship_extract,
     "nms_per_class": fx_nms_per_class,
     "char_prf_metric": fx_char_prf,
     "det_eval_greedy": fx_det_eval,
     "teds_metric": fx_teds,
+    "east_nms": fx_east_nms,
 }
 
 
