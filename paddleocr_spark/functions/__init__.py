@@ -24,13 +24,20 @@ from .textfns import fingerprint, lang_id, quality_score, strq2b, token_count
 
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Headline secondary queries timed by bench.py."""
+    """Headline secondary queries timed by bench.py (round-1 names kept
+    stable for round-over-round comparison; round-2 ops appended)."""
+    from ..operators.kie import kie_pairs
+    from ..operators.table import table_html
     return {
         "dedup_minhash": dedup_minhash_pairs,
         "dedup_simhash": dedup_simhash,
         "ann_cosine_topk": ann_cosine_topk,
         "token_count": token_count,
         "quality_score": quality_score,
+        # round-2 additions
+        "embedding_neardup": embedding_neardup,
+        "table_html": table_html,
+        "kie_pairs": kie_pairs,
     }
 
 

@@ -151,26 +151,49 @@ def _tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.select((F.col("l_orderkey") % 50).alias("t_id")).distinct())
 
 
+def _decoded(tables: DataFrame, mutate_cond: str, out: str) -> DataFrame:
+    """Synthesize the id array, MATERIALIZE it across an exchange, then
+    decode the materialized column.
+
+    The repartition barrier is load-bearing: CollapseProject folds
+    adjacent projections and substitutes the ``_ids`` alias textually into
+    every reference — including ``element_at(_ids, i+1)`` inside the
+    decode's per-element lambda — so without the exchange the whole
+    grammar-synthesis expression re-evaluates once per TOKEN (measured
+    ~1.8 s per table at sf0.1; with the barrier the full decode of all 50
+    tables is milliseconds). The exchange itself moves ~50 tiny rows.
+    """
+    ids = (tables
+           .withColumn("_ids", F.expr(table_ids_sql(mutate_cond, "spark")))
+           .repartition("t_id"))
+    return (ids
+            .withColumn(out, F.expr(table_decode_sql("_ids", "spark")))
+            .drop("_ids"))
+
+
 def table_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D7: decoded structure tokens, one row per (t_id, pos, token)."""
-    ids = table_ids_sql("t_id % 11 = 3", "spark")
-    toks = _tables(spark, sf_dir).select(
-        "t_id", F.expr(table_decode_sql(ids, "spark")).alias("tokens"))
+    """D7: decoded structure tokens, one row per (t_id, pos, token).
+
+    posexplode_OUTER is load-bearing: for a plain posexplode, Catalyst's
+    InferFiltersFromGenerate adds ``size(tokens) > 0`` and predicate
+    pushdown drives that filter — with the whole synthesis+decode
+    expression substituted in — below the distinct, evaluating it once per
+    LINEITEM row (measured 100 s at sf0.1 vs ~2 s). The grammar always
+    emits tokens, so outer and inner explode are row-identical here."""
+    toks = _decoded(_tables(spark, sf_dir), "t_id % 11 = 3", "tokens")
     return toks.select(
-        "t_id", F.posexplode("tokens").alias("pos", "token")
+        "t_id", F.posexplode_outer("tokens").alias("pos", "token")
     ).select("t_id", F.col("pos").cast("long").alias("pos"), "token")
 
 
 def table_token_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: structure-token accuracy of pred (mutated) vs gt (clean)."""
-    pred = table_ids_sql("t_id % 11 = 3", "spark")
-    gt = table_ids_sql("FALSE", "spark")
-    per = _tables(spark, sf_dir).select(
+    per = _decoded(_decoded(_tables(spark, sf_dir),
+                            "t_id % 11 = 3", "pred_toks"),
+                   "FALSE", "gt_toks").select(
         "t_id",
-        F.array_join(F.expr(table_decode_sql(pred, "spark")), "")
-        .alias("pred_str"),
-        F.array_join(F.expr(table_decode_sql(gt, "spark")), "")
-        .alias("gt_str"))
+        F.array_join("pred_toks", "").alias("pred_str"),
+        F.array_join("gt_toks", "").alias("gt_str"))
     correct = F.sum(F.when(F.col("pred_str") == F.col("gt_str"), 1)
                     .otherwise(0))
     n = F.count("*")

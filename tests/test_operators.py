@@ -355,3 +355,37 @@ def test_otsu_threshold_hand_cases():
     # strict-greater: ties keep the FIRST maximizing split
     sym = otsu_threshold([1, 0, 0, 1])
     assert sym == otsu_threshold([1, 0, 0, 1])
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """SURVEY §4 / north-rule partitioning claim, demonstrated: two tables
+    bucketed+sorted on the join key sort-merge-join with ZERO exchanges
+    (the co-located-join strategy for recurring big joins at 100 TB)."""
+    import shutil
+
+    import pyspark.sql.functions as F
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_partkey", "l_extendedprice")
+    pt = spark.read.parquet(f"{sf}/part.parquet").select(
+        "p_partkey", "p_brand")
+    li.write.mode("overwrite").bucketBy(4, "l_partkey") \
+        .sortBy("l_partkey").saveAsTable("t_li_bucketed")
+    pt.write.mode("overwrite").bucketBy(4, "p_partkey") \
+        .sortBy("p_partkey").saveAsTable("t_pt_bucketed")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_li_bucketed").join(
+            spark.table("t_pt_bucketed"),
+            F.col("l_partkey") == F.col("p_partkey"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing pre-co-located both sides
+        assert j.count() > 0
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_pt_bucketed")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
