@@ -107,26 +107,44 @@ def lsh_planes_for(n: int, target: int = LSH_TARGET_BUCKET) -> int:
     return max(4, math.ceil(math.log2(n / float(target))))
 
 
-def _band_code_expr(planes: int, vec: str = "embedding",
+def _hyperplane_weight(band: int, p: int, d: int) -> float:
+    """w = hexdigit(md5('band:p:d')) / 7.5 - 1 ∈ [-1, 1] — deterministic,
+    no RNG; the band id in the seed makes the B band tables independent.
+    Identical arithmetic to the DuckDB twin's strpos/md5 formula."""
+    import hashlib
+    digit = int(hashlib.md5(f"{band}:{p}:{d}".encode()).hexdigest()[0], 16)
+    return digit / 7.5 - 1.0
+
+
+def _band_code_expr(planes: int, dim: int, vec: str = "embedding",
                     band: str = "band"):
-    """Per-band LSH code: bit p = sign of <w_{band,p}, x>, hyperplane weight
-    w[d] = hexdigit(md5(band:p:d)) / 7.5 - 1 ∈ [-1, 1] (deterministic,
-    engine-portable — no RNG; the band id in the seed makes the B band
-    tables independent)."""
+    """Per-band LSH code: bit p = sign of <w_{band,p}, x>.
+
+    The hyperplane weights are constant per (band, p, d), so they are
+    precomputed driver-side and shipped as literal arrays — the earlier
+    in-expression md5 derivation re-hashed per VECTOR per plane per dim
+    (~11M md5 calls for 5.5k 64-d vectors; measured the dominant cost of
+    embedding_neardup). zip_with products then a left-to-right fold give
+    the same IEEE sum order as the DuckDB twin's list_sum/list_transform.
+    """
+    tables = ", ".join(
+        "array({})".format(", ".join(
+            repr(_hyperplane_weight(b, p, d)) for d in range(dim)))
+        for b in range(LSH_BANDS) for p in range(planes))
+    w_lit = f"array({tables})"
     return F.expr(
         "aggregate(sequence(0, {pm}), 0L, (code, p) -> code + "
-        "CASE WHEN aggregate(sequence(0, size({v}) - 1), 0D, (acc, d) -> "
-        "  acc + ((instr('0123456789abcdef', substring("
-        "    md5(concat(CAST({b} AS STRING), ':', CAST(p AS STRING), ':', "
-        "        CAST(d AS STRING))), 1, 1)) - 1) / 7.5 - 1.0) "
-        "    * CAST(element_at({v}, d + 1) AS DOUBLE)) > 0 "
+        "CASE WHEN aggregate(zip_with({v}, element_at({w}, "
+        "CAST({b} * {r} + p + 1 AS INT)), (x, wt) -> "
+        "CAST(x AS DOUBLE) * wt), 0D, (acc, v) -> acc + v) > 0 "
         "THEN CAST(power(2, p) AS BIGINT) ELSE 0L END)".format(
-            pm=planes - 1, v=vec, b=band))
+            pm=planes - 1, v=vec, b=band, r=planes, w=w_lit))
 
 
 def lsh_band_table(vecs: DataFrame, planes: int,
                    bands: int = LSH_BANDS,
-                   cap: int = LSH_BUCKET_CAP) -> DataFrame:
+                   cap: int = LSH_BUCKET_CAP,
+                   dim: int | None = None) -> DataFrame:
     """(vec_id, embedding) → (vec_id, band, code, sub): B rows per vector.
 
     ``sub`` is the deterministic overflow split: within a (band, code)
@@ -134,11 +152,13 @@ def lsh_band_table(vecs: DataFrame, planes: int,
     join key is (band, code, sub), so per-key work is O(cap²) no matter how
     skewed the bucket (e.g. millions of identical vectors).
     """
+    if dim is None:
+        dim = vecs.select(F.size("embedding")).first()[0]
     banded = vecs.select(
         "vec_id",
         F.explode(F.expr(f"sequence(0, {bands - 1})")).alias("band"),
         "embedding",
-    ).select("vec_id", "band", _band_code_expr(planes).alias("code"))
+    ).select("vec_id", "band", _band_code_expr(planes, dim).alias("code"))
     w = Window.partitionBy("band", "code").orderBy("vec_id")
     return banded.withColumn(
         "sub", ((F.row_number().over(w) - 1) / cap).cast("long"))
