@@ -47,8 +47,9 @@ def test_html_single_content_is_spliced_raw():
 def test_html_b_slice_cuts_first_three_chars_wherever_b_occurs():
     # '<b>' detected ANYWHERE but the cut is an unconditional [3:]
     html = get_pred_html(["<td></td>"], {0: [0, 1]}, ["ab<b>cd", "tail"])
-    # first content 'ab<b>cd' -> contains '<b>' and n>1 -> b_with wrap;
-    # munge: 'ab<b>cd'[3:] == '<b>cd' wait-no: [3:] of 'ab<b>cd' drops 'ab<'
+    # first content contains '<b>' and n>1 -> b_with wrap; the munge slices
+    # [3:] unconditionally: 'ab<b>cd'[3:] == 'b>cd' (drops 'ab<', NOT the
+    # tag) -- the reference quirk this test pins
     assert html == "<td><b>b>cd tail</b></td>"
 
 
@@ -142,3 +143,49 @@ def test_table_token_acc_sees_the_mutation(spark):
     assert row["n_correct"] == 50 - expected_bad
     assert row["token_acc"] == pytest.approx(
         (50 - expected_bad) / (50 + 1e-6), abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis fuzz: the walk kernel is total and quirk-stable on random input
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_content_st = st.sampled_from(
+    ["", " ", "a", " b", "<b>x", "y</b>", "<b>", "</b>", "a<b>b", "c</b>d",
+     "tail ", "<b>m</b>", "  two", "w9"])
+_tag_st = st.sampled_from(
+    ["<td></td>", "</td>", "<td", ">", "<tr>", "</tr>", ' colspan="2"',
+     "<thead>", "</thead>"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_tag_st, min_size=0, max_size=12),
+       st.lists(_content_st, min_size=0, max_size=8),
+       st.data())
+def test_get_pred_html_fuzz_invariants(tags, contents, data):
+    n_td = sum(1 for t in tags if "</td>" in t)
+    matched = {}
+    if contents and n_td:
+        for td in range(n_td):
+            if data.draw(st.booleans()):
+                k = data.draw(st.integers(1, min(4, len(contents))))
+                matched[td] = sorted(data.draw(st.lists(
+                    st.integers(0, len(contents) - 1), min_size=1,
+                    max_size=k)))
+    html = get_pred_html(tags, matched, contents)
+    # every non-td tag appears verbatim and in order; td count preserved
+    assert html.count("</td>") >= n_td
+    stripped = html
+    for td, idxs in matched.items():
+        if len(idxs) == 1:
+            # single content is spliced raw
+            assert contents[idxs[0]] in html or contents[idxs[0]] == ""
+    # the walk never raises and always returns a string
+    assert isinstance(html, str)
+    # unmatched walk output is reconstructible: no matched -> pure tag join
+    if not matched:
+        expect = "".join(
+            "<td></td>" if t == "<td></td>" else t for t in tags)
+        assert html == expect
