@@ -782,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": T.lang_id,
         "quality_score": T.quality_score,
         "fingerprint": T.fingerprint,
+        "gopher_rules": T.gopher_rules,
         # dedup
         "dedup_exact": D.dedup_exact,
         "dedup_minhash_pairs": D.dedup_minhash_pairs,
@@ -1229,6 +1230,66 @@ SELECT doc_id,
                  i -> md5(array_to_string(w[i:i+4], ' '))), 'min')
        END AS fingerprint
 FROM w"""
+
+    sqls["gopher_rules"] = f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+gbase AS (
+    SELECT doc_id,
+           len(w) AS n_words,
+           len(list_distinct(w)) AS n_distinct,
+           coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+               AS n_chars,
+           len(list_filter(w, x -> regexp_matches(x, '^[^a-z]*$')))
+               AS no_alpha,
+           coalesce(list_sum(list_transform(w, x -> length(
+               regexp_replace(x, '[^#…$%@*+=<>^|~]', '', 'g')))), 0)
+               AS n_sym
+    FROM w
+),
+ggrams AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(w) < 2 THEN []
+                  ELSE list_transform(generate_series(1, len(w) - 1),
+                       i -> array_to_string(w[i:i+1], ' ')) END) AS g
+    FROM w
+),
+ggc AS (SELECT doc_id, g, count(*) AS c FROM ggrams GROUP BY doc_id, g),
+gtop AS (
+    SELECT doc_id, (length(g) - 1) * c AS top_chars FROM (
+        SELECT doc_id, g, c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, g) AS rn
+        FROM ggc
+    ) WHERE rn = 1
+),
+gj AS (
+    SELECT gbase.*, coalesce(gtop.top_chars, 0) AS top_chars
+    FROM gbase LEFT JOIN gtop USING (doc_id)
+),
+gr AS (
+    SELECT doc_id,
+           CASE WHEN n_words > 0
+                THEN 1.0 - n_distinct / CAST(n_words AS DOUBLE)
+                ELSE 0.0 END AS dup,
+           CASE WHEN n_chars > 0
+                THEN top_chars / CAST(n_chars AS DOUBLE)
+                ELSE 0.0 END AS tb,
+           CASE WHEN n_words > 0 THEN n_sym / CAST(n_words AS DOUBLE)
+                ELSE 0.0 END AS sym,
+           CASE WHEN n_words > 0 THEN no_alpha / CAST(n_words AS DOUBLE)
+                ELSE 0.0 END AS noal
+    FROM gj
+)
+SELECT doc_id,
+       round(dup, 4) + 0 AS dup_word_frac,
+       round(tb, 4) + 0 AS top_bigram_char_frac,
+       round(sym, 4) + 0 AS symbol_word_ratio,
+       round(noal, 4) + 0 AS no_alpha_word_frac,
+       (dup <= {T.GOPHER_MAX_DUP_WORD_FRAC}
+        AND tb <= {T.GOPHER_MAX_TOP_BIGRAM_CHAR_FRAC}
+        AND sym <= {T.GOPHER_MAX_SYMBOL_WORD_RATIO}
+        AND noal <= {T.GOPHER_MAX_NO_ALPHA_WORD_FRAC}) AS gopher_pass
+FROM gr"""
 
     sqls["dedup_exact"] = f"""
 WITH {_CORPUS_CTE.lstrip()}

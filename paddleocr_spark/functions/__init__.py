@@ -20,7 +20,8 @@ from .metrics import char_prf, det_eval, lcs_string
 from .teds import teds, teds_batch_avg, teds_score
 from .similarity import (ann_cosine_topk, ann_ivf_topk, ann_lsh_buckets,
                          embedding_neardup, ivf_assign)
-from .textfns import fingerprint, lang_id, quality_score, strq2b, token_count
+from .textfns import (fingerprint, gopher_rules, lang_id,
+                      quality_score, strq2b, token_count)
 
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -47,5 +48,5 @@ __all__ = [
     "embedding_neardup", "fingerprint", "lang_id", "quality_score", "strq2b",
     "token_count", "bench_queries", "char_prf", "det_eval", "lcs_string",
     "teds", "teds_batch_avg", "teds_score", "ann_ivf_topk", "ivf_assign",
-    "simhash_pairs", "release_band_cache",
+    "simhash_pairs", "release_band_cache", "gopher_rules",
 ]

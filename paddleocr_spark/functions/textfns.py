@@ -161,3 +161,78 @@ def strq2b(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("widened"))
     return df.select(
         "doc_id", F.translate("widened", FW, HW).alias("folded"))
+
+
+#: Gopher-rule thresholds (Rae et al. 2021, "Scaling Language Models:
+#: Methods, Analysis & Insights from Training Gopher", table A1): documents
+#: failing any repetition/shape bound are filtered before training.
+GOPHER_MAX_DUP_WORD_FRAC = 0.30
+GOPHER_MAX_TOP_BIGRAM_CHAR_FRAC = 0.20
+GOPHER_MAX_SYMBOL_WORD_RATIO = 0.10
+GOPHER_MAX_NO_ALPHA_WORD_FRAC = 0.20
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/shape quality rules per document.
+
+    The standard web-scale pre-training filter family (beyond-reference
+    op, like dedup/ANN): per doc —
+
+    * ``dup_word_frac`` = 1 − distinct words / words (word-level
+      repetition);
+    * ``top_bigram_char_frac`` = chars covered by the most frequent word
+      2-gram / total word chars (the "top n-gram character fraction"
+      rule; ties resolve to the lexicographically first 2-gram so both
+      engines agree);
+    * ``symbol_word_ratio`` = '#'/'…'-style symbol count / words;
+    * ``no_alpha_word_frac`` = words with no [a-z] char / words;
+    * ``gopher_pass`` = all four under their thresholds.
+
+    The 2-gram mode is relational (explode → count → window max), not an
+    O(n²) HOF; everything else is codegen expressions. All ratios 4dp.
+    """
+    from pyspark.sql.window import Window
+    docs = docs_table(spark, sf_dir).select(
+        "doc_id", words_col().alias("w"))
+    base = docs.select(
+        "doc_id", "w",
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        F.expr("aggregate(w, 0L, (a, x) -> a + length(x))").alias("n_chars"),
+        F.expr("size(filter(w, x -> x rlike '^[^a-z]*$'))").alias("no_alpha"),
+        F.expr("aggregate(w, 0L, (a, x) -> a + length(regexp_replace(x, "
+               "'[^#…$%@*+=<>^|~]', '')))").alias("n_sym"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "CASE WHEN size(w) < 2 THEN array() "
+            "ELSE transform(sequence(1, size(w) - 1), "
+            "i -> concat_ws(' ', slice(w, i, 2))) END")).alias("g"))
+    gc = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    wtop = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "g")
+    top = (gc.withColumn("rn", F.row_number().over(wtop))
+           .filter(F.col("rn") == 1)
+           .select("doc_id",
+                   # chars covered by the top 2-gram's WORDS (gram length
+                   # minus the joining space) times its count
+                   ((F.length("g") - 1) * F.col("c")).alias("top_chars")))
+    j = base.join(top, "doc_id", "left")
+    nw = F.col("n_words").cast("double")
+    dup = F.when(F.col("n_words") > 0,
+                 1.0 - F.col("n_distinct") / nw).otherwise(0.0)
+    tb = F.when(F.col("n_chars") > 0,
+                F.coalesce(F.col("top_chars"), F.lit(0))
+                / F.col("n_chars").cast("double")).otherwise(0.0)
+    sym = F.when(F.col("n_words") > 0, F.col("n_sym") / nw).otherwise(0.0)
+    noal = F.when(F.col("n_words") > 0,
+                  F.col("no_alpha") / nw).otherwise(0.0)
+    return j.select(
+        "doc_id",
+        F.round(dup, 4).alias("dup_word_frac"),
+        F.round(tb, 4).alias("top_bigram_char_frac"),
+        F.round(sym, 4).alias("symbol_word_ratio"),
+        F.round(noal, 4).alias("no_alpha_word_frac"),
+        ((dup <= GOPHER_MAX_DUP_WORD_FRAC)
+         & (tb <= GOPHER_MAX_TOP_BIGRAM_CHAR_FRAC)
+         & (sym <= GOPHER_MAX_SYMBOL_WORD_RATIO)
+         & (noal <= GOPHER_MAX_NO_ALPHA_WORD_FRAC)).alias("gopher_pass"))

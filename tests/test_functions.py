@@ -192,3 +192,29 @@ def test_simhash_pairs_finds_exact_dups_at_hamming_zero(spark):
     for d in range(0, n, DUP_EVERY):
         assert ham[(d, d + DUP_OFFSET)] == 0
     assert all(h <= 3 for h in ham.values())
+
+
+def test_gopher_rules_flags_repetitive_docs(spark):
+    from paddleocr_spark.functions.textfns import gopher_rules
+    rows = {r["doc_id"]: r for r in gopher_rules(spark, SF).collect()}
+    assert len(rows) == 500
+    for r in list(rows.values())[:100]:
+        assert 0.0 <= r["dup_word_frac"] <= 1.0
+        assert 0.0 <= r["top_bigram_char_frac"] <= 1.0
+        assert r["gopher_pass"] in (True, False)
+    # hand-built repetitive doc must fail, clean doc must pass
+    df = spark.createDataFrame(
+        [(1, "spam " * 50), (2, "a quick brown fox jumps over lazy dogs "
+                               "while reading long interesting articles")],
+        "doc_id long, text string")
+    import paddleocr_spark.functions.textfns as T
+    import pyspark.sql.functions as F
+    import os, tempfile
+    d = tempfile.mkdtemp()
+    df.withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")) \
+      .withColumn("n_chars", F.length("text")) \
+      .write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r for r in gopher_rules(spark, d).collect()}
+    assert out[1]["gopher_pass"] is False   # dup_word_frac ~0.98
+    assert out[1]["dup_word_frac"] > 0.9
+    assert out[2]["gopher_pass"] is True
