@@ -795,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_assign": SIM.ivf_assign,
         "ann_ivf_topk": SIM.ann_ivf_topk,
         "embedding_neardup": SIM.embedding_neardup,
+        "neardup_components": SIM.neardup_components,
     }
 
 
@@ -1869,5 +1870,19 @@ SELECT t_id, '<html><body><table>'
        || string_agg(exp, '' ORDER BY pos)
        || '</table></body></html>' AS html
 FROM ex GROUP BY t_id"""
+
+    sqls["neardup_components"] = f"""
+WITH RECURSIVE nd AS ({sqls['embedding_neardup']}),
+cedges AS (
+    SELECT vec_a AS s, vec_b AS d FROM nd
+    UNION ALL
+    SELECT vec_b AS s, vec_a AS d FROM nd
+),
+reach(v, u) AS (
+    SELECT s AS v, s AS u FROM cedges
+    UNION
+    SELECT r.v, e.d FROM reach r JOIN cedges e ON r.u = e.s
+)
+SELECT v AS vec_id, min(u) AS component FROM reach GROUP BY v"""
 
     return sqls

@@ -19,7 +19,8 @@ from .dedup import (dedup_exact, dedup_minhash_pairs, dedup_ngram_jaccard,
 from .metrics import char_prf, det_eval, lcs_string
 from .teds import teds, teds_batch_avg, teds_score
 from .similarity import (ann_cosine_topk, ann_ivf_topk, ann_lsh_buckets,
-                         embedding_neardup, ivf_assign)
+                         embedding_neardup, ivf_assign,
+                         neardup_components)
 from .textfns import (fingerprint, gopher_rules, lang_id,
                       quality_score, strq2b, token_count)
 
@@ -49,4 +50,5 @@ __all__ = [
     "token_count", "bench_queries", "char_prf", "det_eval", "lcs_string",
     "teds", "teds_batch_avg", "teds_score", "ann_ivf_topk", "ivf_assign",
     "simhash_pairs", "release_band_cache", "gopher_rules",
+    "neardup_components",
 ]

@@ -298,3 +298,44 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= IVF_K)
             .select("query_id", F.col("rank").cast("long").alias("rank"),
                     "vec_id", F.round("cos", 4).alias("cosine")))
+
+
+def neardup_components(spark: SparkSession, sf_dir: str,
+                       max_iters: int = 50) -> DataFrame:
+    """Connected components over the near-dup pair graph (keeper selection).
+
+    The canonical final step of near-dedup: pairs chain (A≈B, B≈C ⇒ one
+    group), so the keeper is chosen per CONNECTED COMPONENT, not per pair.
+    Implemented as iterative min-label propagation — each node repeatedly
+    adopts the smallest label among itself and its neighbors until a full
+    pass changes nothing (converges in O(component diameter) rounds; the
+    industrial-scale variant is the same loop with large-star/small-star
+    rewrites to shortcut long chains). Each round is one join + one
+    aggregate; intermediate labels persist round-over-round and the loop
+    exits on a driver-side convergence count, so the iteration count is
+    data-dependent, not guessed.
+
+    Output: (vec_id, component) for every vector in ≥1 near-dup pair;
+    component = min vec_id of the component (the keeper id).
+    """
+    pairs = embedding_neardup(spark, sf_dir).select("vec_a", "vec_b")
+    edges = (pairs.union(pairs.select(F.col("vec_b"), F.col("vec_a")))
+             .toDF("src", "dst").persist())
+    labels = (edges.select(F.col("src").alias("vec_id")).distinct()
+              .withColumn("label", F.col("vec_id")).persist())
+    labels.count()
+    for _ in range(max_iters):
+        msgs = (edges.join(labels, edges.src == labels.vec_id)
+                .select(F.col("dst").alias("vec_id"), "label"))
+        new_labels = (labels.unionByName(msgs)
+                      .groupBy("vec_id").agg(F.min("label").alias("label"))
+                      .persist())
+        changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
+                                   "vec_id")
+                   .filter(F.col("label") != F.col("old")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("vec_id", F.col("label").alias("component"))

@@ -218,3 +218,25 @@ def test_gopher_rules_flags_repetitive_docs(spark):
     assert out[1]["gopher_pass"] is False   # dup_word_frac ~0.98
     assert out[1]["dup_word_frac"] > 0.9
     assert out[2]["gopher_pass"] is True
+
+
+def test_neardup_components_chain_closure(spark):
+    """Label propagation must close CHAINS (A~B, B~C -> one component with
+    min-id keeper), matching the recursive-closure oracle semantics."""
+    from paddleocr_spark.functions.similarity import neardup_components
+    rows = {r["vec_id"]: r["component"]
+            for r in neardup_components(spark, SF).collect()}
+    assert rows
+    # injected dup pairs: (v, v+OFFSET) -> component keeper is v
+    n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    for v in range(0, n, VEC_DUP_EVERY):
+        assert rows[v + VEC_DUP_OFFSET] <= v
+        # symmetric membership: both endpoints share the component label
+        assert rows[v] == rows[v + VEC_DUP_OFFSET]
+    # component label is itself a member's id and the minimum of members
+    import collections
+    comp = collections.defaultdict(list)
+    for v, c in rows.items():
+        comp[c].append(v)
+    for c, members in comp.items():
+        assert c == min(members)
