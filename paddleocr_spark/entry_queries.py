@@ -674,6 +674,16 @@ def q_e2e_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         dt_count.cast("long").alias("dt_count"))
 
 
+def q_pse_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 PSE progressive-scale-expansion detector over deterministic
+    per-doc kernel pyramids (first 200 docs); committed-fixture oracle
+    (BFS expansion is iterative)."""
+    from .operators.spatial import pse_detect
+    docs = _docs(spark, sf_dir).select("doc_id").filter(
+        F.col("doc_id") < 200)
+    return pse_detect(docs)
+
+
 def q_east_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 EAST locality-aware NMS (sequential weighted-merge scan +
     standard NMS) per doc; committed-fixture oracle (iterative kernel)."""
@@ -773,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2e_metric": q_e2e_metric,
         "preprocess_image": q_preprocess_image,
         "east_nms": q_east_nms,                        # fixture oracle
+        "pse_detect": q_pse_detect,                    # fixture oracle
         "nms_per_class": q_nms,                        # fixture oracle
         "char_prf_metric": q_char_prf,                 # fixture oracle
         "det_eval_greedy": q_det_eval,                 # fixture oracle
@@ -986,6 +997,12 @@ FROM synth_final GROUP BY doc_id, kind"""
         "precision, recall, hmean, CAST(n_images AS BIGINT) AS n_images")
     sqls["teds_metric"] = _fixture_sql(
         "teds_metric", "CAST(pair_id AS BIGINT) AS pair_id, teds")
+    sqls["pse_detect"] = _fixture_sql(
+        "pse_detect",
+        "CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(box_idx AS BIGINT) AS box_idx, "
+        "CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1, "
+        "CAST(x2 AS BIGINT) AS x2, CAST(y2 AS BIGINT) AS y2, score")
     sqls["east_nms"] = _fixture_sql(
         "east_nms",
         "doc_id, CAST(keep_order AS BIGINT) AS keep_order, "

@@ -588,3 +588,121 @@ def nms_locality(boxes, scores, thres: float = 0.3):
         keep.append(i)
         order = [t for t in order if iou(arr[i], arr[t]) <= thres]
     return arr[keep, :4], arr[keep, 4]
+
+
+# ---------------------------------------------------------------------------
+# PSE progressive scale expansion (D3 family representative)
+# ---------------------------------------------------------------------------
+
+def connected_components_4(grid: np.ndarray) -> tuple[int, np.ndarray]:
+    """4-connected components of a binary grid.
+
+    Labels are 1..n in row-major first-pixel discovery order (the
+    contiguous relabeling convention of cv2.connectedComponents, which
+    pse_postprocess/pse/pse.pyx:70-72 uses on the smallest kernel).
+    Returns (label_num = n_components + 1, label grid) like cv2.
+    """
+    h, w = grid.shape
+    label = np.zeros((h, w), dtype=np.int32)
+    nxt = 1
+    for i in range(h):
+        for j in range(w):
+            if grid[i, j] and not label[i, j]:
+                stack = [(i, j)]
+                label[i, j] = nxt
+                while stack:
+                    x, y = stack.pop()
+                    for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                        tx, ty = x + dx, y + dy
+                        if (0 <= tx < h and 0 <= ty < w and grid[tx, ty]
+                                and not label[tx, ty]):
+                            label[tx, ty] = nxt
+                            stack.append((tx, ty))
+                nxt += 1
+    return nxt, label
+
+
+def pse_expand(kernels: np.ndarray, min_area: float) -> np.ndarray:
+    """Progressive scale expansion, pse_postprocess/pse/pse.pyx:14-72.
+
+    kernels[0] is the largest map, kernels[-1] the smallest; components of
+    the smallest seed a BFS that grows level by level toward the largest
+    (FIFO queue, 4-neighborhood in (-1,1,0,0)/(0,0,-1,1) order, edge
+    pixels deferred to the next level). QUIRK preserved: the reference
+    slices kernels[:-1] but iterates kernel_idx from the UNSLICED count −
+    boundscheck(False) over a view lands the out-of-range first level on
+    the parent's smallest kernel, so expansion effectively runs over ALL
+    K levels including the smallest — replicated here by just not
+    slicing. Components of the smallest kernel with area < min_area are
+    zeroed before seeding (pse.pyx:21-23), which lets that first level
+    re-absorb their pixels into surviving neighbors.
+    """
+    from collections import deque
+    label_num, label = connected_components_4(kernels[-1])
+    for idx in range(1, label_num):
+        if np.sum(label == idx) < min_area:
+            label[label == idx] = 0
+    h, w = label.shape
+    pred = np.zeros((h, w), dtype=np.int32)
+    que: deque = deque()
+    xs, ys = np.where(label > 0)
+    for x, y in zip(xs, ys):          # np.where is row-major, like the pyx
+        que.append((x, y))
+        pred[x, y] = label[x, y]
+    for kernel_idx in range(len(kernels) - 1, -1, -1):
+        nxt: deque = deque()
+        while que:
+            cx, cy = que.popleft()
+            cur_label = pred[cx, cy]
+            is_edge = True
+            for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                tx, ty = cx + dx, cy + dy
+                if tx < 0 or tx >= h or ty < 0 or ty >= w:
+                    continue
+                if kernels[kernel_idx][tx, ty] == 0 or pred[tx, ty] > 0:
+                    continue
+                que.append((tx, ty))
+                pred[tx, ty] = cur_label
+                is_edge = False
+            if is_edge:
+                nxt.append((cx, cy))
+        que = nxt
+    return pred
+
+
+def pse_boxes(score: np.ndarray, kernels: np.ndarray, shape,
+              thresh_unused: float = 0.5, box_thresh: float = 0.85,
+              min_area: float = 16):
+    """PSEPostProcess.generate_box, pse_postprocess.py:81-120, over the
+    expanded label map.
+
+    Per label (in label-id order): drop if pixel count < min_area or mean
+    score < box_thresh; emit the box scaled back by (ratio_w, ratio_h),
+    np.round-ed (half-even) and clipped to the source dims. DEVIATION per
+    SURVEY §1.1: the box is the axis-aligned bounding box of the
+    component's pixels, not cv2.minAreaRect's rotated quad — our span
+    model is axis-aligned throughout.
+
+    Returns list of (x1, y1, x2, y2, score) tuples.
+    """
+    src_h, src_w, ratio_h, ratio_w = shape
+    label = pse_expand(np.asarray(kernels, dtype=np.uint8), min_area)
+    out = []
+    label_num = int(label.max()) + 1
+    for i in range(1, label_num):
+        ind = label == i
+        n_pix = int(np.sum(ind))
+        if n_pix == 0:
+            continue
+        if n_pix < min_area:
+            continue
+        score_i = float(np.mean(np.asarray(score)[ind]))
+        if score_i < box_thresh:
+            continue
+        xs, ys = np.where(ind)
+        x1 = int(np.clip(np.round(ys.min() / ratio_w), 0, src_w))
+        x2 = int(np.clip(np.round(ys.max() / ratio_w), 0, src_w))
+        y1 = int(np.clip(np.round(xs.min() / ratio_h), 0, src_h))
+        y2 = int(np.clip(np.round(xs.max() / ratio_h), 0, src_h))
+        out.append((x1, y1, x2, y2, score_i))
+    return out

@@ -104,3 +104,65 @@ def east_nms_locality(boxes: DataFrame, thres: float = 0.3) -> DataFrame:
 
     return boxes.groupBy("doc_id").applyInPandas(run,
                                                  schema=EAST_NMS_SCHEMA)
+
+
+#: PSE demo geometry: K shrinking kernel maps on a GRID² map scaled back
+#: to SRC² source pixels (ratio = GRID/SRC = 0.5, exercising the inverse
+#: scaling path of generate_box).
+PSE_GRID = 24
+PSE_K = 3
+PSE_SRC = 48
+PSE_RATIO = 0.5
+
+
+def pse_doc_maps(d: int):
+    """Deterministic score map + kernel pyramid for doc d — the model-
+    output stand-in: 1-3 rectangular text blocks, kernel k eroded by k px
+    per side (PSENet's shrunk-kernel supervision shape); per-pixel scores
+    in [0.7, 1.0) so box_thresh=0.85 filters a deterministic subset."""
+    import numpy as np
+    h = w = PSE_GRID
+    kernels = np.zeros((PSE_K, h, w), dtype=np.uint8)
+    for b in range(1 + d % 3):
+        x0 = (d * 7 + b * 11) % 12
+        y0 = (d * 13 + b * 5) % 12
+        bw = 8 + (d + b) % 5
+        bh = 7 + (d * 3 + b) % 4
+        for k in range(PSE_K):
+            kernels[k, y0 + k:y0 + bh - k, x0 + k:x0 + bw - k] = 1
+    yy, xx = np.mgrid[0:h, 0:w]
+    # per-pixel scores in [0.72, 1.02): component means straddle the 0.85
+    # box_thresh, so both filter branches fire; min_area (16) drops a
+    # deterministic subset of smallest-kernel components, exercising the
+    # pre-seed area filter and the absorb-on-first-level quirk
+    score = ((xx * 7 + yy * 13 + d) % 50) / 50.0 * 0.3 + 0.72
+    return score, kernels
+
+
+PSE_SCHEMA = ("doc_id long, box_idx long, x1 long, y1 long, "
+              "x2 long, y2 long, score double")
+
+
+def pse_detect(docs: DataFrame) -> DataFrame:
+    """D3 PSE detector distributed: per-doc map synthesis + progressive
+    scale expansion (kernels.pse_expand / pse_boxes) in Arrow batches.
+
+    Each document is independent (no grouping needed): ``mapInPandas``
+    loops the batch, the iterative BFS runs per doc, boxes emit in label
+    order. Input (doc_id bigint); output one row per kept box.
+    """
+    from ..kernels import pse_boxes
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                score, kernels = pse_doc_maps(int(d))
+                boxes = pse_boxes(score, kernels,
+                                  (PSE_SRC, PSE_SRC, PSE_RATIO, PSE_RATIO))
+                for bi, (x1, y1, x2, y2, s) in enumerate(boxes):
+                    rows.append((int(d), bi, x1, y1, x2, y2, s))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "box_idx", "x1", "y1", "x2", "y2", "score"])
+
+    return docs.select("doc_id").mapInPandas(run, schema=PSE_SCHEMA)

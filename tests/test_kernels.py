@@ -368,3 +368,73 @@ def test_nms_locality_scan_is_order_dependent():
     kept, ks = nms_locality(boxes, scores, thres=0.3)
     # no merge happened; standard NMS then suppresses the 1.0 box (IoU .67)
     assert ks.tolist() == [3.0, 0.5]
+
+
+# ---------------------------------------------------------------------------
+# PSE progressive scale expansion (D3 representative)
+# ---------------------------------------------------------------------------
+
+def test_pse_expand_grows_seed_to_largest_kernel():
+    import numpy as np
+    from paddleocr_spark.kernels import pse_expand
+    k0 = np.zeros((8, 8), np.uint8)  # largest
+    k0[1:7, 1:7] = 1
+    k1 = np.zeros((8, 8), np.uint8)  # smallest (seed)
+    k1[3:5, 3:5] = 1
+    pred = pse_expand(np.stack([k0, k1]), min_area=0)
+    # the one component grows to fill the largest kernel exactly
+    assert (pred > 0).sum() == 36
+    assert set(pred[k0 == 1].tolist()) == {1}
+    assert (pred[k0 == 0] == 0).all()
+
+
+def test_pse_expand_two_seeds_split_the_shared_region():
+    import numpy as np
+    from paddleocr_spark.kernels import pse_expand
+    k0 = np.zeros((5, 9), np.uint8)
+    k0[1:4, 1:8] = 1                  # one connected large region
+    k1 = np.zeros((5, 9), np.uint8)
+    k1[2, 2] = 1                      # seed A (label 1: first row-major)
+    k1[2, 6] = 1                      # seed B (label 2)
+    pred = pse_expand(np.stack([k0, k1]), min_area=0)
+    # both labels survive and partition the region; BFS from both fronts
+    assert set(np.unique(pred)) == {0, 1, 2}
+    assert (pred[k0 == 1] > 0).all()
+    assert pred[2, 1] == 1 and pred[2, 7] == 2
+
+
+def test_pse_min_area_drops_small_seeds():
+    import numpy as np
+    from paddleocr_spark.kernels import pse_boxes
+    k0 = np.zeros((8, 8), np.uint8)
+    k0[0:4, 0:4] = 1
+    k1 = np.zeros((8, 8), np.uint8)
+    k1[1:3, 1:3] = 1                  # 4 px < min_area
+    score = np.full((8, 8), 0.9)
+    assert pse_boxes(score, np.stack([k0, k1]),
+                     (16, 16, 0.5, 0.5), min_area=16) == []
+    # same geometry with min_area 4 emits one box, scaled /0.5 and clipped
+    out = pse_boxes(score, np.stack([k0, k1]), (16, 16, 0.5, 0.5),
+                    min_area=4)
+    assert len(out) == 1
+    x1, y1, x2, y2, s = out[0]
+    assert (x1, y1) == (0, 0) and (x2, y2) == (6, 6)  # 3/0.5 = 6
+    assert s == 0.9
+
+
+def test_pse_distributed_matches_kernel(spark):
+    import numpy as np
+    from paddleocr_spark.kernels import pse_boxes
+    from paddleocr_spark.operators.spatial import (PSE_RATIO, PSE_SRC,
+                                                   pse_detect, pse_doc_maps)
+    import pyspark.sql.functions as F
+    docs = spark.range(40).select(F.col("id").alias("doc_id"))
+    got = {}
+    for r in pse_detect(docs).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["box_idx"], r["x1"], r["y1"], r["x2"], r["y2"], r["score"]))
+    for d in range(40):
+        score, kernels = pse_doc_maps(d)
+        want = [(i, *b) for i, b in enumerate(pse_boxes(
+            score, kernels, (PSE_SRC, PSE_SRC, PSE_RATIO, PSE_RATIO)))]
+        assert sorted(got.get(d, [])) == want, d

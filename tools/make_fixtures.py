@@ -245,6 +245,29 @@ def fx_east_nms(con, sf_dir: str) -> pd.DataFrame:
             .astype({"keep_order": "int64"}))
 
 
+def fx_pse_detect(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_pse_detect single-node: doc ids from DuckDB, maps +
+    expansion via the shared kernels."""
+    from paddleocr_spark.kernels import pse_boxes
+    from paddleocr_spark.operators.spatial import (PSE_RATIO, PSE_SRC,
+                                                   pse_doc_maps)
+    ids = con.sql(f"""
+        SELECT doc_id FROM read_parquet(
+            '{os.path.join(sf_dir, "documents.parquet")}')
+        WHERE doc_id < 200 ORDER BY doc_id
+    """).df()["doc_id"]
+    rows = []
+    for d in ids:
+        score, kernels = pse_doc_maps(int(d))
+        for bi, (x1, y1, x2, y2, s) in enumerate(pse_boxes(
+                score, kernels, (PSE_SRC, PSE_SRC, PSE_RATIO, PSE_RATIO))):
+            rows.append((int(d), bi, x1, y1, x2, y2, s))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "box_idx", "x1", "y1", "x2", "y2", "score"]).astype(
+        {"doc_id": "int64", "box_idx": "int64", "x1": "int64",
+         "y1": "int64", "x2": "int64", "y2": "int64"})
+
+
 FIXTURES = {
     "flagship_extract": fx_flagship_extract,
     "nms_per_class": fx_nms_per_class,
@@ -252,6 +275,7 @@ FIXTURES = {
     "det_eval_greedy": fx_det_eval,
     "teds_metric": fx_teds,
     "east_nms": fx_east_nms,
+    "pse_detect": fx_pse_detect,
 }
 
 
