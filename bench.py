@@ -20,8 +20,10 @@ filters → strip → reading-order kernel → assembled docs) at:
   The headline 32-thread number is still reported.
 
 Each level runs in its own subprocess (fresh JVM); per level: one warmup
-run, then best-of-3 (the reference's warmup-skipped methodology,
-benchmark/analysis.py:156-240). Prints ONE JSON line:
+run, then best-of-5 (the reference's warmup-skipped methodology,
+benchmark/analysis.py:156-240; 5 draws rather than 3 because sandbox
+contention inflates individual runs one-sidedly — the minimum is the
+robust estimator of the uncontended time). Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 """
 
@@ -36,7 +38,7 @@ import tempfile
 import time
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
-TIMED_RUNS = 3
+TIMED_RUNS = 5
 
 
 def _sf_of(sf_dir: str) -> float:
