@@ -144,22 +144,37 @@ def main() -> int:
             "times": head["times"],
         }
         if do_scaling:
-            lo = _spawn(2, corpus_path, sf_dir, full=False)
-            hi4 = _spawn(8, corpus_path, sf_dir, full=False)
+            # The scaling pair runs a 2x-replicated corpus: the round-2
+            # fast path cut the 8-core wall to ~5 s on the headline corpus,
+            # short enough that constant per-job costs (JVM scheduling,
+            # shuffle setup) dominate the ratio — the north rule measures
+            # THROUGHPUT scaling, so give both levels enough work that the
+            # steady-state rate is what's timed. Same input at both levels.
+            scale_corpus = os.path.join(
+                tempfile.mkdtemp(prefix="bench_scale_"), "corpus")
+            prep_corpus(sf_dir, replicate * 2, scale_corpus)
+            lo = _spawn(2, scale_corpus, sf_dir, full=False)
+            hi4 = _spawn(8, scale_corpus, sf_dir, full=False)
             ratio = (lo["flagship_sec"] / hi4["flagship_sec"]
                      if hi4["flagship_sec"] > 0 else 0.0)
             result["scaling"] = {
                 "cores_lo": 2, "cores_hi": 8,
+                "replicate": replicate * 2,
+                "docs": lo["docs_out"],
                 "sec_lo": lo["flagship_sec"], "sec_hi": hi4["flagship_sec"],
                 "times_lo": lo["times"], "times_hi": hi4["times"],
                 "docs_per_sec_lo": lo["docs_per_sec"],
                 "docs_per_sec_hi": hi4["docs_per_sec"],
                 "speedup": round(ratio, 3),
                 "efficiency": round(ratio / 4.0, 3),
-                "note": ("N vs 4N cores on identical input; 2->8 chosen "
-                         "because this sandbox cannot sustain 32 busy "
-                         "threads without 2-3x run-to-run noise"),
+                "note": ("N vs 4N cores on identical input (2x headline "
+                         "corpus so steady-state throughput dominates "
+                         "fixed per-job costs); 2->8 chosen because this "
+                         "sandbox cannot sustain 32 busy threads without "
+                         "2-3x run-to-run noise"),
             }
+            shutil.rmtree(os.path.dirname(scale_corpus),
+                          ignore_errors=True)
         print(json.dumps(result))
     finally:
         shutil.rmtree(os.path.dirname(corpus_path), ignore_errors=True)
