@@ -68,7 +68,32 @@ def prep_corpus(sf_dir: str, replicate: int, out_path: str) -> None:
     spark.stop()
 
 
-def worker(cores: int, corpus_path: str, sf_dir: str, full: bool) -> dict:
+def double_corpus(src_path: str, out_path: str) -> None:
+    """Scaling corpus = the materialized headline corpus ∪ an id-shifted
+    copy — a cheap remap+write instead of re-running the interpreted
+    corpus synthesis (the expensive part of prep)."""
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.session import get_spark
+
+    spark = get_spark("bench-prep2", cores=int(
+        os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+    c = spark.read.parquet(src_path)
+    # ids stay in the 'doc_<number>' shape (the drop_score stage parses
+    # the numeric part); the copy shifts the number past the replicate
+    # range (max did ~1.3e9 at replicate 128)
+    shifted = c.withColumn(
+        "doc_id", F.concat(F.lit("doc_"), (
+            F.expr("CAST(substring(doc_id, 5) AS LONG)")
+            + F.lit(2_000_000_000)).cast("string")))
+    c.unionByName(shifted).repartition(64).write.mode(
+        "overwrite").parquet(out_path)
+    spark.stop()
+
+
+def worker(cores: int, corpus_path: str, sf_dir: str, full: bool,
+           runs: int = TIMED_RUNS) -> dict:
     from pyspark.sql import functions as F
 
     from paddleocr_spark.pipeline import extract
@@ -87,7 +112,7 @@ def worker(cores: int, corpus_path: str, sf_dir: str, full: bool) -> dict:
 
     run()  # warmup: python workers, codegen, shuffle files
     times = []
-    for _ in range(TIMED_RUNS):
+    for _ in range(runs):
         sec, ndocs, nspans = run()
         times.append(round(sec, 3))
     best = min(times)
@@ -107,13 +132,14 @@ def worker(cores: int, corpus_path: str, sf_dir: str, full: bool) -> dict:
     return res
 
 
-def _spawn(cores: int, corpus_path: str, sf_dir: str, full: bool) -> dict:
+def _spawn(cores: int, corpus_path: str, sf_dir: str, full: bool,
+           runs: int = TIMED_RUNS) -> dict:
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__)) + (
         os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--worker",
-         str(cores), corpus_path, sf_dir, "1" if full else "0"],
+         str(cores), corpus_path, sf_dir, "1" if full else "0", str(runs)],
         capture_output=True, text=True, env=env, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
@@ -152,9 +178,11 @@ def main() -> int:
             # steady-state rate is what's timed. Same input at both levels.
             scale_corpus = os.path.join(
                 tempfile.mkdtemp(prefix="bench_scale_"), "corpus")
-            prep_corpus(sf_dir, replicate * 2, scale_corpus)
-            lo = _spawn(2, scale_corpus, sf_dir, full=False)
-            hi4 = _spawn(8, scale_corpus, sf_dir, full=False)
+            double_corpus(corpus_path, scale_corpus)
+            # 2-core runs are stable (±5% historically): 3 draws suffice;
+            # the 8-core level keeps 5 (contention hits it hardest).
+            lo = _spawn(2, scale_corpus, sf_dir, full=False, runs=3)
+            hi4 = _spawn(8, scale_corpus, sf_dir, full=False, runs=5)
             ratio = (lo["flagship_sec"] / hi4["flagship_sec"]
                      if hi4["flagship_sec"] > 0 else 0.0)
             result["scaling"] = {
@@ -184,6 +212,8 @@ def main() -> int:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         print(json.dumps(worker(int(sys.argv[2]), sys.argv[3], sys.argv[4],
-                                sys.argv[5] == "1")))
+                                sys.argv[5] == "1",
+                                int(sys.argv[6]) if len(sys.argv) > 6
+                                else TIMED_RUNS)))
         sys.exit(0)
     sys.exit(main())
