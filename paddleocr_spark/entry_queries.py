@@ -716,6 +716,28 @@ def q_preprocess_image(spark: SparkSession, sf_dir: str) -> DataFrame:
           for c in ("r_flat", "g_flat", "b_flat", "r_inv", "otsu_bin")])
 
 
+def q_cls_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 ClsMetric (ppocr/metrics/cls_metric.py:20-42): orientation-
+    classification accuracy = correct / (n + eps). Ground truth is the
+    orient4 angle; the noisy classifier stand-in mispredicts when the
+    SECOND md5 hex digit is '0' (~1/16 of docs), rotating the label one
+    class forward — so acc lands near 15/16, not a degenerate 1.0."""
+    angle_true = F.expr(
+        "(instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)),"
+        " 1, 1)) - 1) % 4")
+    noisy = F.expr(
+        "substring(md5(CAST(doc_id AS STRING)), 2, 1) = '0'")
+    angle_pred = F.when(noisy, (angle_true + 1) % 4).otherwise(angle_true)
+    d = _docs(spark, sf_dir).select(
+        angle_true.alias("t"), angle_pred.alias("p"))
+    return d.agg(
+        F.round(F.sum(F.when(F.col("p") == F.col("t"), 1).otherwise(0))
+                / (F.count("*") + F.lit(1e-5)), 4).alias("acc"),
+        F.sum(F.when(F.col("p") == F.col("t"), 1).otherwise(0))
+        .cast("long").alias("n_correct"),
+        F.count("*").cast("long").alias("n"))
+
+
 def q_orientation4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-way orientation stage (ppstructure/predict_system.py:94-108): the
     deterministic scanner-rotation is undone by the classifier-driven
@@ -777,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # J6 KIE SER->RE self-join + 4-way orientation (R1 extension)
         "kie_pairs": KIE.kie_pairs,
         "orientation4": q_orientation4,
+        "cls_metric": q_cls_metric,
         # P7 resize, R4 attn decode, A8 e2e metric (round-2 widening)
         "media_resize": q_media_resize,
         "attn_decode": q_attn_decode,
@@ -1538,6 +1561,22 @@ SELECT doc_id, head_id, tail_id FROM (
                                  ORDER BY head_id) AS rn
     FROM kcand
 ) WHERE rn = 1"""
+
+    sqls["cls_metric"] = """
+WITH c AS (
+    SELECT (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 4
+               AS t,
+           substring(md5(CAST(doc_id AS VARCHAR)), 2, 1) = '0' AS noisy
+    FROM documents
+), p AS (
+    SELECT t, CASE WHEN noisy THEN (t + 1) % 4 ELSE t END AS p FROM c
+)
+SELECT round(sum(CASE WHEN p = t THEN 1 ELSE 0 END)
+             / (count(*) + 1e-5), 4) + 0 AS acc,
+       CAST(sum(CASE WHEN p = t THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(count(*) AS BIGINT) AS n
+FROM p"""
 
     sqls["orientation4"] = """
 WITH base AS (
