@@ -684,6 +684,17 @@ def q_pse_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pse_detect(docs)
 
 
+def q_db_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 DBPostProcess box pipeline (binarize → CC → box_score_fast →
+    unclip → rescale, db_postprocess.py:104-263) over deterministic
+    per-doc probability maps (first 200 docs); committed-fixture oracle
+    (connected-component labeling is iterative)."""
+    from .operators.spatial import db_detect
+    docs = _docs(spark, sf_dir).select("doc_id").filter(
+        F.col("doc_id") < 200)
+    return db_detect(docs)
+
+
 def q_east_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 EAST locality-aware NMS (sequential weighted-merge scan +
     standard NMS) per doc; committed-fixture oracle (iterative kernel)."""
@@ -778,6 +789,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_span_counts": q_flagship_span_counts,
         "flagship_kind_counts": q_flagship_kind_counts,
         "flagship_extract": q_flagship_extract,        # fixture oracle
+        # NOTE on ordering: the round-2 driver gate recorded exactly the
+        # LAST TWO dict entries missing from CORRECTNESS_r02.json (a
+        # time/entry budget cutoff) — so the expensive query families run
+        # EARLY and the sub-second scalar queries close the dict; any
+        # future cutoff can only cost cheap, easily-re-verified entries.
+        # similarity search + near-dup graph (the round-2 dropped pair
+        # first among them)
+        "embedding_neardup": SIM.embedding_neardup,
+        "neardup_components": SIM.neardup_components,
+        "ann_cosine_topk": SIM.ann_cosine_topk,
+        "ann_lsh_buckets": SIM.ann_lsh_buckets,
+        "ann_ivf_assign": SIM.ivf_assign,
+        "ann_ivf_topk": SIM.ann_ivf_topk,
+        # detector/eval fixture-oracle family
+        "db_detect": q_db_detect,                      # fixture oracle
+        "east_nms": q_east_nms,                        # fixture oracle
+        "pse_detect": q_pse_detect,                    # fixture oracle
+        "nms_per_class": q_nms,                        # fixture oracle
+        "char_prf_metric": q_char_prf,                 # fixture oracle
+        "det_eval_greedy": q_det_eval,                 # fixture oracle
+        "teds_metric": q_teds,                         # fixture oracle
+        # dedup
+        "dedup_exact": D.dedup_exact,
+        "dedup_minhash_pairs": D.dedup_minhash_pairs,
+        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
+        "dedup_simhash": D.dedup_simhash,
+        "simhash_pairs": D.simhash_pairs,
+        # D7/J2/A7 table-structure family (operators/table.py)
+        "table_structure": TBL.table_structure,
+        "table_html": TBL.table_html,
+        "table_token_acc": TBL.table_token_acc,
+        # J6 KIE SER->RE self-join + 4-way orientation (R1 extension)
+        "kie_pairs": KIE.kie_pairs,
+        "orientation4": q_orientation4,
+        "cls_metric": q_cls_metric,
+        # P7 resize, R4 attn decode, A8 e2e metric (round-2 widening)
+        "media_resize": q_media_resize,
+        "attn_decode": q_attn_decode,
+        "e2e_metric": q_e2e_metric,
+        "preprocess_image": q_preprocess_image,
         # relational operator demos
         "union_sample": q_union_sample,
         "topk_window": q_topk_window,
@@ -792,44 +843,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strq2b": q_strq2b,
         "ctc_roundtrip": q_ctc_roundtrip,
         "media_decode": q_media_decode,
-        # D7/J2/A7 table-structure family (operators/table.py)
-        "table_structure": TBL.table_structure,
-        "table_html": TBL.table_html,
-        "table_token_acc": TBL.table_token_acc,
-        # J6 KIE SER->RE self-join + 4-way orientation (R1 extension)
-        "kie_pairs": KIE.kie_pairs,
-        "orientation4": q_orientation4,
-        "cls_metric": q_cls_metric,
-        # P7 resize, R4 attn decode, A8 e2e metric (round-2 widening)
-        "media_resize": q_media_resize,
-        "attn_decode": q_attn_decode,
-        "e2e_metric": q_e2e_metric,
-        "preprocess_image": q_preprocess_image,
-        "east_nms": q_east_nms,                        # fixture oracle
-        "pse_detect": q_pse_detect,                    # fixture oracle
-        "nms_per_class": q_nms,                        # fixture oracle
-        "char_prf_metric": q_char_prf,                 # fixture oracle
-        "det_eval_greedy": q_det_eval,                 # fixture oracle
-        "teds_metric": q_teds,                         # fixture oracle
         # text analysis
         "token_count": T.token_count,
         "lang_id": T.lang_id,
         "quality_score": T.quality_score,
         "fingerprint": T.fingerprint,
         "gopher_rules": T.gopher_rules,
-        # dedup
-        "dedup_exact": D.dedup_exact,
-        "dedup_minhash_pairs": D.dedup_minhash_pairs,
-        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
-        "dedup_simhash": D.dedup_simhash,
-        "simhash_pairs": D.simhash_pairs,
-        # similarity search
-        "ann_cosine_topk": SIM.ann_cosine_topk,
-        "ann_lsh_buckets": SIM.ann_lsh_buckets,
-        "ann_ivf_assign": SIM.ivf_assign,
-        "ann_ivf_topk": SIM.ann_ivf_topk,
-        "embedding_neardup": SIM.embedding_neardup,
-        "neardup_components": SIM.neardup_components,
     }
 
 
@@ -1022,6 +1041,12 @@ FROM synth_final GROUP BY doc_id, kind"""
         "teds_metric", "CAST(pair_id AS BIGINT) AS pair_id, teds")
     sqls["pse_detect"] = _fixture_sql(
         "pse_detect",
+        "CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(box_idx AS BIGINT) AS box_idx, "
+        "CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1, "
+        "CAST(x2 AS BIGINT) AS x2, CAST(y2 AS BIGINT) AS y2, score")
+    sqls["db_detect"] = _fixture_sql(
+        "db_detect",
         "CAST(doc_id AS BIGINT) AS doc_id, "
         "CAST(box_idx AS BIGINT) AS box_idx, "
         "CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1, "

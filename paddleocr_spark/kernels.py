@@ -706,3 +706,90 @@ def pse_boxes(score: np.ndarray, kernels: np.ndarray, shape,
         y2 = int(np.clip(np.round(xs.max() / ratio_h), 0, src_h))
         out.append((x1, y1, x2, y2, score_i))
     return out
+
+
+# ---------------------------------------------------------------------------
+# DBPostProcess box pipeline (D1 — the reference's DEFAULT detector path)
+# ---------------------------------------------------------------------------
+
+def db_boxes(pred: np.ndarray, shape,
+             thresh: float = 0.3, box_thresh: float = 0.6,
+             unclip_ratio: float = 1.5, max_candidates: int = 1000,
+             min_size: int = 3):
+    """DBPostProcess.boxes_from_bitmap over a 2-D probability map —
+    transcription of ppocr/postprocess/db_postprocess.py:104-263 with the
+    repo-wide axis-aligned deviation (SURVEY §1.1).
+
+    Pipeline, step for step with the reference (runtime defaults
+    thresh=0.3 / box_thresh=0.6 / unclip_ratio=1.5 per
+    tools/infer/utility.py:58-60, score_mode="fast", use_dilation=False):
+
+    1. ``segmentation = pred > thresh`` (__call__, db_postprocess.py:230 —
+       strict >, raw prob map retained for scoring).
+    2. Contours → components: ``connected_components_4`` of the bitmap
+       stands in for cv2.findContours(RETR_LIST). DEVIATION documented:
+       candidate order is row-major first-pixel discovery order, not
+       cv2's contour-retrieval order; the candidate CAP
+       (``num_contours = min(len(contours), max_candidates)``,
+       boxes_from_bitmap:125) is applied in that order.
+    3. ``get_mini_boxes`` (:164-186): for an axis-aligned pixel set,
+       cv2.minAreaRect's dims are exactly (xmax-xmin, ymax-ymin), so
+       sside = min(x2-x1, y2-y1); drop if ``sside < min_size`` (:133).
+    4. ``box_score_fast`` (:187-202): mean of the RAW prob map over the
+       int-clipped bbox window [floor(xmin)..ceil(xmax)] ×
+       [floor(ymin)..ceil(ymax)], bounds clipped to [0, dim-1]; the
+       fillPoly mask of an axis-aligned quad covers the whole window, so
+       the masked mean is the plain window mean. For merged (L-shaped)
+       components the window includes sub-thresh background — exactly the
+       reference's fast-mode dilution. Drop if ``box_thresh > score``
+       (:139 — strict >, ties at the threshold survive).
+    5. ``unclip`` (:156-162): offset d = area·unclip_ratio/perimeter via
+       shapely, area=(x2-x1)·(y2-y1), perimeter=2·((x2-x1)+(y2-y1)) for
+       the corner polygon; the pyclipper JT_ROUND expansion of a
+       rectangle re-rects (via get_mini_boxes, :143) to the bbox grown by
+       d per side. Axis-aligned deviation: keep d float (pyclipper
+       quantizes to its integer grid). Drop if the re-rect
+       ``sside + 2d < min_size + 2`` (:145).
+    6. Rescale (:148-152): x → clip(np.round(x / W · dest_w), 0, dest_w),
+       y likewise with H/dest_h (np.round = HALF-EVEN), then int cast.
+       shape = (src_h, src_w, ratio_h, ratio_w) as produced by
+       DetResizeForTest, dest = the ORIGINAL image dims.
+
+    Returns list of (x1, y1, x2, y2, score) in candidate order — score is
+    the UNROUNDED box_score_fast float, like the reference's scores list.
+    """
+    pred = np.asarray(pred, dtype=np.float64)
+    height, width = pred.shape
+    src_h, src_w = int(shape[0]), int(shape[1])
+    bitmap = pred > thresh
+    label_num, label = connected_components_4(bitmap)
+    out = []
+    n_cand = min(label_num - 1, max_candidates)
+    for idx in range(1, n_cand + 1):
+        xs, ys = np.where(label == idx)          # xs = rows, ys = cols
+        x1, x2 = float(ys.min()), float(ys.max())
+        y1, y2 = float(xs.min()), float(xs.max())
+        sside = min(x2 - x1, y2 - y1)
+        if sside < min_size:
+            continue
+        # box_score_fast on the raw prob map (corners are ints: floor/ceil
+        # are no-ops; the [0, dim-1] clip is kept for fidelity)
+        xmin = int(np.clip(np.floor(x1), 0, width - 1))
+        xmax = int(np.clip(np.ceil(x2), 0, width - 1))
+        ymin = int(np.clip(np.floor(y1), 0, height - 1))
+        ymax = int(np.clip(np.ceil(y2), 0, height - 1))
+        score = float(pred[ymin:ymax + 1, xmin:xmax + 1].mean())
+        if box_thresh > score:
+            continue
+        area = (x2 - x1) * (y2 - y1)
+        length = 2.0 * ((x2 - x1) + (y2 - y1))
+        d = area * unclip_ratio / length
+        ex1, ey1, ex2, ey2 = x1 - d, y1 - d, x2 + d, y2 + d
+        if min(ex2 - ex1, ey2 - ey1) < min_size + 2:
+            continue
+        bx1 = int(np.clip(np.round(ex1 / width * src_w), 0, src_w))
+        bx2 = int(np.clip(np.round(ex2 / width * src_w), 0, src_w))
+        by1 = int(np.clip(np.round(ey1 / height * src_h), 0, src_h))
+        by2 = int(np.clip(np.round(ey2 / height * src_h), 0, src_h))
+        out.append((bx1, by1, bx2, by2, score))
+    return out

@@ -166,3 +166,69 @@ def pse_detect(docs: DataFrame) -> DataFrame:
                 "doc_id", "box_idx", "x1", "y1", "x2", "y2", "score"])
 
     return docs.select("doc_id").mapInPandas(run, schema=PSE_SCHEMA)
+
+
+#: DB demo geometry: a GRID² probability map scaled back to SRC² source
+#: pixels (ratio = GRID/SRC = 0.5 — exercising boxes_from_bitmap's
+#: dest_width/dest_height inverse scaling).
+DB_GRID = 32
+DB_SRC = 64
+DB_RATIO = 0.5
+
+
+def db_doc_maps(d: int):
+    """Deterministic DB probability map for doc d — the DBNet model-output
+    stand-in (same role as pse_doc_maps for PSE): 1-3 rectangular text
+    blobs over sub-threshold background noise.
+
+    Designed so every branch of db_boxes fires across the corpus:
+    background in [0, 0.25) stays under thresh=0.3 but DILUTES
+    box_score_fast when merged components produce L-shaped bboxes; blob
+    probabilities in [0.45, 0.80) make component means straddle
+    box_thresh=0.6; blob heights 2-8 straddle the min_size=3 side filter;
+    x0=0 columns exercise the negative-coordinate clip after unclip.
+    """
+    import numpy as np
+    h = w = DB_GRID
+    yy, xx = np.mgrid[0:h, 0:w]
+    pred = ((xx * 11 + yy * 7 + d) % 29) / 29.0 * 0.25
+    for b in range(1 + d % 3):
+        x0 = (d * 5 + b * 13) % 18
+        y0 = (d * 11 + b * 7) % 20
+        bw = 5 + (d * 3 + b) % 12
+        bh = 2 + (d + b * 5) % 7
+        blob = 0.45 + ((xx * 5 + yy * 3 + d + b * 9) % 35) / 100.0
+        box = np.zeros((h, w), dtype=bool)
+        box[y0:y0 + bh, x0:x0 + bw] = True
+        pred = np.where(box, blob, pred)
+    return pred
+
+
+DB_SCHEMA = ("doc_id long, box_idx long, x1 long, y1 long, "
+             "x2 long, y2 long, score double")
+
+
+def db_detect(docs: DataFrame) -> DataFrame:
+    """D1 DBPostProcess detector distributed: per-doc prob-map synthesis +
+    the full boxes_from_bitmap pipeline (kernels.db_boxes) in Arrow
+    batches.
+
+    Like pse_detect, each document is independent — ``mapInPandas`` loops
+    the batch and the CC+score+unclip kernel runs per doc; boxes emit in
+    candidate (discovery) order. Input (doc_id bigint); output one row
+    per kept box.
+    """
+    from ..kernels import db_boxes
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                pred = db_doc_maps(int(d))
+                boxes = db_boxes(pred, (DB_SRC, DB_SRC, DB_RATIO, DB_RATIO))
+                for bi, (x1, y1, x2, y2, s) in enumerate(boxes):
+                    rows.append((int(d), bi, x1, y1, x2, y2, s))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "box_idx", "x1", "y1", "x2", "y2", "score"])
+
+    return docs.select("doc_id").mapInPandas(run, schema=DB_SCHEMA)

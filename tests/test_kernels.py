@@ -438,3 +438,110 @@ def test_pse_distributed_matches_kernel(spark):
         want = [(i, *b) for i, b in enumerate(pse_boxes(
             score, kernels, (PSE_SRC, PSE_SRC, PSE_RATIO, PSE_RATIO)))]
         assert sorted(got.get(d, [])) == want, d
+
+
+# ---------------------------------------------------------------------------
+# DBPostProcess (D1) — db_boxes kernel + distributed differential
+# ---------------------------------------------------------------------------
+
+def test_db_boxes_basic_box_and_rescale():
+    """One solid blob: binarize > 0.3, score = blob mean, unclip by
+    d = area*1.5/perimeter, rescale /width*dest with half-even round."""
+    import numpy as np
+    from paddleocr_spark.kernels import db_boxes
+    pred = np.zeros((32, 32))
+    pred[4:12, 3:20] = 0.7          # spans: a=16 (x), b=7 (y)
+    out = db_boxes(pred, (64, 64, 0.5, 0.5))
+    assert len(out) == 1
+    x1, y1, x2, y2, s = out[0]
+    assert abs(s - 0.7) < 1e-12
+    # d = (16*7)*1.5 / (2*(16+7)) = 168/46*... = 3.6521...
+    d = 16 * 7 * 1.5 / (2 * (16 + 7))
+    assert x1 == int(np.clip(np.round((3 - d) / 32 * 64), 0, 64))
+    assert x2 == int(np.clip(np.round((19 + d) / 32 * 64), 0, 64))
+    assert y1 == int(np.clip(np.round((4 - d) / 32 * 64), 0, 64))
+    assert y2 == int(np.clip(np.round((11 + d) / 32 * 64), 0, 64))
+
+
+def test_db_boxes_threshold_semantics():
+    """Strict >thresh binarize; strict box_thresh > score drop (ties at
+    box_thresh survive, db_postprocess.py:139)."""
+    import numpy as np
+    from paddleocr_spark.kernels import db_boxes
+    pred = np.zeros((32, 32))
+    pred[2:10, 2:12] = 0.3          # == thresh: NOT in the bitmap
+    assert db_boxes(pred, (64, 64, 0.5, 0.5)) == []
+    pred[2:10, 2:12] = 0.7
+    mean = float(pred[2:10, 2:12].mean())
+    # score == box_thresh exactly: kept (strict box_thresh > score)
+    out = db_boxes(pred, (64, 64, 0.5, 0.5), box_thresh=mean)
+    assert len(out) == 1 and out[0][4] == mean
+    # one ulp above: dropped
+    assert db_boxes(pred, (64, 64, 0.5, 0.5),
+                    box_thresh=np.nextafter(mean, 1.0)) == []
+
+
+def test_db_boxes_min_size_and_score_dilution():
+    """sside < 3 drops thin components; an L-shaped merged component is
+    scored over its FULL bbox (sub-thresh background dilutes the fast
+    score below box_thresh — the reference's fast-mode behavior)."""
+    import numpy as np
+    from paddleocr_spark.kernels import db_boxes
+    pred = np.zeros((32, 32))
+    pred[2:5, 2:22] = 0.9           # y-span = 2 < min_size → dropped
+    assert db_boxes(pred, (64, 64, 0.5, 0.5)) == []
+    # L-shape: 20x4 bar + 4x20 stem, bbox 20x20 mostly zeros →
+    # mean over bbox ≈ (80+64)*0.9/400 < 0.6 → dropped
+    pred = np.zeros((32, 32))
+    pred[2:6, 2:22] = 0.9
+    pred[6:22, 2:6] = 0.9
+    assert db_boxes(pred, (64, 64, 0.5, 0.5)) == []
+    # same shapes NOT merged (gap) → two boxes, each mean 0.9
+    pred = np.zeros((32, 32))
+    pred[2:6, 8:28] = 0.9
+    pred[8:28, 2:6] = 0.9
+    out = db_boxes(pred, (64, 64, 0.5, 0.5))
+    assert len(out) == 2 and all(abs(b[4] - 0.9) < 1e-12 for b in out)
+
+
+def test_db_boxes_candidate_order_and_cap():
+    """Candidates emit in row-major discovery order; max_candidates caps
+    the CANDIDATE list before filtering (boxes_from_bitmap:125), not the
+    output list."""
+    import numpy as np
+    from paddleocr_spark.kernels import db_boxes
+    pred = np.zeros((32, 32))
+    pred[20:28, 2:10] = 0.9         # discovered second (lower row)
+    pred[2:10, 20:28] = 0.8         # discovered first
+    out = db_boxes(pred, (64, 64, 0.5, 0.5))
+    assert [round(b[4], 9) for b in out] == [0.8, 0.9]
+    # cap=1 keeps only the first DISCOVERED candidate
+    out = db_boxes(pred, (64, 64, 0.5, 0.5), max_candidates=1)
+    assert [round(b[4], 9) for b in out] == [0.8]
+
+
+def test_db_unclip_side_filter_unreachable_at_defaults():
+    """The post-unclip sside+2d < min_size+2 filter (db_postprocess.py:145)
+    is structurally dead at defaults for axis-aligned rects: any box
+    passing sside ≥ 3 has sside + 2·(area·1.5/perimeter) ≥ 5.25 > 5.
+    Pin the bound so a future parameter change re-opens it consciously."""
+    a = 3.0  # minimal passing sside; monotone ↑ in the other span b
+    b = 3.0
+    d = (a * b) * 1.5 / (2 * (a + b))
+    assert a + 2 * d == 5.25
+
+
+def test_db_distributed_matches_kernel(spark):
+    from paddleocr_spark.kernels import db_boxes
+    from paddleocr_spark.operators.spatial import (DB_RATIO, DB_SRC,
+                                                   db_detect, db_doc_maps)
+    import pyspark.sql.functions as F
+    docs = spark.range(40).select(F.col("id").alias("doc_id"))
+    got = {}
+    for r in db_detect(docs).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["box_idx"], r["x1"], r["y1"], r["x2"], r["y2"], r["score"]))
+    for d in range(40):
+        want = [(i, *b) for i, b in enumerate(db_boxes(
+            db_doc_maps(d), (DB_SRC, DB_SRC, DB_RATIO, DB_RATIO)))]
+        assert sorted(got.get(d, [])) == want, d

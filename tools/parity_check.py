@@ -63,9 +63,12 @@ def main() -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
+    import time
+    t_all = time.time()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
@@ -101,9 +104,10 @@ def main() -> int:
             print(f"      duckdb: {dr[diff]}")
             n_fail += 1
         else:
-            print(f"PASS  {name}: {len(sr)} rows")
+            print(f"PASS  {name}: {len(sr)} rows  [{time.time() - t0:.1f}s]")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only ==")
+    print(f"== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only "
+          f"[{time.time() - t_all:.1f}s total] ==")
     spark.stop()
     return 1 if n_fail else 0
 
