@@ -796,7 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # future cutoff can only cost cheap, easily-re-verified entries.
         # similarity search + near-dup graph (the round-2 dropped pair
         # first among them)
-        "embedding_neardup": SIM.embedding_neardup,
+        "embedding_neardup": SIM.neardup_pairs_cached,
         "neardup_components": SIM.neardup_components,
         "ann_cosine_topk": SIM.ann_cosine_topk,
         "ann_lsh_buckets": SIM.ann_lsh_buckets,

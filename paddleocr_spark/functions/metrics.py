@@ -29,13 +29,26 @@ EPS = 1e-5  # rec_metric.py:71
 # ---------------------------------------------------------------------------
 
 def _lcs_row(a: str, b: str) -> list[int]:
-    """Last row of the LCS length DP table for (a, b)."""
-    cur = [0] * (len(b) + 1)
+    """Last row of the (fork-lossy) LCS DP table for (a, b).
+
+    The fork's recurrence (rec_metric.py:30-41) reads ``curr[j]`` before
+    any update of row i touches it — after ``prev = curr[:]`` that value
+    IS ``prev[j]``, so the mismatch branch ``max(curr[j], prev[j])``
+    collapses to ``prev[j]`` and row i has NO dependency on its own
+    earlier columns (the lossy quirk: LCS[i][j-1] never propagates).
+    That makes the inner loop a pure elementwise select, vectorized here
+    over j — identical values to the fork's loop, ~100× faster on long
+    rows.
+    """
+    import numpy as np
+    bn = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    curr = np.zeros(len(bn) + 1, dtype=np.int64)
     for ch in a:
-        prev = cur[:]
-        for j, bj in enumerate(b, 1):
-            cur[j] = prev[j - 1] + 1 if ch == bj else max(cur[j], prev[j])
-    return cur
+        prev = curr
+        curr = np.empty_like(prev)
+        curr[0] = 0
+        curr[1:] = np.where(bn == ord(ch), prev[:-1] + 1, prev[1:])
+    return curr.tolist()
 
 
 def lcs_string(x: str, y: str) -> str:
@@ -96,8 +109,14 @@ def char_prf(pairs: DataFrame) -> DataFrame:
     either — rec_metric.py:205-233, eps'd denominators preserved);
     overall_* are the total-count ratios (:237-239). All rounded 4dp.
     """
-    partial = pairs.select("pred", "target").mapInPandas(
-        _char_counts, schema=CHAR_COUNT_SCHEMA)
+    # The LCS stage is CPU-bound Python over a tiny scan (one parquet
+    # file = one task at gate SF; a handful of manifests at scale) —
+    # round-robin widen so the kernel runs at full parallelism
+    # (pipeline.ensure_input_parallelism rationale). Counts are
+    # partition-invariant: partials sum per char.
+    sc = pairs.sparkSession.sparkContext
+    wide = pairs.select("pred", "target").repartition(sc.defaultParallelism)
+    partial = wide.mapInPandas(_char_counts, schema=CHAR_COUNT_SCHEMA)
     per_char = (partial.groupBy("char")
                 .agg(F.sum("n_label").alias("n_label"),
                      F.sum("n_pred").alias("n_pred"),
@@ -205,20 +224,40 @@ def det_eval(gt: DataFrame, det: DataFrame) -> DataFrame:
                    F.lit(False).alias("ignore"), F.lit("det").alias("side"))
     both = g.unionByName(d)
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["side", "oid"], kind="stable")
-        gt_rows = pdf[pdf["side"] == "gt"]
-        det_rows = pdf[pdf["side"] == "det"]
-        gc, dc, m = det_match_counts(
-            gt_rows[["x1", "y1", "x2", "y2"]].to_numpy(dtype=float),
-            gt_rows["ignore"].to_numpy(dtype=bool),
-            det_rows[["x1", "y1", "x2", "y2"]].to_numpy(dtype=float))
-        return pd.DataFrame([[key[0], gc, dc, m]],
-                            columns=["doc_id", "gt_care", "det_care",
-                                     "matched"])
+    def emit(tbl):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from ..operators.grouped import group_starts, string_codes
+        doc_codes = string_codes(tbl.column("doc_id"))
+        is_gt = pc.equal(tbl.column("side"), "gt").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        pts = np.stack([tbl.column(c).to_numpy() for c in
+                        ("x1", "y1", "x2", "y2")], axis=1).astype(float)
+        ignore = tbl.column("ignore").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(bool)
+        starts = group_starts(doc_codes)
+        ends = np.append(starts[1:], len(doc_codes))
+        gcs, dcs, ms = [], [], []
+        for s, e in zip(starts, ends):
+            mask = is_gt[s:e]
+            block = pts[s:e]
+            gc, dc, m = det_match_counts(
+                block[mask], ignore[s:e][mask], block[~mask])
+            gcs.append(gc)
+            dcs.append(dc)
+            ms.append(m)
+        doc_ids = pc.take(tbl.column("doc_id").combine_chunks(),
+                          pa.array(starts.astype(np.int64)))
+        return pa.RecordBatch.from_arrays(
+            [doc_ids, pa.array(np.asarray(gcs, dtype=np.int64)),
+             pa.array(np.asarray(dcs, dtype=np.int64)),
+             pa.array(np.asarray(ms, dtype=np.int64))],
+            names=["doc_id", "gt_care", "det_care", "matched"])
 
-    per_doc = both.groupBy("doc_id").applyInPandas(run,
-                                                   schema=DET_EVAL_SCHEMA)
+    from ..operators.grouped import grouped_map_arrow
+    per_doc = grouped_map_arrow(both, ["doc_id"], ["side", "oid"],
+                                emit, DET_EVAL_SCHEMA)
     agg = per_doc.agg(F.sum("matched").cast("double").alias("m"),
                       F.sum("det_care").cast("double").alias("d"),
                       F.sum("gt_care").cast("double").alias("g"),

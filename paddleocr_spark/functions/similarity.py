@@ -300,42 +300,115 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "vec_id", F.round("cos", 4).alias("cosine")))
 
 
+def neardup_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached near-dup pair table: the correctness gate and bench
+    run ``embedding_neardup`` then ``neardup_components`` back to back, and
+    the component step re-reads the pairs — one materialization serves
+    both (same persisted-build-side policy as the dedup band tables)."""
+    from .dedup import _cached
+    return _cached(spark, sf_dir, "neardup_pairs",
+                   lambda: embedding_neardup(spark, sf_dir))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SOCC'14): every node u connects its LARGER neighbors to
+    m(u) = min(Γ(u) ∪ {u}). One groupBy + one equi-join, no driver data."""
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    m = (sym.groupBy("src").agg(F.min("dst").alias("mn"))
+         .select("src", F.least("src", "mn").alias("m")))
+    return (sym.filter(F.col("dst") > F.col("src"))
+            .join(m, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: every node u connects its SMALLER neighbors (and
+    itself) to m = min of those neighbors. Output edges all point down
+    (src > dst)."""
+    down = (edges.select(F.greatest("src", "dst").alias("src"),
+                         F.least("src", "dst").alias("dst"))
+            .filter(F.col("src") != F.col("dst")))
+    m = down.groupBy("src").agg(F.min("dst").alias("m"))
+    out = (down.join(m, "src")
+           .select(F.col("dst").alias("v"), "m")
+           .filter(F.col("v") != F.col("m"))
+           .union(m.select(F.col("src").alias("v"), "m")))
+    return (out.select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .distinct())
+
+
+def connected_components_star(edges: DataFrame,
+                              max_iters: int = 30) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star connected components.
+
+    Converges in O(log n) rounds INDEPENDENT of component diameter (the
+    round-2 min-label loop was O(diameter) — fine for shallow dup
+    clusters, quadratic wall on long chains). Each round is two
+    groupBy+join passes; termination is a one-row checksum aggregate
+    (count + order-insensitive xxhash sum) of the edge set — at the fixed
+    point the set is a star forest with every node pointing at its
+    component min, which is exactly the min-label output contract.
+
+    Returns (labels(vec_id, component), rounds) — rounds exposed so tests
+    can assert the O(log n) bound on adversarial chains.
+    """
+    def checksum(e: DataFrame):
+        # decimal(38,0) sum: ANSI mode makes a plain long sum of hashes
+        # throw ARITHMETIC_OVERFLOW
+        r = e.agg(F.count("*").alias("n"),
+                  F.sum(F.xxhash64("src", "dst")
+                        .cast("decimal(38,0)")).alias("h")).first()
+        return (r["n"], r["h"])
+
+    # localCheckpoint (not persist): each round's plan references cur at
+    # ~16 leaves (union + two self-joins), so WITHOUT lineage truncation
+    # the logical plan grows 16× per round and Catalyst analysis time
+    # explodes (measured: round 2 at 205 s on 50 edges, pure driver CPU).
+    # Checkpointing makes every round's plan constant-size. On a real
+    # cluster a reliable checkpoint dir (or GraphFrames' periodic
+    # checkpoint cadence) replaces the executor-local variant.
+    cur = (edges.select("src", "dst")
+           .filter(F.col("src") != F.col("dst")).distinct()
+           .localCheckpoint(eager=True))
+    sig = checksum(cur)
+    rounds = 0
+    for _ in range(max_iters):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nsig = checksum(nxt)
+        cur.unpersist()
+        cur = nxt
+        rounds += 1
+        if nsig == sig:
+            break
+        sig = nsig
+    labels = (cur.select(F.col("src").alias("vec_id"),
+                         F.col("dst").alias("component"))
+              .union(cur.select(F.col("dst").alias("vec_id"),
+                                F.col("dst").alias("component")))
+              .distinct())
+    return labels, rounds
+
+
 def neardup_components(spark: SparkSession, sf_dir: str,
-                       max_iters: int = 50) -> DataFrame:
+                       max_iters: int = 30) -> DataFrame:
     """Connected components over the near-dup pair graph (keeper selection).
 
     The canonical final step of near-dedup: pairs chain (A≈B, B≈C ⇒ one
     group), so the keeper is chosen per CONNECTED COMPONENT, not per pair.
-    Implemented as iterative min-label propagation — each node repeatedly
-    adopts the smallest label among itself and its neighbors until a full
-    pass changes nothing (converges in O(component diameter) rounds; the
-    industrial-scale variant is the same loop with large-star/small-star
-    rewrites to shortcut long chains). Each round is one join + one
-    aggregate; intermediate labels persist round-over-round and the loop
-    exits on a driver-side convergence count, so the iteration count is
-    data-dependent, not guessed.
+    Round 3 replaced the min-label propagation loop (O(component diameter)
+    rounds, one convergence count per round) with the alternating
+    large-star/small-star rewrite (:func:`connected_components_star`) —
+    bounded O(log n) rounds regardless of chain length, same min-label
+    output.
 
     Output: (vec_id, component) for every vector in ≥1 near-dup pair;
     component = min vec_id of the component (the keeper id).
     """
-    pairs = embedding_neardup(spark, sf_dir).select("vec_a", "vec_b")
-    edges = (pairs.union(pairs.select(F.col("vec_b"), F.col("vec_a")))
-             .toDF("src", "dst").persist())
-    labels = (edges.select(F.col("src").alias("vec_id")).distinct()
-              .withColumn("label", F.col("vec_id")).persist())
-    labels.count()
-    for _ in range(max_iters):
-        msgs = (edges.join(labels, edges.src == labels.vec_id)
-                .select(F.col("dst").alias("vec_id"), "label"))
-        new_labels = (labels.unionByName(msgs)
-                      .groupBy("vec_id").agg(F.min("label").alias("label"))
-                      .persist())
-        changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
-                                   "vec_id")
-                   .filter(F.col("label") != F.col("old")).count())
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
-    return labels.select("vec_id", F.col("label").alias("component"))
+    pairs = neardup_pairs_cached(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    labels, _ = connected_components_star(pairs, max_iters)
+    return labels

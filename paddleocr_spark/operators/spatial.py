@@ -41,20 +41,38 @@ def nms_per_class(boxes: DataFrame, iou_threshold: float = 0.5,
     capped = (boxes.withColumn("rk", F.row_number().over(w))
               .filter(F.col("rk") <= nms_top_k).drop("rk"))
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("box_id", kind="stable")  # arrival-order free
-        picked = hard_nms(
-            pdf[["x1", "y1", "x2", "y2"]].to_numpy(dtype=float),
-            pdf["score"].to_numpy(dtype=float),
-            iou_threshold=iou_threshold, top_k=keep_top_k,
-            candidate_size=candidate_size)
-        out = pdf.iloc[picked].copy()
-        out["keep_order"] = range(len(picked))
-        return out[["doc_id", "label", "box_id", "x1", "y1", "x2", "y2",
-                    "score", "keep_order"]]
+    def emit(tbl):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from .grouped import group_starts, string_codes
+        doc_codes = string_codes(tbl.column("doc_id"))
+        lab_codes = string_codes(tbl.column("label"))
+        pts = np.stack([tbl.column(c).to_numpy() for c in
+                        ("x1", "y1", "x2", "y2")], axis=1).astype(float)
+        scores = tbl.column("score").to_numpy().astype(float)
+        starts = group_starts(doc_codes, lab_codes)
+        ends = np.append(starts[1:], len(doc_codes))
+        take: list[int] = []
+        keep: list[int] = []
+        for s, e in zip(starts, ends):
+            picked = hard_nms(pts[s:e], scores[s:e],
+                              iou_threshold=iou_threshold, top_k=keep_top_k,
+                              candidate_size=candidate_size)
+            take.extend(int(s) + int(p) for p in picked)
+            keep.extend(range(len(picked)))
+        idx = pa.array(np.asarray(take, dtype=np.int64))
+        cols = [pc.take(tbl.column(c).combine_chunks(), idx)
+                for c in ("doc_id", "label", "box_id",
+                          "x1", "y1", "x2", "y2", "score")]
+        cols.append(pa.array(np.asarray(keep, dtype=np.int64)))
+        return pa.RecordBatch.from_arrays(cols, names=[
+            "doc_id", "label", "box_id", "x1", "y1", "x2", "y2",
+            "score", "keep_order"])
 
-    return (capped.groupBy("doc_id", "label")
-            .applyInPandas(run, schema=NMS_SCHEMA))
+    from .grouped import grouped_map_arrow
+    return grouped_map_arrow(capped, ["doc_id", "label"], ["box_id"],
+                             emit, NMS_SCHEMA)
 
 
 def salted_repartition(df: DataFrame, num_partitions: int, key: str,
@@ -89,21 +107,41 @@ def east_nms_locality(boxes: DataFrame, thres: float = 0.3) -> DataFrame:
     """
     from ..kernels import nms_locality
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("box_id", kind="stable")
-        kept, scores = nms_locality(
-            pdf[["x1", "y1", "x2", "y2"]].to_numpy(dtype=float),
-            pdf["score"].to_numpy(dtype=float), thres=thres)
-        return pd.DataFrame({
-            "doc_id": key[0],
-            "keep_order": range(len(scores)),
-            "x1": kept[:, 0], "y1": kept[:, 1],
-            "x2": kept[:, 2], "y2": kept[:, 3],
-            "score": scores,
-        })
+    def emit(tbl):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from .grouped import group_starts, string_codes
+        doc_codes = string_codes(tbl.column("doc_id"))
+        pts = np.stack([tbl.column(c).to_numpy() for c in
+                        ("x1", "y1", "x2", "y2")], axis=1).astype(float)
+        scores = tbl.column("score").to_numpy().astype(float)
+        starts = group_starts(doc_codes)
+        ends = np.append(starts[1:], len(doc_codes))
+        doc_at: list[int] = []
+        keep: list[int] = []
+        kept_blocks = []
+        score_out: list[float] = []
+        for s, e in zip(starts, ends):
+            kept, ksc = nms_locality(pts[s:e], scores[s:e], thres=thres)
+            doc_at.extend([int(s)] * len(ksc))
+            keep.extend(range(len(ksc)))
+            kept_blocks.append(np.asarray(kept, dtype=float).reshape(-1, 4))
+            score_out.extend(float(v) for v in ksc)
+        geo = (np.concatenate(kept_blocks, axis=0) if kept_blocks
+               else np.zeros((0, 4)))
+        doc_ids = pc.take(tbl.column("doc_id").combine_chunks(),
+                          pa.array(np.asarray(doc_at, dtype=np.int64)))
+        return pa.RecordBatch.from_arrays(
+            [doc_ids, pa.array(np.asarray(keep, dtype=np.int64)),
+             pa.array(geo[:, 0]), pa.array(geo[:, 1]),
+             pa.array(geo[:, 2]), pa.array(geo[:, 3]),
+             pa.array(np.asarray(score_out, dtype=float))],
+            names=["doc_id", "keep_order", "x1", "y1", "x2", "y2", "score"])
 
-    return boxes.groupBy("doc_id").applyInPandas(run,
-                                                 schema=EAST_NMS_SCHEMA)
+    from .grouped import grouped_map_arrow
+    return grouped_map_arrow(boxes, ["doc_id"], ["box_id"],
+                             emit, EAST_NMS_SCHEMA)
 
 
 #: PSE demo geometry: K shrinking kernel maps on a GRID² map scaled back

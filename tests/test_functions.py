@@ -240,3 +240,51 @@ def test_neardup_components_chain_closure(spark):
         comp[c].append(v)
     for c, members in comp.items():
         assert c == min(members)
+
+
+def test_star_cc_path_graph_converges_in_log_rounds(spark):
+    """Large-star/small-star must shortcut long chains: a 100-node path
+    graph (diameter 99 — the min-label loop's worst case, needing ~99
+    rounds) converges in O(log n) rounds with the correct single
+    component."""
+    import pyspark.sql.functions as F
+    from paddleocr_spark.functions.similarity import (
+        connected_components_star)
+    edges = spark.range(99).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    labels, rounds = connected_components_star(edges)
+    assert rounds <= 10          # ~2·log2(100) + terminal check
+    got = {r["vec_id"]: r["component"] for r in labels.collect()}
+    assert got == {v: 0 for v in range(100)}
+
+
+def test_star_cc_matches_min_label_on_random_graph(spark):
+    """Star CC output == per-component min over a multi-component random
+    graph (NetworkX-free union-find oracle)."""
+    import pyspark.sql.functions as F
+    from paddleocr_spark.functions.similarity import (
+        connected_components_star)
+    # deterministic pseudo-random edges over 60 nodes, several components
+    raw = [((i * 17 + 3) % 60, (i * 29 + 7) % 60) for i in range(45)]
+    raw = [(a, b) for a, b in raw if a != b]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    labels, _ = connected_components_star(edges)
+    got = {r["vec_id"]: r["component"] for r in labels.collect()}
+    # union-find oracle
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in raw:
+        parent[find(a)] = find(b)
+    want_members = {}
+    for a, b in raw:
+        for v in (a, b):
+            want_members.setdefault(find(v), set()).add(v)
+    want = {v: min(ms) for ms in want_members.values() for v in ms}
+    assert got == want
