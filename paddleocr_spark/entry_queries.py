@@ -819,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # D7/J2/A7 table-structure family (operators/table.py)
         "table_structure": TBL.table_structure,
         "table_html": TBL.table_html,
+        "table_html_master": TBL.table_html_master,   # fixture oracle
         "table_token_acc": TBL.table_token_acc,
         # J6 KIE SER->RE self-join + 4-way orientation (R1 extension)
         "kie_pairs": KIE.kie_pairs,
@@ -1051,6 +1052,8 @@ FROM synth_final GROUP BY doc_id, kind"""
         "CAST(box_idx AS BIGINT) AS box_idx, "
         "CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1, "
         "CAST(x2 AS BIGINT) AS x2, CAST(y2 AS BIGINT) AS y2, score")
+    sqls["table_html_master"] = _fixture_sql(
+        "table_html_master", "CAST(t_id AS BIGINT) AS t_id, html")
     sqls["east_nms"] = _fixture_sql(
         "east_nms",
         "doc_id, CAST(keep_order AS BIGINT) AS keep_order, "

@@ -793,3 +793,214 @@ def db_boxes(pred: np.ndarray, shape,
         by2 = int(np.clip(np.round(ey2 / height * src_h), 0, src_h))
         out.append((bx1, by1, bx2, by2, score))
     return out
+
+
+# ---------------------------------------------------------------------------
+# TableMaster HTML dialect (J2b) — ppstructure/table/matcher.py:140-180 +
+# table_master_match.py:472-737
+# ---------------------------------------------------------------------------
+
+def merge_span_token(master_token_list):
+    """table_master_match.py:472-521: fuse ['<td', ' rowspan="k"'[,
+    ' colspan="m"'], '>', '</td>'] runs into single '<td ...></td>' tokens.
+
+    QUIRKS preserved: the scan STOPS at the first '</tbody>' (everything
+    after it is dropped); a trailing '</tbody>' is appended when absent —
+    and appended UNCONDITIONALLY at the end, so an input ending in
+    '</tbody>' keeps exactly one while a missing one is added; a malformed
+    run near the end (index past the list) breaks the loop via the bare
+    except. Operates on a copy (the reference mutates its argument).
+    """
+    toks = list(master_token_list)
+    out = []
+    pointer = 0
+    if toks[-1] != "</tbody>":
+        toks.append("</tbody>")
+    while toks[pointer] != "</tbody>":
+        try:
+            if toks[pointer] == "<td":
+                if (toks[pointer + 1].startswith(" colspan=")
+                        or toks[pointer + 1].startswith(" rowspan=")):
+                    out.append("".join(toks[pointer:pointer + 4]))
+                    pointer += 4
+                elif (toks[pointer + 2].startswith(" colspan=")
+                        or toks[pointer + 2].startswith(" rowspan=")):
+                    out.append("".join(toks[pointer:pointer + 5]))
+                    pointer += 5
+                else:
+                    out.append(toks[pointer])
+                    pointer += 1
+            else:
+                out.append(toks[pointer])
+                pointer += 1
+        except IndexError:
+            break
+    out.append("</tbody>")
+    return out
+
+
+#: table_master_match.py:523-557 — the empty-bbox token expansions.
+_EB_EXPANSIONS = [
+    ("<eb></eb>", "<td></td>"),
+    ("<eb1></eb1>", "<td> </td>"),
+    ("<eb2></eb2>", "<td><b> </b></td>"),
+    ("<eb3></eb3>", "<td>\u2028\u2028</td>"),
+    ("<eb4></eb4>", "<td><sup> </sup></td>"),
+    ("<eb5></eb5>", "<td><b></b></td>"),
+    ("<eb6></eb6>", "<td><i> </i></td>"),
+    ("<eb7></eb7>", "<td><b><i></i></b></td>"),
+    ("<eb8></eb8>", "<td><b><i> </i></b></td>"),
+    ("<eb9></eb9>", "<td><i></i></td>"),
+    ("<eb10></eb10>", "<td><b> \u2028 \u2028 </b></td>"),
+]
+
+
+def deal_eb_token(master_token: str) -> str:
+    """table_master_match.py:523-557: expand <ebN></ebN> placeholders."""
+    for src, dst in _EB_EXPANSIONS:
+        master_token = master_token.replace(src, dst)
+    return master_token
+
+
+def deal_isolate_span(thead_part: str) -> str:
+    """table_master_match.py:587-626: repair '<td></td> rowspan..></b></td>'
+    mispredictions inside <thead> into '<td rowspan..></td>'."""
+    import re
+    isolate_pattern = (
+        "<td></td> rowspan=\"(\\d)+\" colspan=\"(\\d)+\"></b></td>|"
+        "<td></td> colspan=\"(\\d)+\" rowspan=\"(\\d)+\"></b></td>|"
+        "<td></td> rowspan=\"(\\d)+\"></b></td>|"
+        "<td></td> colspan=\"(\\d)+\"></b></td>")
+    isolate_list = [m.group() for m in re.finditer(isolate_pattern,
+                                                   thead_part)]
+    span_pattern = (" rowspan=\"(\\d)+\" colspan=\"(\\d)+\"|"
+                    " colspan=\"(\\d)+\" rowspan=\"(\\d)+\"|"
+                    " rowspan=\"(\\d)+\"| colspan=\"(\\d)+\"")
+    for isolate_item in isolate_list:
+        span_part = re.search(span_pattern, isolate_item)
+        # the reference's None check is dead (every isolate match contains
+        # a span) but kept for shape
+        if span_part is not None:
+            thead_part = thead_part.replace(
+                isolate_item, "<td{}></td>".format(span_part.group()))
+    return thead_part
+
+
+def deal_duplicate_bb(thead_part: str) -> str:
+    """table_master_match.py:628-661: collapse multiple <b></b> inside a
+    <thead> cell to a single wrap. QUIRK: the replace-back is a plain
+    str.replace of the ORIGINAL td substring (first occurrence)."""
+    import re
+    td_pattern = (
+        "<td rowspan=\"(\\d)+\" colspan=\"(\\d)+\">(.+?)</td>|"
+        "<td colspan=\"(\\d)+\" rowspan=\"(\\d)+\">(.+?)</td>|"
+        "<td rowspan=\"(\\d)+\">(.+?)</td>|"
+        "<td colspan=\"(\\d)+\">(.+?)</td>|"
+        "<td>(.*?)</td>")
+    td_list = [m.group() for m in re.finditer(td_pattern, thead_part)]
+    new_td_list = []
+    for td_item in td_list:
+        if td_item.count("<b>") > 1 or td_item.count("</b>") > 1:
+            td_item = td_item.replace("<b>", "").replace("</b>", "")
+            td_item = td_item.replace("<td>", "<td><b>").replace(
+                "</td>", "</b></td>")
+            new_td_list.append(td_item)
+        else:
+            new_td_list.append(td_item)
+    for td_item, new_td_item in zip(td_list, new_td_list):
+        thead_part = thead_part.replace(td_item, new_td_item)
+    return thead_part
+
+
+def deal_bb(result_token: str) -> str:
+    """table_master_match.py:664-737: bold-normalize the <thead> section.
+
+    Branches preserved: no-span thead gets the plain <td>→<td><b> /
+    </td>→</b></td> rewrite with <b><b>/</b></b> dedup; a thead with
+    row/colspan gets >→><b> on each span-open plus regex (<b>)+/(</b>)+
+    collapses; then '<td><b></b></td>'→'<td></td>', deal_duplicate_bb,
+    deal_isolate_span, and the whole original thead substring is replaced
+    in the full html (str.replace — first occurrence)."""
+    import re
+    thead_pattern = "<thead>(.*?)</thead>"
+    m = re.search(thead_pattern, result_token)
+    if m is None:
+        return result_token
+    thead_part = m.group()
+    origin_thead_part = thead_part
+
+    span_pattern = ("<td rowspan=\"(\\d)+\" colspan=\"(\\d)+\">|"
+                    "<td colspan=\"(\\d)+\" rowspan=\"(\\d)+\">|"
+                    "<td rowspan=\"(\\d)+\">|<td colspan=\"(\\d)+\">")
+    span_list = [s.group() for s in re.finditer(span_pattern, thead_part)]
+
+    if not span_list:
+        thead_part = (thead_part.replace("<td>", "<td><b>")
+                      .replace("</td>", "</b></td>")
+                      .replace("<b><b>", "<b>")
+                      .replace("</b></b>", "</b>"))
+    else:
+        for sp in span_list:
+            thead_part = thead_part.replace(sp, sp.replace(">", "><b>"))
+        thead_part = thead_part.replace("</td>", "</b></td>")
+        thead_part = re.sub("(<b>)+", "<b>", thead_part)
+        thead_part = re.sub("(</b>)+", "</b>", thead_part)
+        thead_part = thead_part.replace("<td>", "<td><b>").replace(
+            "<b><b>", "<b>")
+
+    thead_part = thead_part.replace("<td><b></b></td>", "<td></td>")
+    thead_part = deal_duplicate_bb(thead_part)
+    thead_part = deal_isolate_span(thead_part)
+    return result_token.replace(origin_thead_part, thead_part)
+
+
+def get_pred_html_master(pred_structures, matched_index,
+                         ocr_contents) -> str:
+    """TableMatch.get_pred_html_master, ppstructure/table/matcher.py:140-180.
+
+    The second splice dialect, differing from get_pred_html (:99-138) in
+    four preserved ways: (1) for a non-'<td></td>' token the WHOLE token
+    is replaced by ``txt + '</td>'`` (the merged '<td rowspan..>' opening
+    is dropped — reference behavior, not a transcription choice); (2) the
+    <b> wrap is applied to the assembled txt AFTER the content loop;
+    (3) every token passes deal_eb_token after splicing; (4) the joined
+    html passes deal_bb. Content munging inside the loop is identical to
+    get_pred_html (same [3:]/[:-4] cuts, original-index separators).
+    """
+    end_html = []
+    td_index = 0
+    for token in pred_structures:
+        if "</td>" in token:
+            txt = ""
+            b_with = False
+            if td_index in matched_index:
+                if ("<b>" in ocr_contents[matched_index[td_index][0]]
+                        and len(matched_index[td_index]) > 1):
+                    b_with = True
+                for i, content_idx in enumerate(matched_index[td_index]):
+                    content = ocr_contents[content_idx]
+                    if len(matched_index[td_index]) > 1:
+                        if len(content) == 0:
+                            continue
+                        if content[0] == " ":
+                            content = content[1:]
+                        if "<b>" in content:
+                            content = content[3:]
+                        if "</b>" in content:
+                            content = content[:-4]
+                        if len(content) == 0:
+                            continue
+                        if (i != len(matched_index[td_index]) - 1
+                                and " " != content[-1]):
+                            content += " "
+                    txt += content
+            if b_with:
+                txt = "<b>{}</b>".format(txt)
+            if "<td></td>" == token:
+                token = "<td>{}</td>".format(txt)
+            else:
+                token = "{}</td>".format(txt)
+            td_index += 1
+        token = deal_eb_token(token)
+        end_html.append(token)
+    return deal_bb("".join(end_html))

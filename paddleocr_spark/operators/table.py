@@ -209,15 +209,8 @@ def _cell_contents(assigned: DataFrame) -> DataFrame:
     Content variants exercise every munging branch: box_id%7 = 0 → '<b>'
     prefix, 1 → '</b>' suffix, 2 → leading space, 3 → empty, else plain.
     """
-    x = (F.col("box_id") % 100).cast("string")
-    content = (F.when(F.col("box_id") % 7 == 0, F.concat(F.lit("<b>w"), x))
-               .when(F.col("box_id") % 7 == 1, F.concat(F.lit("w"), x,
-                                                        F.lit("</b>")))
-               .when(F.col("box_id") % 7 == 2, F.concat(F.lit(" w"), x))
-               .when(F.col("box_id") % 7 == 3, F.lit(""))
-               .otherwise(F.concat(F.lit("w"), x)))
     bc = assigned.select("t_id", "cell_id", "box_id",
-                         content.alias("content"))
+                         raw_content_col().alias("content"))
     win = Window.partitionBy("t_id", "cell_id")
     wo = win.orderBy("box_id")
     bc = (bc.withColumn("n", F.count("*").over(win))
@@ -285,3 +278,117 @@ def table_html(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "s -> s.exp)")),
                F.lit("</table></body></html>")).alias("html")))
     return per.select("t_id", "html")
+
+
+# ---------------------------------------------------------------------------
+# J2b: TableMaster HTML dialect (matcher.py:140-180 + table_master_match.py)
+# ---------------------------------------------------------------------------
+
+#: Empty-bbox tokens injected by the synthesis (a subset of the master
+#: vocabulary's <ebN> set, table_master_match.py:523-557) — chosen to
+#: exercise plain, bold-empty, and U+2028 expansions.
+EB_SYNTH = ["<eb></eb>", "<eb2></eb2>", "<eb5></eb5>", "<eb10></eb10>"]
+
+
+def master_pred_structures(tokens: list, t_id: int) -> list:
+    """Master-dialect token stream for table t: merge span runs
+    (kernels.merge_span_token) then replace every (t_id + k) % 5 == 1
+    merged '<td></td>' — k the running td counter — with an <ebN>
+    empty-bbox token. The eb substitution is SYNTHESIS (the stand-in for
+    StructureMaster's separate vocabulary), deterministic so the fixture
+    and the distributed path agree; note eb tokens do NOT contain '</td>'
+    and therefore do not consume a td index in the master walk."""
+    from ..kernels import merge_span_token
+    out = []
+    td = 0
+    for tok in merge_span_token(tokens):
+        if tok == "<td></td>":
+            if (t_id + td) % 5 == 1:
+                tok = EB_SYNTH[(t_id + td) % len(EB_SYNTH)]
+            td += 1
+        out.append(tok)
+    return out
+
+
+def raw_content_col():
+    """The per-box OCR content synthesis (same variants _cell_contents
+    documents: <b> prefix, </b> suffix, leading space, empty, plain)."""
+    x = (F.col("box_id") % 100).cast("string")
+    return (F.when(F.col("box_id") % 7 == 0, F.concat(F.lit("<b>w"), x))
+            .when(F.col("box_id") % 7 == 1, F.concat(F.lit("w"), x,
+                                                     F.lit("</b>")))
+            .when(F.col("box_id") % 7 == 2, F.concat(F.lit(" w"), x))
+            .when(F.col("box_id") % 7 == 3, F.lit(""))
+            .otherwise(F.concat(F.lit("w"), x)))
+
+
+def html_master_one(t_id: int, tokens: list, cells: list) -> str:
+    """Single-table master HTML: shared by the distributed emit and the
+    fixture generator. ``cells`` = (box_id, cell_id, content) sorted by
+    box_id; matched_index maps a master td index k to the boxes of
+    cell_id == k (cells whose id lands on an eb-replaced or absent td
+    simply never match — both sides use the same rule)."""
+    from ..kernels import get_pred_html_master
+    pred = master_pred_structures(tokens, int(t_id))
+    contents = [c for _, _, c in cells]
+    matched: dict = {}
+    for i, (_, cid, _c) in enumerate(cells):
+        matched.setdefault(int(cid), []).append(i)
+    return get_pred_html_master(pred, matched, contents)
+
+
+def table_html_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2b: assembled master-dialect HTML per table.
+
+    The master walk (whole-token replacement, deal_eb_token, deal_bb's
+    thead regex surgery) is iterative string rewriting with backreference
+    replaces — not relational like the plain dialect — so it runs as a
+    per-table Arrow kernel (grouped.grouped_map_arrow keyed by t_id;
+    narrow rows, no skewable key at scale). Oracle: committed fixture
+    (tools/make_fixtures.py) built from the same shared kernel over the
+    DuckDB twins of table_structure + cell_match.
+    """
+    from ..entry_queries import q_cell_match
+    from .grouped import grouped_map_arrow
+    toks = table_structure(spark, sf_dir)
+    cells = q_cell_match(spark, sf_dir).withColumn("content",
+                                                   raw_content_col())
+    t = toks.select("t_id", F.lit("t").alias("side"),
+                    F.col("pos").alias("a"),
+                    F.lit(0).cast("long").alias("b"),
+                    F.col("token").alias("s"))
+    c = cells.select("t_id", F.lit("c").alias("side"),
+                     F.col("box_id").alias("a"),
+                     F.col("cell_id").alias("b"),
+                     F.col("content").alias("s"))
+    both = t.unionByName(c)
+
+    def emit(tbl):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from .grouped import group_starts
+        t_ids = tbl.column("t_id").to_numpy()
+        is_tok = pc.equal(tbl.column("side"), "t").combine_chunks(
+        ).to_numpy(zero_copy_only=False)
+        a = tbl.column("a").to_numpy()
+        b = tbl.column("b").to_numpy()
+        s = tbl.column("s").combine_chunks().to_pylist()
+        starts = group_starts(t_ids)
+        ends = np.append(starts[1:], len(t_ids))
+        out_ids, out_html = [], []
+        for st, en in zip(starts, ends):
+            # sorted by (side, a): side 'c' rows precede 't' rows
+            toks_g = [s[i] for i in range(st, en) if is_tok[i]]
+            cells_g = [(int(a[i]), int(b[i]), s[i])
+                       for i in range(st, en) if not is_tok[i]]
+            out_ids.append(int(t_ids[st]))
+            out_html.append(html_master_one(int(t_ids[st]), toks_g,
+                                            cells_g))
+        return pa.RecordBatch.from_arrays(
+            [pa.array(np.asarray(out_ids, dtype=np.int64)),
+             pa.array(out_html, type=pa.string())],
+            names=["t_id", "html"])
+
+    return grouped_map_arrow(both, ["t_id"], ["side", "a"], emit,
+                             "t_id long, html string")

@@ -189,3 +189,119 @@ def test_get_pred_html_fuzz_invariants(tags, contents, data):
         expect = "".join(
             "<td></td>" if t == "<td></td>" else t for t in tags)
         assert html == expect
+
+
+# ---------------------------------------------------------------------------
+# J2b: TableMaster dialect (matcher.py:140-180, table_master_match.py)
+# ---------------------------------------------------------------------------
+
+def test_merge_span_token_quirks():
+    from paddleocr_spark.kernels import merge_span_token
+    # colspan run fuses to one token; trailing </tbody> appended when absent
+    assert merge_span_token(["<td", ' colspan="2"', ">", "</td>"]) == [
+        '<td colspan="2"></td>', "</tbody>"]
+    # QUIRK: a rowspan+colspan run hits BRANCH 1 (pointer+1 is an attr),
+    # merging only 4 tokens — '</td>' stays a separate token and is what
+    # consumes the td index in the master walk; the reference's 5-token
+    # elif (table_master_match.py:497-507) is dead for well-formed runs
+    assert merge_span_token(
+        ["<td", ' rowspan="2"', ' colspan="3"', ">", "</td>"]) == [
+        '<td rowspan="2" colspan="3">', "</td>", "</tbody>"]
+    # the elif is reachable only with a non-attr token at pointer+1
+    assert merge_span_token(
+        ["<td", "X", ' colspan="3"', ">", "</td>"]) == [
+        '<tdX colspan="3"></td>', "</tbody>"]
+    # scan STOPS at the first </tbody>: trailing garbage dropped
+    assert merge_span_token(["<td></td>", "</tbody>", "<tr>", "<td></td>"
+                             ]) == ["<td></td>", "</tbody>"]
+
+
+def test_deal_eb_token_expansions():
+    from paddleocr_spark.kernels import deal_eb_token
+    assert deal_eb_token("<eb></eb>") == "<td></td>"
+    assert deal_eb_token("<eb5></eb5>") == "<td><b></b></td>"
+    assert deal_eb_token("<eb3></eb3>") == "<td>  </td>"
+    assert (deal_eb_token("<eb10></eb10>")
+            == "<td><b>     </b></td>")
+
+
+def test_master_whole_token_replacement_quirk():
+    """For a merged span token the master splice REPLACES the whole token
+    with txt+'</td>' — the '<td rowspan..>' opening is dropped (reference
+    behavior, matcher.py:174-176); the plain dialect instead keeps the
+    full tag after the contents."""
+    from paddleocr_spark.kernels import get_pred_html, get_pred_html_master
+    toks = ["<tbody>", "<tr>", '<td colspan="2"></td>', "</tr>",
+            "</tbody>"]
+    m = get_pred_html_master(toks, {0: [0]}, ["X"])
+    assert m == "<tbody><tr>X</td></tr></tbody>"
+    # plain dialect on the equivalent unmerged form keeps the closing tag
+    p = get_pred_html(["<tbody>", "<tr>", "</td>", "</tr>", "</tbody>"],
+                      {0: [0]}, ["X"])
+    assert p == "<tbody><tr>X</td></tr></tbody>"
+
+
+def test_master_deal_bb_thead_branches():
+    from paddleocr_spark.kernels import get_pred_html_master
+    # no-span thead: <td> -> <td><b>, </td> -> </b></td>; empty cell
+    # normalized back to <td></td>
+    toks = ["<thead>", "<tr>", "<td></td>", "<td></td>", "</tr>",
+            "</thead>", "<tbody>", "<tr>", "<td></td>", "</tr>",
+            "</tbody>"]
+    html = get_pred_html_master(toks, {0: [0], 2: [1]}, ["H", "B"])
+    assert "<td><b>H</b></td>" in html          # thead cell bolded
+    assert "<td></td>" in html                  # empty thead cell reverted
+    assert "<td>B</td>" in html                 # tbody cell untouched
+    # a MERGED '<td colspan..></td>' in thead loses its opening to the
+    # whole-token replacement, so deal_bb sees no span and takes branch 1
+    toks = ["<thead>", "<tr>", '<td colspan="2"></td>', "</tr>",
+            "</thead>", "<tbody>", "</tbody>"]
+    html = get_pred_html_master(toks, {}, [])
+    assert html == "<thead><tr></b></td></tr></thead><tbody></tbody>"
+    # the span-in-thead branch IS reachable via the 2-attr merge quirk:
+    # '<td rowspan.. colspan..>' survives as a pass-through token and the
+    # dangling '</td>' carries the splice, so deal_bb finds the span open
+    # and rewrites '>' -> '><b>'
+    toks = ["<thead>", "<tr>", '<td rowspan="2" colspan="3">', "</td>",
+            "</tr>", "</thead>", "<tbody>", "</tbody>"]
+    html = get_pred_html_master(toks, {0: [0]}, ["H"])
+    assert html == ('<thead><tr><td rowspan="2" colspan="3"><b>H</b></td>'
+                    "</tr></thead><tbody></tbody>")
+
+
+def test_master_b_wrap_and_munging_match_plain_dialect():
+    """The content loop is shared with the plain dialect: [3:]/[:-4] cuts,
+    original-index separators, b_with wrap."""
+    from paddleocr_spark.kernels import get_pred_html_master
+    toks = ["<tbody>", "<tr>", "<td></td>", "</tr>", "</tbody>"]
+    html = get_pred_html_master(
+        toks, {0: [0, 1, 2]}, ["<b>alpha", " beta", "gamma</b>"])
+    # first content has <b> and >1 matches -> wrap; cuts applied
+    assert html == "<tbody><tr><td><b>alpha beta gamma</b></td></tr></tbody>"
+
+
+def test_table_html_master_distributed_matches_kernel(spark):
+    """Distributed grouped-Arrow walk == single-node shared kernel."""
+    import pyspark.sql.functions as F
+    from paddleocr_spark.operators.table import (html_master_one,
+                                                 raw_content_col,
+                                                 table_html_master,
+                                                 table_structure)
+    from paddleocr_spark.entry_queries import q_cell_match
+    got = {r["t_id"]: r["html"]
+           for r in table_html_master(spark, SF).collect()}
+    toks = table_structure(spark, SF).orderBy("t_id", "pos").collect()
+    cells = (q_cell_match(spark, SF)
+             .withColumn("content", raw_content_col())
+             .orderBy("t_id", "box_id").collect())
+    token_map: dict = {}
+    for r in toks:
+        token_map.setdefault(r["t_id"], []).append(r["token"])
+    cell_map: dict = {}
+    for r in cells:
+        cell_map.setdefault(r["t_id"], []).append(
+            (r["box_id"], r["cell_id"], r["content"]))
+    assert set(got) == set(token_map)
+    for t_id, tokens in token_map.items():
+        want = html_master_one(t_id, tokens, cell_map.get(t_id, []))
+        assert got[t_id] == want, t_id

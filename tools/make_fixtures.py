@@ -291,6 +291,44 @@ def fx_db_detect(con, sf_dir: str) -> pd.DataFrame:
          "y1": "int64", "x2": "int64", "y2": "int64"})
 
 
+def fx_table_html_master(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries table_html_master single-node: token stream + cell
+    assignments from the DuckDB twins (table_structure / cell_match
+    oracle SQL over registered views), contents + walk via the shared
+    kernels (operators.table.html_master_one)."""
+    from paddleocr_spark.entry_queries import oracle_sql
+    from paddleocr_spark.operators.table import html_master_one
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW IF NOT EXISTS {t} AS "
+                        f"SELECT * FROM read_parquet('{p}')")
+    sqls = oracle_sql()
+    toks = con.sql(sqls["table_structure"]).df().sort_values(
+        ["t_id", "pos"])
+    cells = con.sql(sqls["cell_match"]).df().sort_values(
+        ["t_id", "box_id"])
+
+    def content(box_id: int) -> str:
+        x = str(box_id % 100)
+        m = box_id % 7
+        return {0: f"<b>w{x}", 1: f"w{x}</b>", 2: f" w{x}",
+                3: ""}.get(m, f"w{x}")
+
+    rows = []
+    cell_groups = {t: g for t, g in cells.groupby("t_id")}
+    for t_id, g in toks.groupby("t_id"):
+        cg = cell_groups.get(t_id)
+        cell_list = ([] if cg is None else
+                     [(int(b), int(c), content(int(b)))
+                      for b, c in zip(cg.box_id, cg.cell_id)])
+        rows.append((int(t_id), html_master_one(
+            int(t_id), list(g.token), cell_list)))
+    return pd.DataFrame(rows, columns=["t_id", "html"]).astype(
+        {"t_id": "int64"})
+
+
 FIXTURES = {
     "flagship_extract": fx_flagship_extract,
     "nms_per_class": fx_nms_per_class,
@@ -300,6 +338,7 @@ FIXTURES = {
     "east_nms": fx_east_nms,
     "pse_detect": fx_pse_detect,
     "db_detect": fx_db_detect,
+    "table_html_master": fx_table_html_master,
 }
 
 
