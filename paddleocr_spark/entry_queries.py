@@ -594,6 +594,14 @@ def q_attn_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attn_decode(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
+def q_sar_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 second decoder: SARLabelDecode — live break-at-eos, eos-at-0
+    skipped only because text_prob is None, PAD ignored, '<UKN>' decodes
+    as a literal dictionary entry (all unlike Attn)."""
+    from .operators.recognize import sar_decode
+    return sar_decode(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def q_e2e_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 E2EMetric mode-A full report (eval_end2end.py:71-180 +
     combine: precision/recall/fmeasure on hits, character_acc and
@@ -693,6 +701,17 @@ def q_db_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id").filter(
         F.col("doc_id") < 200)
     return db_detect(docs)
+
+
+def q_east_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 full EAST path: score/geo quad restore (axis-aligned) +
+    locality-aware NMS + cover-score re-read over deterministic per-doc
+    maps (first 200 docs); committed-fixture oracle (sequential merge
+    scan is iterative)."""
+    from .operators.spatial import east_detect
+    docs = _docs(spark, sf_dir).select("doc_id").filter(
+        F.col("doc_id") < 200)
+    return east_detect(docs)
 
 
 def q_east_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -804,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": SIM.ann_ivf_topk,
         # detector/eval fixture-oracle family
         "db_detect": q_db_detect,                      # fixture oracle
+        "east_detect": q_east_detect,                  # fixture oracle
         "east_nms": q_east_nms,                        # fixture oracle
         "pse_detect": q_pse_detect,                    # fixture oracle
         "nms_per_class": q_nms,                        # fixture oracle
@@ -828,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # P7 resize, R4 attn decode, A8 e2e metric (round-2 widening)
         "media_resize": q_media_resize,
         "attn_decode": q_attn_decode,
+        "sar_decode": q_sar_decode,
         "e2e_metric": q_e2e_metric,
         "preprocess_image": q_preprocess_image,
         # relational operator demos
@@ -1006,10 +1027,16 @@ FROM synth_geom"""
 WITH {SYNTH_CTE.lstrip()}, {GEOM_CTE.lstrip()}, {KEPT_CTE.lstrip()}
 SELECT doc_id, span_idx, kind FROM synth_final"""
 
+    # chained literal replaces in reference token order (the sequential
+    # loop, not a single-pass alternation — see pipeline.strip_styles)
+    from .kernels import STYLE_TOKENS as _ST
+    _strip = "text"
+    for _tok in _ST:
+        _strip = f"replace({_strip}, '{_tok}', '')"
     sqls["style_strip"] = f"""
 WITH {SYNTH_CTE.lstrip()}, {GEOM_CTE.lstrip()}, {KEPT_CTE.lstrip()}
 SELECT doc_id, span_idx,
-       regexp_replace(text, '{STYLE_RE}', '', 'g') AS text
+       {_strip} AS text
 FROM synth_final"""
 
     sqls["flagship_span_counts"] = f"""
@@ -1054,6 +1081,12 @@ FROM synth_final GROUP BY doc_id, kind"""
         "CAST(x2 AS BIGINT) AS x2, CAST(y2 AS BIGINT) AS y2, score")
     sqls["table_html_master"] = _fixture_sql(
         "table_html_master", "CAST(t_id AS BIGINT) AS t_id, html")
+    sqls["east_detect"] = _fixture_sql(
+        "east_detect",
+        "CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(box_idx AS BIGINT) AS box_idx, "
+        "CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1, "
+        "CAST(x2 AS BIGINT) AS x2, CAST(y2 AS BIGINT) AS y2, score")
     sqls["east_nms"] = _fixture_sql(
         "east_nms",
         "doc_id, CAST(keep_order AS BIGINT) AS keep_order, "
@@ -1702,6 +1735,42 @@ SELECT doc_id,
            i -> substring('{cs2}', CAST(i AS INT), 1)), '') AS attn_text
 FROM ids"""
 
+
+    # --- R4b SARLabelDecode (live break-at-eos; <UKN> is a dict entry) ---
+    n_cs = len(_CS)
+    ukn, s_eos, s_pad = n_cs, n_cs + 1, n_cs + 2
+    sqls["sar_decode"] = f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+ids AS (
+    SELECT doc_id,
+           ((CASE WHEN doc_id % 5 = 0 THEN [{s_eos}] ELSE [] END)
+            || list_transform(generate_series(1, length(t)),
+                 i -> CASE WHEN strpos('{cs2}', substring(t, CAST(i AS INT),
+                          1)) = 0 THEN {ukn}
+                      ELSE strpos('{cs2}', substring(t, CAST(i AS INT),
+                          1)) - 1 END)
+            || [{s_pad}, {s_eos}]
+            || list_transform(generate_series(1, least(length(t), 2)),
+                 i -> CASE WHEN strpos('{cs2}', substring(t, CAST(i AS INT),
+                          1)) = 0 THEN {ukn}
+                      ELSE strpos('{cs2}', substring(t, CAST(i AS INT),
+                          1)) - 1 END)
+           ) AS ids
+    FROM base
+),
+cuts AS (
+    SELECT doc_id, ids,
+           list_position(ids[2:], {s_eos}) AS p
+    FROM ids
+)
+SELECT doc_id,
+       array_to_string(list_transform(
+           list_filter(ids[1:(CASE WHEN p > 0 THEN p ELSE len(ids) END)],
+                       v -> v != {s_pad} AND v != {s_eos}),
+           v -> CASE WHEN v = {ukn} THEN '<UKN>'
+                ELSE substring('{cs2}', CAST(v + 1 AS INT), 1) END), '')
+           AS sar_text
+FROM cuts"""
     # --- A8 E2EMetric mode-A full report ---
     sqls["e2e_metric"] = """
 WITH base0 AS (

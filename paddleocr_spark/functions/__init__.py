@@ -40,7 +40,26 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": embedding_neardup,
         "table_html": table_html,
         "kie_pairs": kie_pairs,
+        # round-3 additions
+        "neardup_components": neardup_components,
+        "db_detect": _entry("q_db_detect"),
+        "east_detect": _entry("q_east_detect"),
+        "sar_decode": _entry("q_sar_decode"),
+        "table_html_master": _table_html_master,
     }
+
+
+def _entry(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import paddleocr_spark.entry_queries as EQ
+        return getattr(EQ, name)(spark, sf_dir)
+    run.__name__ = name
+    return run
+
+
+def _table_html_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.table import table_html_master
+    return table_html_master(spark, sf_dir)
 
 
 __all__ = [

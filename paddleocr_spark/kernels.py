@@ -1004,3 +1004,110 @@ def get_pred_html_master(pred_structures, matched_index,
         token = deal_eb_token(token)
         end_html.append(token)
     return deal_bb("".join(end_html))
+
+
+# ---------------------------------------------------------------------------
+# EAST quad restore + detect (D2 front half) — east_postprocess.py:43-101
+# ---------------------------------------------------------------------------
+
+def restore_rectangle_quad(origin: np.ndarray,
+                           geometry: np.ndarray) -> np.ndarray:
+    """EASTPostProcess.restore_rectangle_quad (east_postprocess.py:43-53):
+    quad corners = pixel origin tiled ×4 minus the 8-channel geometry."""
+    origin_concat = np.concatenate((origin, origin, origin, origin), axis=1)
+    return (origin_concat - geometry).reshape((-1, 4, 2))
+
+
+def east_detect_boxes(score_map: np.ndarray, geo_map: np.ndarray, shape,
+                      score_thresh: float = 0.8,
+                      cover_thresh: float = 0.1,
+                      nms_thresh: float = 0.2):
+    """EASTPostProcess.detect + the __call__ tail
+    (east_postprocess.py:55-101, 131-143) with the repo-wide axis-aligned
+    deviation.
+
+    Step for step: (1) pixels with score > score_thresh (strict), sorted
+    by ROW ONLY via the same unstable ``np.argsort(xy[:, 0])`` the
+    reference uses (argwhere is already row-major, so equal rows keep a
+    deterministic-but-quicksort order — replicated by calling the
+    identical argsort); (2) quads restored at 4× pixel stride
+    (``xy[:, ::-1] * 4 - geo``); our geo synthesis always restores
+    axis-aligned rectangles, folded to (x1,y1,x2,y2) by corner min/max;
+    (3) locality-aware NMS (kernels.nms_locality — merged coords are
+    score-weighted averages, scores sum); (4) cover-score re-scoring
+    (:93-99): each merged box int-casts (toward zero), floor-divides by 4
+    and re-scores as the mean of score_map over the resulting inclusive
+    window (the fillPoly-mask mean of an axis-aligned quad); keep
+    score > cover_thresh (strict); (5) __call__ tail: /ratio_w,/ratio_h,
+    int32 cast (truncation), sort_poly (identity for our corner order),
+    drop boxes with width < 5 or height < 5 (the two edge-norm checks).
+
+    Returns list of (x1, y1, x2, y2, cover_score) in NMS pick order.
+    """
+    h, w = score_map.shape
+    src_h, src_w, ratio_h, ratio_w = shape
+    xy_text = np.argwhere(score_map > score_thresh)
+    if len(xy_text) == 0:
+        return []
+    xy_text = xy_text[np.argsort(xy_text[:, 0])]
+    quads = restore_rectangle_quad(
+        xy_text[:, ::-1] * 4,
+        geo_map[xy_text[:, 0], xy_text[:, 1], :].astype(np.float64))
+    boxes = np.stack([quads[:, :, 0].min(axis=1), quads[:, :, 1].min(axis=1),
+                      quads[:, :, 0].max(axis=1), quads[:, :, 1].max(axis=1)],
+                     axis=1)
+    scores = score_map[xy_text[:, 0], xy_text[:, 1]].astype(np.float64)
+    kept, ksc = nms_locality(boxes, scores, thres=nms_thresh)
+    out = []
+    for box, _s in zip(kept, ksc):
+        bi = box.astype(np.int32) // 4
+        x1 = max(int(bi[0]), 0)
+        y1 = max(int(bi[1]), 0)
+        x2 = min(int(bi[2]), w - 1)
+        y2 = min(int(bi[3]), h - 1)
+        if x2 < x1 or y2 < y1:
+            continue
+        cover = float(score_map[y1:y2 + 1, x1:x2 + 1].mean())
+        if cover <= cover_thresh:
+            continue
+        fx1 = int(np.int32(box[0] / ratio_w))
+        fy1 = int(np.int32(box[1] / ratio_h))
+        fx2 = int(np.int32(box[2] / ratio_w))
+        fy2 = int(np.int32(box[3] / ratio_h))
+        if fx2 - fx1 < 5 or fy2 - fy1 < 5:
+            continue
+        out.append((fx1, fy1, fx2, fy2, cover))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SARLabelDecode (R4 second decoder) — rec_postprocess.py:790-864
+# ---------------------------------------------------------------------------
+
+def sar_label_decode(ids, dict_character) -> str:
+    """SARLabelDecode.decode, label path (text_prob=None), ids 0-based into
+    ``dict_character + ['<UKN>', '<BOS/EOS>', '<PAD>']``
+    (add_special_char, rec_postprocess.py:800-812: unknown_idx = n,
+    start_idx = end_idx = n+1, padding_idx = n+2).
+
+    Semantics DIFFER from AttnLabelDecode on every special: only PAD is in
+    ignored_tokens (:863-864), so (1) an eos anywhere except index 0
+    BREAKS the decode — live code here, dead in Attn; (2) an eos AT index
+    0 is skipped only because text_prob is None (:816-820 — with probs it
+    would break to an empty text); (3) '<UKN>' is a real dictionary entry
+    and DECODES to the literal marker string.
+    """
+    n = len(dict_character)
+    unknown_idx, end_idx, padding_idx = n, n + 1, n + 2
+    character = list(dict_character) + ["<UKN>", "<BOS/EOS>", "<PAD>"]
+    out = []
+    for idx, v in enumerate(ids):
+        v = int(v)
+        if v == padding_idx:          # ignored_tokens = [padding_idx]
+            continue
+        if v == end_idx:
+            if idx == 0:              # text_prob is None and idx == 0
+                continue
+            break
+        out.append(character[v])
+    return "".join(out)

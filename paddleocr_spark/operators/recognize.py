@@ -182,3 +182,40 @@ def attn_decode(docs: DataFrame) -> DataFrame:
                f"i -> i != 0 AND i != {eos}), "
                f"i -> substring('{cs}', CAST(i AS INT), 1)))")
     return docs.select("doc_id", F.expr(decoded).alias("attn_text"))
+
+
+def sar_decode(docs: DataFrame) -> DataFrame:
+    """R4 second decoder: SARLabelDecode demo (kernels.sar_label_decode
+    twin, pure JVM).
+
+    Deterministic "model output" over the SAR dictionary (CHARSET +
+    [<UKN>, <BOS/EOS>, <PAD>], 0-based): every 5th doc prepends an eos at
+    index 0 (SKIPPED — the text_prob-is-None branch), then
+    encode(text) + [pad, eos] + encode(first 2 chars). Unlike the Attn
+    twin, the post-eos tail must NOT decode (SAR's break is live), pad is
+    dropped, and characters outside CHARSET decode to the literal
+    '<UKN>' marker (a real dictionary entry in SAR).
+    Output: (doc_id, sar_text).
+    """
+    cs = CHARSET.replace("\\", "\\\\").replace("'", "\\'")
+    n = len(CHARSET)
+    ukn, eos, pad = n, n + 1, n + 2
+    enc = (lambda src: f"transform(filter(split({src}, ''), c -> c != ''), "
+           f"c -> CASE WHEN instr('{cs}', c) = 0 THEN {ukn} "
+           f"ELSE instr('{cs}', c) - 1 END)")
+    body = enc("coalesce(text, '')")
+    head2 = enc("substring(coalesce(text, ''), 1, 2)")
+    ids = (f"concat(CASE WHEN doc_id % 5 = 0 THEN array({eos}) "
+           f"ELSE array() END, {body}, array({pad}, {eos}), {head2})")
+    # first eos at a 1-based position >= 2 breaks; pad and a position-1
+    # eos are dropped; remaining ids map to chars or the '<UKN>' marker
+    p = f"array_position(slice(_ids, 2, size(_ids) - 1), {eos})"
+    cut = f"(CASE WHEN {p} > 0 THEN {p} ELSE size(_ids) END)"
+    kept = (f"filter(transform(sequence(1, {cut}), "
+            f"i -> element_at(_ids, CAST(i AS INT))), "
+            f"v -> v != {pad} AND v != {eos})")
+    decoded = (f"concat_ws('', transform({kept}, "
+               f"v -> CASE WHEN v = {ukn} THEN '<UKN>' "
+               f"ELSE substring('{cs}', CAST(v + 1 AS INT), 1) END))")
+    return (docs.withColumn("_ids", F.expr(ids))
+            .select("doc_id", F.expr(decoded).alias("sar_text")))

@@ -270,3 +270,77 @@ def db_detect(docs: DataFrame) -> DataFrame:
                 "doc_id", "box_idx", "x1", "y1", "x2", "y2", "score"])
 
     return docs.select("doc_id").mapInPandas(run, schema=DB_SCHEMA)
+
+
+#: EAST demo geometry: GRID² score/geo maps at the reference's 4× pixel
+#: stride, scaled back to SRC² source pixels (ratio = 0.5).
+EAST_GRID = 24
+EAST_SRC = 192
+EAST_RATIO = 0.5
+
+
+def east_doc_maps(d: int):
+    """Deterministic EAST model-output stand-in for doc d: score map +
+    8-channel geo map whose restored quads are axis-aligned rectangles.
+
+    Each of 1-2 blobs predicts (per pixel) its rectangle in 4×-stride
+    coordinates with a small per-pixel corner jitter — so locality-aware
+    NMS actually exercises the weighted merge — and per-pixel scores in
+    [0.75, 1.0) straddle score_thresh=0.8. Every third document's second
+    blob restores a rectangle displaced onto empty background, so its
+    cover-score re-read fails the cover_thresh filter.
+    """
+    import numpy as np
+    h = w = EAST_GRID
+    yy, xx = np.mgrid[0:h, 0:w]
+    score = np.zeros((h, w))
+    geo = np.zeros((h, w, 8))
+    for b in range(1 + d % 2):
+        x0 = (d * 7 + b * 11) % 14
+        y0 = (d * 5 + b * 9) % 14
+        bw = 5 + (d + b) % 6
+        bh = 4 + (d * 3 + b) % 5
+        blob = np.zeros((h, w), dtype=bool)
+        blob[y0:y0 + bh, x0:x0 + bw] = True
+        score = np.where(blob,
+                         ((xx * 3 + yy * 7 + d + b) % 25) / 100.0 + 0.75,
+                         score)
+        # restored rect in 4x coords (+ displacement for the cover-fail
+        # case, + per-pixel jitter on each corner)
+        disp = 60 if (d % 3 == 0 and b == 1) else 0
+        rx1, ry1 = x0 * 4 + disp, y0 * 4
+        rx2, ry2 = (x0 + bw) * 4 + disp, (y0 + bh) * 4
+        jit = (xx + yy + d) % 3 - 1
+        for ci, (cx, cy) in enumerate(
+                [(rx1, ry1), (rx2, ry1), (rx2, ry2), (rx1, ry2)]):
+            geo[:, :, 2 * ci] = np.where(
+                blob, xx * 4 - (cx + jit), geo[:, :, 2 * ci])
+            geo[:, :, 2 * ci + 1] = np.where(
+                blob, yy * 4 - (cy + jit), geo[:, :, 2 * ci + 1])
+    return score, geo
+
+
+EAST_DETECT_SCHEMA = ("doc_id long, box_idx long, x1 long, y1 long, "
+                      "x2 long, y2 long, score double")
+
+
+def east_detect(docs: DataFrame) -> DataFrame:
+    """D2 full EAST path distributed: per-doc score/geo synthesis + quad
+    restore + locality-aware NMS + cover re-score
+    (kernels.east_detect_boxes) in Arrow batches — same per-doc
+    mapInPandas shape as db_detect/pse_detect."""
+    from ..kernels import east_detect_boxes
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                score, geo = east_doc_maps(int(d))
+                boxes = east_detect_boxes(
+                    score, geo, (EAST_SRC, EAST_SRC, EAST_RATIO, EAST_RATIO))
+                for bi, (x1, y1, x2, y2, s) in enumerate(boxes):
+                    rows.append((int(d), bi, x1, y1, x2, y2, s))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "box_idx", "x1", "y1", "x2", "y2", "score"])
+
+    return docs.select("doc_id").mapInPandas(run, schema=EAST_DETECT_SCHEMA)

@@ -113,13 +113,24 @@ def drop_score_filter(spans: DataFrame,
 
 
 def strip_styles(spans: DataFrame) -> DataFrame:
-    """P11: remove the reference style_token set — single-pass JVM regexp.
+    """P11: remove the reference style_token set — chained literal JVM
+    ``replace`` calls in the reference's token order.
 
     ppstructure/predict_system.py:151-162; the token list omits '</strike>'
-    (kernels.STYLE_TOKENS quirk), so the alternation does too.
+    (kernels.STYLE_TOKENS quirk) and lists '<strike>' twice (kept — the
+    second pass is a no-op). Round 3 replaced the single-pass regexp
+    alternation with the sequential chain: the two differ whenever
+    removing one token CREATES a token that appears LATER in the list
+    (e.g. '<i<b>>' → reference yields '', single-pass regexp '<i>') — a
+    corpus-independent guarantee instead of the round-2 corpus property.
+    All 14 replaces stay inside whole-stage codegen (literal, no regex
+    engine).
     """
-    return spans.withColumn(
-        "text", F.regexp_replace("text", STYLE_TOKEN_REGEX, ""))
+    from .kernels import STYLE_TOKENS
+    col = F.col("text")
+    for tok in STYLE_TOKENS:
+        col = F.replace(col, F.lit(tok), F.lit(""))
+    return spans.withColumn("text", col)
 
 
 def _order_ranks(doc_codes, kind_codes, text_code, kind_dict,

@@ -545,3 +545,82 @@ def test_db_distributed_matches_kernel(spark):
         want = [(i, *b) for i, b in enumerate(db_boxes(
             db_doc_maps(d), (DB_SRC, DB_SRC, DB_RATIO, DB_RATIO)))]
         assert sorted(got.get(d, [])) == want, d
+
+
+# ---------------------------------------------------------------------------
+# EAST quad restore + detect (D2 front half)
+# ---------------------------------------------------------------------------
+
+def test_restore_rectangle_quad_math():
+    import numpy as np
+    from paddleocr_spark.kernels import restore_rectangle_quad
+    origin = np.array([[8, 12]])                    # one pixel at (x=8,y=12)
+    geo = np.array([[8 - 4, 12 - 6, 8 - 20, 12 - 6, 8 - 20, 12 - 16,
+                     8 - 4, 12 - 16]], dtype=float)
+    quad = restore_rectangle_quad(origin, geo)
+    assert quad.shape == (1, 4, 2)
+    assert quad[0].tolist() == [[4, 6], [20, 6], [20, 16], [4, 16]]
+
+
+def test_east_detect_score_thresh_and_cover_filter():
+    import numpy as np
+    from paddleocr_spark.kernels import east_detect_boxes
+    h = w = 24
+    score = np.zeros((h, w))
+    score[4:8, 4:10] = 0.8            # == thresh: strictly excluded
+    geo = np.zeros((h, w, 8))
+    assert east_detect_boxes(score, geo, (96, 96, 0.5, 0.5)) == []
+    # blob above thresh whose restored rect lands on empty background:
+    # cover mean over the displaced window <= 0.1 -> dropped
+    score[4:8, 4:10] = 0.9
+    ys, xs = np.mgrid[0:h, 0:w]
+    for ci, (cx, cy) in enumerate([(60, 60), (88, 60), (88, 80), (60, 80)]):
+        geo[:, :, 2 * ci] = xs * 4 - cx
+        geo[:, :, 2 * ci + 1] = ys * 4 - cy
+    assert east_detect_boxes(score, geo, (96, 96, 0.5, 0.5)) == []
+
+
+def test_east_detect_merge_and_side_filter():
+    import numpy as np
+    from paddleocr_spark.kernels import east_detect_boxes
+    h = w = 24
+    ys, xs = np.mgrid[0:h, 0:w]
+    score = np.zeros((h, w))
+    score[2:8, 2:10] = 0.9
+    geo = np.zeros((h, w, 8))
+    # two slightly different per-pixel rects (jitter 0/1) -> weighted merge
+    jit = (xs + ys) % 2
+    for ci, (cx, cy) in enumerate([(8, 8), (40, 8), (40, 32), (8, 32)]):
+        geo[:, :, 2 * ci] = xs * 4 - (cx + jit)
+        geo[:, :, 2 * ci + 1] = ys * 4 - (cy + jit)
+    out = east_detect_boxes(score, geo, (96, 96, 0.5, 0.5))
+    assert len(out) == 1
+    x1, y1, x2, y2, cov = out[0]
+    # weighted-average coords land between the jittered variants, then
+    # /0.5 and int-truncate: in [16, 18] x [16, 18] for the min corner
+    assert 16 <= x1 <= 18 and 16 <= y1 <= 18
+    assert 0.1 < cov <= 1.0
+    # side filter: a restored rect narrower than 5 source px is dropped
+    geo2 = np.zeros((h, w, 8))
+    for ci, (cx, cy) in enumerate([(8, 8), (9, 8), (9, 32), (8, 32)]):
+        geo2[:, :, 2 * ci] = xs * 4 - cx
+        geo2[:, :, 2 * ci + 1] = ys * 4 - cy
+    assert east_detect_boxes(score, geo2, (96, 96, 0.5, 0.5)) == []
+
+
+def test_east_detect_distributed_matches_kernel(spark):
+    from paddleocr_spark.kernels import east_detect_boxes
+    from paddleocr_spark.operators.spatial import (EAST_RATIO, EAST_SRC,
+                                                   east_detect,
+                                                   east_doc_maps)
+    import pyspark.sql.functions as F
+    docs = spark.range(40).select(F.col("id").alias("doc_id"))
+    got = {}
+    for r in east_detect(docs).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["box_idx"], r["x1"], r["y1"], r["x2"], r["y2"], r["score"]))
+    for d in range(40):
+        score, geo = east_doc_maps(d)
+        want = [(i, *b) for i, b in enumerate(east_detect_boxes(
+            score, geo, (EAST_SRC, EAST_SRC, EAST_RATIO, EAST_RATIO)))]
+        assert sorted(got.get(d, [])) == want, d

@@ -389,3 +389,41 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_pt_bucketed")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_sar_label_decode_quirks():
+    """SAR specials differ from Attn on every token: pad ignored, eos
+    breaks (live), eos-at-0 skipped (text_prob None path), <UKN> decodes
+    as a literal dictionary entry."""
+    from paddleocr_spark.kernels import sar_label_decode
+    cs = "abc"                      # ukn=3, eos=4, pad=5
+    assert sar_label_decode([0, 1, 2], cs) == "abc"
+    assert sar_label_decode([4, 0, 1], cs) == "ab"      # idx-0 eos skipped
+    assert sar_label_decode([0, 4, 1], cs) == "a"       # live break
+    assert sar_label_decode([0, 5, 1], cs) == "ab"      # pad ignored
+    assert sar_label_decode([0, 3, 1], cs) == "a<UKN>b"
+
+
+def test_sar_decode_distributed_matches_kernel(spark):
+    import pyspark.sql.functions as F
+    from paddleocr_spark.kernels import sar_label_decode
+    from paddleocr_spark.operators.recognize import CHARSET, sar_decode
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (4, "tail case"), (5, "eos at zero"),
+         (7, "UNKNOWN Chars Ä"), (10, ""), (11, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["sar_text"] for r in sar_decode(docs).collect()}
+    n = len(CHARSET)
+    ukn, eos, pad = n, n + 1, n + 2
+
+    def enc(t):
+        return [CHARSET.index(c) if c in CHARSET else ukn for c in t]
+
+    for d, t in [(0, "hello world"), (4, "tail case"), (5, "eos at zero"),
+                 (7, "UNKNOWN Chars Ä"), (10, ""), (11, "")]:
+        ids = ([eos] if d % 5 == 0 else []) + enc(t) + [pad, eos] + \
+            enc(t[:2])
+        assert got[d] == sar_label_decode(ids, CHARSET), d
+    # the post-eos tail must NOT appear (live break — unlike attn_decode)
+    assert got[4] == "tail case"
+    assert got[7] == "<UKN><UKN><UKN><UKN><UKN><UKN><UKN> <UKN>hars <UKN>"

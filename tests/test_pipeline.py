@@ -125,3 +125,39 @@ def test_flagship_matches_pandas_oracle_at_sf01_sample(spark):
     assert set(got) == set(want)
     assert sum(1 for d in want if got[d] != want[d]) == 0
     assert len(want) > 900
+
+
+def test_strip_styles_matches_sequential_loop_on_adversarial_text(spark):
+    """The distributed strip must equal the reference's SEQUENTIAL replace
+    loop even when removing one token CREATES another — the case a
+    single-pass regexp alternation gets wrong (e.g. '<i<b>>': removing
+    '<b>' exposes '<i>', which the reference's later '<i>' pass removes).
+    Corpus-independent guarantee replacing the round-2 corpus assumption.
+    """
+    import pyspark.sql.functions as F
+    from paddleocr_spark.kernels import STYLE_TOKENS, strip_style_tokens
+    from paddleocr_spark.pipeline import strip_styles
+    frags = ["<b>", "</b>", "<i>", "</i>", "<sub>", "</sup>", "<strike>",
+             "</strike>", "<", ">", "/", "b", "i", "sup", "sub", "x", ""]
+    texts = []
+    # nested-creation cases: token split by another token, all pairs
+    for outer in STYLE_TOKENS:
+        for inner in STYLE_TOKENS:
+            mid = len(outer) // 2
+            texts.append(outer[:mid] + inner + outer[mid:])
+    # pseudo-random fragment soup, deterministic
+    for d in range(200):
+        n = 1 + d % 7
+        texts.append("".join(
+            frags[(d * 13 + k * 7) % len(frags)] for k in range(n)))
+    texts.append("<i<b>>")
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in strip_styles(df.withColumn("kind", F.lit("text")))
+           .select("doc_id", "text").collect()}
+    for i, t in rows:
+        assert got[i] == strip_style_tokens(t), repr(t)
+    # the motivating differential: single-pass regexp would leave '<i>'
+    assert strip_style_tokens("<i<b>>") == ""
+    assert got[len(texts) - 1] == ""

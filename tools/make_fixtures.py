@@ -329,6 +329,29 @@ def fx_table_html_master(con, sf_dir: str) -> pd.DataFrame:
         {"t_id": "int64"})
 
 
+def fx_east_detect(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_east_detect single-node: doc ids from DuckDB, maps +
+    detect via the shared kernels."""
+    from paddleocr_spark.kernels import east_detect_boxes
+    from paddleocr_spark.operators.spatial import (EAST_RATIO, EAST_SRC,
+                                                   east_doc_maps)
+    ids = con.sql(f"""
+        SELECT doc_id FROM read_parquet(
+            '{os.path.join(sf_dir, "documents.parquet")}')
+        WHERE doc_id < 200 ORDER BY doc_id
+    """).df()["doc_id"]
+    rows = []
+    for d in ids:
+        score, geo = east_doc_maps(int(d))
+        for bi, (x1, y1, x2, y2, s) in enumerate(east_detect_boxes(
+                score, geo, (EAST_SRC, EAST_SRC, EAST_RATIO, EAST_RATIO))):
+            rows.append((int(d), bi, x1, y1, x2, y2, s))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "box_idx", "x1", "y1", "x2", "y2", "score"]).astype(
+        {"doc_id": "int64", "box_idx": "int64", "x1": "int64",
+         "y1": "int64", "x2": "int64", "y2": "int64"})
+
+
 FIXTURES = {
     "flagship_extract": fx_flagship_extract,
     "nms_per_class": fx_nms_per_class,
@@ -339,6 +362,7 @@ FIXTURES = {
     "pse_detect": fx_pse_detect,
     "db_detect": fx_db_detect,
     "table_html_master": fx_table_html_master,
+    "east_detect": fx_east_detect,
 }
 
 
