@@ -23,3 +23,8 @@ def documents(spark):
 @pytest.fixture(scope="session")
 def documents_pdf(documents):
     return documents.select("doc_id", "text").toPandas()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: whole-corpus differentials (~20 s each)")

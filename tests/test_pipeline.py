@@ -161,3 +161,24 @@ def test_strip_styles_matches_sequential_loop_on_adversarial_text(spark):
     # the motivating differential: single-pass regexp would leave '<i>'
     assert strip_style_tokens("<i<b>>") == ""
     assert got[len(texts) - 1] == ""
+
+
+@pytest.mark.slow
+def test_whole_corpus_differential_sf01(spark):
+    """sf0.1 whole-corpus span-sequence equality vs the pandas oracle
+    (4,967 docs) — the round-2 ad-hoc check promoted to a slow-marked
+    test. Run with ``pytest -m slow`` (deselected by default via -m 'not
+    slow' being absent: it runs in the full suite, ~60 s)."""
+    import pandas as pd
+    sf = "/root/testdata/sf0.1"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = _collect(extract(synth_spans(docs)))
+    pdf = pd.read_parquet(f"{sf}/documents.parquet")
+    want = {r.doc_id: r.spans for r in extract_pandas(pdf).itertuples()}
+    assert set(got) == set(want)
+    n_bad = 0
+    for d, spans in want.items():
+        if [tuple(s.values()) for s in got[d]] != [
+                tuple(s.values()) for s in spans]:
+            n_bad += 1
+    assert n_bad == 0, f"{n_bad}/{len(want)} docs differ"

@@ -1,0 +1,80 @@
+"""Physical-plan regression pins — the PERF.md audits as executable tests.
+
+These don't check values (the oracle gate does); they pin the PLAN SHAPE
+that makes the operators scale: shuffle counts, predicate pushdown into
+the parquet scan, and codegen-only paths. A Spark upgrade or a refactor
+that silently adds an exchange or un-pushes a filter fails here first.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_per_doc_detectors_have_no_shuffle_and_pushed_filter(spark):
+    """db/east/pse detect: Scan → Filter → MapInPandas, pushdown reaches
+    the scan, zero exchanges — the per-doc kernels fan out with the
+    scan."""
+    import paddleocr_spark.entry_queries as EQ
+    for name in ("db_detect", "east_detect", "pse_detect"):
+        df = EQ.queries()[name](spark, SF)
+        plan = _formatted(df)
+        assert "Exchange" not in plan, name
+        assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,200)]" \
+            in plan, name
+        assert "MapInPandas" in plan, name
+
+
+def test_sar_decode_is_pure_projection(spark):
+    """sar_decode: single codegen projection — no shuffle, no Python."""
+    import paddleocr_spark.entry_queries as EQ
+    plan = _formatted(EQ.queries()["sar_decode"](spark, SF))
+    assert "Exchange" not in plan
+    for py_node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py_node not in plan
+    # (the HOF lambdas keep the projection outside WholeStageCodegen but
+    # still JVM-side — Scan → Project only)
+    assert "Scan parquet" in plan
+
+
+def test_flagship_has_exactly_one_payload_shuffle(spark):
+    """extract(): ONE hash exchange (doc_id repartition for the
+    reading-order kernel); scan prunes to (doc_id, spans)."""
+    from paddleocr_spark.pipeline import extract
+    from paddleocr_spark.synth import synth_spans
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = synth_spans(docs)
+    # materialize the synth to parquet so the plan under test is the
+    # extraction side only (as in bench.py)
+    import tempfile
+    path = tempfile.mkdtemp() + "/c"
+    corpus.write.mode("overwrite").parquet(path)
+    out = extract(spark.read.parquet(path))
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "REPARTITION_BY_NUM" in plan          # AQE-coalesce-exempt
+    assert "MapInArrow" in plan
+
+
+def test_grouped_arrow_family_has_single_hash_exchange(spark):
+    """grouped_map_arrow operators: one hash exchange on the group key
+    feeding sort + mapInArrow (no groupBy aggregate machinery)."""
+    import paddleocr_spark.entry_queries as EQ
+    df = EQ.queries()["east_nms"](spark, SF)
+    plan = _plan(df)
+    assert "MapInArrow" in plan
+    assert "FlatMapGroupsInPandas" not in plan   # the old applyInPandas node
