@@ -319,10 +319,15 @@ def q_cell_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = (F.col("bx2") - F.col("bx1")) * (F.col("by2") - F.col("by1"))
     sb = (F.col("cx2") - F.col("cx1")) * (F.col("cy2") - F.col("cy1"))
     one_minus_iou = 1.0 - inter / (sa + sb - inter)
-    w = Window.partitionBy("t_id", "box_id").orderBy(
-        one_minus_iou, dis, F.col("cell_id"))
-    return (j.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+    # argmin as a hash aggregate, NOT a window: row_number over
+    # (t_id, box_id) partitions means millions of 12-row sort partitions
+    # at scale — min_by with the (1-IoU, dis, cell_id) struct keeps the
+    # exact tie order (lexicographic struct comparison) with map-side
+    # partial aggregation and one exchange.
+    return (j.groupBy("t_id", "box_id")
+            .agg(F.min_by("cell_id", F.struct(
+                one_minus_iou.alias("a"), dis.alias("b"),
+                F.col("cell_id").alias("c"))).alias("cell_id"))
             .select("t_id", "box_id", "cell_id"))
 
 

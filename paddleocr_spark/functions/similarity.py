@@ -202,13 +202,18 @@ def embedding_neardup(spark: SparkSession, sf_dir: str,
     cand = (a.join(b, ["band", "code", "sub"])
             .filter(F.col("vec_a") < F.col("vec_b"))
             .select("vec_a", "vec_b").distinct())
+    # norms ride the build side (one per vector), not the pair rows —
+    # same expression tree as cosine_col, so identical floats
     ea = corpus.select(F.col("vec_id").alias("vec_a"),
-                       F.col("embedding").alias("ea"))
+                       F.col("embedding").alias("ea"),
+                       _norm("embedding").alias("na"))
     eb = corpus.select(F.col("vec_id").alias("vec_b"),
-                       F.col("embedding").alias("eb"))
+                       F.col("embedding").alias("eb"),
+                       _norm("embedding").alias("nb"))
     return (cand.join(ea, "vec_a").join(eb, "vec_b")
             .select("vec_a", "vec_b",
-                    F.round(cosine_col("ea", "eb"), 4).alias("cosine"))
+                    F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")),
+                            4).alias("cosine"))
             .filter(F.col("cosine") >= threshold))
 
 
