@@ -204,7 +204,7 @@ def main() -> int:
             lo_times = [r["flagship_sec"] for r in lo_draws]
             hi_times = [r["flagship_sec"] for r in hi_draws]
             curve = {}
-            for c in (2, 8, 16):
+            for c in (8, 16):
                 r = _spawn(c, scale_corpus, sf_dir, full=False, runs=3)
                 curve[str(c)] = {"sec": r["flagship_sec"],
                                  "times": r["times"],

@@ -101,7 +101,19 @@ def run_extract(spark: SparkSession, extracted: DataFrame, out_dir: str,
     lineage = spark.createDataFrame(rows, schema=LINEAGE_SCHEMA)
     lineage.coalesce(1).write.mode("append").parquet(lineage_dir)
 
+    # Iceberg-shaped snapshot commit (snapshots.py): pin the exact data
+    # files of the buckets just written as a new atomic table version —
+    # snapshot-isolated readers and time travel over the same parquet
+    # layout the real Iceberg writer would replace.
+    from . import snapshots as S
+    version = S.commit_snapshot(
+        out_dir,
+        {p: S.list_bucket_files(data_dir, p) for p in todo},
+        {str(p): {"docs": r[2], "spans": r[3]}
+         for p, r in zip(todo, rows)})
+
     return {"run_id": run_id, "parts_done": len(todo),
             "parts_skipped": len(done),
             "docs": sum(r[2] for r in rows),
-            "spans": sum(r[3] for r in rows)}
+            "spans": sum(r[3] for r in rows),
+            "snapshot_version": version}

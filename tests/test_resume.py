@@ -62,3 +62,46 @@ def test_uncommitted_bucket_is_overwritten_idempotently(spark, extracted,
     got = spark.read.parquet(f"{out}/extracted")
     ids = [r["doc_id"] for r in got.select("doc_id").collect()]
     assert len(ids) == len(set(ids))
+
+
+def test_snapshot_isolation_and_time_travel(spark, extracted, tmp_path):
+    """snapshots.py: each run commits an atomic table version; readers of
+    a pinned version never see later overwrites (time travel) nor files
+    that were written but not committed (snapshot isolation) — the two
+    Iceberg properties directory-listing parquet reads lack."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from paddleocr_spark import snapshots as S
+    from paddleocr_spark.lineage import run_extract
+
+    out = str(tmp_path / "snap")
+    data_dir = f"{out}/extracted"
+    s1 = run_extract(spark, extracted, out, "run1", n_buckets=8,
+                     max_parts=3)
+    assert s1["snapshot_version"] == 1
+    v1 = spark.read.parquet(*[
+        p for ps in S.load_manifest(out, 1)["files"].values()
+        for p in ps]).count()
+    s2 = run_extract(spark, extracted, out, "run2", n_buckets=8)
+    assert s2["snapshot_version"] == 2
+
+    # v2 = the whole corpus; v1 stays the 3-bucket prefix (time travel)
+    all_docs = extracted.count()
+    assert S.read_snapshot(spark, out, 2).count() == all_docs
+    assert S.read_snapshot(spark, out, 1).count() == v1 == s1["docs"]
+    assert S.read_snapshot(spark, out).count() == all_docs  # latest
+
+    # an orphan file (written, never committed) is visible to a naive
+    # directory read but INVISIBLE to every snapshot reader
+    import glob
+    bucket_dir = glob.glob(f"{data_dir}/part_id=*")[0]
+    sample = glob.glob(f"{bucket_dir}/*.parquet")[0]
+    orphan_tbl = pq.read_table(sample)
+    pq.write_table(orphan_tbl, f"{bucket_dir}/orphan-uncommitted.parquet")
+    naive = spark.read.parquet(data_dir).count()
+    assert naive > all_docs
+    assert S.read_snapshot(spark, out, 2).count() == all_docs
+
+    # per-bucket metrics ride the manifest
+    m = S.load_manifest(out)
+    assert sum(b["docs"] for b in m["buckets"].values()) == all_docs
