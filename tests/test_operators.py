@@ -427,3 +427,24 @@ def test_sar_decode_distributed_matches_kernel(spark):
     # the post-eos tail must NOT appear (live break — unlike attn_decode)
     assert got[4] == "tail case"
     assert got[7] == "<UKN><UKN><UKN><UKN><UKN><UKN><UKN> <UKN>hars <UKN>"
+
+
+def test_grouped_arrow_output_partition_invariant(spark):
+    """grouped_map_arrow results must not depend on partition count or
+    input row order (the carry + within-partition sort contract)."""
+    import pyspark.sql.functions as F
+    from paddleocr_spark.operators.spatial import east_nms_locality
+    rows = [(f"doc_{i % 7}", i, float((i * 13) % 50),
+             float((i * 7) % 40), float((i * 13) % 50 + 30),
+             float((i * 7) % 40 + 20), 0.3 + (i % 60) / 100.0)
+            for i in range(300)]
+    cols = "doc_id string, box_id long, x1 double, y1 double, x2 double, y2 double, score double"
+
+    def run(df):
+        out = east_nms_locality(df)
+        return sorted(tuple(r) for r in out.collect())
+
+    base = run(spark.createDataFrame(rows, cols).repartition(1))
+    shuffled = run(spark.createDataFrame(rows[::-1], cols).repartition(13))
+    wide = run(spark.createDataFrame(rows, cols).repartition(37, "box_id"))
+    assert base == shuffled == wide
