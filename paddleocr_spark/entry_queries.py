@@ -1953,11 +1953,14 @@ WITH {CELL_BASE_CTE.lstrip()},
 {t_cte}, {tokrows_cte.lstrip()},
 bcont AS (
     SELECT t_id, cell_id, box_id,
-           CASE box_id % 7
-                WHEN 0 THEN '<b>w' || CAST(box_id % 100 AS VARCHAR)
-                WHEN 1 THEN 'w' || CAST(box_id % 100 AS VARCHAR) || '</b>'
-                WHEN 2 THEN ' w' || CAST(box_id % 100 AS VARCHAR)
-                WHEN 3 THEN ''
+           CASE WHEN box_id % 21 = 0 THEN '<b>'
+                WHEN box_id % 7 = 0
+                THEN '<b>w' || CAST(box_id % 100 AS VARCHAR)
+                WHEN box_id % 7 = 1
+                THEN 'w' || CAST(box_id % 100 AS VARCHAR) || '</b>'
+                WHEN box_id % 7 = 2
+                THEN ' w' || CAST(box_id % 100 AS VARCHAR)
+                WHEN box_id % 7 = 3 THEN ''
                 ELSE 'w' || CAST(box_id % 100 AS VARCHAR) END AS content
     FROM assigned
 ),
@@ -1997,7 +2000,7 @@ pieces AS (
 ),
 celltxt AS (
     SELECT t_id, cell_id,
-           CASE WHEN max(n) > 1 AND strpos(min(first_c), '<b>') > 0
+           CASE WHEN max(n) > 1 AND min(first_c) = '<b>'
                 THEN '<b>' || coalesce(string_agg(
                      CASE WHEN kept THEN piece END, '' ORDER BY i), '')
                      || '</b>'

@@ -449,7 +449,15 @@ def get_pred_html(pred_structures, matched_index, ocr_contents) -> str:
                 end_html.append("<td>")
             if td_index in matched_index:
                 b_with = False
-                if ("<b>" in ocr_contents[matched_index[td_index][0]]
+                # TUPLE-MEMBERSHIP QUIRK (found by executing the reference,
+                # round 3): the reference's ocr_contents entries are
+                # (text, score) tuples and the test is `'<b>' in tuple` —
+                # element EQUALITY, not substring — so the wrap fires only
+                # when the first matched TEXT is exactly '<b>'
+                # (matcher.py:108-110 + the rec_res tuples fed by
+                # predict_table). Our contents are bare strings, so the
+                # faithful condition is string equality.
+                if (ocr_contents[matched_index[td_index][0]] == "<b>"
                         and len(matched_index[td_index]) > 1):
                     b_with = True
                     end_html.append("<b>")
@@ -974,7 +982,10 @@ def get_pred_html_master(pred_structures, matched_index,
             txt = ""
             b_with = False
             if td_index in matched_index:
-                if ("<b>" in ocr_contents[matched_index[td_index][0]]
+                # same tuple-membership quirk as get_pred_html: equality,
+                # not substring (matcher.py:149-151 over (text, score)
+                # tuples)
+                if (ocr_contents[matched_index[td_index][0]] == "<b>"
                         and len(matched_index[td_index]) > 1):
                     b_with = True
                 for i, content_idx in enumerate(matched_index[td_index]):

@@ -16,7 +16,10 @@ Restates the reference's table pipeline tail end Spark-first:
   cut 4 chars for ``</b>`` likewise, join with single spaces keyed on the
   ORIGINAL element index (a skipped last element still leaves the previous
   separator — quirk kept), and wrap in ``<b>…</b>`` iff the FIRST matched
-  text contains ``<b>`` and the cell has >1 texts. The final html carries
+  text is EXACTLY ``<b>`` and the cell has >1 texts (the reference's
+  ``'<b>' in ocr_contents[i]`` runs against a (text, score) TUPLE —
+  element equality, not substring; verified by executing the reference
+  method, round 3). The final html carries
   the ``<html><body><table>`` wrapper exactly like
   ppstructure/table/predict_structure.py:150-154.
 * **A7** ``TableStructureMetric`` (ppocr/metrics/table_metric.py:18-60):
@@ -239,7 +242,7 @@ def _cell_contents(assigned: DataFrame) -> DataFrame:
                "struct(i, piece) END)), s -> s.piece)")).alias("txt"),
                F.max("n").alias("n"),
                F.min("first_c").alias("first_c")))
-    b_with = (F.col("n") > 1) & (F.instr("first_c", "<b>") > 0)
+    b_with = (F.col("n") > 1) & (F.col("first_c") == "<b>")
     return agg.select(
         "t_id", "cell_id",
         F.when(b_with, F.concat(F.lit("<b>"), F.col("txt"), F.lit("</b>")))
@@ -314,7 +317,8 @@ def raw_content_col():
     """The per-box OCR content synthesis (same variants _cell_contents
     documents: <b> prefix, </b> suffix, leading space, empty, plain)."""
     x = (F.col("box_id") % 100).cast("string")
-    return (F.when(F.col("box_id") % 7 == 0, F.concat(F.lit("<b>w"), x))
+    return (F.when(F.col("box_id") % 21 == 0, F.lit("<b>"))
+            .when(F.col("box_id") % 7 == 0, F.concat(F.lit("<b>w"), x))
             .when(F.col("box_id") % 7 == 1, F.concat(F.lit("w"), x,
                                                      F.lit("</b>")))
             .when(F.col("box_id") % 7 == 2, F.concat(F.lit(" w"), x))

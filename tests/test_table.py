@@ -47,10 +47,19 @@ def test_html_single_content_is_spliced_raw():
 def test_html_b_slice_cuts_first_three_chars_wherever_b_occurs():
     # '<b>' detected ANYWHERE but the cut is an unconditional [3:]
     html = get_pred_html(["<td></td>"], {0: [0, 1]}, ["ab<b>cd", "tail"])
-    # first content contains '<b>' and n>1 -> b_with wrap; the munge slices
-    # [3:] unconditionally: 'ab<b>cd'[3:] == 'b>cd' (drops 'ab<', NOT the
-    # tag) -- the reference quirk this test pins
-    assert html == "<td><b>b>cd tail</b></td>"
+    # the munge slices [3:] unconditionally: 'ab<b>cd'[3:] == 'b>cd'
+    # (drops 'ab<', NOT the tag) — and NO b_with wrap: the reference's
+    # `'<b>' in ocr_contents[i]` is tuple membership over (text, score),
+    # i.e. the wrap needs the first TEXT to be exactly '<b>'
+    assert html == "<td>b>cd tail</td>"
+
+
+def test_html_b_with_needs_exact_b_first_text():
+    # first text exactly '<b>' and n>1 -> wrap; the '<b>' piece itself
+    # munges to '' ([3:]) and is skipped
+    html = get_pred_html(["<td></td>"], {0: [0, 1, 2]},
+                         ["<b>", "x", "y</b>"])
+    assert html == "<td><b>x y</b></td>"
 
 
 def test_html_skipped_last_leaves_trailing_space():
@@ -90,6 +99,8 @@ def _expected_htmls(spark):
             for r in tabs}
 
     def content(box_id: int) -> str:
+        if box_id % 21 == 0:
+            return "<b>"
         x = str(box_id % 100)
         return {0: "<b>w" + x, 1: "w" + x + "</b>", 2: " w" + x,
                 3: ""}.get(box_id % 7, "w" + x)
@@ -275,9 +286,10 @@ def test_master_b_wrap_and_munging_match_plain_dialect():
     from paddleocr_spark.kernels import get_pred_html_master
     toks = ["<tbody>", "<tr>", "<td></td>", "</tr>", "</tbody>"]
     html = get_pred_html_master(
-        toks, {0: [0, 1, 2]}, ["<b>alpha", " beta", "gamma</b>"])
-    # first content has <b> and >1 matches -> wrap; cuts applied
-    assert html == "<tbody><tr><td><b>alpha beta gamma</b></td></tr></tbody>"
+        toks, {0: [0, 1, 2]}, ["<b>", " beta", "gamma</b>"])
+    # first content EXACTLY '<b>' and >1 matches -> wrap (tuple-membership
+    # quirk); the '<b>' piece munges to '' and is skipped, cuts applied
+    assert html == "<tbody><tr><td><b>beta gamma</b></td></tr></tbody>"
 
 
 def test_table_html_master_distributed_matches_kernel(spark):

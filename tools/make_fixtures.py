@@ -311,6 +311,8 @@ def fx_table_html_master(con, sf_dir: str) -> pd.DataFrame:
         ["t_id", "box_id"])
 
     def content(box_id: int) -> str:
+        if box_id % 21 == 0:
+            return "<b>"
         x = str(box_id % 100)
         m = box_id % 7
         return {0: f"<b>w{x}", 1: f"w{x}</b>", 2: f" w{x}",
