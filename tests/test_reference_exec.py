@@ -101,3 +101,131 @@ def test_master_match_helpers_match_executed_reference():
         assert K.deal_bb(h) == bb(h), h
         assert K.deal_duplicate_bb(h) == dup(h), h
         assert K.deal_isolate_span(h) == iso(h), h
+
+
+REF_ROOT = "/root/reference"
+
+
+def _exec_slice(path: str, start: str, end: str | None = None,
+                ns: dict | None = None):
+    src = open(os.path.join(REF_ROOT, path)).read()
+    ns = dict(ns or {})
+    stop = len(src) if end is None else src.index(end)
+    exec("import numpy as np\n" + textwrap.dedent(
+        src[src.index(start):stop]), ns)
+    return ns
+
+
+def test_sorted_boxes_matches_executed_reference():
+    import numpy as np
+    from paddleocr_spark.kernels import sorted_boxes_indices
+    ns = _exec_slice("tools/infer/predict_system.py",
+                     "def sorted_boxes", "def main")
+    rng = random.Random(3)
+    for _ in range(200):
+        n = rng.randint(0, 25)
+        pts = [(rng.randint(0, 300), rng.randint(0, 300)) for _ in range(n)]
+        dt = np.array([[[x, y], [x + 40, y], [x + 40, y + 12], [x, y + 12]]
+                       for x, y in pts], dtype=float).reshape(-1, 4, 2)
+        want = [tuple(b[0]) for b in ns["sorted_boxes"](dt)]
+        xy = np.array(pts, dtype=float).reshape(-1, 2)
+        got = [tuple(xy[i]) for i in sorted_boxes_indices(xy)]
+        assert got == want, pts
+
+
+def test_sorted_layout_boxes_matches_executed_reference():
+    import numpy as np
+    from paddleocr_spark.kernels import sorted_layout_indices
+    ns = _exec_slice("ppstructure/recovery/recovery_to_doc.py",
+                     "def sorted_layout_boxes")
+    w = 1000
+    rng = random.Random(5)
+    for _ in range(300):
+        n = rng.randint(1, 14)
+        bbs = []
+        for _k in range(n):
+            x1 = rng.randint(0, 800)
+            y1 = rng.randint(0, 900)
+            bbs.append([x1, y1, x1 + rng.randint(20, 199),
+                        y1 + rng.randint(5, 60)])
+        res = [{"bbox": list(b)} for b in bbs]
+        want = [(tuple(r["bbox"]), r["layout"])
+                for r in ns["sorted_layout_boxes"](res, w)]
+        idx, layout = sorted_layout_indices(
+            np.array(bbs, dtype=float), float(w))
+        got = [(tuple(np.array(bbs, dtype=float)[i]), layout[k])
+               for k, i in enumerate(idx)]
+        assert [(tuple(map(float, b)), l) for b, l in want] == got, bbs
+
+
+def test_lcs_matches_executed_reference():
+    from paddleocr_spark.functions.metrics import lcs_string
+    ns = _exec_slice("ppocr/metrics/rec_metric.py",
+                     "def hirschberg_lcs", "class RecMetric")
+    rng = random.Random(9)
+    alpha = "abcd 漢字é"
+    for _ in range(300):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 30)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 30)))
+        assert lcs_string(a, b) == ns["hirschberg_lcs"](a, b), (a, b)
+
+
+def test_hard_nms_matches_executed_reference():
+    import numpy as np
+    from paddleocr_spark.kernels import hard_nms
+    ns = _exec_slice("ppocr/postprocess/picodet_postprocess.py",
+                     "def hard_nms", "class PicoDetPostProcess")
+    rng = random.Random(13)
+    for _ in range(200):
+        n = rng.randint(1, 30)
+        boxes = []
+        # DISTINCT scores: our kernel's one documented deviation is a
+        # STABLE argsort on tied scores (reference np.argsort is not)
+        scores = rng.sample(range(1000), n)
+        for k in range(n):
+            x1 = rng.randint(0, 200)
+            y1 = rng.randint(0, 200)
+            boxes.append([x1, y1, x1 + rng.randint(5, 60),
+                          y1 + rng.randint(5, 60), scores[k] / 1000.0])
+        bs = np.array(boxes, dtype=float)
+        want = ns["hard_nms"](bs, 0.5, top_k=8, candidate_size=20)
+        picked = hard_nms(bs[:, :4], bs[:, 4], iou_threshold=0.5,
+                          top_k=8, candidate_size=20)
+        got = bs[picked, :]
+        assert np.array_equal(got, want), boxes
+
+
+def test_match_result_matches_executed_reference():
+    import numpy as np
+    from paddleocr_spark.kernels import match_cells
+    ns = _exec_slice("ppstructure/table/matcher.py",
+                     "def distance", "class TableMatch")
+    src = open(os.path.join(REF_ROOT, "ppstructure/table/matcher.py")).read()
+    body = textwrap.dedent(src[src.index("    def match_result"):
+                               src.index("    def get_pred_html")])
+    exec("import numpy as np\n"
+         + body.replace("def match_result(self, ", "def match_result("), ns)
+    rng = random.Random(17)
+    for _ in range(150):
+        nb = rng.randint(1, 12)
+        nc = rng.randint(1, 8)
+        obs = []
+        for _k in range(nb):
+            x1 = rng.randint(0, 300)
+            y1 = rng.randint(0, 300)
+            obs.append([x1, y1, x1 + rng.randint(5, 80),
+                        y1 + rng.randint(5, 40)])
+        cells = []
+        for _k in range(nc):
+            x1 = rng.randint(0, 300)
+            y1 = rng.randint(0, 300)
+            cells.append([x1, y1, x1 + rng.randint(30, 150),
+                          y1 + rng.randint(20, 100)])
+        want = ns["match_result"](np.array(obs, dtype=float),
+                                  np.array(cells, dtype=float))
+        assign = match_cells(np.array(obs, dtype=float),
+                             np.array(cells, dtype=float))
+        got: dict = {}
+        for i, c in enumerate(assign):
+            got.setdefault(int(c), []).append(i)
+        assert got == want, (obs, cells)
