@@ -229,3 +229,59 @@ def test_match_result_matches_executed_reference():
         for i, c in enumerate(assign):
             got.setdefault(int(c), []).append(i)
         assert got == want, (obs, cells)
+
+
+def _exec_decode(cls_start: str, next_marker: str, shim) -> object:
+    """Exec a decoder class's ``decode`` method from rec_postprocess.py
+    and bind it to a hand-built shim carrying the attributes
+    add_special_char would have set."""
+    src = open(os.path.join(REF_ROOT,
+                            "ppocr/postprocess/rec_postprocess.py")).read()
+    cls = src[src.index(cls_start):src.index(next_marker)]
+    body = textwrap.dedent(cls[cls.index("    def decode"):
+                               cls.index("    def ", cls.index(
+                                   "    def decode") + 10)])
+    ns: dict = {}
+    exec("import numpy as np\n" + body, ns)
+    return lambda ids: ns["decode"](shim, [ids])[0][0]
+
+
+def test_attn_decode_matches_executed_reference():
+    from paddleocr_spark.kernels import attn_label_decode
+    chars = "abc xyz09"
+
+    class Shim:
+        character = ["sos"] + list(chars) + ["eos"]
+
+        def get_ignored_tokens(self):
+            return [0, len(chars) + 1]
+
+    dec = _exec_decode("class AttnLabelDecode", "class RFLLabelDecode",
+                       Shim())
+    rng = random.Random(21)
+    n = len(chars)
+    for _ in range(300):
+        ids = [rng.randint(0, n + 1) for _ in range(rng.randint(0, 15))]
+        full = ["sos"] + list(chars) + ["eos"]
+        assert attn_label_decode(ids, full) == dec(ids), ids
+
+
+def test_sar_decode_matches_executed_reference():
+    from paddleocr_spark.kernels import sar_label_decode
+    chars = "abc xyz09"
+    n = len(chars)
+
+    class Shim:
+        character = list(chars) + ["<UKN>", "<BOS/EOS>", "<PAD>"]
+        end_idx = n + 1
+        rm_symbol = False
+
+        def get_ignored_tokens(self):
+            return [n + 2]           # padding only
+
+    dec = _exec_decode("class SARLabelDecode", "class SATRNLabelDecode",
+                       Shim())
+    rng = random.Random(23)
+    for _ in range(300):
+        ids = [rng.randint(0, n + 2) for _ in range(rng.randint(0, 15))]
+        assert sar_label_decode(ids, list(chars)) == dec(ids), ids
