@@ -285,3 +285,104 @@ def test_sar_decode_matches_executed_reference():
     for _ in range(300):
         ids = [rng.randint(0, n + 2) for _ in range(rng.randint(0, 15))]
         assert sar_label_decode(ids, list(chars)) == dec(ids), ids
+
+
+def test_nms_locality_matches_executed_reference():
+    """Executes the reference's weighted-merge scan + standard NMS
+    (locality_aware_nms.py:45-70,173-193) with only the shapely
+    ``intersection`` stubbed by exact axis-aligned IoU — for rectangle
+    quads that is precisely what Polygon.intersection computes, while
+    the scan/merge/flush and suppression structure under test runs as
+    the reference wrote it. Scores are random FLOATS so merged sums are
+    distinct (the one documented deviation is a stable argsort on ties).
+    """
+    import numpy as np
+    from paddleocr_spark.kernels import nms_locality
+
+    def rect_iou(g, p):
+        gx1, gy1, gx2, gy2 = g[0], g[1], g[4], g[5]
+        px1, py1, px2, py2 = p[0], p[1], p[4], p[5]
+        ix = min(gx2, px2) - max(gx1, px1)
+        iy = min(gy2, py2) - max(gy1, py1)
+        if ix <= 0 or iy <= 0:
+            return 0.0
+        inter = ix * iy
+        union = ((gx2 - gx1) * (gy2 - gy1)
+                 + (px2 - px1) * (py2 - py1) - inter)
+        return 0.0 if union == 0 else inter / union
+
+    src = open(os.path.join(
+        REF_ROOT, "ppocr/postprocess/locality_aware_nms.py")).read()
+    ns = {"intersection": rect_iou}
+    exec("import numpy as np\n"
+         + src[src.index("def weighted_merge"):
+               src.index("def standard_nms_inds")]
+         + src[src.index("def nms_locality"):
+               src.index("if __name__")], ns)
+
+    rng = random.Random(29)
+    for _ in range(200):
+        n = rng.randint(0, 20)
+        rows = []
+        for _k in range(n):
+            x1 = rng.randint(0, 150)
+            y1 = rng.randint(0, 150)
+            x2 = x1 + rng.randint(10, 80)
+            y2 = y1 + rng.randint(10, 60)
+            s = rng.random()
+            rows.append([x1, y1, x2, y1, x2, y2, x1, y2, s])
+        polys = np.array(rows, dtype=np.float64).reshape(-1, 9)
+        want = ns["nms_locality"](polys.copy(), thres=0.3)
+        boxes4 = (polys[:, [0, 1, 4, 5]] if n else
+                  np.zeros((0, 4)))
+        kept, ksc = nms_locality(boxes4, polys[:, 8] if n else
+                                 np.zeros(0), thres=0.3)
+        if len(want) == 0:
+            assert len(ksc) == 0
+            continue
+        got = np.column_stack([kept[:, 0], kept[:, 1], kept[:, 2],
+                               kept[:, 1], kept[:, 2], kept[:, 3],
+                               kept[:, 0], kept[:, 3], ksc])
+        assert np.allclose(got, want, rtol=0, atol=1e-9), rows
+
+
+def test_table_label_decode_matches_executed_reference():
+    """TableLabelDecode.decode (table_postprocess.py:63-98) over one-hot
+    structure probs built from random id sequences; the shim carries the
+    merged dictionary and stubs _bbox_decode (bbox path not under test —
+    our span model carries no pixel boxes)."""
+    import numpy as np
+    from paddleocr_spark.kernels import table_label_decode
+    from paddleocr_spark.operators.table import TABLE_DICT
+
+    src = open(os.path.join(
+        REF_ROOT, "ppocr/postprocess/table_postprocess.py")).read()
+    body = textwrap.dedent(src[src.index("    def decode"):
+                               src.index("    def decode_label")])
+    ns: dict = {}
+    exec("import numpy as np\n" + body, ns)
+
+    class Shim:
+        character = list(TABLE_DICT)
+        dict = {tok: i for i, tok in enumerate(TABLE_DICT)}
+        end_str = "eos"
+        td_token = ["<td>", "<td", "<td></td>"]
+
+        def get_ignored_tokens(self):
+            return [self.dict["sos"], self.dict["eos"]]
+
+        def _bbox_decode(self, bbox, shape):
+            return bbox
+
+    shim = Shim()
+    rng = random.Random(31)
+    v = len(TABLE_DICT)
+    for _ in range(200):
+        ids = [rng.randint(0, v - 1) for _ in range(rng.randint(0, 20))]
+        probs = np.zeros((1, len(ids), v))
+        for i, t in enumerate(ids):
+            probs[0, i, t] = 1.0
+        bboxes = np.zeros((1, max(len(ids), 1), 4))
+        out = ns["decode"](shim, probs, bboxes, [[100, 100, 1.0, 1.0]])
+        want = out["structure_batch_list"][0][0]
+        assert table_label_decode(ids, TABLE_DICT) == want, ids
