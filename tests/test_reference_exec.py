@@ -386,3 +386,45 @@ def test_table_label_decode_matches_executed_reference():
         out = ns["decode"](shim, probs, bboxes, [[100, 100, 1.0, 1.0]])
         want = out["structure_batch_list"][0][0]
         assert table_label_decode(ids, TABLE_DICT) == want, ids
+
+
+def test_det_resize_shape_math_matches_executed_reference(spark):
+    """DetResizeForTest.resize_image_type0 (operators.py:273-322) with
+    cv2 stubbed by a shape-only resize: the SHAPE math — ratio rule,
+    int() truncation, the /32 snap under Python round()'s half-even tie
+    rule — runs as the reference wrote it and must agree with the
+    media_resize JVM expressions on a dimension grid that includes the
+    32-multiple and tie boundaries."""
+    import types
+
+    import numpy as np
+    from paddleocr_spark.multimodal import media_resize
+
+    src = open(os.path.join(
+        REF_ROOT, "ppocr/data/imaug/operators.py")).read()
+    body = textwrap.dedent(src[src.index("    def resize_image_type0"):
+                               src.index("    def resize_image_type2")])
+    cv2_stub = types.SimpleNamespace(
+        resize=lambda img, wh: np.zeros((wh[1], wh[0], 3),
+                                        dtype=img.dtype))
+    ns = {"cv2": cv2_stub, "np": np, "sys": __import__("sys")}
+    exec(body, ns)
+
+    class Shim:
+        limit_side_len = 960
+        limit_type = "max"
+
+    dims = [31, 32, 33, 48, 63, 64, 100, 500, 959, 960, 961, 1024,
+            1600, 2048]
+    rows = [(f"{h}x{w}", w, h) for h in dims for w in dims]
+    df = spark.createDataFrame(rows,
+                               "media_ref string, width long, height long")
+    got = {r["media_ref"]: r for r in media_resize(df).collect()}
+    for ref_id, w, h in rows:
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        out, (ratio_h, ratio_w) = ns["resize_image_type0"](Shim(), img)
+        rh, rw = out.shape[:2]
+        g = got[ref_id]
+        assert (g["resize_w"], g["resize_h"]) == (rw, rh), (w, h)
+        assert abs(g["ratio_h"] - ratio_h) < 5.1e-5, (w, h)
+        assert abs(g["ratio_w"] - ratio_w) < 5.1e-5, (w, h)
