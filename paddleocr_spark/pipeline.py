@@ -3,7 +3,7 @@
 Restates the reference dataflow (SURVEY.md §3.2):
 
     documents → explode spans → geometry (JVM) → det filter P9 (JVM)
-    → drop_score P10 (JVM) → style strip P11 (JVM regexp)
+    → drop_score P10 (JVM) → style strip P11 (JVM replace chain)
     → repartition(n, doc_id) + sortWithinPartitions → mapInArrow kernel
       (sorted_boxes O1 + region segmentation D1 + sorted_layout_boxes O2 +
       ordered emission O5, Arrow-native reassembly)
@@ -28,7 +28,7 @@ from pyspark.sql.types import (ArrayType, IntegerType, StringType, StructField,
                                StructType)
 
 from . import geometry as G
-from .kernels import STYLE_TOKEN_REGEX, order_document
+from .kernels import order_document
 
 EXTRACTED_SCHEMA = StructType([
     StructField("doc_id", StringType()),
