@@ -287,11 +287,67 @@ def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "event_id", F.round("value", 4).alias("value")))
 
 
-def q_cell_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 TableMatch.match_result: spatial theta-join, each OCR box to the
-    argmin cell by (1-IoU, L1-corner distance), ties to first cell
-    (matcher.py:76-97). Boxes/cells synthesized from lineitem; the join is
-    co-partitioned by table id (never a global crossJoin)."""
+#: Spatial-hash tile edge for the cell_match candidate join (px). Chosen
+#: near the synthetic cell size (199x249); any positive value is CORRECT —
+#: tiling only prunes candidates, and tables it cannot serve (a box wider
+#: or taller than one tile, or a box overlapping no cell) are detected and
+#: routed to the exact full-join fallback (see cell_match_bucketed).
+CELL_MATCH_TILE = 128.0
+
+
+def _cm_halo_tiles(x1, y1, x2, y2):
+    """Array of (tx, ty) structs: every CELL_MATCH_TILE tile the rect
+    [x1,x2]x[y1,y2] overlaps, EXPANDED by one tile in each direction (the
+    halo). Registering cells with a halo lets each box probe with its
+    single anchor tile (floor of its top-left corner) and still see every
+    overlapping cell, provided the box spans <= 1 tile per dimension: any
+    point p of the box lies within one tile of the anchor, and p's tile is
+    one of the cell's core tiles, so the anchor is inside the halo. Pure
+    HOF — no UDF; only the SMALL (cell) side is ever exploded."""
+    t = F.lit(CELL_MATCH_TILE)
+    xs = F.sequence(F.floor(F.col(x1) / t).cast("int") - 1,
+                    F.floor(F.col(x2) / t).cast("int") + 1)
+    ys = F.sequence(F.floor(F.col(y1) / t).cast("int") - 1,
+                    F.floor(F.col(y2) / t).cast("int") + 1)
+    return F.flatten(F.transform(
+        xs, lambda tx: F.transform(
+            ys, lambda ty: F.struct(tx.alias("tx"), ty.alias("ty")))))
+
+
+def _cm_scores():
+    """(one_minus_iou, dis, inter) column expressions over a joined
+    box(bx*/by*) x cell(cx*/cy*) row — shared by the bucketed candidate
+    pass and the rare full-join fallback so both argmins are identical."""
+    d1 = F.abs(F.col("cx1") - F.col("bx1")) + F.abs(F.col("cy1") - F.col("by1"))
+    d2 = F.abs(F.col("cx2") - F.col("bx2")) + F.abs(F.col("cy2") - F.col("by2"))
+    dis = d1 + d2 + F.least(d1, d2)
+    ix = F.greatest(F.lit(0.0), F.least("bx2", "cx2") - F.greatest("bx1", "cx1"))
+    iy = F.greatest(F.lit(0.0), F.least("by2", "cy2") - F.greatest("by1", "cy1"))
+    inter = ix * iy
+    sa = (F.col("bx2") - F.col("bx1")) * (F.col("by2") - F.col("by1"))
+    sb = (F.col("cx2") - F.col("cx1")) * (F.col("cy2") - F.col("cy1"))
+    one_minus_iou = 1.0 - inter / (sa + sb - inter)
+    return one_minus_iou, dis, inter
+
+
+def _cm_argmin(j: DataFrame, extra_aggs=()) -> DataFrame:
+    """Per-(t_id, box_id) argmin cell by (1-IoU, dis, cell_id).
+
+    A hash/sort aggregate, NOT a window: row_number over (t_id, box_id)
+    partitions means millions of tiny sort partitions at scale — min_by
+    with the (1-IoU, dis, cell_id) struct keeps the exact tie order
+    (lexicographic struct comparison) with map-side partial aggregation
+    and one exchange."""
+    one_minus_iou, dis, _ = _cm_scores()
+    return j.groupBy("t_id", "box_id").agg(
+        F.min_by("cell_id", F.struct(
+            one_minus_iou.alias("a"), dis.alias("b"),
+            F.col("cell_id").alias("c"))).alias("cell_id"),
+        *extra_aggs)
+
+
+def _cm_boxes_cells(spark: SparkSession, sf_dir: str):
+    """The shared synthetic box/cell universe for the J1 family."""
     li = _lineitem(spark, sf_dir).filter(F.col("l_linenumber") <= 4)
     boxes = li.select(
         (F.col("l_orderkey") % 50).alias("t_id"),
@@ -309,26 +365,103 @@ def q_cell_match(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("t_id", "cell_id", "cx1", "cy1",
                      (F.col("cx1") + 199).alias("cx2"),
                      (F.col("cy1") + 249).alias("cy2")))
-    j = boxes.join(cells, "t_id")
-    d1 = F.abs(F.col("cx1") - F.col("bx1")) + F.abs(F.col("cy1") - F.col("by1"))
-    d2 = F.abs(F.col("cx2") - F.col("bx2")) + F.abs(F.col("cy2") - F.col("by2"))
-    dis = d1 + d2 + F.least(d1, d2)
-    ix = F.greatest(F.lit(0.0), F.least("bx2", "cx2") - F.greatest("bx1", "cx1"))
-    iy = F.greatest(F.lit(0.0), F.least("by2", "cy2") - F.greatest("by1", "cy1"))
-    inter = ix * iy
-    sa = (F.col("bx2") - F.col("bx1")) * (F.col("by2") - F.col("by1"))
-    sb = (F.col("cx2") - F.col("cx1")) * (F.col("cy2") - F.col("cy1"))
-    one_minus_iou = 1.0 - inter / (sa + sb - inter)
-    # argmin as a hash aggregate, NOT a window: row_number over
-    # (t_id, box_id) partitions means millions of 12-row sort partitions
-    # at scale — min_by with the (1-IoU, dis, cell_id) struct keeps the
-    # exact tie order (lexicographic struct comparison) with map-side
-    # partial aggregation and one exchange.
-    return (j.groupBy("t_id", "box_id")
-            .agg(F.min_by("cell_id", F.struct(
-                one_minus_iou.alias("a"), dis.alias("b"),
-                F.col("cell_id").alias("c"))).alias("cell_id"))
+    return boxes, cells
+
+
+def q_cell_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 TableMatch.match_result: spatial theta-join, each OCR box to the
+    argmin cell by (1-IoU, L1-corner distance), ties to first cell
+    (matcher.py:76-97). Boxes/cells synthesized from lineitem; the join is
+    co-partitioned by table id (never a global crossJoin), and with the
+    cell side tiny per table it plans as a broadcast join + one SortAgg —
+    per-box work is a bounded cells-per-table constant of codegen
+    arithmetic. For the large-cells-per-table regime, the tile-bucketed
+    variant (cell_match_bucketed, gate-checked as its own query against
+    the SAME oracle) cuts the candidate constant; measured here at 12
+    cells/table the simple plan wins (one scan, no guard stages), so it
+    stays the default — see PERF.md round 4.
+
+    The explicit repartition on the GROUP keys is the measured 10x of
+    round 4 (9.7 s -> 0.9 s materialized at sf0.1): the lineitem scan
+    yields 3 input partitions, and without it the partial SortAggregate
+    under the broadcast join runs 3-wide (AQE coalesces by bytes, and a
+    round-robin repartition got coalesced right back). Hashing by
+    (t_id, box_id) is exempt from coalescing, spreads the struct-compare
+    argmin across every core, and pre-satisfies the aggregate's
+    distribution so no second exchange is needed."""
+    boxes, cells = _cm_boxes_cells(spark, sf_dir)
+    n = spark.sparkContext.defaultParallelism * 2
+    j = boxes.repartition(n, "t_id", "box_id").join(cells, "t_id")
+    return _cm_argmin(j).select("t_id", "box_id", "cell_id")
+
+
+def q_cell_match_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cell_match via the tile-bucketed candidate join — same output (and
+    same DuckDB oracle) as q_cell_match, different physical plan."""
+    boxes, cells = _cm_boxes_cells(spark, sf_dir)
+    return cell_match_bucketed(boxes, cells)
+
+
+def cell_match_bucketed(boxes: DataFrame, cells: DataFrame) -> DataFrame:
+    """Tile-bucketed argmin cell assignment with exact full-join fallback.
+
+    ``boxes``: (t_id, box_id, bx1, by1, bx2, by2);
+    ``cells``: (t_id, cell_id, cx1, cy1, cx2, cy2). Returns
+    (t_id, box_id, cell_id) identical to the unbucketed theta-join argmin.
+
+    Scale design: cells are spatially hashed into halo-expanded
+    CELL_MATCH_TILE tiles (small side, broadcast) and each box probes
+    with its single anchor tile — the big side is never exploded.
+    Correctness argument: an overlapping cell (1-IoU < 1.0) always beats
+    every non-overlapping cell (1-IoU = 1.0) under the lexicographic
+    argmin, and the halo guarantees every overlapping cell shares the
+    anchor tile key whenever the box spans <= 1 tile per dimension — so
+    the tile-local argmin IS the global argmin for any box overlapping
+    >= 1 cell. The remaining cases (a box wider/taller than one tile, or
+    overlapping no cell — where the reference falls back to pure distance
+    over ALL cells) are detected per table (max box extent; candidate
+    argmin with inter = 0; count parity for boxes with no candidates at
+    all) and routed to an exact full per-table join. On grid-covering
+    inputs the bad-table set is empty and AQE collapses the fallback
+    branch to an empty relation at runtime. The candidate aggregate is
+    referenced by both the validity check and the output; its repartition
+    exchange is shared via AQE stage reuse, only the cheap post-exchange
+    final aggregate runs twice."""
+    t = F.lit(CELL_MATCH_TILE)
+    n = boxes.sparkSession.sparkContext.defaultParallelism * 2
+    boxes_t = boxes.repartition(n, "t_id", "box_id").withColumn(
+        "tx", F.floor(F.col("bx1") / t).cast("int")).withColumn(
+        "ty", F.floor(F.col("by1") / t).cast("int"))
+    cells_t = (cells
+               .withColumn("_t", F.explode(
+                   _cm_halo_tiles("cx1", "cy1", "cx2", "cy2")))
+               .select("t_id", "cell_id", "cx1", "cy1", "cx2", "cy2",
+                       F.col("_t.tx").alias("tx"), F.col("_t.ty").alias("ty")))
+    # Candidate pairs: each (box, cell) pair appears at most once (one
+    # anchor tile per box; a cell registers a tile at most once).
+    cand = boxes_t.join(F.broadcast(cells_t), ["t_id", "tx", "ty"])
+    _, _, inter = _cm_scores()
+    agg = _cm_argmin(cand, extra_aggs=(F.max(inter).alias("best_inter"),))
+
+    # Per-table validity: every box matched with a strict overlap, and no
+    # box wider/taller than one tile (the halo proof's precondition)?
+    n_boxes = boxes.groupBy("t_id").agg(
+        F.count("*").alias("nb"),
+        F.max(F.col("bx2") - F.col("bx1")).alias("max_w"),
+        F.max(F.col("by2") - F.col("by1")).alias("max_h"))
+    n_ok = (agg.filter(F.col("best_inter") > 0)
+            .groupBy("t_id").agg(F.count("*").alias("nm")))
+    bad = (n_boxes.join(n_ok, "t_id", "left")
+           .filter(F.col("nm").isNull() | (F.col("nm") < F.col("nb"))
+                   | (F.col("max_w") > t) | (F.col("max_h") > t))
+           .select("t_id"))
+
+    good = (agg.join(F.broadcast(bad), "t_id", "left_anti")
             .select("t_id", "box_id", "cell_id"))
+    fallback = _cm_argmin(
+        boxes.join(F.broadcast(bad), "t_id").join(cells, "t_id")
+    ).select("t_id", "box_id", "cell_id")
+    return good.unionByName(fallback)
 
 
 def q_cell_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -860,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_sample": q_union_sample,
         "topk_window": q_topk_window,
         "cell_match": q_cell_match,
+        "cell_match_bucketed": q_cell_match_bucketed,
         "cell_texts": q_cell_texts,
         "dim_join_broadcast": q_dim_join_broadcast,
         "e2e_eval": q_e2e_eval,
@@ -1145,6 +1279,9 @@ FROM (
     sqls["cell_match"] = f"""
 WITH {cell_base}
 SELECT t_id, box_id, cell_id FROM assigned"""
+
+    # same oracle, different physical plan (tile-bucketed candidates)
+    sqls["cell_match_bucketed"] = sqls["cell_match"]
 
     sqls["cell_texts"] = f"""
 WITH {cell_base}

@@ -1017,6 +1017,60 @@ def get_pred_html_master(pred_structures, matched_index,
     return deal_bb("".join(end_html))
 
 
+def assemble_cell_txt(contents: list) -> str:
+    """The per-cell content loop of get_pred_html_master (matcher.py:
+    147-172) factored out: given ONE cell's ordered box contents, return
+    the assembled txt including the b_with wrap. Pure function of the
+    list — the td walk never feeds back into it — which is what lets the
+    distributed path pre-aggregate it relationally (operators/table.py
+    _cell_contents) instead of shipping every box row into the walk.
+    tests/test_table_master.py pins get_pred_html_master == the
+    (assemble_cell_txt -> get_pred_html_master_txt) composition."""
+    txt = ""
+    b_with = contents[0] == "<b>" and len(contents) > 1
+    for i, content in enumerate(contents):
+        if len(contents) > 1:
+            if len(content) == 0:
+                continue
+            if content[0] == " ":
+                content = content[1:]
+            if "<b>" in content:
+                content = content[3:]
+            if "</b>" in content:
+                content = content[:-4]
+            if len(content) == 0:
+                continue
+            if i != len(contents) - 1 and " " != content[-1]:
+                content += " "
+        txt += content
+    if b_with:
+        txt = "<b>{}</b>".format(txt)
+    return txt
+
+
+def get_pred_html_master_txt(pred_structures, cell_txts: dict) -> str:
+    """get_pred_html_master with the per-cell txt already assembled:
+    ``cell_txts`` maps td index -> assembled txt (assemble_cell_txt of
+    that cell's contents). A td index PRESENT with an empty txt is still
+    'matched' — the splice output is identical either way (''.format),
+    so presence/absence needs no special-casing. Same walk otherwise:
+    whole-token replacement for non-'<td></td>' tokens, deal_eb_token on
+    every token, deal_bb on the join (matcher.py:140-180)."""
+    end_html = []
+    td_index = 0
+    for token in pred_structures:
+        if "</td>" in token:
+            txt = cell_txts.get(td_index, "")
+            if "<td></td>" == token:
+                token = "<td>{}</td>".format(txt)
+            else:
+                token = "{}</td>".format(txt)
+            td_index += 1
+        token = deal_eb_token(token)
+        end_html.append(token)
+    return deal_bb("".join(end_html))
+
+
 # ---------------------------------------------------------------------------
 # EAST quad restore + detect (D2 front half) — east_postprocess.py:43-101
 # ---------------------------------------------------------------------------

@@ -214,6 +214,13 @@ def _cell_contents(assigned: DataFrame) -> DataFrame:
     """
     bc = assigned.select("t_id", "cell_id", "box_id",
                          raw_content_col().alias("content"))
+    # Explicit hash repartition on the window/group keys: AQE coalesces
+    # the exchange by BYTES (260k short strings ~ a few MB -> 1 task) and
+    # the whole window + collect_list pipeline then runs 1-wide. A keyed
+    # repartition is exempt, keeps every core busy, and both window specs
+    # AND the final groupBy reuse the partitioning (one exchange total).
+    n = assigned.sparkSession.sparkContext.defaultParallelism * 2
+    bc = bc.repartition(n, "t_id", "cell_id")
     win = Window.partitionBy("t_id", "cell_id")
     wo = win.orderBy("box_id")
     bc = (bc.withColumn("n", F.count("*").over(win))
@@ -341,30 +348,43 @@ def html_master_one(t_id: int, tokens: list, cells: list) -> str:
     return get_pred_html_master(pred, matched, contents)
 
 
+def html_master_one_txt(t_id: int, tokens: list, cell_txts: dict) -> str:
+    """Single-table master HTML from PRE-ASSEMBLED per-cell txt (the
+    distributed fast path): the walk itself, with the content loop
+    already folded into cell_txts (kernels.assemble_cell_txt semantics —
+    here produced relationally by _cell_contents)."""
+    from ..kernels import get_pred_html_master_txt
+    pred = master_pred_structures(tokens, int(t_id))
+    return get_pred_html_master_txt(pred, cell_txts)
+
+
 def table_html_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2b: assembled master-dialect HTML per table.
 
     The master walk (whole-token replacement, deal_eb_token, deal_bb's
     thead regex surgery) is iterative string rewriting with backreference
     replaces — not relational like the plain dialect — so it runs as a
-    per-table Arrow kernel (grouped.grouped_map_arrow keyed by t_id;
-    narrow rows, no skewable key at scale). Oracle: committed fixture
-    (tools/make_fixtures.py) built from the same shared kernel over the
-    DuckDB twins of table_structure + cell_match.
+    per-table Arrow kernel (grouped.grouped_map_arrow keyed by t_id).
+    Round 4: the per-cell content loop is separable from the walk (pure
+    function of one cell's ordered contents — kernels.assemble_cell_txt),
+    so it is pre-aggregated relationally by _cell_contents and the kernel
+    consumes ~cells rows per table instead of ~boxes rows (260k -> 600 at
+    sf0.1; at 100 TB the Python stage scales with table count x cell
+    count, never box count). Oracle: committed fixture
+    (tools/make_fixtures.py) built from the UNFACTORED per-box kernel
+    (html_master_one) over the DuckDB twins — the gate hash is therefore
+    a differential between the two formulations.
     """
     from ..entry_queries import q_cell_match
     from .grouped import grouped_map_arrow
     toks = table_structure(spark, sf_dir)
-    cells = q_cell_match(spark, sf_dir).withColumn("content",
-                                                   raw_content_col())
+    cells = _cell_contents(q_cell_match(spark, sf_dir))
     t = toks.select("t_id", F.lit("t").alias("side"),
                     F.col("pos").alias("a"),
-                    F.lit(0).cast("long").alias("b"),
                     F.col("token").alias("s"))
     c = cells.select("t_id", F.lit("c").alias("side"),
-                     F.col("box_id").alias("a"),
-                     F.col("cell_id").alias("b"),
-                     F.col("content").alias("s"))
+                     F.col("cell_id").alias("a"),
+                     F.col("cell_content").alias("s"))
     both = t.unionByName(c)
 
     def emit(tbl):
@@ -376,7 +396,6 @@ def table_html_master(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_tok = pc.equal(tbl.column("side"), "t").combine_chunks(
         ).to_numpy(zero_copy_only=False)
         a = tbl.column("a").to_numpy()
-        b = tbl.column("b").to_numpy()
         s = tbl.column("s").combine_chunks().to_pylist()
         starts = group_starts(t_ids)
         ends = np.append(starts[1:], len(t_ids))
@@ -384,11 +403,11 @@ def table_html_master(spark: SparkSession, sf_dir: str) -> DataFrame:
         for st, en in zip(starts, ends):
             # sorted by (side, a): side 'c' rows precede 't' rows
             toks_g = [s[i] for i in range(st, en) if is_tok[i]]
-            cells_g = [(int(a[i]), int(b[i]), s[i])
-                       for i in range(st, en) if not is_tok[i]]
+            txts_g = {int(a[i]): s[i]
+                      for i in range(st, en) if not is_tok[i]}
             out_ids.append(int(t_ids[st]))
-            out_html.append(html_master_one(int(t_ids[st]), toks_g,
-                                            cells_g))
+            out_html.append(html_master_one_txt(int(t_ids[st]), toks_g,
+                                                txts_g))
         return pa.RecordBatch.from_arrays(
             [pa.array(np.asarray(out_ids, dtype=np.int64)),
              pa.array(out_html, type=pa.string())],

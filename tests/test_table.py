@@ -317,3 +317,105 @@ def test_table_html_master_distributed_matches_kernel(spark):
     for t_id, tokens in token_map.items():
         want = html_master_one(t_id, tokens, cell_map.get(t_id, []))
         assert got[t_id] == want, t_id
+
+
+# ---------------------------------------------------------------------------
+# Round 4: assemble_cell_txt factoring + tile-bucketed cell_match
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_tag_st, min_size=0, max_size=12),
+       st.lists(_content_st, min_size=0, max_size=8),
+       st.data())
+def test_master_txt_composition_equals_unfactored(tags, contents, data):
+    """get_pred_html_master == (assemble_cell_txt -> get_pred_html_master_txt):
+    the round-4 factoring that lets the distributed path pre-aggregate the
+    per-cell content loop relationally must be bit-equal to the exec-ref-
+    differentialed original on arbitrary inputs."""
+    from paddleocr_spark.kernels import (assemble_cell_txt,
+                                         get_pred_html_master,
+                                         get_pred_html_master_txt)
+    n_td = sum(1 for t in tags if "</td>" in t)
+    matched = {}
+    if contents and n_td:
+        for td in range(n_td):
+            if data.draw(st.booleans()):
+                k = data.draw(st.integers(1, min(4, len(contents))))
+                matched[td] = sorted(data.draw(st.lists(
+                    st.integers(0, len(contents) - 1), min_size=1,
+                    max_size=k)))
+    want = get_pred_html_master(tags, matched, contents)
+    txts = {td: assemble_cell_txt([contents[i] for i in idxs])
+            for td, idxs in matched.items()}
+    got = get_pred_html_master_txt(tags, txts)
+    assert got == want
+
+
+def _cm_frames(spark, boxes_rows, cells_rows):
+    b = spark.createDataFrame(
+        boxes_rows, "t_id long, box_id long, bx1 double, by1 double, "
+        "bx2 double, by2 double")
+    c = spark.createDataFrame(
+        cells_rows, "t_id long, cell_id long, cx1 double, cy1 double, "
+        "cx2 double, cy2 double")
+    return b, c
+
+
+def _cm_both(spark, boxes_rows, cells_rows):
+    from paddleocr_spark.entry_queries import _cm_argmin, cell_match_bucketed
+    b, c = _cm_frames(spark, boxes_rows, cells_rows)
+    simple = sorted(
+        tuple(r) for r in
+        _cm_argmin(b.join(c, "t_id"))
+        .select("t_id", "box_id", "cell_id").collect())
+    bucketed = sorted(
+        tuple(r) for r in cell_match_bucketed(b, c).collect())
+    return simple, bucketed
+
+
+def test_cell_match_bucketed_matches_simple_on_grid(spark):
+    """Boxes inside a covering cell grid: pure tile-local path."""
+    cells = [(0, k, float((k % 3) * 100), float((k // 3) * 120),
+              float((k % 3) * 100 + 99), float((k // 3) * 120 + 119))
+             for k in range(9)]
+    boxes = [(0, i, float((i * 37) % 270), float((i * 53) % 320),
+              float((i * 37) % 270 + 20), float((i * 53) % 320 + 15))
+             for i in range(40)]
+    simple, bucketed = _cm_both(spark, boxes, cells)
+    assert bucketed == simple
+
+
+def test_cell_match_bucketed_fallback_no_overlap(spark):
+    """A box overlapping NO cell: the reference semantics degrade to pure
+    distance over all cells — must route through the full-join fallback
+    and still match the simple plan exactly."""
+    cells = [(0, 0, 0.0, 0.0, 99.0, 99.0), (0, 1, 100.0, 0.0, 199.0, 99.0),
+             (1, 0, 0.0, 0.0, 50.0, 50.0)]
+    boxes = [(0, 0, 10.0, 10.0, 30.0, 30.0),     # overlaps cell 0
+             (0, 1, 5000.0, 5000.0, 5020.0, 5015.0),  # overlaps nothing
+             (1, 0, 600.0, 2.0, 620.0, 20.0)]    # overlaps nothing (t=1)
+    simple, bucketed = _cm_both(spark, boxes, cells)
+    assert bucketed == simple
+
+
+def test_cell_match_bucketed_fallback_wide_box(spark):
+    """A box wider than one tile breaks the halo proof's precondition —
+    its whole table must fall back, and results still match."""
+    from paddleocr_spark.entry_queries import CELL_MATCH_TILE
+    w = CELL_MATCH_TILE * 3
+    cells = [(0, k, float(k * 200), 0.0, float(k * 200 + 199), 250.0)
+             for k in range(4)]
+    boxes = [(0, 0, 10.0, 10.0, 10.0 + w, 40.0),  # spans ~3 tiles wide
+             (0, 1, 420.0, 5.0, 440.0, 25.0)]
+    simple, bucketed = _cm_both(spark, boxes, cells)
+    assert bucketed == simple
+
+
+def test_cell_match_bucketed_tie_order_preserved(spark):
+    """Equal-IoU, equal-distance ties resolve to the lowest cell_id in
+    both plans (the reference's first-cell tie rule)."""
+    # two identical overlapping cells -> tie on (1-IoU, dis) -> cell 0
+    cells = [(0, 0, 0.0, 0.0, 99.0, 99.0), (0, 1, 0.0, 0.0, 99.0, 99.0)]
+    boxes = [(0, 0, 10.0, 10.0, 40.0, 35.0)]
+    simple, bucketed = _cm_both(spark, boxes, cells)
+    assert bucketed == simple == [(0, 0, 0)]
