@@ -295,16 +295,17 @@ def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 CELL_MATCH_TILE = 128.0
 
 
-def _cm_halo_tiles(x1, y1, x2, y2):
-    """Array of (tx, ty) structs: every CELL_MATCH_TILE tile the rect
+def _cm_halo_tiles(x1, y1, x2, y2, tile: float | None = None):
+    """Array of (tx, ty) structs: every ``tile``-sized grid tile the rect
     [x1,x2]x[y1,y2] overlaps, EXPANDED by one tile in each direction (the
-    halo). Registering cells with a halo lets each box probe with its
-    single anchor tile (floor of its top-left corner) and still see every
-    overlapping cell, provided the box spans <= 1 tile per dimension: any
-    point p of the box lies within one tile of the anchor, and p's tile is
-    one of the cell's core tiles, so the anchor is inside the halo. Pure
-    HOF — no UDF; only the SMALL (cell) side is ever exploded."""
-    t = F.lit(CELL_MATCH_TILE)
+    halo). Registering one join side with a halo lets the other side
+    probe with its single anchor tile (floor of its top-left corner) and
+    still see every overlapping partner, provided the probe box spans
+    <= 1 tile per dimension: any point p of the probe box lies within one
+    tile of the anchor, and p's tile is one of the registered core tiles,
+    so the anchor is inside the halo. Pure HOF — no UDF; only ONE side of
+    the join is ever exploded."""
+    t = F.lit(CELL_MATCH_TILE if tile is None else tile)
     xs = F.sequence(F.floor(F.col(x1) / t).cast("int") - 1,
                     F.floor(F.col(x2) / t).cast("int") + 1)
     ys = F.sequence(F.floor(F.col(y1) / t).cast("int") - 1,
@@ -312,6 +313,34 @@ def _cm_halo_tiles(x1, y1, x2, y2):
     return F.flatten(F.transform(
         xs, lambda tx: F.transform(
             ys, lambda ty: F.struct(tx.alias("tx"), ty.alias("ty")))))
+
+
+#: Tile edge for the e2e-eval IoU candidate joins: must be >= the probe
+#: box extent per dimension (boxes are 30x20 / 25x18 by construction).
+E2E_TILE = 32.0
+
+
+def _halo_anchor_join(reg: DataFrame, probe: DataFrame,
+                      reg_rect, probe_origin, tile: float) -> DataFrame:
+    """Equi-join on (t_id, tx, ty) yielding every (reg, probe) pair whose
+    rects OVERLAP (plus some non-overlapping extras the caller filters):
+    ``reg`` registers all halo-expanded tiles of rect ``reg_rect``
+    (x1, y1, x2, y2 column names); ``probe`` probes with the single
+    anchor tile of ``probe_origin`` (x1, y1 column names). Exact for
+    overlap candidates iff every probe box spans <= 1 tile per dimension
+    — caller must guarantee that. Each qualifying pair appears exactly
+    once (one anchor per probe row, distinct registered tiles)."""
+    rx1, ry1, rx2, ry2 = reg_rect
+    px, py = probe_origin
+    t = F.lit(tile)
+    reg_t = (reg.withColumn("_t", F.explode(
+        _cm_halo_tiles(rx1, ry1, rx2, ry2, tile)))
+        .withColumn("tx", F.col("_t.tx")).withColumn("ty", F.col("_t.ty"))
+        .drop("_t"))
+    probe_t = (probe
+               .withColumn("tx", F.floor(F.col(px) / t).cast("int"))
+               .withColumn("ty", F.floor(F.col(py) / t).cast("int")))
+    return reg_t.join(probe_t, ["t_id", "tx", "ty"]).drop("tx", "ty")
 
 
 def _cm_scores():
@@ -504,7 +533,13 @@ def q_e2e_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("y1") + shift + 20).alias("py2"),
         F.concat(F.lit("text"), ((F.col("gid") + 1) % 97).cast("string"))
         .alias("pred_text"))
-    j = gt.join(pred, "t_id")
+    # IoU > 0.5 requires overlap, so candidates come from the halo/anchor
+    # tile join (same proof as cell_match_bucketed) instead of the full
+    # per-table gt x pred fan-out (~1.2k^2 rows per table at sf0.01). The
+    # precondition — probe box spans <= 1 tile per dim — holds BY
+    # CONSTRUCTION here: boxes are 30x20, tile 32.
+    j = _halo_anchor_join(
+        gt, pred, ("x1", "y1", "x2", "y2"), ("px1", "py1"), E2E_TILE)
     ix = F.greatest(F.lit(0.0), F.least("x2", "px2") - F.greatest("x1", "px1"))
     iy = F.greatest(F.lit(0.0), F.least("y2", "py2") - F.greatest("y1", "py1"))
     inter = ix * iy
@@ -776,7 +811,9 @@ def q_e2e_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (F.col("x1") + shift + 25).alias("px2"),
                        (F.col("y1") + shift + 18).alias("py2"),
                        ptxt.alias("pred_text"))
-    j = gt.join(pred, "t_id")
+    # halo/anchor candidate join — see q_e2e_eval; boxes 25x18 <= tile 32
+    j = _halo_anchor_join(
+        gt, pred, ("x1", "y1", "x2", "y2"), ("px1", "py1"), E2E_TILE)
     ix = F.greatest(F.lit(0.0), F.least("x2", "px2") - F.greatest("x1", "px1"))
     iy = F.greatest(F.lit(0.0), F.least("y2", "py2") - F.greatest("y1", "py1"))
     inter = ix * iy
@@ -799,8 +836,10 @@ def q_e2e_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("gt_text")).alias("g_chars"))
     dstats = un_dt.agg(F.count("*").alias("d_cnt"),
                        F.sum(F.length("pred_text")).alias("d_ed"))
-    n_img = gt.select("t_id").distinct().count()
-    row = mstats.crossJoin(gstats).crossJoin(dstats)
+    # countDistinct as a 1-row crossJoin input, NOT a driver-side
+    # .count() action — the old form ran a full extra job per invocation
+    nimg = gt.agg(F.countDistinct("t_id").alias("n_img"))
+    row = mstats.crossJoin(gstats).crossJoin(dstats).crossJoin(nimg)
     eps = F.lit(1e-9)
     gt_count = F.col("m_cnt") + F.col("g_cnt")
     dt_count = F.col("m_cnt") + F.col("d_cnt")
@@ -814,7 +853,8 @@ def q_e2e_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(2.0 * p * r / (p + r + eps), 4).alias("fmeasure"),
         F.round(1.0 - ed_sum / (chars + eps), 4).alias("character_acc"),
         F.round(ed_sum / (gt_count + eps), 4).alias("avg_edit_dist_field"),
-        F.round(ed_sum / F.lit(float(n_img)), 4).alias("avg_edit_dist_img"),
+        F.round(ed_sum / F.col("n_img").cast("double"), 4)
+        .alias("avg_edit_dist_img"),
         F.col("hit").cast("long").alias("hit"),
         gt_count.cast("long").alias("gt_count"),
         dt_count.cast("long").alias("dt_count"))
@@ -1322,6 +1362,9 @@ m AS (
            - greatest(0.0, least(x2, px2) - greatest(x1, px1))
              * greatest(0.0, least(y2, py2) - greatest(y1, py1)) AS u
     FROM gt JOIN pred USING (t_id)
+    -- implied by inter/u > 0.5 (strict overlap of equal-size 30x20
+    -- boxes); lets DuckDB IEJoin skip the full per-table fan-out
+    WHERE abs(x1 - px1) < 30 AND abs(y1 - py1) < 20
 )
 SELECT CAST(count(*) AS BIGINT) AS n_matched,
        round(avg(levenshtein(gt_text, pred_text)), 4) + 0 AS avg_edit,
@@ -1949,7 +1992,9 @@ epred AS (
 em AS (
     SELECT gt_id, pred_id, gt_text, pred_text, ignore
     FROM egt JOIN epred USING (t_id)
-    WHERE greatest(0.0, least(x2, px2) - greatest(x1, px1))
+    -- implied by IoU >= 0.5 (strict overlap of equal-size 25x18 boxes)
+    WHERE abs(x1 - px1) < 25 AND abs(y1 - py1) < 18
+      AND greatest(0.0, least(x2, px2) - greatest(x1, px1))
           * greatest(0.0, least(y2, py2) - greatest(y1, py1))
           / ((x2-x1)*(y2-y1) + (px2-px1)*(py2-py1)
              - greatest(0.0, least(x2, px2) - greatest(x1, px1))
