@@ -39,6 +39,28 @@ def group_starts(*code_arrays: np.ndarray) -> np.ndarray:
     return np.flatnonzero(change)
 
 
+def _last_group_start(tbl, keys: list[str]) -> int:
+    """Start index of the trailing (possibly batch-spanning) group in a
+    sorted Arrow table — the batch-boundary cut point. Vectorized: one
+    shifted not-equal per key column instead of a per-row Python scalar
+    walk (which cost O(group_size) per batch when one group spanned a
+    whole batch). Null keys compare equal to null, like the scalar form."""
+    import pyarrow.compute as pc
+
+    n = tbl.num_rows
+    if n <= 1:
+        return 0
+    neq = None
+    for k in keys:
+        col = tbl.column(k).combine_chunks()
+        a, b = col.slice(1), col.slice(0, n - 1)
+        d = pc.or_(pc.fill_null(pc.not_equal(a, b), False),
+                   pc.xor(pc.is_null(a), pc.is_null(b)))
+        neq = d if neq is None else pc.or_(neq, d)
+    idx = np.flatnonzero(neq.to_numpy(zero_copy_only=False))
+    return int(idx[-1]) + 1 if idx.size else 0
+
+
 def grouped_map_arrow(df: DataFrame, keys: list[str], sort_cols: list[str],
                       emit: Callable, schema: str,
                       num_partitions: int | None = None) -> DataFrame:
@@ -67,12 +89,7 @@ def grouped_map_arrow(df: DataFrame, keys: list[str], sort_cols: list[str],
             n = tbl.num_rows
             if n == 0:
                 continue
-            cut = n - 1
-            key_cols = [tbl.column(k) for k in keys]
-            last = [c[n - 1] for c in key_cols]
-            while cut > 0 and all(c[cut - 1] == v
-                                  for c, v in zip(key_cols, last)):
-                cut -= 1
+            cut = _last_group_start(tbl, keys)
             carry = tbl.slice(cut)
             if cut > 0:
                 out = emit(tbl.slice(0, cut).combine_chunks())

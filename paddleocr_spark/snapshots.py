@@ -40,6 +40,7 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import IntegerType, StructField, StructType
 
 SNAP_DIR = "snapshots"
 
@@ -77,6 +78,12 @@ def commit_snapshot(table_dir: str, new_files: dict[str, list[str]],
 
     ``new_files``: {bucket_id: [data file paths]} for buckets written by
     this pass. Returns the committed version number.
+
+    Concurrency: SINGLE WRITER assumed (the lineage pass is one driver).
+    The manifest is still published with ``os.link`` onto the target —
+    which FAILS if the version already exists — so a second committer
+    racing the same parent raises ``FileExistsError`` (a loud lost-update,
+    Iceberg's optimistic-commit conflict) instead of silently clobbering.
     """
     parent = current_version(table_dir)
     manifest = load_manifest(table_dir, parent)
@@ -100,7 +107,13 @@ def commit_snapshot(table_dir: str, new_files: dict[str, list[str]],
     tmp = _snap_path(table_dir, version) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(snap, fh)
-    os.rename(tmp, _snap_path(table_dir, version))   # atomic publish
+    try:
+        # link = atomic create-if-absent: raises FileExistsError when a
+        # concurrent committer already published this version (os.rename
+        # would silently overwrite the winner's manifest).
+        os.link(tmp, _snap_path(table_dir, version))
+    finally:
+        os.unlink(tmp)
     return version
 
 
@@ -109,12 +122,23 @@ def read_snapshot(spark: SparkSession, table_dir: str,
     """Table state AS OF a snapshot: exactly the manifest's files.
 
     A bucket overwritten after this snapshot keeps its old files here
-    (time travel); files written but never committed are invisible."""
+    (time travel); files written but never committed are invisible.
+
+    ``basePath`` is derived from the manifest's file paths (each is
+    ``<data_dir>/<part_col>=<v>/<file>``), so partition discovery
+    restores the ``part_id`` column exactly as ``spark.read.parquet(
+    data_dir)`` would — leaf-file reads alone would silently drop it."""
+    from .pipeline import EXTRACTED_SCHEMA
+
     manifest = load_manifest(table_dir, version)
     paths = [p for ps in manifest["files"].values() for p in ps]
     if not paths:
-        return spark.createDataFrame([], "doc_id string")
-    return spark.read.parquet(*paths)
+        empty = StructType(EXTRACTED_SCHEMA.fields
+                           + [StructField("part_id", IntegerType())])
+        return spark.createDataFrame([], empty)
+    base = os.path.commonpath(
+        {os.path.dirname(os.path.dirname(p)) for p in paths})
+    return spark.read.option("basePath", base).parquet(*paths)
 
 
 def list_bucket_files(data_dir: str, bucket: int,

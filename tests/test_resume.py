@@ -105,3 +105,39 @@ def test_snapshot_isolation_and_time_travel(spark, extracted, tmp_path):
     # per-bucket metrics ride the manifest
     m = S.load_manifest(out)
     assert sum(b["docs"] for b in m["buckets"].values()) == all_docs
+
+    # partition discovery restores part_id (basePath), matching the
+    # naive directory read's schema
+    snap_cols = set(S.read_snapshot(spark, out, 2).columns)
+    assert "part_id" in snap_cols
+    assert snap_cols == set(spark.read.parquet(data_dir).columns)
+
+    # a racing committer targeting an already-published version fails
+    # LOUDLY (optimistic-commit conflict) and the winner's manifest
+    # survives untouched: simulate writer B who read parent=v-1 before
+    # writer A published v, by pre-seeding A's manifest at B's target.
+    import json
+    import os
+
+    import pytest
+
+    v = S.current_version(out)
+    winner = json.load(open(S._snap_path(out, v)))
+    loser_view = dict(winner, version=v + 1)   # B thinks v+1 is free
+    os.link(S._snap_path(out, v), S._snap_path(out, v + 1))  # A wins v+1
+    try:
+        with pytest.raises(FileExistsError):
+            tmp = S._snap_path(out, v + 1) + ".tmp"
+            json.dump(loser_view, open(tmp, "w"))
+            try:
+                os.link(tmp, S._snap_path(out, v + 1))
+            finally:
+                os.unlink(tmp)
+        assert json.load(open(S._snap_path(out, v + 1))) == winner
+    finally:
+        os.unlink(S._snap_path(out, v + 1))
+
+    # empty-table read carries the full extracted schema + part_id
+    empty = S.read_snapshot(spark, str(tmp_path / "nonexistent"))
+    assert "part_id" in empty.columns and "spans" in empty.columns
+    assert empty.count() == 0
