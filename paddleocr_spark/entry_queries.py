@@ -976,7 +976,64 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Gate-coverage ledger (VERDICT r3 item 2): rounds 2 and 3 both saw the
+# driver's correctness gate silently truncate the registry tail (2 then 6
+# entries) under a time budget. Every queries() callable now records its
+# own invocation into GATE_COVERAGE.json at the repo root — one coverage
+# session per PROCESS, so the file left behind by a gate run lists exactly
+# which registry entries that run touched and which it dropped. Best-effort:
+# a ledger write can never fail the query.
+# ---------------------------------------------------------------------------
+
+_COVERAGE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "GATE_COVERAGE.json")
+_coverage_state: dict | None = None
+
+
+def _record_coverage(name: str, sf_dir: str, registry: list[str]) -> None:
+    global _coverage_state
+    try:
+        import json
+        import time
+        if _coverage_state is None:
+            _coverage_state = {
+                "session_started_at": time.time(),
+                "registry": registry,
+                "invoked": {},
+            }
+        _coverage_state["invoked"][name] = {
+            "sf_dir": sf_dir, "ts": time.time()}
+        _coverage_state["not_invoked"] = [
+            q for q in registry if q not in _coverage_state["invoked"]]
+        tmp = _COVERAGE_PATH + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(_coverage_state, fh, indent=1)
+        os.replace(tmp, _COVERAGE_PATH)
+    except Exception:
+        pass
+
+
+def _with_coverage(name: str, fn: Callable,
+                   registry: list[str]) -> Callable:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _record_coverage(name, sf_dir, registry)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", name)
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__wrapped__ = fn
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    reg = _registry()
+    names = list(reg)
+    return {n: _with_coverage(n, fn, names) for n, fn in reg.items()}
+
+
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # flagship pipeline stages
         "explode_spans": q_explode_spans,

@@ -142,29 +142,35 @@ def _hyperplane_weight(band: int, p: int, d: int) -> float:
     return digit / 7.5 - 1.0
 
 
-def _band_code_expr(planes: int, dim: int, vec: str = "embedding",
-                    band: str = "band"):
-    """Per-band LSH code: bit p = sign of <w_{band,p}, x>.
+def _plane_weights_df(spark: SparkSession, planes: int, dim: int,
+                      bands: int = LSH_BANDS) -> DataFrame:
+    """Broadcast dimension table (band, w: planes × dim weights).
 
-    The hyperplane weights are constant per (band, p, d), so they are
-    precomputed driver-side and shipped as literal arrays — the earlier
-    in-expression md5 derivation re-hashed per VECTOR per plane per dim
-    (~11M md5 calls for 5.5k 64-d vectors; measured the dominant cost of
-    embedding_neardup). zip_with products then a left-to-right fold give
-    the same IEEE sum order as the DuckDB twin's list_sum/list_transform.
-    """
-    tables = ", ".join(
-        "array({})".format(", ".join(
-            repr(_hyperplane_weight(b, p, d)) for d in range(dim)))
-        for b in range(LSH_BANDS) for p in range(planes))
-    w_lit = f"array({tables})"
+    The weights are constant per (band, p, d) and precomputed driver-side
+    (the earlier in-expression md5 derivation re-hashed per VECTOR per
+    plane per dim — ~11M md5 calls for 5.5k 64-d vectors). Round 3 shipped
+    them as literal arrays inside the SQL text, which cost ~2 s of driver
+    expression build/parse PER CALL and bloated codegen on both sides of
+    the candidate self-join; a B-row broadcast-joined table carries the
+    same doubles as data — the shape a real deployment uses for learned
+    projections too."""
+    rows = [(b, [[_hyperplane_weight(b, p, d) for d in range(dim)]
+                 for p in range(planes)])
+            for b in range(bands)]
+    return spark.createDataFrame(rows, "band int, w array<array<double>>")
+
+
+def _band_code_expr(planes: int, vec: str = "embedding", w: str = "w"):
+    """Per-band LSH code: bit p = sign of <w_{band,p}, x>, with the plane
+    weights joined in as column ``w`` (array<array<double>>, planes × dim).
+    zip_with products then a left-to-right fold give the same IEEE sum
+    order as the DuckDB twin's list_sum/list_transform."""
     return F.expr(
         "aggregate(sequence(0, {pm}), 0L, (code, p) -> code + "
-        "CASE WHEN aggregate(zip_with({v}, element_at({w}, "
-        "CAST({b} * {r} + p + 1 AS INT)), (x, wt) -> "
-        "CAST(x AS DOUBLE) * wt), 0D, (acc, v) -> acc + v) > 0 "
+        "CASE WHEN aggregate(zip_with({v}, element_at({w}, p + 1), "
+        "(x, wt) -> CAST(x AS DOUBLE) * wt), 0D, (acc, v) -> acc + v) > 0 "
         "THEN CAST(power(2, p) AS BIGINT) ELSE 0L END)".format(
-            pm=planes - 1, v=vec, b=band, r=planes, w=w_lit))
+            pm=planes - 1, v=vec, w=w))
 
 
 def lsh_band_table(vecs: DataFrame, planes: int,
@@ -180,11 +186,13 @@ def lsh_band_table(vecs: DataFrame, planes: int,
     """
     if dim is None:
         dim = vecs.select(F.size("embedding")).first()[0]
+    wdf = _plane_weights_df(vecs.sparkSession, planes, dim, bands)
     banded = vecs.select(
         "vec_id",
         F.explode(F.expr(f"sequence(0, {bands - 1})")).alias("band"),
         "embedding",
-    ).select("vec_id", "band", _band_code_expr(planes, dim).alias("code"))
+    ).join(F.broadcast(wdf), "band").select(
+        "vec_id", "band", _band_code_expr(planes).alias("code"))
     w = Window.partitionBy("band", "code").orderBy("vec_id")
     return banded.withColumn(
         "sub", ((F.row_number().over(w) - 1) / cap).cast("long"))

@@ -77,6 +77,7 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
+        t_spark = time.time() - t0
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle)")
             n_rowsonly += 1
@@ -104,7 +105,9 @@ def main() -> int:
             print(f"      duckdb: {dr[diff]}")
             n_fail += 1
         else:
-            print(f"PASS  {name}: {len(sr)} rows  [{time.time() - t0:.1f}s]")
+            print(f"PASS  {name}: {len(sr)} rows  "
+                  f"[{time.time() - t0:.1f}s = {t_spark:.1f}s spark + "
+                  f"{time.time() - t0 - t_spark:.1f}s duckdb]")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only "
           f"[{time.time() - t_all:.1f}s total] ==")
