@@ -775,6 +775,15 @@ def q_sar_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sar_decode(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
+def q_nrtr_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 fourth decoder family: NRTRLabelDecode — no ignored tokens
+    (blank/'<unk>'/'<s>' decode as literal dict strings), eos breaks at
+    ANY position (live), and the bare-except lookup skips out-of-range
+    ids while wrapping small negative ones Python-style."""
+    from .operators.recognize import nrtr_decode
+    return nrtr_decode(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def q_e2e_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 E2EMetric mode-A full report (eval_end2end.py:71-180 +
     combine: precision/recall/fmeasure on hits, character_acc and
@@ -1084,6 +1093,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "attn_decode": q_attn_decode,
         "sar_decode": q_sar_decode,
+        "nrtr_decode": q_nrtr_decode,
         "e2e_metric": q_e2e_metric,
         "preprocess_image": q_preprocess_image,
         # relational operator demos
@@ -2012,6 +2022,39 @@ SELECT doc_id,
            v -> CASE WHEN v = {ukn} THEN '<UKN>'
                 ELSE substring('{cs2}', CAST(v + 1 AS INT), 1) END), '')
            AS sar_text
+FROM cuts"""
+
+    # --- R4c NRTRLabelDecode (no ignored tokens; live break; bare-except
+    #     lookup: out-of-range skipped, negatives wrap Python-style) ---
+    big = n_cs + 4
+    nrtr_enc = (f"CASE WHEN strpos('{cs2}', substring(t, CAST(i AS INT), "
+                f"1)) = 0 THEN 1 ELSE strpos('{cs2}', substring(t, "
+                f"CAST(i AS INT), 1)) + 3 END")
+    sqls["nrtr_decode"] = f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+ids AS (
+    SELECT doc_id,
+           ((CASE WHEN doc_id % 4 = 0 THEN [2] ELSE [] END)
+            || list_transform(generate_series(1, length(t)), i -> {nrtr_enc})
+            || (CASE WHEN doc_id % 2 = 0 THEN [0] ELSE [] END)
+            || (CASE WHEN doc_id % 7 = 0 THEN [-1] ELSE [] END)
+            || [{big + 20}, 3]
+            || list_transform(generate_series(1, least(length(t), 2)),
+                 i -> {nrtr_enc})
+           ) AS ids
+    FROM base
+),
+cuts AS (SELECT doc_id, ids, list_position(ids, 3) AS p FROM ids)
+SELECT doc_id,
+       array_to_string(list_transform(
+           list_filter(list_transform(
+               ids[1:(CASE WHEN p > 0 THEN p - 1 ELSE len(ids) END)],
+               v -> CASE WHEN v < 0 THEN v + {big} ELSE v END),
+               v -> v >= 0 AND v < {big}),
+           v -> CASE WHEN v = 0 THEN 'blank' WHEN v = 1 THEN '<unk>'
+                WHEN v = 2 THEN '<s>'
+                ELSE substring('{cs2}', CAST(v - 3 AS INT), 1) END), '')
+           AS nrtr_text
 FROM cuts"""
     # --- A8 E2EMetric mode-A full report ---
     sqls["e2e_metric"] = """

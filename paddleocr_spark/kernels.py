@@ -1176,3 +1176,34 @@ def sar_label_decode(ids, dict_character) -> str:
             break
         out.append(character[v])
     return "".join(out)
+
+
+def nrtr_label_decode(ids, charset) -> str:
+    """NRTRLabelDecode.decode, rec_postprocess.py:1077-1099, dict layout
+    ['blank', '<unk>', '<s>', '</s>'] + charset (add_special_char,
+    :1073-1075).
+
+    Semantics differ from BOTH Attn and SAR:
+
+    * there are NO ignored tokens — blank (0), '<unk>' (1) and '<s>' (2)
+      decode to their LITERAL dict strings ('blank' contributes five
+      characters of output);
+    * '</s>' (3) breaks at ANY position — live code (Attn's break is dead,
+      SAR skips an index-0 eos);
+    * the per-id lookup sits in a bare ``try/except: continue``, so an
+      out-of-range id is silently SKIPPED while a small NEGATIVE id wraps
+      Python-style (id -1 decodes the LAST dict character — no exception,
+      no break).
+    """
+    character = ["blank", "<unk>", "<s>", "</s>"] + list(charset)
+    out = []
+    for v in ids:
+        v = int(v)
+        try:
+            ch = character[v]
+        except IndexError:
+            continue
+        if ch == "</s>":
+            break
+        out.append(ch)
+    return "".join(out)

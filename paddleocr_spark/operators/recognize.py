@@ -219,3 +219,48 @@ def sar_decode(docs: DataFrame) -> DataFrame:
                f"ELSE substring('{cs}', CAST(v + 1 AS INT), 1) END))")
     return (docs.withColumn("_ids", F.expr(ids))
             .select("doc_id", F.expr(decoded).alias("sar_text")))
+
+
+def nrtr_decode(docs: DataFrame) -> DataFrame:
+    """R4 fourth decoder family: NRTRLabelDecode demo
+    (kernels.nrtr_label_decode twin, pure JVM).
+
+    Dict layout ['blank', '<unk>', '<s>', '</s>'] + CHARSET → a charset
+    char's id is instr+3; blank/unk/sos are REAL decodable entries (NRTR
+    has no ignored tokens) and eos (3) breaks at any position (live,
+    unlike Attn's dead break).
+
+    Deterministic "model output" exercising every quirk: every 4th doc
+    prepends sos (decodes to the literal '<s>' — the un-stripped path of
+    __call__'s preds_id[0][0]==2 batch check); body = encode(text) with
+    out-of-dict chars → '<unk>'; every 2nd doc appends blank (the literal
+    'blank' joins the text); every 7th doc appends id -1 (Python wrap →
+    LAST dict char); an always-present out-of-range id is silently
+    skipped (the bare-except quirk); then eos + encode(first 2 chars),
+    which must NOT decode. Output: (doc_id, nrtr_text).
+    """
+    cs = CHARSET.replace("\\", "\\\\").replace("'", "\\'")
+    big = len(CHARSET) + 4          # dict size: one past the last index
+    enc = (lambda src: f"transform(filter(split({src}, ''), c -> c != ''), "
+           f"c -> CASE WHEN instr('{cs}', c) = 0 THEN 1 "
+           f"ELSE instr('{cs}', c) + 3 END)")
+    body = enc("coalesce(text, '')")
+    head2 = enc("substring(coalesce(text, ''), 1, 2)")
+    ids = (f"concat(CASE WHEN doc_id % 4 = 0 THEN array(2) "
+           f"ELSE array() END, {body}, "
+           f"CASE WHEN doc_id % 2 = 0 THEN array(0) ELSE array() END, "
+           f"CASE WHEN doc_id % 7 = 0 THEN array(-1) ELSE array() END, "
+           f"array({big + 20}), array(3), {head2})")
+    p = "array_position(_ids, 3)"
+    cut = f"(CASE WHEN {p} > 0 THEN {p} - 1 ELSE size(_ids) END)"
+    # negative ids wrap once (v + dict_size); anything still outside
+    # [0, dict_size) is the bare-except skip
+    kept = (f"filter(transform(slice(_ids, 1, CAST({cut} AS INT)), "
+            f"v -> CASE WHEN v < 0 THEN v + {big} ELSE v END), "
+            f"v -> v >= 0 AND v < {big})")
+    decoded = (f"concat_ws('', transform({kept}, "
+               f"v -> CASE WHEN v = 0 THEN 'blank' WHEN v = 1 THEN '<unk>' "
+               f"WHEN v = 2 THEN '<s>' "
+               f"ELSE substring('{cs}', CAST(v - 3 AS INT), 1) END))")
+    return (docs.withColumn("_ids", F.expr(ids))
+            .select("doc_id", F.expr(decoded).alias("nrtr_text")))

@@ -448,3 +448,45 @@ def test_grouped_arrow_output_partition_invariant(spark):
     shuffled = run(spark.createDataFrame(rows[::-1], cols).repartition(13))
     wide = run(spark.createDataFrame(rows, cols).repartition(37, "box_id"))
     assert base == shuffled == wide
+
+
+def test_nrtr_label_decode_quirks():
+    from paddleocr_spark.kernels import nrtr_label_decode
+    cs = "abc"          # dict = [blank, <unk>, <s>, </s>, a, b, c]
+    assert nrtr_label_decode([4, 5, 6], cs) == "abc"
+    assert nrtr_label_decode([0, 4], cs) == "blanka"      # blank decodes
+    assert nrtr_label_decode([1, 2, 4], cs) == "<unk><s>a"
+    assert nrtr_label_decode([4, 3, 5], cs) == "a"        # live break
+    assert nrtr_label_decode([3, 4], cs) == ""            # break at idx 0
+    assert nrtr_label_decode([4, 99, 5], cs) == "ab"      # OOR skipped
+    assert nrtr_label_decode([4, -1], cs) == "ac"         # -1 wraps to 'c'
+    assert nrtr_label_decode([4, -7], cs) == "ablank"     # -7 wraps to blank
+    assert nrtr_label_decode([4, -8, 5], cs) == "ab"      # too negative: skip
+
+
+def test_nrtr_decode_distributed_matches_kernel(spark):
+    from paddleocr_spark.kernels import nrtr_label_decode
+    from paddleocr_spark.operators.recognize import CHARSET, nrtr_decode
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (4, "sos case"), (7, "neg wrap"),
+         (8, "sos+blank"), (9, "UNK Ä char"), (10, ""), (11, None),
+         (14, "all three"), (28, "every quirk Ä")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["nrtr_text"] for r in nrtr_decode(docs).collect()}
+    big = len(CHARSET) + 4
+
+    def enc(t):
+        return [CHARSET.index(c) + 4 if c in CHARSET else 1 for c in t]
+
+    for d, t in [(0, "hello world"), (4, "sos case"), (7, "neg wrap"),
+                 (8, "sos+blank"), (9, "UNK Ä char"), (10, ""), (11, ""),
+                 (14, "all three"), (28, "every quirk Ä")]:
+        ids = (([2] if d % 4 == 0 else []) + enc(t)
+               + ([0] if d % 2 == 0 else []) + ([-1] if d % 7 == 0 else [])
+               + [big + 20, 3] + enc(t[:2]))
+        assert got[d] == nrtr_label_decode(ids, CHARSET), (d, got[d])
+    # spot-check the quirk content: doc 28 hits sos + blank + neg wrap;
+    # CHARSET's last char is ' ' so the wrapped -1 appends a space
+    assert got[28] == "<s>every quirk <unk>blank "
+    assert got[4].startswith("<s>")            # sos decodes literally
+    assert "blank" in got[8]

@@ -238,9 +238,9 @@ def _exec_decode(cls_start: str, next_marker: str, shim) -> object:
     src = open(os.path.join(REF_ROOT,
                             "ppocr/postprocess/rec_postprocess.py")).read()
     cls = src[src.index(cls_start):src.index(next_marker)]
-    body = textwrap.dedent(cls[cls.index("    def decode"):
-                               cls.index("    def ", cls.index(
-                                   "    def decode") + 10)])
+    start = cls.index("    def decode")
+    end = cls.find("    def ", start + 10)   # decode may be the last method
+    body = textwrap.dedent(cls[start:] if end == -1 else cls[start:end])
     ns: dict = {}
     exec("import numpy as np\n" + body, ns)
     return lambda ids: ns["decode"](shim, [ids])[0][0]
@@ -428,3 +428,22 @@ def test_det_resize_shape_math_matches_executed_reference(spark):
         assert (g["resize_w"], g["resize_h"]) == (rw, rh), (w, h)
         assert abs(g["ratio_h"] - ratio_h) < 5.1e-5, (w, h)
         assert abs(g["ratio_w"] - ratio_w) < 5.1e-5, (w, h)
+
+
+def test_nrtr_decode_matches_executed_reference():
+    from paddleocr_spark.kernels import nrtr_label_decode
+    chars = "abc xyz09"
+
+    class Shim:
+        character = ["blank", "<unk>", "<s>", "</s>"] + list(chars)
+
+    dec = _exec_decode("class NRTRLabelDecode", "class ViTSTRLabelDecode",
+                       Shim())
+    rng = random.Random(29)
+    n = len(chars)
+    for _ in range(300):
+        # range includes out-of-dict positives (skip path) and negatives
+        # down to -(n+4)-2 (wrap + IndexError paths)
+        ids = [rng.randint(-(n + 6), n + 8)
+               for _ in range(rng.randint(0, 15))]
+        assert nrtr_label_decode(ids, list(chars)) == dec(ids), ids
