@@ -981,6 +981,67 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.col("v").cast("double"), 4).alias("value"))
 
 
+def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 made real (round 4): media refs → deterministically RENDERED
+    image bytes (PPM / BMP / PNG / gray-PNG rotation, PNG cycling all five
+    scanline filters) → pure-numpy container decode
+    (paddleocr_spark/imagecodecs.py, the cv2.imdecode seam of
+    paddleocr.py:529-547) → integer-exact pixel statistics.
+
+    The DuckDB twin predicts every statistic from the closed-form pixel
+    formula ((md5_byte[c] + 7x + 13y) % 256) WITHOUT decoding images, so a
+    single wrong byte anywhere in the encode→decode path hash-fails the
+    gate. All sums are exact in float64 (uint8 pixels, ≤289 per image) —
+    no float tolerance anywhere."""
+    import pandas as pd
+
+    from .imagecodecs import RENDER_FORMATS, decode_image, render_ref_image
+    from .multimodal import pixel_stats
+
+    refs = (synth_spans(_docs(spark, sf_dir))
+            .select(F.explode("spans").alias("s"))
+            .filter(F.col("s.kind") == "media")
+            .select(F.col("s.media_ref").alias("media_ref"))
+            .distinct())
+
+    schema = ("media_ref string, width long, height long, channels long, "
+              "mean_r double, mean_g double, mean_b double, "
+              "mean_gray double, min_gray long, max_gray long, "
+              "frac_bright double")
+
+    def render_decode(it):
+        for pdf in it:
+            rows = []
+            for ref in pdf["media_ref"]:
+                _, buf = render_ref_image(ref)
+                arr = decode_image(buf)
+                s = pixel_stats(arr)
+                rows.append((ref, s["width"], s["height"], arr.shape[2],
+                             s["mean_r"], s["mean_g"], s["mean_b"],
+                             s["mean_gray"], s["min_gray"], s["max_gray"],
+                             s["frac_bright"]))
+            yield pd.DataFrame(rows, columns=[
+                "media_ref", "width", "height", "channels", "mean_r",
+                "mean_g", "mean_b", "mean_gray", "min_gray", "max_gray",
+                "frac_bright"])
+
+    fmts = ", ".join(f"'{f}'" for f in RENDER_FORMATS)
+    fmt = F.expr(
+        "element_at(array({}), CAST(((instr('0123456789abcdef', "
+        "substring(md5(media_ref), 13, 1)) - 1) * 16 + "
+        "instr('0123456789abcdef', substring(md5(media_ref), 14, 1)) - 1) "
+        "% 4 + 1 AS INT))".format(fmts))
+    return (refs.mapInPandas(render_decode, schema=schema)
+            .select("media_ref", fmt.alias("fmt"), "width", "height",
+                    "channels",
+                    F.round("mean_r", 4).alias("mean_r"),
+                    F.round("mean_g", 4).alias("mean_g"),
+                    F.round("mean_b", 4).alias("mean_b"),
+                    F.round("mean_gray", 4).alias("mean_gray"),
+                    "min_gray", "max_gray",
+                    F.round("frac_bright", 4).alias("frac_bright")))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1096,6 +1157,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nrtr_decode": q_nrtr_decode,
         "e2e_metric": q_e2e_metric,
         "preprocess_image": q_preprocess_image,
+        "media_decode_real": q_media_decode_real,
         # relational operator demos
         "union_sample": q_union_sample,
         "topk_window": q_topk_window,
@@ -1363,6 +1425,52 @@ SELECT b.media_ref, CAST(meta.width AS BIGINT) AS width,
        CAST(b.dim AS BIGINT) AS dim,
        round(CAST(b.byte AS DOUBLE) / 255.0, 4) + 0 AS value
 FROM b JOIN meta USING (media_ref)"""
+
+    # --- S3 real decode: closed-form pixel prediction of the decoded
+    #     statistics (imagecodecs render→encode→decode is what's checked) ---
+    def _hxbyte(i: int) -> str:
+        return (f"((strpos('0123456789abcdef', substring(hx, {2*i+1}, 1)) "
+                f"- 1) * 16 + strpos('0123456789abcdef', substring(hx, "
+                f"{2*i+2}, 1)) - 1)")
+
+    sqls["media_decode_real"] = f"""
+WITH {SYNTH_CTE.lstrip()},
+refs AS (SELECT DISTINCT media_ref FROM synth_spans WHERE kind = 'media'),
+h AS (SELECT media_ref, md5(media_ref) AS hx FROM refs),
+meta AS (
+    SELECT media_ref,
+           {_hxbyte(0)} AS b0, {_hxbyte(1)} AS b1, {_hxbyte(2)} AS b2,
+           8 + {_hxbyte(4)} % 9 AS height,
+           8 + {_hxbyte(5)} % 9 AS width,
+           {_hxbyte(6)} % 4 AS fmtidx
+    FROM h
+),
+px AS (
+    SELECT media_ref, fmtidx, width, height,
+           (b0 + 7 * xs.x + 13 * ys.y) % 256 AS r,
+           CASE WHEN fmtidx = 3 THEN (b0 + 7 * xs.x + 13 * ys.y) % 256
+                ELSE (b1 + 7 * xs.x + 13 * ys.y) % 256 END AS g,
+           CASE WHEN fmtidx = 3 THEN (b0 + 7 * xs.x + 13 * ys.y) % 256
+                ELSE (b2 + 7 * xs.x + 13 * ys.y) % 256 END AS bl
+    FROM meta
+    CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS x) xs
+    CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS y) ys
+    WHERE xs.x < width AND ys.y < height
+)
+SELECT media_ref,
+       CASE fmtidx WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+            WHEN 2 THEN 'png' ELSE 'png_gray' END AS fmt,
+       CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+       CAST(CASE WHEN fmtidx = 3 THEN 1 ELSE 3 END AS BIGINT) AS channels,
+       round(avg(CAST(r AS DOUBLE)), 4) + 0 AS mean_r,
+       round(avg(CAST(g AS DOUBLE)), 4) + 0 AS mean_g,
+       round(avg(CAST(bl AS DOUBLE)), 4) + 0 AS mean_b,
+       round(avg(CAST((r + g + bl) // 3 AS DOUBLE)), 4) + 0 AS mean_gray,
+       CAST(min((r + g + bl) // 3) AS BIGINT) AS min_gray,
+       CAST(max((r + g + bl) // 3) AS BIGINT) AS max_gray,
+       round(sum(CASE WHEN (r + g + bl) // 3 > 127 THEN 1.0 ELSE 0.0 END)
+             / count(*), 4) + 0 AS frac_bright
+FROM px GROUP BY media_ref, fmtidx, width, height"""
 
     sqls["union_sample"] = """
 SELECT doc_id, source, 'fileA' AS file_tag FROM documents

@@ -7,11 +7,12 @@ implements the Spark-side plumbing — schema, partitioning, Arrow batch
 shape — for decode / feature-extract / resize / frame-sample stages:
 
 * :func:`decode_media` — ``mapInPandas`` over (media_ref, content) rows.
-  The actual image/audio decode is STUBBED (cv2/PIL/ffmpeg are not in this
-  container): with ``fake=True`` (default) it derives deterministic
-  metadata + features from the ref's md5, so every downstream stage and
-  test is real; ``fake=False`` raises NotImplementedError at the exact
-  seam where cv2.imdecode would run (paddleocr.py:529-571 img_decode).
+  With ``fake=True`` (default, the blob-less synthetic corpus) metadata +
+  features derive deterministically from the ref's md5; ``fake=False`` is
+  the REAL path (round 4): it decodes the ``content`` bytes with the
+  pure-numpy codecs in :mod:`paddleocr_spark.imagecodecs` (PPM/PGM, BMP,
+  PNG-via-zlib — the cv2.imdecode seam of paddleocr.py:529-571 made
+  real for every container stdlib+numpy can handle).
 * :func:`media_features` — per-ref feature rows for the whole corpus:
   dedup media by ref FIRST (content-addressed storage ⇒ decode each blob
   once, join back many — the media-analog of common-subplan reuse J7).
@@ -47,25 +48,60 @@ def _fake_decode(ref: str) -> tuple[int, int, int, list[float]]:
     return width, height, n_frames, feat.tolist()
 
 
+def pixel_stats(arr: np.ndarray) -> dict:
+    """Decoded-pixel statistics shared by the real decode path and the
+    gate query. ``gray`` is the integer floor of (R+G+B)/3 (identity on
+    single-channel images since (3v)//3 == v); alpha never contributes.
+    All integer-exact so the DuckDB oracle can restate them."""
+    rgb = arr[..., :3] if arr.shape[2] >= 3 else np.repeat(arr, 3, axis=2)
+    px = rgb.astype(np.int64)
+    gray = px.sum(axis=2) // 3
+    n = float(gray.size)
+    return {
+        "width": arr.shape[1], "height": arr.shape[0],
+        "mean_r": float(px[..., 0].mean()),
+        "mean_g": float(px[..., 1].mean()),
+        "mean_b": float(px[..., 2].mean()),
+        "mean_gray": float(gray.mean()),
+        "min_gray": int(gray.min()), "max_gray": int(gray.max()),
+        "frac_bright": float((gray > 127).sum() / n),
+    }
+
+
 def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
     """(media_ref [, content:binary]) → decoded metadata + feature vector.
 
-    Arrow-batched grouped decode; never per-row Python UDFs. The batch
-    shape (whole Arrow record batches in, one decoded row out per input
-    row) is the production contract — swapping the stub for cv2 changes
-    only the body of ``decode_one``.
+    Arrow-batched grouped decode; never per-row Python UDFs. ``fake=True``
+    derives metadata from the ref's md5 (the blob-less corpus);
+    ``fake=False`` decodes the ``content`` column for real via
+    :func:`paddleocr_spark.imagecodecs.decode_image` — feature =
+    [mean_r, mean_g, mean_b, mean_gray, min_gray, max_gray,
+    frac_bright, n_channels]. Every entry is integer-exact arithmetic
+    over uint8 pixels (sums are exact in float64), so the DuckDB oracle
+    reproduces them bit-for-bit from the pixel formula alone.
     """
 
-    def decode_one(ref: str) -> tuple[int, int, int, list[float]]:
-        if not fake:
-            raise NotImplementedError(
-                "real media decode requires cv2/PIL (not in this container); "
-                "this is the cv2.imdecode seam (paddleocr.py:529-571)")
-        return _fake_decode(ref)
+    if fake:
+        def decode_one(ref: str, _content=None):
+            return _fake_decode(ref)
+        cols = ["media_ref"]
+    else:
+        from .imagecodecs import decode_image
+
+        def decode_one(ref: str, content: bytes):
+            arr = decode_image(bytes(content))
+            s = pixel_stats(arr)
+            feat = [s["mean_r"], s["mean_g"], s["mean_b"], s["mean_gray"],
+                    float(s["min_gray"]), float(s["max_gray"]),
+                    s["frac_bright"], float(arr.shape[2])]
+            return s["width"], s["height"], 1, feat
+        cols = ["media_ref", "content"]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = [decode_one(r) for r in pdf["media_ref"]]
+            args = (pdf["media_ref"], pdf["content"]) if len(cols) == 2 \
+                else (pdf["media_ref"], [None] * len(pdf))
+            decoded = [decode_one(r, c) for r, c in zip(*args)]
             yield pd.DataFrame({
                 "media_ref": pdf["media_ref"],
                 "width": [d[0] for d in decoded],
@@ -74,8 +110,7 @@ def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
                 "feature": [d[3] for d in decoded],
             })
 
-    return (media.select("media_ref").mapInPandas(batches,
-                                                  schema=MEDIA_SCHEMA))
+    return media.select(*cols).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 def media_features(documents: DataFrame) -> DataFrame:
