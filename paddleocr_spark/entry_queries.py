@@ -981,6 +981,16 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.col("v").cast("double"), 4).alias("value"))
 
 
+def _media_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct media refs of the synthetic corpus (content-addressed
+    dedup — each blob decodes once; multimodal.media_features shape)."""
+    return (synth_spans(_docs(spark, sf_dir))
+            .select(F.explode("spans").alias("s"))
+            .filter(F.col("s.kind") == "media")
+            .select(F.col("s.media_ref").alias("media_ref"))
+            .distinct())
+
+
 def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 made real (round 4): media refs → deterministically RENDERED
     image bytes (PPM / BMP / PNG / gray-PNG rotation, PNG cycling all five
@@ -998,11 +1008,7 @@ def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .imagecodecs import RENDER_FORMATS, decode_image, render_ref_image
     from .multimodal import pixel_stats
 
-    refs = (synth_spans(_docs(spark, sf_dir))
-            .select(F.explode("spans").alias("s"))
-            .filter(F.col("s.kind") == "media")
-            .select(F.col("s.media_ref").alias("media_ref"))
-            .distinct())
+    refs = _media_refs(spark, sf_dir)
 
     schema = ("media_ref string, width long, height long, channels long, "
               "mean_r double, mean_g double, mean_b double, "
@@ -1040,6 +1046,56 @@ def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("mean_gray", 4).alias("mean_gray"),
                     "min_gray", "max_gray",
                     F.round("frac_bright", 4).alias("frac_bright")))
+
+
+def q_tensor_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1→P6→P2→P5→P3 tensor preprocessing over real decoded pixels
+    (round 4; previously enumerate-only "no pixel buffers"): DecodeImage
+    RGB → fixed Resize 16×24 (cv2 center-aligned bilinear semantics) →
+    NormalizeImage float32 ImageNet chain → Pad /32 → ToCHW; per-channel
+    plane stats. Fixture oracle (float32 chain is not SQL-restatable;
+    tools/make_fixtures.py re-assembles it single-node, sf0.01 only)."""
+    import pandas as pd
+
+    from .pixelops import tensor_ops_for_ref
+
+    cols = ["media_ref", "channel", "res_h", "res_w", "pad_h", "pad_w",
+            "mean", "vmin", "vmax", "ratio_h", "ratio_w"]
+    schema = ("media_ref string, channel long, res_h long, res_w long, "
+              "pad_h long, pad_w long, mean double, vmin double, "
+              "vmax double, ratio_h double, ratio_w double")
+
+    def go(it):
+        for pdf in it:
+            rows = [r for ref in pdf["media_ref"]
+                    for r in tensor_ops_for_ref(ref)]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return _media_refs(spark, sf_dir).mapInPandas(go, schema=schema)
+
+
+def q_rotate_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 get_rotate_crop_image + C2 get_minarea_rect_crop over real
+    decoded pixels (round 4): md5-derived rotated quad → homography →
+    replicate-border bicubic warp (+ the ≥1.5 rot90 quirk), and scatter
+    points → rotating-calipers minAreaRect → reorder → C1. Fixture
+    oracle (tools/make_fixtures.py, sf0.01 only)."""
+    import pandas as pd
+
+    from .pixelops import crops_for_ref
+
+    cols = ["media_ref", "crop_id", "out_h", "out_w", "pix_sum",
+            "first_val"]
+    schema = ("media_ref string, crop_id string, out_h long, out_w long, "
+              "pix_sum long, first_val long")
+
+    def go(it):
+        for pdf in it:
+            rows = [r for ref in pdf["media_ref"]
+                    for r in crops_for_ref(ref)]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return _media_refs(spark, sf_dir).mapInPandas(go, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1158,6 +1214,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2e_metric": q_e2e_metric,
         "preprocess_image": q_preprocess_image,
         "media_decode_real": q_media_decode_real,
+        "tensor_ops": q_tensor_ops,
+        "rotate_crop": q_rotate_crop,
         # relational operator demos
         "union_sample": q_union_sample,
         "topk_window": q_topk_window,
@@ -1395,6 +1453,17 @@ FROM synth_final GROUP BY doc_id, kind"""
         "CAST(box_idx AS BIGINT) AS box_idx, "
         "CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1, "
         "CAST(x2 AS BIGINT) AS x2, CAST(y2 AS BIGINT) AS y2, score")
+    sqls["tensor_ops"] = _fixture_sql(
+        "tensor_ops",
+        "media_ref, CAST(channel AS BIGINT) AS channel, "
+        "CAST(res_h AS BIGINT) AS res_h, CAST(res_w AS BIGINT) AS res_w, "
+        "CAST(pad_h AS BIGINT) AS pad_h, CAST(pad_w AS BIGINT) AS pad_w, "
+        "mean, vmin, vmax, ratio_h, ratio_w")
+    sqls["rotate_crop"] = _fixture_sql(
+        "rotate_crop",
+        "media_ref, crop_id, CAST(out_h AS BIGINT) AS out_h, "
+        "CAST(out_w AS BIGINT) AS out_w, CAST(pix_sum AS BIGINT) AS "
+        "pix_sum, CAST(first_val AS BIGINT) AS first_val")
     sqls["east_nms"] = _fixture_sql(
         "east_nms",
         "doc_id, CAST(keep_order AS BIGINT) AS keep_order, "

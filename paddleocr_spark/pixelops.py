@@ -1,0 +1,424 @@
+"""Image tensor operators over real pixel buffers (P1–P3, P5–P6, C1–C2).
+
+Rounds 1–3 scoped these enumerate-only ("no pixel buffers in the span
+model"); round 4's pure-numpy codecs (:mod:`paddleocr_spark.imagecodecs`)
+provide real (H, W, C) uint8 arrays, so the reference's tensor-side
+preprocessing becomes implementable as batch kernels under
+``mapInPandas``. Transcribed semantics, with cited sources:
+
+* P1 ``DecodeImage`` — ppocr/data/imaug/operators.py:30-74: cv2.imdecode
+  IMREAD_COLOR (3-ch BGR; gray replicated, alpha dropped), 'RGB' mode
+  reverses the channel axis, optional channel-first transpose.
+* P2 ``NormalizeImage`` — operators.py:77-101: float32
+  ``(img * scale - mean) / std`` with scale ``np.float32(1/255)`` and
+  ImageNet mean/std defaults, 'chw'/'hwc' broadcast shapes.
+* P3 ``ToCHWImage`` — operators.py:104-117: HWC→CHW transpose.
+* P5 ``Pad`` — operators.py:148-183: zero-pad bottom/right to
+  ceil(side/size_div)·size_div, floor size_div.
+* P6 ``Resize`` — operators.py:186-213: fixed-size resize + poly rescale
+  ratios. cv2.resize INTER_LINEAR semantics = CENTER-ALIGNED sampling
+  (src = (dst + 0.5)·scale − 0.5, clamped); our arithmetic is float64
+  where cv2 runs 5-bit fixed-point coefficients — values can differ by
+  ±1 ulp of a pixel step from real cv2 (documented deviation; cv2 is not
+  in this environment to differ against).
+* C1 ``get_rotate_crop_image`` — tools/infer/utility.py:660-693: crop
+  dims from int-truncated edge norms, getPerspectiveTransform to the
+  upright rect, warpPerspective with BORDER_REPLICATE + INTER_CUBIC
+  (Keys bicubic, a = −0.75 — cv2's kernel), then np.rot90 when
+  dst_h/dst_w ≥ 1.5.
+* C2 ``get_minarea_rect_crop`` — utility.py:695-716: cv2.minAreaRect on
+  int32-cast points (rotating calipers over the convex hull here),
+  boxPoints sorted by x, the index_a..d reorder, then C1.
+
+Homographies are solved exactly (8×8 linear system — the
+getPerspectiveTransform analog); warps inverse-map destination pixels
+through M⁻¹ like cv2 does without WARP_INVERSE_MAP. uint8 conversion
+rounds half-up then saturates (cv2's fixed-point ``(x + 0.5) >> n``
+behavior for positives).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .imagecodecs import decode_image
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+# ---------------------------------------------------------------------------
+# P1 DecodeImage
+# ---------------------------------------------------------------------------
+
+def imread_color(buf: bytes) -> np.ndarray:
+    """cv2.imdecode(buf, cv2.IMREAD_COLOR) analog: always (H, W, 3) BGR
+    uint8 — gray replicates across channels, alpha is dropped."""
+    arr = decode_image(buf)                       # RGB(A) or gray
+    if arr.shape[2] == 1:
+        rgb = np.repeat(arr, 3, axis=2)
+    else:
+        rgb = arr[..., :3]
+    return np.ascontiguousarray(rgb[..., ::-1])   # RGB → BGR
+
+
+def decode_image_op(buf: bytes, img_mode: str = "RGB",
+                    channel_first: bool = False) -> np.ndarray:
+    """P1 DecodeImage.__call__ (operators.py:42-74)."""
+    img = imread_color(buf)
+    if img_mode == "RGB":
+        img = img[:, :, ::-1]
+    img = np.ascontiguousarray(img)
+    if channel_first:
+        img = img.transpose((2, 0, 1))
+    return img
+
+
+# ---------------------------------------------------------------------------
+# P2 NormalizeImage / P3 ToCHWImage / P5 Pad
+# ---------------------------------------------------------------------------
+
+def normalize_image(img: np.ndarray, scale: float | None = None,
+                    mean=None, std=None, order: str = "hwc") -> np.ndarray:
+    """P2: float32 ``(img * scale - mean) / std`` in the reference's
+    operation order and dtypes (operators.py:81-101)."""
+    scale = np.float32(scale if scale is not None else 1.0 / 255.0)
+    mean = mean if mean is not None else list(IMAGENET_MEAN)
+    std = std if std is not None else list(IMAGENET_STD)
+    shape = (3, 1, 1) if order == "chw" else (1, 1, 3)
+    mean_a = np.array(mean).reshape(shape).astype("float32")
+    std_a = np.array(std).reshape(shape).astype("float32")
+    return (img.astype("float32") * scale - mean_a) / std_a
+
+
+def to_chw(img: np.ndarray) -> np.ndarray:
+    """P3: HWC → CHW."""
+    return img.transpose((2, 0, 1))
+
+
+def pad_image(img: np.ndarray, size=None, size_div: int = 32) -> np.ndarray:
+    """P5 Pad: zero-pad bottom/right to ``size`` or to the next multiple
+    of ``size_div`` (floor ``size_div``), HWC input."""
+    h, w = img.shape[0], img.shape[1]
+    if size:
+        out_h, out_w = size
+        if not (h < out_h and w < out_w):
+            raise ValueError("target size must exceed image size")
+    else:
+        out_h = max(int(math.ceil(h / size_div) * size_div), size_div)
+        out_w = max(int(math.ceil(w / size_div) * size_div), size_div)
+    out = np.zeros((out_h, out_w) + img.shape[2:], dtype=img.dtype)
+    out[:h, :w] = img
+    return out
+
+
+# ---------------------------------------------------------------------------
+# P6 Resize (cv2.resize INTER_LINEAR semantics)
+# ---------------------------------------------------------------------------
+
+def _lin_coords(out_n: int, src_n: int):
+    """Center-aligned source coordinates + clamped tap indices/weights."""
+    scale = src_n / out_n
+    fx = (np.arange(out_n, dtype=np.float64) + 0.5) * scale - 0.5
+    x0 = np.floor(fx).astype(np.int64)
+    t = fx - x0
+    x0c = np.clip(x0, 0, src_n - 1)
+    x1c = np.clip(x0 + 1, 0, src_n - 1)
+    return x0c, x1c, t
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """cv2.resize(img, (out_w, out_h)) INTER_LINEAR analog in float64
+    (uint8 in → half-up rounded uint8 out)."""
+    h, w = img.shape[:2]
+    y0, y1, ty = _lin_coords(out_h, h)
+    x0, x1, tx = _lin_coords(out_w, w)
+    p = img.astype(np.float64)
+    squeeze = p.ndim == 2
+    if squeeze:
+        p = p[:, :, None]
+    ty3 = ty[:, None, None]
+    tx3 = tx[None, :, None]
+    rows = p[y0] * (1 - ty3) + p[y1] * ty3          # (out_h, w, c)
+    out = rows[:, x0] * (1 - tx3) + rows[:, x1] * tx3
+    if squeeze:
+        out = out[..., 0]
+    if img.dtype == np.uint8:
+        return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+    return out.astype(img.dtype)
+
+
+def resize_op(img: np.ndarray, size=(640, 640)):
+    """P6 Resize.resize_image (operators.py:189-196): fixed (h, w) target,
+    returns (resized, [ratio_h, ratio_w]) for poly rescale."""
+    resize_h, resize_w = size
+    ori_h, ori_w = img.shape[:2]
+    ratio_h = float(resize_h) / ori_h
+    ratio_w = float(resize_w) / ori_w
+    return resize_bilinear(img, int(resize_h), int(resize_w)), \
+        [ratio_h, ratio_w]
+
+
+# ---------------------------------------------------------------------------
+# homography + warp (getPerspectiveTransform / warpPerspective analogs)
+# ---------------------------------------------------------------------------
+
+def get_perspective_transform(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Solve the 3×3 homography H with H·src_i ∝ dst_i for 4 point pairs
+    (the cv2.getPerspectiveTransform 8×8 system, h22 = 1)."""
+    src = np.asarray(src, dtype=np.float64)
+    dst = np.asarray(dst, dtype=np.float64)
+    a = np.zeros((8, 8))
+    b = np.zeros(8)
+    for i in range(4):
+        sx, sy = src[i]
+        dx, dy = dst[i]
+        a[i] = [sx, sy, 1, 0, 0, 0, -sx * dx, -sy * dx]
+        a[i + 4] = [0, 0, 0, sx, sy, 1, -sx * dy, -sy * dy]
+        b[i], b[i + 4] = dx, dy
+    h = np.linalg.solve(a, b)
+    return np.append(h, 1.0).reshape(3, 3)
+
+
+def _cubic_weights(t: np.ndarray) -> np.ndarray:
+    """Keys bicubic kernel weights for taps (-1, 0, 1, 2), a = -0.75
+    (cv2's interpolateCubic)."""
+    a = -0.75
+    w = np.empty(t.shape + (4,), dtype=np.float64)
+    x = t + 1.0
+    w[..., 0] = ((a * x - 5 * a) * x + 8 * a) * x - 4 * a
+    x = t
+    w[..., 1] = ((a + 2) * x - (a + 3)) * x * x + 1
+    x = 1.0 - t
+    w[..., 2] = ((a + 2) * x - (a + 3)) * x * x + 1
+    x = 2.0 - t
+    w[..., 3] = ((a * x - 5 * a) * x + 8 * a) * x - 4 * a
+    return w
+
+
+def warp_perspective(img: np.ndarray, m: np.ndarray, out_w: int,
+                     out_h: int) -> np.ndarray:
+    """cv2.warpPerspective(img, M, (w, h), BORDER_REPLICATE, INTER_CUBIC)
+    analog: destination pixels inverse-map through M⁻¹; out-of-range taps
+    clamp (replicate); Keys bicubic a = -0.75 in float64; half-up uint8
+    saturation."""
+    h, w = img.shape[:2]
+    minv = np.linalg.inv(np.asarray(m, dtype=np.float64))
+    ys, xs = np.mgrid[0:out_h, 0:out_w]
+    ones = np.ones_like(xs, dtype=np.float64)
+    pts = np.stack([xs.astype(np.float64), ys.astype(np.float64), ones])
+    src = minv @ pts.reshape(3, -1)
+    sx = (src[0] / src[2]).reshape(out_h, out_w)
+    sy = (src[1] / src[2]).reshape(out_h, out_w)
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    wx = _cubic_weights(sx - x0)
+    wy = _cubic_weights(sy - y0)
+    p = img.astype(np.float64)
+    if p.ndim == 2:
+        p = p[:, :, None]
+    acc = np.zeros((out_h, out_w, p.shape[2]), dtype=np.float64)
+    for dy in range(-1, 3):
+        yy = np.clip(y0 + dy, 0, h - 1)
+        row_w = wy[..., dy + 1]
+        for dx in range(-1, 3):
+            xx = np.clip(x0 + dx, 0, w - 1)
+            acc += (row_w * wx[..., dx + 1])[..., None] * p[yy, xx]
+    if img.dtype == np.uint8:
+        out = np.clip(np.floor(acc + 0.5), 0, 255).astype(np.uint8)
+    else:
+        out = acc.astype(img.dtype)
+    return out if img.ndim == 3 else out[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# C1 get_rotate_crop_image
+# ---------------------------------------------------------------------------
+
+def get_rotate_crop_image(img: np.ndarray, points: np.ndarray) -> np.ndarray:
+    """tools/infer/utility.py:660-693, faithful: int-truncated edge norms
+    size the upright target; warp with replicate border + bicubic; rot90
+    when the crop is tall (h/w ≥ 1.5)."""
+    points = np.asarray(points, dtype=np.float32)
+    assert len(points) == 4, "shape of points must be 4*2"
+    img_crop_width = int(
+        max(np.linalg.norm(points[0] - points[1]),
+            np.linalg.norm(points[2] - points[3])))
+    img_crop_height = int(
+        max(np.linalg.norm(points[0] - points[3]),
+            np.linalg.norm(points[1] - points[2])))
+    pts_std = np.float32([[0, 0], [img_crop_width, 0],
+                          [img_crop_width, img_crop_height],
+                          [0, img_crop_height]])
+    # degenerate quads (zero-area / collinear points) make the homography
+    # system singular — cv2 would error or emit garbage; we pin the
+    # deterministic answer "empty crop" instead (documented deviation)
+    if img_crop_width < 1 or img_crop_height < 1:
+        return np.zeros((img_crop_height, img_crop_width) + img.shape[2:],
+                        dtype=img.dtype)
+    try:
+        m = get_perspective_transform(points, pts_std)
+    except np.linalg.LinAlgError:
+        return np.zeros((img_crop_height, img_crop_width) + img.shape[2:],
+                        dtype=img.dtype)
+    dst_img = warp_perspective(img, m, img_crop_width, img_crop_height)
+    dst_h, dst_w = dst_img.shape[0:2]
+    if dst_w > 0 and dst_h * 1.0 / dst_w >= 1.5:
+        dst_img = np.rot90(dst_img)
+    return dst_img
+
+
+# ---------------------------------------------------------------------------
+# C2 get_minarea_rect_crop (minAreaRect via rotating calipers)
+# ---------------------------------------------------------------------------
+
+def _convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain, CCW, no duplicate endpoint."""
+    pts = np.unique(pts, axis=0)
+    if len(pts) <= 2:
+        return pts
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def half(seq):
+        out: list = []
+        for q in seq:
+            while len(out) >= 2 and cross(out[-2], out[-1], q) <= 0:
+                out.pop()
+            out.append(q)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def min_area_box(points: np.ndarray) -> np.ndarray:
+    """The 4 corners of the minimum-area enclosing rectangle
+    (cv2.minAreaRect + cv2.boxPoints analog; rotating calipers over the
+    convex hull — optimal rectangle has a side collinear with a hull
+    edge). Degenerate inputs (≤2 distinct points / collinear) produce a
+    zero-area rectangle."""
+    pts = np.asarray(points, dtype=np.float64)
+    hull = _convex_hull(pts)
+    if len(hull) == 1:
+        return np.repeat(hull, 4, axis=0).astype(np.float32)
+    if len(hull) == 2:
+        return np.array([hull[0], hull[1], hull[1], hull[0]],
+                        dtype=np.float32)
+    best = None
+    n = len(hull)
+    for i in range(n):
+        e = hull[(i + 1) % n] - hull[i]
+        norm = math.hypot(e[0], e[1])
+        if norm == 0:
+            continue
+        u = e / norm
+        v = np.array([-u[1], u[0]])
+        pu = hull @ u
+        pv = hull @ v
+        area = (pu.max() - pu.min()) * (pv.max() - pv.min())
+        if best is None or area < best[0]:
+            best = (area, u, v, pu.min(), pu.max(), pv.min(), pv.max())
+    _, u, v, u0, u1, v0, v1 = best
+    corners = np.array([u0 * u + v0 * v, u1 * u + v0 * v,
+                        u1 * u + v1 * v, u0 * u + v1 * v])
+    return corners.astype(np.float32)
+
+
+def get_minarea_rect_crop(img: np.ndarray, points) -> np.ndarray:
+    """utility.py:695-716, faithful: int32-cast points → minAreaRect box
+    corners → sort by x → the index_a..d reorder → C1 crop."""
+    box_pts = min_area_box(np.array(points).astype(np.int32))
+    pts = sorted(list(box_pts), key=lambda x: x[0])
+
+    if pts[1][1] > pts[0][1]:
+        index_a, index_d = 0, 1
+    else:
+        index_a, index_d = 1, 0
+    if pts[3][1] > pts[2][1]:
+        index_b, index_c = 2, 3
+    else:
+        index_b, index_c = 3, 2
+    box = [pts[index_a], pts[index_b], pts[index_c], pts[index_d]]
+    return get_rotate_crop_image(img, np.array(box))
+
+
+# ---------------------------------------------------------------------------
+# per-ref gate drivers (shared by the Spark queries and the committed
+# fixture generator — the sanctioned "kernels imported twice" rule: exact
+# float chains cannot be re-derived two ways without breaking bit-equality;
+# everything around them IS re-derived in tools/make_fixtures.py)
+# ---------------------------------------------------------------------------
+
+#: P6 fixed-resize target for the tensor-op gate chain (h, w).
+TENSOR_RESIZE = (16, 24)
+
+
+def tensor_ops_for_ref(ref: str) -> list[tuple]:
+    """P1→P6→P2→P5→P3 chain over one rendered blob; per-channel stats.
+
+    Returns 3 rows (ref, channel, res_h, res_w, pad_h, pad_w, mean, vmin,
+    vmax, ratio_h, ratio_w); float stats rounded with Python round(·, 4)
+    INSIDE the kernel (both gate sides share the rounding site)."""
+    from .imagecodecs import render_ref_image
+
+    _, buf = render_ref_image(ref)
+    img = decode_image_op(buf, "RGB")                     # P1
+    resized, (rh, rw) = resize_op(img, TENSOR_RESIZE)     # P6
+    norm = normalize_image(resized, order="hwc")          # P2
+    padded = pad_image(norm)                              # P5 → 32×32
+    chw = to_chw(padded)                                  # P3
+    rows = []
+    for c in range(3):
+        plane = chw[c]
+        rows.append((
+            ref, c, resized.shape[0], resized.shape[1],
+            padded.shape[0], padded.shape[1],
+            round(float(plane.mean(dtype=np.float64)), 4),
+            round(float(plane.min()), 4),
+            round(float(plane.max()), 4),
+            round(rh, 4), round(rw, 4)))
+    return rows
+
+
+def crops_for_ref(ref: str) -> list[tuple]:
+    """C1 + C2 over one rendered blob with md5-derived geometry.
+
+    c1: a rectangle centered in the image, rotated by (md5[7] % 8)·π/8,
+    through :func:`get_rotate_crop_image` (exercises the homography, the
+    replicate-border bicubic warp, and the ≥1.5 rot90 quirk when the rect
+    is tall). c2: 4 scatter points (md5 bytes 8..15 mod W/H) through
+    :func:`get_minarea_rect_crop` (hull → calipers → reorder → C1).
+    Returns rows (ref, crop_id, out_h, out_w, pix_sum, first_val)."""
+    import hashlib
+
+    from .imagecodecs import render_ref_image
+
+    h = hashlib.md5(ref.encode()).digest()
+    _, buf = render_ref_image(ref)
+    img = imread_color(buf)
+    height, width = img.shape[:2]
+    cx, cy = width / 2.0, height / 2.0
+    hw, hh = max(2, width // 3), max(2, height // 4)
+    th = (h[7] % 8) * (math.pi / 8)
+    ct, st = math.cos(th), math.sin(th)
+    base = [(-hw, -hh), (hw, -hh), (hw, hh), (-hw, hh)]
+    quad = np.float32([[cx + bx * ct - by * st, cy + bx * st + by * ct]
+                       for bx, by in base])
+    c1 = get_rotate_crop_image(img, quad)
+    pts = [(h[8 + 2 * i] % width, h[9 + 2 * i] % height) for i in range(4)]
+    c2 = get_minarea_rect_crop(img, pts)
+    rows = []
+    for cid, arr in (("c1", c1), ("c2", c2)):
+        a = np.asarray(arr)
+        rows.append((ref, cid, int(a.shape[0]),
+                     int(a.shape[1]) if a.ndim > 1 else 0,
+                     int(a.sum()) if a.size else 0,
+                     int(a.reshape(-1)[0]) if a.size else -1))
+    return rows

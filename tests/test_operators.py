@@ -78,10 +78,18 @@ def test_media_decode_deterministic_and_batched(spark):
         assert all(0.0 <= v <= 1.0 for v in r["feature"])
 
 
-def test_media_decode_real_path_is_gated(spark):
+def test_media_decode_real_path_contract(spark):
+    """Round 4 replaced the NotImplementedError seam with the pure-numpy
+    codecs: fake=False requires a content column (loud analysis error
+    without it) and rejects unrecognized bytes loudly."""
     refs = spark.createDataFrame([("img://h/AB",)], "media_ref string")
-    with pytest.raises(Exception, match="NotImplementedError|decode"):
+    with pytest.raises(Exception, match="content|CONTENT"):
         decode_media(refs, fake=False).collect()
+    junk = spark.createDataFrame(
+        [("img://h/AB", bytearray(b"GIF89a not-a-supported-container"))],
+        "media_ref string, content binary")
+    with pytest.raises(Exception, match="unrecognized image magic"):
+        decode_media(junk, fake=False).collect()
 
 
 def test_frame_sample_strides(spark):

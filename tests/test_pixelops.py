@@ -1,0 +1,142 @@
+"""Pixel tensor-op tests (P1-P3, P5-P6, C1-C2): analytic ground truths
+(axis-aligned warps equal plain crops; exact homography residuals),
+quirk pins, and an exec-the-reference differential for the C1 wrapper."""
+
+from __future__ import annotations
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from paddleocr_spark import pixelops as P
+from paddleocr_spark.imagecodecs import encode_png
+
+RNG = np.random.default_rng(17)
+IMG = RNG.integers(0, 256, size=(20, 24, 3), dtype=np.uint8)
+
+
+def test_homography_maps_the_four_points_exactly():
+    src = np.float32([[1, 2], [10, 1], [11, 9], [0, 8]])
+    dst = np.float32([[0, 0], [8, 0], [8, 6], [0, 6]])
+    m = P.get_perspective_transform(src, dst)
+    for s, d in zip(src, dst):
+        v = m @ np.array([s[0], s[1], 1.0])
+        assert np.allclose(v[:2] / v[2], d, atol=1e-9)
+
+
+def test_axis_aligned_quad_warp_equals_plain_crop():
+    """Integer axis-aligned quad ⇒ translation homography ⇒ every sample
+    lands on a source pixel ⇒ warp must equal numpy slicing exactly."""
+    pts = np.float32([[3, 4], [13, 4], [13, 11], [3, 11]])
+    crop = P.get_rotate_crop_image(IMG, pts)
+    assert np.array_equal(crop, IMG[4:11, 3:13])
+
+
+def test_tall_crop_rot90_quirk():
+    pts = np.float32([[3, 2], [7, 2], [7, 14], [3, 14]])   # 4×12 ⇒ ≥1.5
+    crop = P.get_rotate_crop_image(IMG, pts)
+    assert np.array_equal(crop, np.rot90(IMG[2:14, 3:7]))
+
+
+def test_degenerate_quad_yields_empty_crop():
+    pts = np.float32([[5, 5], [5, 5], [5, 5], [5, 5]])
+    crop = P.get_rotate_crop_image(IMG, pts)
+    assert crop.size == 0
+
+
+def test_resize_center_aligned_hand_case():
+    # 1-D [0, 100] → 4 px: src coords (i+.5)/2−.5 = −.25,.25,.75,1.25;
+    # clamped bilinear ⇒ 0, 25, 75, 100
+    r = P.resize_bilinear(np.array([[0, 100]], dtype=np.uint8)[:, :, None],
+                          1, 4)
+    assert r.ravel().tolist() == [0, 25, 75, 100]
+    # constants stay constant; identity resize is the identity
+    c = np.full((5, 7, 3), 123, dtype=np.uint8)
+    assert np.array_equal(P.resize_bilinear(c, 11, 13),
+                          np.full((11, 13, 3), 123, np.uint8))
+    assert np.array_equal(P.resize_bilinear(IMG, 20, 24), IMG)
+
+
+def test_min_area_box_axis_aligned_and_rotated():
+    box = P.min_area_box(np.array([[0, 0], [4, 0], [4, 3], [0, 3], [2, 1]]))
+    assert set(map(tuple, box.tolist())) == {(0, 0), (4, 0), (4, 3), (0, 3)}
+    sq = np.array([[5, 0], [10, 5], [5, 10], [0, 5]])      # 45° square
+    b = P.min_area_box(sq)
+    area = 0.5 * abs(sum(
+        b[i][0] * b[(i + 1) % 4][1] - b[(i + 1) % 4][0] * b[i][1]
+        for i in range(4)))
+    assert abs(area - 50) < 1e-6
+
+
+def test_minarea_rect_crop_axis_aligned_equals_slice():
+    crop = P.get_minarea_rect_crop(IMG, [[3, 4], [13, 4], [13, 11], [3, 11]])
+    assert np.array_equal(crop, IMG[4:11, 3:13])
+
+
+def test_normalize_pad_chw_decode_chain():
+    n = P.normalize_image(IMG)
+    assert n.dtype == np.float32
+    # reference order: (img*scale - mean)/std, hwc broadcast
+    expect = ((IMG.astype("float32") * np.float32(1 / 255.0)
+               - np.array(P.IMAGENET_MEAN).reshape(1, 1, 3).astype("float32"))
+              / np.array(P.IMAGENET_STD).reshape(1, 1, 3).astype("float32"))
+    assert np.array_equal(n, expect)
+    ch = P.to_chw(n)
+    assert ch.shape == (3, 20, 24) and np.array_equal(ch[1], n[..., 1])
+    padded = P.pad_image(IMG)
+    assert padded.shape == (32, 32, 3)
+    assert np.array_equal(padded[:20, :24], IMG)
+    assert padded[20:].sum() == 0 and padded[:, 24:].sum() == 0
+    with pytest.raises(ValueError):
+        P.pad_image(IMG, size=(10, 10))
+    buf = encode_png(IMG)
+    assert np.array_equal(P.decode_image_op(buf, "RGB"), IMG)
+    assert np.array_equal(P.imread_color(buf), IMG[..., ::-1])
+    assert P.decode_image_op(buf, "RGB", channel_first=True).shape \
+        == (3, 20, 24)
+
+
+REF = "/root/reference/tools/infer/utility.py"
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="no reference checkout")
+def test_rotate_crop_matches_executed_reference():
+    """Exec the REFERENCE get_rotate_crop_image with a cv2 shim backed by
+    our kernels: the reference's own int-truncated size arithmetic,
+    pts_std construction, and rot90 condition run for real; any drift in
+    our wrapper's transcription of that logic diverges here."""
+    src = open(REF).read()
+    start = src.index("def get_rotate_crop_image")
+    end = src.index("def get_minarea_rect_crop")
+    body = textwrap.dedent(src[start:end])
+
+    class Cv2Shim:
+        BORDER_REPLICATE = object()
+        INTER_CUBIC = object()
+
+        @staticmethod
+        def getPerspectiveTransform(a, b):
+            return P.get_perspective_transform(a, b)
+
+        @staticmethod
+        def warpPerspective(img, m, size, borderMode=None, flags=None):
+            return P.warp_perspective(img, m, size[0], size[1])
+
+    ns = {"np": np, "cv2": Cv2Shim}
+    exec(body, ns)
+    ref_fn = ns["get_rotate_crop_image"]
+    rng = np.random.default_rng(5)
+    for _ in range(25):
+        h, w = int(rng.integers(10, 30)), int(rng.integers(10, 30))
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        cx, cy = w / 2, h / 2
+        hw, hh = int(rng.integers(2, w // 2)), int(rng.integers(2, h // 2))
+        th = rng.uniform(0, np.pi)
+        ct, st = np.cos(th), np.sin(th)
+        quad = np.float32([[cx + bx * ct - by * st, cy + bx * st + by * ct]
+                           for bx, by in [(-hw, -hh), (hw, -hh),
+                                          (hw, hh), (-hw, hh)]])
+        assert np.array_equal(P.get_rotate_crop_image(img, quad.copy()),
+                              ref_fn(img, quad.copy()))

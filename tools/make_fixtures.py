@@ -354,7 +354,45 @@ def fx_east_detect(con, sf_dir: str) -> pd.DataFrame:
          "y1": "int64", "x2": "int64", "y2": "int64"})
 
 
+def _media_refs_single_node(con, sf_dir: str) -> list[str]:
+    """Distinct media refs of the synthetic corpus, derived in DuckDB via
+    the SYNTH_CTE twin (never Spark)."""
+    from paddleocr_spark.entry_queries import SYNTH_CTE
+    docs = os.path.join(sf_dir, "documents.parquet")
+    con.execute("CREATE OR REPLACE VIEW documents AS "
+                f"SELECT * FROM read_parquet('{docs}')")
+    rows = con.sql(
+        f"WITH {SYNTH_CTE.lstrip()} SELECT DISTINCT media_ref "
+        "FROM synth_spans WHERE kind = 'media' ORDER BY media_ref"
+    ).fetchall()
+    return [r[0] for r in rows]
+
+
+def fx_tensor_ops(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_tensor_ops single-node: refs from the DuckDB synth
+    twin; the float32 P1→P6→P2→P5→P3 chain imported from pixelops (the
+    sanctioned kernels-imported-twice rule — an exact float32 chain
+    cannot be re-derived independently without breaking bit-equality)."""
+    from paddleocr_spark.pixelops import tensor_ops_for_ref
+    rows = [r for ref in _media_refs_single_node(con, sf_dir)
+            for r in tensor_ops_for_ref(ref)]
+    return pd.DataFrame(rows, columns=[
+        "media_ref", "channel", "res_h", "res_w", "pad_h", "pad_w",
+        "mean", "vmin", "vmax", "ratio_h", "ratio_w"])
+
+
+def fx_rotate_crop(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_rotate_crop single-node (see fx_tensor_ops)."""
+    from paddleocr_spark.pixelops import crops_for_ref
+    rows = [r for ref in _media_refs_single_node(con, sf_dir)
+            for r in crops_for_ref(ref)]
+    return pd.DataFrame(rows, columns=[
+        "media_ref", "crop_id", "out_h", "out_w", "pix_sum", "first_val"])
+
+
 FIXTURES = {
+    "tensor_ops": fx_tensor_ops,
+    "rotate_crop": fx_rotate_crop,
     "flagship_extract": fx_flagship_extract,
     "nms_per_class": fx_nms_per_class,
     "char_prf_metric": fx_char_prf,
