@@ -224,6 +224,48 @@ def q_det_drop_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("span_idx").cast("long").alias("span_idx"), "kind")
 
 
+#: q_det_clip_filter's synthetic image shape (h, w).
+DET_CLIP_SHAPE = (600, 800)
+
+
+def q_det_clip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4+P9 ``filter_tag_det_res`` (predict_det.py:192-223) as pure JVM
+    expressions over axis-aligned detector quads: clockwise ordering is
+    the identity for axis-aligned boxes (the general-quad kernel
+    ``kernels.filter_tag_det_res`` is pinned by an exec-the-reference
+    differential + pytest equivalence to this query), clipping is the
+    int-truncated clamp to [0, dim-1], and the int-truncated edge norms
+    reduce to the clamped side lengths. Boxes synthesized with negative /
+    out-of-bounds / fractional coords and sub-4px slivers so every branch
+    filters something."""
+    h_img, w_img = DET_CLIP_SHAPE
+    li = _lineitem(spark, sf_dir).filter(F.col("l_linenumber") <= 4)
+    x1 = ((F.col("l_partkey") % 50) * 20 - 60).cast("double") + 0.5
+    y1 = ((F.col("l_suppkey") % 40) * 18 - 40).cast("double") + 0.25
+    w = ((F.col("l_orderkey") % 15) * 3).cast("double")
+    h = (F.col("l_linenumber") * 5 + (F.col("l_orderkey") % 7)).cast("double")
+    boxes = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("box_id"),
+        x1.alias("x1"), y1.alias("y1"),
+        (x1 + w).alias("x2"), (y1 + h).alias("y2"))
+
+    def clip_x(c):
+        return F.floor(F.least(F.greatest(c, F.lit(0.0)),
+                               F.lit(float(w_img - 1)))).cast("long")
+
+    def clip_y(c):
+        return F.floor(F.least(F.greatest(c, F.lit(0.0)),
+                               F.lit(float(h_img - 1)))).cast("long")
+
+    clipped = boxes.select(
+        "box_id", clip_x(F.col("x1")).alias("cx1"),
+        clip_y(F.col("y1")).alias("cy1"),
+        clip_x(F.col("x2")).alias("cx2"), clip_y(F.col("y2")).alias("cy2"))
+    return clipped.filter(
+        ((F.col("cx2") - F.col("cx1")) > 3)
+        & ((F.col("cy2") - F.col("cy1")) > 3))
+
+
 def q_style_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P11 style-token strip (single-pass JVM regexp) on surviving spans."""
     return strip_styles(_spans_kept(spark, sf_dir)).select(
@@ -1237,6 +1279,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": T.quality_score,
         "fingerprint": T.fingerprint,
         "gopher_rules": T.gopher_rules,
+        "det_clip_filter": q_det_clip_filter,
     }
 
 
@@ -2200,6 +2243,30 @@ SELECT doc_id,
                 ELSE substring('{cs2}', CAST(v + 1 AS INT), 1) END), '')
            AS sar_text
 FROM cuts"""
+
+    # --- D4+P9 filter_tag_det_res (axis-aligned JVM form) ---
+    ch, cw = DET_CLIP_SHAPE
+    sqls["det_clip_filter"] = f"""
+WITH boxes AS (
+    SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS box_id,
+           CAST((l_partkey % 50) * 20 - 60 AS DOUBLE) + 0.5 AS x1,
+           CAST((l_suppkey % 40) * 18 - 40 AS DOUBLE) + 0.25 AS y1,
+           CAST((l_orderkey % 15) * 3 AS DOUBLE) AS w,
+           CAST(l_linenumber * 5 + (l_orderkey % 7) AS DOUBLE) AS h
+    FROM lineitem WHERE l_linenumber <= 4
+),
+c AS (
+    SELECT box_id,
+           CAST(floor(least(greatest(x1, 0), {cw - 1})) AS BIGINT) AS cx1,
+           CAST(floor(least(greatest(y1, 0), {ch - 1})) AS BIGINT) AS cy1,
+           CAST(floor(least(greatest(x1 + w, 0), {cw - 1})) AS BIGINT)
+               AS cx2,
+           CAST(floor(least(greatest(y1 + h, 0), {ch - 1})) AS BIGINT)
+               AS cy2
+    FROM boxes
+)
+SELECT box_id, cx1, cy1, cx2, cy2
+FROM c WHERE cx2 - cx1 > 3 AND cy2 - cy1 > 3"""
 
     # --- R4c NRTRLabelDecode (no ignored tokens; live break; bare-except
     #     lookup: out-of-range skipped, negatives wrap Python-style) ---

@@ -46,6 +46,11 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "east_detect": _entry("q_east_detect"),
         "sar_decode": _entry("q_sar_decode"),
         "table_html_master": _table_html_master,
+        # round-4 additions
+        "nrtr_decode": _entry("q_nrtr_decode"),
+        "media_decode_real": _entry("q_media_decode_real"),
+        "tensor_ops": _entry("q_tensor_ops"),
+        "rotate_crop": _entry("q_rotate_crop"),
     }
 
 

@@ -1207,3 +1207,58 @@ def nrtr_label_decode(ids, charset) -> str:
             break
         out.append(ch)
     return "".join(out)
+
+
+def order_points_clockwise(pts) -> "np.ndarray":
+    """TextDetector.order_points_clockwise, tools/infer/predict_det.py
+    :192-201: rect[0]/rect[2] = min/max coordinate-sum corners; the other
+    two order by the (y-x) diff of the REMAINING points.
+
+    QUIRKS preserved: np.argmin/argmax take the FIRST extreme on ties,
+    and ``np.delete`` with the pair (argmin, argmax) removes ONE point
+    when they coincide (all-equal sums), leaving a 3-point remainder —
+    rect[1]/rect[3] then come from a 3-way diff argmin/argmax exactly as
+    the reference computes them."""
+    import numpy as np
+
+    pts = np.asarray(pts, dtype="float32")
+    rect = np.zeros((4, 2), dtype="float32")
+    s = pts.sum(axis=1)
+    rect[0] = pts[np.argmin(s)]
+    rect[2] = pts[np.argmax(s)]
+    tmp = np.delete(pts, (np.argmin(s), np.argmax(s)), axis=0)
+    diff = np.diff(np.array(tmp), axis=1)
+    rect[1] = tmp[np.argmin(diff)]
+    rect[3] = tmp[np.argmax(diff)]
+    return rect
+
+
+def clip_det_res(points, img_height: int, img_width: int) -> "np.ndarray":
+    """TextDetector.clip_det_res (predict_det.py:203-207): per-corner
+    int-truncated clamp to [0, dim-1], mutating in the float array (the
+    reference assigns int() results back into the float32 box)."""
+    for pno in range(points.shape[0]):
+        points[pno, 0] = int(min(max(points[pno, 0], 0), img_width - 1))
+        points[pno, 1] = int(min(max(points[pno, 1], 0), img_height - 1))
+    return points
+
+
+def filter_tag_det_res(dt_boxes, image_shape) -> "np.ndarray":
+    """TextDetector.filter_tag_det_res (predict_det.py:209-223):
+    clockwise-order each quad, clip to the image, drop boxes whose
+    int-truncated edge norms are <= 3 on either side."""
+    import numpy as np
+
+    img_height, img_width = image_shape[0:2]
+    out = []
+    for box in dt_boxes:
+        if type(box) is list:
+            box = np.array(box)
+        box = order_points_clockwise(box)
+        box = clip_det_res(box, img_height, img_width)
+        rect_width = int(np.linalg.norm(box[0] - box[1]))
+        rect_height = int(np.linalg.norm(box[0] - box[3]))
+        if rect_width <= 3 or rect_height <= 3:
+            continue
+        out.append(box)
+    return np.array(out)

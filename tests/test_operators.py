@@ -498,3 +498,37 @@ def test_nrtr_decode_distributed_matches_kernel(spark):
     assert got[28] == "<s>every quirk <unk>blank "
     assert got[4].startswith("<s>")            # sos decodes literally
     assert "blank" in got[8]
+
+
+def test_det_clip_filter_query_matches_kernel(spark):
+    """q_det_clip_filter's JVM clamp/filter must equal
+    kernels.filter_tag_det_res applied to the same boxes as quads (the
+    axis-aligned identity of order_points_clockwise plus int-truncated
+    norms = clamped side lengths)."""
+    import numpy as np
+    from paddleocr_spark.entry_queries import (DET_CLIP_SHAPE,
+                                               q_det_clip_filter)
+    from paddleocr_spark.kernels import filter_tag_det_res
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["box_id"]: (r["cx1"], r["cy1"], r["cx2"], r["cy2"])
+           for r in q_det_clip_filter(spark, sf).collect()}
+
+    li = spark.read.parquet(sf + "/lineitem.parquet") \
+        .filter("l_linenumber <= 4") \
+        .selectExpr("l_orderkey * 10 + l_linenumber AS box_id",
+                    "CAST((l_partkey % 50) * 20 - 60 AS DOUBLE) + 0.5 AS x1",
+                    "CAST((l_suppkey % 40) * 18 - 40 AS DOUBLE) + 0.25 AS y1",
+                    "CAST((l_orderkey % 15) * 3 AS DOUBLE) AS w",
+                    "CAST(l_linenumber * 5 + (l_orderkey % 7) AS DOUBLE) AS h")
+    want = {}
+    for r in li.collect():
+        quad = np.float32([[r["x1"], r["y1"]], [r["x1"] + r["w"], r["y1"]],
+                           [r["x1"] + r["w"], r["y1"] + r["h"]],
+                           [r["x1"], r["y1"] + r["h"]]])
+        kept = filter_tag_det_res([quad], DET_CLIP_SHAPE)
+        if len(kept):
+            b = kept[0]
+            want[r["box_id"]] = (int(b[0][0]), int(b[0][1]),
+                                 int(b[2][0]), int(b[2][1]))
+    assert got == want

@@ -447,3 +447,48 @@ def test_nrtr_decode_matches_executed_reference():
         ids = [rng.randint(-(n + 6), n + 8)
                for _ in range(rng.randint(0, 15))]
         assert nrtr_label_decode(ids, list(chars)) == dec(ids), ids
+
+
+def test_filter_tag_det_res_matches_executed_reference():
+    """predict_det.py:192-223 clip + min-side filter (round-4 widening):
+    exec the reference's three methods bound to a shim class and fuzz
+    quads including out-of-bounds floats, sub-4px slivers, and diamond
+    configurations that hit order_points_clockwise's np.delete-on-
+    coincident-argmin/argmax quirk."""
+    import numpy as np
+
+    from paddleocr_spark.kernels import filter_tag_det_res
+
+    src = open("/root/reference/tools/infer/predict_det.py").read()
+
+    def grab(name: str, nxt: str) -> str:
+        return textwrap.dedent(src[src.index(f"    def {name}"):
+                                   src.index(f"    def {nxt}")])
+
+    ns: dict = {"np": np}
+    exec(grab("order_points_clockwise", "clip_det_res")
+         + grab("clip_det_res", "filter_tag_det_res")
+         + grab("filter_tag_det_res", "filter_tag_det_res_only_clip"), ns)
+    Shim = type("Shim", (), {k: ns[k] for k in (
+        "order_points_clockwise", "clip_det_res", "filter_tag_det_res")})
+    ref = Shim()
+
+    rng = random.Random(31)
+    for trial in range(300):
+        h, w = rng.randint(5, 60), rng.randint(5, 60)
+        boxes = []
+        for _ in range(rng.randint(0, 6)):
+            kind = rng.random()
+            if kind < 0.2:          # diamond: all corner sums equal
+                c, r = rng.uniform(5, 30), rng.uniform(1, 8)
+                q = [[c - r, c], [c, c - r], [c + r, c], [c, c + r]]
+            elif kind < 0.4:        # sliver below the >3 bar
+                x, y = rng.uniform(-5, w), rng.uniform(-5, h)
+                q = [[x, y], [x + 2.5, y], [x + 2.5, y + 2.0], [x, y + 2.0]]
+            else:                   # general quad, may exceed bounds
+                q = [[rng.uniform(-10, w + 10), rng.uniform(-10, h + 10)]
+                     for _ in range(4)]
+            boxes.append(np.array(q, dtype=np.float32))
+        got = filter_tag_det_res([b.copy() for b in boxes], (h, w))
+        want = ref.filter_tag_det_res([b.copy() for b in boxes], (h, w))
+        assert np.array_equal(got, want), (trial, boxes, got, want)
