@@ -1025,12 +1025,25 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _media_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct media refs of the synthetic corpus (content-addressed
-    dedup — each blob decodes once; multimodal.media_features shape)."""
+    dedup — each blob decodes once; multimodal.media_features shape).
+
+    The trailing hash repartition keeps the downstream CPU-bound
+    decode/tensor Python stages WIDE: AQE coalesces the distinct's tiny
+    exchange by bytes to ONE task (the measured byte-based-coalesce trap
+    — layout_preprocess ran 33 s single-threaded, ~5 s wide). Two
+    subtleties, both measured here: a ``repartition(n, media_ref)`` is
+    COLLAPSED into the distinct's own ENSURE_REQUIREMENTS exchange (same
+    partitioning expression) and loses its AQE exemption with it, so the
+    partitioning key must be a DIFFERENT expression (xxhash64 of the
+    ref); and plain round-robin gets coalesced right back (the cell_match
+    lesson)."""
     return (synth_spans(_docs(spark, sf_dir))
             .select(F.explode("spans").alias("s"))
             .filter(F.col("s.kind") == "media")
             .select(F.col("s.media_ref").alias("media_ref"))
-            .distinct())
+            .distinct()
+            .repartition(spark.sparkContext.defaultParallelism * 2,
+                         F.xxhash64("media_ref")))
 
 
 def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1111,6 +1124,30 @@ def q_tensor_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             rows = [r for ref in pdf["media_ref"]
                     for r in tensor_ops_for_ref(ref)]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return _media_refs(spark, sf_dir).mapInPandas(go, schema=schema)
+
+
+def q_layout_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 LayoutPredictor preprocess (round 4; previously
+    enumerate-only): the exact Resize[800,608] → NormalizeImage(hwc
+    ImageNet) → ToCHW op list the reference wires for PicoDet layout
+    inference (ppstructure/layout/predict_layout.py:38-57), over real
+    decoded pixels. Fixture oracle (float32 chain), sf0.01 only."""
+    import pandas as pd
+
+    from .pixelops import layout_preprocess_for_ref
+
+    cols = ["media_ref", "channel", "out_h", "out_w", "mean", "vmin",
+            "vmax"]
+    schema = ("media_ref string, channel long, out_h long, out_w long, "
+              "mean double, vmin double, vmax double")
+
+    def go(it):
+        for pdf in it:
+            rows = [r for ref in pdf["media_ref"]
+                    for r in layout_preprocess_for_ref(ref)]
             yield pd.DataFrame(rows, columns=cols)
 
     return _media_refs(spark, sf_dir).mapInPandas(go, schema=schema)
@@ -1258,6 +1295,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_real": q_media_decode_real,
         "tensor_ops": q_tensor_ops,
         "rotate_crop": q_rotate_crop,
+        "layout_preprocess": q_layout_preprocess,
         # relational operator demos
         "union_sample": q_union_sample,
         "topk_window": q_topk_window,
@@ -1502,6 +1540,11 @@ FROM synth_final GROUP BY doc_id, kind"""
         "CAST(res_h AS BIGINT) AS res_h, CAST(res_w AS BIGINT) AS res_w, "
         "CAST(pad_h AS BIGINT) AS pad_h, CAST(pad_w AS BIGINT) AS pad_w, "
         "mean, vmin, vmax, ratio_h, ratio_w")
+    sqls["layout_preprocess"] = _fixture_sql(
+        "layout_preprocess",
+        "media_ref, CAST(channel AS BIGINT) AS channel, "
+        "CAST(out_h AS BIGINT) AS out_h, CAST(out_w AS BIGINT) AS out_w, "
+        "mean, vmin, vmax")
     sqls["rotate_crop"] = _fixture_sql(
         "rotate_crop",
         "media_ref, crop_id, CAST(out_h AS BIGINT) AS out_h, "

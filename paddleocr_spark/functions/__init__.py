@@ -51,6 +51,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_real": _entry("q_media_decode_real"),
         "tensor_ops": _entry("q_tensor_ops"),
         "rotate_crop": _entry("q_rotate_crop"),
+        "layout_preprocess": _entry("q_layout_preprocess"),
     }
 
 

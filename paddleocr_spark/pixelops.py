@@ -422,3 +422,28 @@ def crops_for_ref(ref: str) -> list[tuple]:
                      int(a.sum()) if a.size else 0,
                      int(a.reshape(-1)[0]) if a.size else -1))
     return rows
+
+
+def layout_preprocess_for_ref(ref: str) -> list[tuple]:
+    """D6 LayoutPredictor preprocess chain
+    (ppstructure/layout/predict_layout.py:38-57): Resize [800, 608] →
+    NormalizeImage (ImageNet, scale 1/255, order hwc) → ToCHWImage →
+    KeepKeys['image'] — the exact op list the reference wires for
+    PicoDet layout inference, over one rendered blob. Returns 3 rows
+    (ref, channel, out_h, out_w, mean, vmin, vmax) with stats rounded
+    Python-round(·, 4) inside the kernel (shared rounding site with the
+    fixture twin)."""
+    from .imagecodecs import render_ref_image
+
+    _, buf = render_ref_image(ref)
+    img = decode_image_op(buf, "RGB")
+    resized, _ = resize_op(img, (800, 608))
+    chw = to_chw(normalize_image(resized, order="hwc"))
+    rows = []
+    for c in range(3):
+        plane = chw[c]
+        rows.append((ref, c, chw.shape[1], chw.shape[2],
+                     round(float(plane.mean(dtype=np.float64)), 4),
+                     round(float(plane.min()), 4),
+                     round(float(plane.max()), 4)))
+    return rows

@@ -381,6 +381,15 @@ def fx_tensor_ops(con, sf_dir: str) -> pd.DataFrame:
         "mean", "vmin", "vmax", "ratio_h", "ratio_w"])
 
 
+def fx_layout_preprocess(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_layout_preprocess single-node (see fx_tensor_ops)."""
+    from paddleocr_spark.pixelops import layout_preprocess_for_ref
+    rows = [r for ref in _media_refs_single_node(con, sf_dir)
+            for r in layout_preprocess_for_ref(ref)]
+    return pd.DataFrame(rows, columns=[
+        "media_ref", "channel", "out_h", "out_w", "mean", "vmin", "vmax"])
+
+
 def fx_rotate_crop(con, sf_dir: str) -> pd.DataFrame:
     """entry_queries.q_rotate_crop single-node (see fx_tensor_ops)."""
     from paddleocr_spark.pixelops import crops_for_ref
@@ -393,6 +402,7 @@ def fx_rotate_crop(con, sf_dir: str) -> pd.DataFrame:
 FIXTURES = {
     "tensor_ops": fx_tensor_ops,
     "rotate_crop": fx_rotate_crop,
+    "layout_preprocess": fx_layout_preprocess,
     "flagship_extract": fx_flagship_extract,
     "nms_per_class": fx_nms_per_class,
     "char_prf_metric": fx_char_prf,
