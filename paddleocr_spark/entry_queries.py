@@ -1129,6 +1129,22 @@ def q_tensor_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _media_refs(spark, sf_dir).mapInPandas(go, schema=schema)
 
 
+def q_table_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 xlsx sink (round 4; previously scoped out): recognized table
+    HTML → grid placement honoring colspan/rowspan (tablepyxl's merged-
+    cell semantics) → DETERMINISTIC minimal .xlsx bytes (stdlib zip,
+    fixed timestamps) — byte-determinism is what lets the gate hash the
+    sink (size + md5 of every blob). Source rows are the J2 table_html
+    output; fixture oracle rebuilds the html via table_html's own DuckDB
+    SQL restatement and applies the shared xlsx kernel
+    (tools/make_fixtures.fx_table_xlsx)."""
+    from .operators.table import table_html
+    from .xlsx import xlsx_tables
+
+    return xlsx_tables(table_html(spark, sf_dir)).select(
+        "t_id", "n_rows", "n_cols", "n_merges", "xlsx_size", "xlsx_md5")
+
+
 def q_layout_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D6 LayoutPredictor preprocess (round 4; previously
     enumerate-only): the exact Resize[800,608] → NormalizeImage(hwc
@@ -1296,6 +1312,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tensor_ops": q_tensor_ops,
         "rotate_crop": q_rotate_crop,
         "layout_preprocess": q_layout_preprocess,
+        "table_xlsx": q_table_xlsx,
         # relational operator demos
         "union_sample": q_union_sample,
         "topk_window": q_topk_window,
@@ -1540,6 +1557,11 @@ FROM synth_final GROUP BY doc_id, kind"""
         "CAST(res_h AS BIGINT) AS res_h, CAST(res_w AS BIGINT) AS res_w, "
         "CAST(pad_h AS BIGINT) AS pad_h, CAST(pad_w AS BIGINT) AS pad_w, "
         "mean, vmin, vmax, ratio_h, ratio_w")
+    sqls["table_xlsx"] = _fixture_sql(
+        "table_xlsx",
+        "CAST(t_id AS BIGINT) AS t_id, CAST(n_rows AS BIGINT) AS n_rows, "
+        "CAST(n_cols AS BIGINT) AS n_cols, CAST(n_merges AS BIGINT) AS "
+        "n_merges, CAST(xlsx_size AS BIGINT) AS xlsx_size, xlsx_md5")
     sqls["layout_preprocess"] = _fixture_sql(
         "layout_preprocess",
         "media_ref, CAST(channel AS BIGINT) AS channel, "

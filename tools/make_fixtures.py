@@ -381,6 +381,26 @@ def fx_tensor_ops(con, sf_dir: str) -> pd.DataFrame:
         "mean", "vmin", "vmax", "ratio_h", "ratio_w"])
 
 
+def fx_table_xlsx(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_table_xlsx single-node: the table HTML comes from
+    table_html's own DuckDB oracle SQL (independent of the Spark walk);
+    the grid/zip kernel is shared (kernels-imported-twice rule — the
+    md5 of deterministic bytes cannot be re-derived two ways)."""
+    from paddleocr_spark.entry_queries import oracle_sql
+    from paddleocr_spark.xlsx import xlsx_rows_for
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS "
+                        f"SELECT * FROM read_parquet('{p}')")
+    html = con.sql(oracle_sql()["table_html"]).df()
+    rows = [xlsx_rows_for(t, h)[:6]
+            for t, h in zip(html["t_id"], html["html"])]
+    return pd.DataFrame(rows, columns=[
+        "t_id", "n_rows", "n_cols", "n_merges", "xlsx_size", "xlsx_md5"])
+
+
 def fx_layout_preprocess(con, sf_dir: str) -> pd.DataFrame:
     """entry_queries.q_layout_preprocess single-node (see fx_tensor_ops)."""
     from paddleocr_spark.pixelops import layout_preprocess_for_ref
@@ -403,6 +423,7 @@ FIXTURES = {
     "tensor_ops": fx_tensor_ops,
     "rotate_crop": fx_rotate_crop,
     "layout_preprocess": fx_layout_preprocess,
+    "table_xlsx": fx_table_xlsx,
     "flagship_extract": fx_flagship_extract,
     "nms_per_class": fx_nms_per_class,
     "char_prf_metric": fx_char_prf,
