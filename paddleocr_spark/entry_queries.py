@@ -1103,6 +1103,51 @@ def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("frac_bright", 4).alias("frac_bright")))
 
 
+def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 made real (round 4 tail): media refs → deterministically
+    rendered MULTI-FRAME GIF bytes → pure-python LZW decode of every
+    frame (imagecodecs.decode_gif — the check_and_read GIF/PDF
+    container→frames seam, ppocr/utils/utility.py:97-126) →
+    frame_sample's stride-2 sampling shape over the REAL frame count →
+    integer-exact per-frame statistics.
+
+    The DuckDB twin predicts every statistic from the closed-form frame
+    formula ((md5_byte[0] + 7x + 13y + 17k) % 256) WITHOUT touching GIF
+    bytes, so one wrong bit anywhere in the LZW encode→decode path
+    hash-fails the gate."""
+    import pandas as pd
+
+    from .imagecodecs import decode_frames, render_ref_gif
+    from .multimodal import pixel_stats
+
+    refs = _media_refs(spark, sf_dir)
+
+    schema = ("media_ref string, n_frames long, frame_idx long, "
+              "width long, height long, mean_gray double, "
+              "min_gray long, max_gray long")
+
+    def render_decode(it):
+        for pdf in it:
+            rows = []
+            for ref in pdf["media_ref"]:
+                frames = decode_frames(render_ref_gif(ref))
+                for k, arr in enumerate(frames):
+                    s = pixel_stats(arr)
+                    rows.append((ref, len(frames), k, s["width"],
+                                 s["height"], s["mean_gray"],
+                                 s["min_gray"], s["max_gray"]))
+            yield pd.DataFrame(rows, columns=[
+                "media_ref", "n_frames", "frame_idx", "width", "height",
+                "mean_gray", "min_gray", "max_gray"])
+
+    return (refs.mapInPandas(render_decode, schema=schema)
+            .filter(F.col("frame_idx") % 2 == 0)  # frame_sample stride 2
+            .select("media_ref", "n_frames", "frame_idx", "width",
+                    "height",
+                    F.round("mean_gray", 4).alias("mean_gray"),
+                    "min_gray", "max_gray"))
+
+
 def q_tensor_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1→P6→P2→P5→P3 tensor preprocessing over real decoded pixels
     (round 4; previously enumerate-only "no pixel buffers"): DecodeImage
@@ -1213,8 +1258,11 @@ _COVERAGE_PATH = os.path.join(
 _coverage_state: dict | None = None
 
 
+_coverage_floor: int | None = None  # on-disk invoked count at session start
+
+
 def _record_coverage(name: str, sf_dir: str, registry: list[str]) -> None:
-    global _coverage_state
+    global _coverage_state, _coverage_floor
     try:
         import json
         import time
@@ -1224,10 +1272,26 @@ def _record_coverage(name: str, sf_dir: str, registry: list[str]) -> None:
                 "registry": registry,
                 "invoked": {},
             }
+            # A complete gate run (all 64 entries) must not be clobbered
+            # by a later few-query smoke session — exactly what happened
+            # in round 4, when the entry() smoke at sf0.001 overwrote the
+            # 64/64 ledger minutes after it was recorded. A session only
+            # takes over the file once it has invoked at least as many
+            # entries as the session that wrote it.
+            try:
+                with open(_COVERAGE_PATH) as fh:
+                    prev = json.load(fh)
+                _coverage_floor = (len(prev.get("invoked", {}))
+                                   if prev.get("registry") == registry
+                                   else 0)
+            except Exception:
+                _coverage_floor = 0
         _coverage_state["invoked"][name] = {
             "sf_dir": sf_dir, "ts": time.time()}
         _coverage_state["not_invoked"] = [
             q for q in registry if q not in _coverage_state["invoked"]]
+        if len(_coverage_state["invoked"]) < (_coverage_floor or 0):
+            return
         tmp = _COVERAGE_PATH + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(_coverage_state, fh, indent=1)
@@ -1309,6 +1373,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2e_metric": q_e2e_metric,
         "preprocess_image": q_preprocess_image,
         "media_decode_real": q_media_decode_real,
+        "gif_frames": q_gif_frames,
         "tensor_ops": q_tensor_ops,
         "rotate_crop": q_rotate_crop,
         "layout_preprocess": q_layout_preprocess,
@@ -1648,6 +1713,38 @@ SELECT media_ref,
        round(sum(CASE WHEN (r + g + bl) // 3 > 127 THEN 1.0 ELSE 0.0 END)
              / count(*), 4) + 0 AS frac_bright
 FROM px GROUP BY media_ref, fmtidx, width, height"""
+
+    # --- S2 real frames: closed-form per-frame prediction of the
+    #     multi-frame GIF LZW encode→decode path + stride-2 sampling ---
+    sqls["gif_frames"] = f"""
+WITH {SYNTH_CTE.lstrip()},
+refs AS (SELECT DISTINCT media_ref FROM synth_spans WHERE kind = 'media'),
+h AS (SELECT media_ref, md5(media_ref) AS hx FROM refs),
+meta AS (
+    SELECT media_ref,
+           {_hxbyte(0)} AS b0,
+           1 + {_hxbyte(3)} % 4 AS n_frames,
+           8 + {_hxbyte(4)} % 9 AS height,
+           8 + {_hxbyte(5)} % 9 AS width
+    FROM h
+),
+px AS (
+    SELECT media_ref, n_frames, ks.k AS frame_idx, width, height,
+           (b0 + 7 * xs.x + 13 * ys.y + 17 * ks.k) % 256 AS v
+    FROM meta
+    CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks
+    CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS x) xs
+    CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS y) ys
+    WHERE ks.k < n_frames AND ks.k % 2 = 0
+      AND xs.x < width AND ys.y < height
+)
+SELECT media_ref, CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+       round(avg(CAST(v AS DOUBLE)), 4) + 0 AS mean_gray,
+       CAST(min(v) AS BIGINT) AS min_gray,
+       CAST(max(v) AS BIGINT) AS max_gray
+FROM px GROUP BY media_ref, n_frames, frame_idx, width, height"""
 
     sqls["union_sample"] = """
 SELECT doc_id, source, 'fileA' AS file_tag FROM documents

@@ -13,9 +13,15 @@ in this environment, by design):
   or top-down, 4-byte row padding, BGR(A) channel order;
 * **PNG** — non-interlaced 8-bit gray / RGB / RGBA via ``zlib``: chunk
   walk, IDAT concatenation, and all five scanline filters (None / Sub /
-  Up / Average / Paeth).
+  Up / Average / Paeth);
+* **GIF 87a/89a** — full LZW (variable code width, clear/reset,
+  deferred-clear streams), local/global palettes, interlace, GCE
+  transparency, MULTI-FRAME compositing — the reference's
+  container→frames shape (check_and_read GIF branch takes frame 0;
+  decode_frames exposes all frames for the frame_sample / PDF-pages
+  path).
 
-Matching encoders exist for all three so the codec is testable as a
+Matching encoders exist for every container so the codec is testable as a
 roundtrip property (arr → encode → decode == arr) plus hand-packed,
 spec-derived golden bytes in tests — never the encoder checking itself
 alone. The PNG encoder deliberately cycles the filter type per row
@@ -279,18 +285,258 @@ def encode_png(arr: np.ndarray, filter_mode: str = "cycle") -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# GIF (87a/89a) — LZW, multi-frame
+# ---------------------------------------------------------------------------
+# The reference reads GIFs frame-wise (check_and_read,
+# ppocr/utils/utility.py:97-108: cv2.VideoCapture(...).read() → first
+# frame, gray→RGB) and PDFs page-wise (:109-126) — the S2 "container →
+# frames/pages" shape. decode_gif returns ALL composited frames so
+# frame_sample (multimodal.py) can stride over real containers;
+# decode_image takes frame 0, matching the reference's GIF branch.
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: LSB-first bit packing, variable code width
+    (min+1 .. 12), CLEAR resets, table frozen at 4096 (deferred-clear
+    streams legal)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # missing EOI: tolerate, like cv2
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ImageDecodeError(f"LZW code {code} beyond table")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Inverse of :func:`_lzw_decode`; emits CLEAR up front and again
+    whenever the table reaches 4096 so the decoder never needs code
+    width 13."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    buf = b""
+    for b in indices:
+        cand = buf + bytes([b])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        table[cand] = next_code
+        next_code += 1
+        # widen AFTER registering: the decoder's table is now next_code
+        # entries long and widens when it hits 1<<width
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4097:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        buf = bytes([b])
+    if buf:
+        emit(table[buf], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step) passes
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def decode_gif(buf: bytes) -> list[np.ndarray]:
+    """All frames of a GIF as (H, W, 3) uint8 canvases.
+
+    Composites each image block onto the running canvas (disposal
+    "none/keep"; restore-to-background clears to the background index
+    after the frame), honors local palettes, interlace, and GCE
+    transparency. Frame 0 of the result is exactly what the reference's
+    check_and_read GIF branch feeds the pipeline."""
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ImageDecodeError(f"bad GIF signature {buf[:6]!r}")
+    width, height = struct.unpack_from("<HH", buf, 6)
+    packed, bg_idx = buf[10], buf[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((height, width), dtype=np.uint8)
+    if gct is not None:
+        canvas[:] = bg_idx
+    palette = gct
+    frames: list[np.ndarray] = []
+    transparent = -1
+    disposal = 0
+    while pos < len(buf):
+        block = buf[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = buf[pos]
+            pos += 1
+            if label == 0xF9 and buf[pos] >= 4:  # graphic control
+                flags, _delay, tidx = struct.unpack_from(
+                    "<BHB", buf, pos + 1)
+                transparent = tidx if flags & 1 else -1
+                disposal = (flags >> 2) & 0x07
+            while buf[pos]:  # skip sub-blocks
+                pos += 1 + buf[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ImageDecodeError(f"unexpected GIF block 0x{block:02x}")
+        left, top, w, h = struct.unpack_from("<HHHH", buf, pos)
+        ipacked = buf[pos + 8]
+        pos += 9
+        pal = palette
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ImageDecodeError("GIF image with no color table")
+        min_code = buf[pos]
+        pos += 1
+        data = bytearray()
+        while buf[pos]:
+            ln = buf[pos]
+            data += buf[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(_lzw_decode(bytes(data), min_code),
+                            np.uint8, w * h).reshape(h, w)
+        if ipacked & 0x40:  # interlaced: rows arrive pass-ordered
+            de = np.empty_like(idx)
+            rows = [r for start, step in _GIF_INTERLACE
+                    for r in range(start, h, step)]
+            de[rows] = idx
+            idx = de
+        region = canvas[top:top + h, left:left + w]
+        if transparent >= 0:
+            region[:] = np.where(idx == transparent, region, idx)
+        else:
+            region[:] = idx
+        frames.append(pal[np.minimum(canvas, len(pal) - 1)].copy())
+        if disposal == 2:  # restore to background
+            canvas[top:top + h, left:left + w] = bg_idx
+    if not frames:
+        raise ImageDecodeError("GIF contains no image blocks")
+    return frames
+
+
+def encode_gif(frames: list[np.ndarray]) -> bytes:
+    """Multi-frame grayscale GIF89a: one 256-entry gray global palette
+    (pal[i] = (i, i, i)), full-canvas non-interlaced frames, LZW
+    min-code-size 8 — so index == gray value and the decoded pixel is
+    closed-form predictable."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0xF7, 0, 0])  # GCT present, 256 entries; bg 0
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    for fr in frames:
+        arr = np.asarray(fr, dtype=np.uint8)
+        if arr.ndim == 3:
+            arr = arr[:, :, 0]
+        if arr.shape != (h, w):
+            raise ValueError("all frames must share the canvas size")
+        out += b"\x21\xf9\x04\x04\x00\x00\x00\x00"  # GCE: disposal=keep
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out.append(8)  # LZW min code size
+        out += _gif_subblocks(_lzw_encode(arr.tobytes(), 8))
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_frames(buf: bytes) -> list[np.ndarray]:
+    """Container → list of (H, W, C) frames: GIFs yield every frame
+    (the reference's PDF branch shape, utility.py:109-126); single-image
+    containers yield [decode_image(buf)]."""
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(buf)
+    return [decode_image(buf)]
+
+
+# ---------------------------------------------------------------------------
 # dispatch — the img_decode seam
 # ---------------------------------------------------------------------------
 
 def decode_image(buf: bytes) -> np.ndarray:
     """Sniff the container by magic and decode to (H, W, C) uint8 —
-    the cv2.imdecode seam (paddleocr.py:529-547) made real."""
+    the cv2.imdecode seam (paddleocr.py:529-547) made real. GIFs yield
+    their FIRST composited frame, exactly the reference's
+    check_and_read GIF branch (utility.py:97-108)."""
     if buf[:8] == _PNG_SIG:
         return decode_png(buf)
     if buf[:2] == b"BM":
         return decode_bmp(buf)
     if buf[:2] in (b"P5", b"P6"):
         return decode_pnm(buf)
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(buf)[0]
     raise ImageDecodeError(f"unrecognized image magic {buf[:8]!r}")
 
 
@@ -339,3 +585,22 @@ def render_ref_image(ref: str) -> tuple[str, bytes]:
     if fmt == "bmp":
         return fmt, encode_bmp(px)
     return fmt, encode_png(px)
+
+
+def render_ref_gif(ref: str) -> bytes:
+    """Deterministically render a MULTI-FRAME grayscale GIF for a ref:
+    dims 8..16 from md5 bytes 4/5 (same as render_ref_image), n_frames =
+    1 + md5_byte[3] % 4, and frame k pixel (y, x) =
+    ``(md5_byte[0] + 7x + 13y + 17k) % 256`` — closed-form so the DuckDB
+    twin predicts every per-frame statistic without touching GIF bytes,
+    making the LZW encode→decode path itself the thing the gate hashes."""
+    import hashlib
+
+    h = hashlib.md5(ref.encode()).digest()
+    height, width = 8 + h[4] % 9, 8 + h[5] % 9
+    n_frames = 1 + h[3] % 4
+    y = np.arange(height, dtype=np.int32)[:, None]
+    x = np.arange(width, dtype=np.int32)[None, :]
+    frames = [((h[0] + 7 * x + 13 * y + 17 * k) % 256).astype(np.uint8)
+              for k in range(n_frames)]
+    return encode_gif(frames)

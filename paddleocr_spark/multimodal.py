@@ -86,15 +86,16 @@ def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
             return _fake_decode(ref)
         cols = ["media_ref"]
     else:
-        from .imagecodecs import decode_image
+        from .imagecodecs import decode_frames
 
         def decode_one(ref: str, content: bytes):
-            arr = decode_image(bytes(content))
-            s = pixel_stats(arr)
+            frames = decode_frames(bytes(content))
+            arr = frames[0]  # stats on frame 0: check_and_read's GIF
+            s = pixel_stats(arr)  # branch feeds exactly this frame
             feat = [s["mean_r"], s["mean_g"], s["mean_b"], s["mean_gray"],
                     float(s["min_gray"]), float(s["max_gray"]),
                     s["frac_bright"], float(arr.shape[2])]
-            return s["width"], s["height"], 1, feat
+            return s["width"], s["height"], len(frames), feat
         cols = ["media_ref", "content"]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

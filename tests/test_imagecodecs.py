@@ -213,3 +213,129 @@ def test_decode_media_real_distributed(spark):
         assert feat[0] == pytest.approx(s["mean_r"], abs=1e-3)
         assert feat[5] == s["max_gray"]
         assert feat[7] == arr.shape[2]
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW, multi-frame) — spec-derived golden first, then properties
+# ---------------------------------------------------------------------------
+
+def _pack_codes_lsb(codes):
+    """(value, width) list → LSB-first packed bytes, per GIF89a §22/
+    Appendix F — written here from the spec, independent of the encoder."""
+    acc = nbits = 0
+    out = bytearray()
+    for value, width in codes:
+        acc |= value << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif_golden_hand_lzw():
+    # 3x2 indices [1,1,0,0,2,2], min code size 2 (clear=4, eoi=5).
+    # Hand-traced LZW: CLEAR, 1, 1, 0 @ width 3 (table hits 8 entries
+    # as [0,0] registers -> widen), then 0, 2, 2, EOI @ width 4.
+    codes = [(4, 3), (1, 3), (1, 3), (0, 3), (0, 4), (2, 4), (2, 4), (5, 4)]
+    data = _pack_codes_lsb(codes)
+    palette = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    buf = (b"GIF89a" + struct.pack("<HH", 3, 2)
+           + bytes([0xF1, 0, 0]) + palette            # GCT: 4 entries
+           + b"\x2c" + struct.pack("<HHHH", 0, 0, 3, 2) + b"\x00"
+           + bytes([2]) + bytes([len(data)]) + data + b"\x00"
+           + b"\x3b")
+    frames = IC.decode_gif(buf)
+    assert len(frames) == 1
+    exp_idx = np.array([[1, 1, 0], [0, 2, 2]], dtype=np.uint8)
+    pal = np.frombuffer(palette, np.uint8).reshape(4, 3)
+    assert (frames[0] == pal[exp_idx]).all()
+    # decode_image takes frame 0 (check_and_read's GIF branch)
+    assert (IC.decode_image(buf) == frames[0]).all()
+
+
+def test_gif_interlaced_rows_restored():
+    # h=5: interlace arrival order is rows [0, 4, 2, 1, 3]
+    img = (np.arange(5 * 4, dtype=np.uint8) % 251).reshape(5, 4)
+    arrival = img[[0, 4, 2, 1, 3]]
+    data = IC._lzw_encode(arrival.tobytes(), 8)
+    buf = (b"GIF89a" + struct.pack("<HH", 4, 5)
+           + bytes([0xF7, 0, 0]) + bytes(v for i in range(256)
+                                         for v in (i, i, i))
+           + b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 5)
+           + bytes([0x40])                            # interlace flag
+           + bytes([8]) + IC._gif_subblocks(data)[0:]
+           + b"\x3b")
+    frames = IC.decode_gif(buf)
+    assert (frames[0][:, :, 0] == img).all()
+
+
+def test_gif_transparency_composites_over_previous_frame():
+    # frame 1 full; frame 2 declares index 7 transparent and covers the
+    # whole canvas with it except one pixel -> composited frame keeps
+    # frame 1 everywhere else
+    f1 = np.full((3, 3), 50, dtype=np.uint8)
+    f2 = np.full((3, 3), 7, dtype=np.uint8)
+    f2[1, 1] = 200
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    def img_block(arr, gce):
+        return (gce + b"\x2c" + struct.pack("<HHHH", 0, 0, 3, 3)
+                + b"\x00" + bytes([8])
+                + IC._gif_subblocks(IC._lzw_encode(arr.tobytes(), 8)))
+    buf = (b"GIF89a" + struct.pack("<HH", 3, 3) + bytes([0xF7, 0, 0])
+           + gct
+           + img_block(f1, b"\x21\xf9\x04\x04\x00\x00\x00\x00")
+           + img_block(f2, b"\x21\xf9\x04\x05\x00\x00\x07\x00")  # tflag
+           + b"\x3b")
+    frames = IC.decode_gif(buf)
+    assert len(frames) == 2
+    exp = f1.copy()
+    exp[1, 1] = 200
+    assert (frames[1][:, :, 0] == exp).all()
+
+
+def test_gif_multiframe_roundtrip_and_lzw_table_growth():
+    rng = np.random.RandomState(11)
+    # enough pixels that the LZW table crosses several width boundaries
+    frames = [rng.randint(0, 256, (40, 40), dtype=np.uint8)
+              for _ in range(3)]
+    dec = IC.decode_gif(IC.encode_gif(frames))
+    assert len(dec) == 3
+    for f, d in zip(frames, dec):
+        assert d.shape == (40, 40, 3)
+        assert (d[:, :, 0] == f).all() and (d[:, :, 2] == f).all()
+    # low-entropy input drives deep LZW chains + a table reset past 4096
+    flat = np.zeros((90, 90), dtype=np.uint8)
+    flat[::7] = 3
+    dec2 = IC.decode_gif(IC.encode_gif([flat]))
+    assert (dec2[0][:, :, 0] == flat).all()
+
+
+def test_render_ref_gif_formula_and_frame_count():
+    import hashlib
+    for i in range(24):
+        ref = f"img://h/g{i:03x}"
+        h = hashlib.md5(ref.encode()).digest()
+        frames = IC.decode_frames(IC.render_ref_gif(ref))
+        assert len(frames) == 1 + h[3] % 4
+        hh, ww = 8 + h[4] % 9, 8 + h[5] % 9
+        y = np.arange(hh)[:, None]
+        x = np.arange(ww)[None, :]
+        for k, fr in enumerate(frames):
+            assert fr.shape == (hh, ww, 3)
+            exp = (h[0] + 7 * x + 13 * y + 17 * k) % 256
+            assert (fr[:, :, 0] == exp).all()
+
+
+def test_decode_media_real_gif_frame_count(spark):
+    from paddleocr_spark.multimodal import decode_media
+
+    rows = [(f"img://h/g{i}", bytearray(IC.render_ref_gif(f"img://h/g{i}")))
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "media_ref string, content binary")
+    got = {r["media_ref"]: r for r in decode_media(df, fake=False).collect()}
+    for ref, buf in rows:
+        assert got[ref]["n_frames"] == len(IC.decode_frames(bytes(buf)))

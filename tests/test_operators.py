@@ -86,10 +86,16 @@ def test_media_decode_real_path_contract(spark):
     with pytest.raises(Exception, match="content|CONTENT"):
         decode_media(refs, fake=False).collect()
     junk = spark.createDataFrame(
-        [("img://h/AB", bytearray(b"GIF89a not-a-supported-container"))],
+        [("img://h/AB", bytearray(b"QOIF not-a-supported-container"))],
         "media_ref string, content binary")
     with pytest.raises(Exception, match="unrecognized image magic"):
         decode_media(junk, fake=False).collect()
+    # GIF magic is recognized since round 4 — corrupt bodies still loud
+    badgif = spark.createDataFrame(
+        [("img://h/AB", bytearray(b"GIF89a corrupt-block-stream"))],
+        "media_ref string, content binary")
+    with pytest.raises(Exception, match="unexpected GIF block"):
+        decode_media(badgif, fake=False).collect()
 
 
 def test_frame_sample_strides(spark):
