@@ -826,6 +826,24 @@ def q_nrtr_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nrtr_decode(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
+def q_vitstr_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 fifth decoder family (a): ViTSTRLabelDecode — NRTR's walk over
+    the 2-special dict ['<s>', '</s>'] + charset, with __call__'s
+    time-step-0 column drop (the stream's leading real-char id must
+    vanish) and eos at id 1 breaking anywhere."""
+    from .operators.recognize import vitstr_decode
+    return vitstr_decode(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_srn_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 fifth decoder family (b): SRNLabelDecode — specials appended
+    at the dict END, both ignored ANYWHERE, and no break statement at
+    all: text after a mid-stream eos still decodes (unlike every other
+    family), and id -1 wraps to the literal '<EOS>' marker."""
+    from .operators.recognize import srn_decode
+    return srn_decode(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def q_e2e_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 E2EMetric mode-A full report (eval_end2end.py:71-180 +
     combine: precision/recall/fmeasure on hits, character_acc and
@@ -1370,6 +1388,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attn_decode": q_attn_decode,
         "sar_decode": q_sar_decode,
         "nrtr_decode": q_nrtr_decode,
+        "vitstr_decode": q_vitstr_decode,
+        "srn_decode": q_srn_decode,
         "e2e_metric": q_e2e_metric,
         "preprocess_image": q_preprocess_image,
         "media_decode_real": q_media_decode_real,
@@ -2462,6 +2482,67 @@ SELECT doc_id,
                 ELSE substring('{cs2}', CAST(v - 3 AS INT), 1) END), '')
            AS nrtr_text
 FROM cuts"""
+
+    # --- R4d ViTSTRLabelDecode (NRTR walk, 2-special dict, time-step-0
+    #     column drop; eos = id 1 breaks anywhere) ---
+    vit_big = n_cs + 2
+    vit_enc = (f"CASE WHEN strpos('{cs2}', substring(t, CAST(i AS INT), "
+               f"1)) = 0 THEN {vit_big + 20} ELSE strpos('{cs2}', "
+               f"substring(t, CAST(i AS INT), 1)) + 1 END")
+    sqls["vitstr_decode"] = f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+ids AS (
+    SELECT doc_id,
+           ([2]
+            || (CASE WHEN doc_id % 4 = 0 THEN [0] ELSE [] END)
+            || list_transform(generate_series(1, length(t)), i -> {vit_enc})
+            || (CASE WHEN doc_id % 7 = 0 THEN [-1] ELSE [] END)
+            || [1]
+            || list_transform(generate_series(1, least(length(t), 2)),
+                 i -> {vit_enc})
+           ) AS ids
+    FROM base
+),
+drop0 AS (SELECT doc_id, ids[2:] AS ids FROM ids),
+cuts AS (SELECT doc_id, ids, list_position(ids, 1) AS p FROM drop0)
+SELECT doc_id,
+       array_to_string(list_transform(
+           list_filter(list_transform(
+               ids[1:(CASE WHEN p > 0 THEN p - 1 ELSE len(ids) END)],
+               v -> CASE WHEN v < 0 THEN v + {vit_big} ELSE v END),
+               v -> v >= 0 AND v < {vit_big}),
+           v -> CASE WHEN v = 0 THEN '<s>'
+                ELSE substring('{cs2}', CAST(v - 1 AS INT), 1) END), '')
+           AS vitstr_text
+FROM cuts"""
+
+    # --- R4e SRNLabelDecode (specials at the dict END, both ignored
+    #     anywhere, NO break; -1 wraps to the literal '<EOS>') ---
+    srn_beg, srn_end = n_cs, n_cs + 1
+    srn_enc = (f"CASE WHEN strpos('{cs2}', substring(t, CAST(i AS INT), "
+               f"1)) = 0 THEN {srn_beg} ELSE strpos('{cs2}', "
+               f"substring(t, CAST(i AS INT), 1)) - 1 END")
+    sqls["srn_decode"] = f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+ids AS (
+    SELECT doc_id,
+           ((CASE WHEN doc_id % 5 = 0 THEN [{srn_end}] ELSE [] END)
+            || list_transform(generate_series(1, length(t)), i -> {srn_enc})
+            || (CASE WHEN doc_id % 3 = 0 THEN [{srn_beg}] ELSE [] END)
+            || [{srn_end}]
+            || list_transform(generate_series(1, least(length(t), 2)),
+                 i -> {srn_enc})
+            || (CASE WHEN doc_id % 7 = 0 THEN [-1] ELSE [] END)
+           ) AS ids
+    FROM base
+)
+SELECT doc_id,
+       array_to_string(list_transform(
+           list_filter(ids, v -> v != {srn_beg} AND v != {srn_end}),
+           v -> CASE WHEN v = -1 THEN '<EOS>'
+                ELSE substring('{cs2}', CAST(v + 1 AS INT), 1) END), '')
+           AS srn_text
+FROM ids"""
     # --- A8 E2EMetric mode-A full report ---
     sqls["e2e_metric"] = """
 WITH base0 AS (

@@ -1209,6 +1209,57 @@ def nrtr_label_decode(ids, charset) -> str:
     return "".join(out)
 
 
+def vitstr_label_decode(ids, charset) -> str:
+    """ViTSTRLabelDecode: ``__call__`` drops time-step 0 before argmax
+    (``preds[:, 1:]``, rec_postprocess.py:1110-1114), then runs NRTR's
+    inherited ``decode`` over the SMALLER dict ['<s>', '</s>'] + charset
+    (add_special_char, :1123-1125).
+
+    Same walk quirks as NRTR (bare-except skip of out-of-range ids,
+    Python-style negative wrap, live break) but the ids mean different
+    things: eos is id 1 (not 3), '<s>' (0) decodes literally, there is
+    NO 'blank'/'<unk>' entry, and a charset char sits at instr+1.
+    """
+    character = ["<s>", "</s>"] + list(charset)
+    out = []
+    for v in ids[1:]:                 # the [:, 1:] first-column drop
+        v = int(v)
+        try:
+            ch = character[v]
+        except IndexError:
+            continue
+        if ch == "</s>":
+            break
+        out.append(ch)
+    return "".join(out)
+
+
+def srn_label_decode(ids, charset) -> str:
+    """SRNLabelDecode.decode, label path (text_prob=None,
+    rec_postprocess.py:742-768), dict = charset + [beg, end]
+    (add_special_char :770-772 appends at the END, unlike Attn's
+    [sos] + charset + [eos]).
+
+    The live shape differs from every other family: BOTH specials are in
+    ignored_tokens (:775-778) and there is NO break statement at all —
+    an eos ANYWHERE is skipped and decoding continues past it (SAR
+    breaks, NRTR/ViTSTR break, Attn's break is dead but eos still ends
+    nothing after it decodes differently). The lookup has no try/except:
+    an out-of-range id RAISES, while a small negative id wraps
+    Python-style (-1 → the literal end marker string, since it is not
+    in ignored_tokens — only the exact ints n and n+1 are).
+    """
+    n = len(charset)
+    character = list(charset) + ["<BOS>", "<EOS>"]
+    out = []
+    for v in ids:
+        v = int(v)
+        if v in (n, n + 1):           # ignored anywhere; never breaks
+            continue
+        out.append(character[v])      # IndexError propagates; -1 wraps
+    return "".join(out)
+
+
 def order_points_clockwise(pts) -> "np.ndarray":
     """TextDetector.order_points_clockwise, tools/infer/predict_det.py
     :192-201: rect[0]/rect[2] = min/max coordinate-sum corners; the other

@@ -264,3 +264,85 @@ def nrtr_decode(docs: DataFrame) -> DataFrame:
                f"ELSE substring('{cs}', CAST(v - 3 AS INT), 1) END))")
     return (docs.withColumn("_ids", F.expr(ids))
             .select("doc_id", F.expr(decoded).alias("nrtr_text")))
+
+
+def vitstr_decode(docs: DataFrame) -> DataFrame:
+    """R4 fifth decoder family, part 1: ViTSTRLabelDecode demo
+    (kernels.vitstr_label_decode twin, pure JVM).
+
+    Dict layout ['<s>', '</s>'] + CHARSET (rec_postprocess.py:1123-1125)
+    → a charset char's id is instr+1; eos is id 1 (not NRTR's 3) and
+    __call__ DROPS time-step 0 before decoding (preds[:, 1:],
+    :1110-1114).
+
+    Deterministic "model output": element 0 is always a real charset id
+    (id 2 = the first charset char) — it must VANISH via the column
+    drop, not decode; every 4th doc then carries sos (the literal '<s>'
+    — no ignored tokens, NRTR's inherited walk); body = encode(text)
+    with out-of-dict chars mapped out-of-range (bare-except skip);
+    every 7th doc appends id -1 (Python wrap → LAST dict char); then
+    eos + encode(first 2 chars), which must NOT decode (live break).
+    Output: (doc_id, vitstr_text).
+    """
+    cs = CHARSET.replace("\\", "\\\\").replace("'", "\\'")
+    big = len(CHARSET) + 2          # dict size: one past the last index
+    enc = (lambda src: f"transform(filter(split({src}, ''), c -> c != ''), "
+           f"c -> CASE WHEN instr('{cs}', c) = 0 THEN {big + 20} "
+           f"ELSE instr('{cs}', c) + 1 END)")
+    body = enc("coalesce(text, '')")
+    head2 = enc("substring(coalesce(text, ''), 1, 2)")
+    ids = (f"concat(array(2), CASE WHEN doc_id % 4 = 0 THEN array(0) "
+           f"ELSE array() END, {body}, "
+           f"CASE WHEN doc_id % 7 = 0 THEN array(-1) ELSE array() END, "
+           f"array(1), {head2})")
+    # the [:, 1:] drop happens FIRST, then the break scan
+    dropped = "slice(_ids, 2, size(_ids) - 1)"
+    p = f"array_position({dropped}, 1)"
+    cut = f"(CASE WHEN {p} > 0 THEN {p} - 1 ELSE size({dropped}) END)"
+    kept = (f"filter(transform(slice({dropped}, 1, CAST({cut} AS INT)), "
+            f"v -> CASE WHEN v < 0 THEN v + {big} ELSE v END), "
+            f"v -> v >= 0 AND v < {big})")
+    decoded = (f"concat_ws('', transform({kept}, "
+               f"v -> CASE WHEN v = 0 THEN '<s>' "
+               f"ELSE substring('{cs}', CAST(v - 1 AS INT), 1) END))")
+    return (docs.withColumn("_ids", F.expr(ids))
+            .select("doc_id", F.expr(decoded).alias("vitstr_text")))
+
+
+def srn_decode(docs: DataFrame) -> DataFrame:
+    """R4 fifth decoder family, part 2: SRNLabelDecode demo
+    (kernels.srn_label_decode twin, pure JVM).
+
+    Dict layout CHARSET + ['<BOS>', '<EOS>'] (add_special_char appends
+    at the END, rec_postprocess.py:770-772) → a charset char's id is
+    instr-1, beg = n, end = n+1, ignored = BOTH, and decode has NO
+    break statement (:742-768) — the family's signature.
+
+    Deterministic "model output": every 5th doc prepends end; body =
+    encode(text) with out-of-dict chars mapped to beg (skipped, the
+    Attn-style vanish); every 3rd doc inserts a mid-stream beg; then a
+    mid-stream END + encode(first 2 chars) — which, uniquely among the
+    five families, DOES decode (eos never breaks); every 7th doc
+    appends id -1, which is NOT ignored and wraps Python-style to the
+    LITERAL '<EOS>' marker string joining the text.
+    Output: (doc_id, srn_text).
+    """
+    cs = CHARSET.replace("\\", "\\\\").replace("'", "\\'")
+    n = len(CHARSET)
+    beg, end = n, n + 1
+    enc = (lambda src: f"transform(filter(split({src}, ''), c -> c != ''), "
+           f"c -> CASE WHEN instr('{cs}', c) = 0 THEN {beg} "
+           f"ELSE instr('{cs}', c) - 1 END)")
+    body = enc("coalesce(text, '')")
+    head2 = enc("substring(coalesce(text, ''), 1, 2)")
+    ids = (f"concat(CASE WHEN doc_id % 5 = 0 THEN array({end}) "
+           f"ELSE array() END, {body}, "
+           f"CASE WHEN doc_id % 3 = 0 THEN array({beg}) ELSE array() END, "
+           f"array({end}), {head2}, "
+           f"CASE WHEN doc_id % 7 = 0 THEN array(-1) ELSE array() END)")
+    decoded = (f"concat_ws('', transform(filter(_ids, "
+               f"v -> v != {beg} AND v != {end}), "
+               f"v -> CASE WHEN v = -1 THEN '<EOS>' "
+               f"ELSE substring('{cs}', CAST(v + 1 AS INT), 1) END))")
+    return (docs.withColumn("_ids", F.expr(ids))
+            .select("doc_id", F.expr(decoded).alias("srn_text")))

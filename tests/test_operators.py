@@ -538,3 +538,73 @@ def test_det_clip_filter_query_matches_kernel(spark):
             want[r["box_id"]] = (int(b[0][0]), int(b[0][1]),
                                  int(b[2][0]), int(b[2][1]))
     assert got == want
+
+
+def test_vitstr_label_decode_quirks():
+    from paddleocr_spark.kernels import vitstr_label_decode
+    cs = "abc"          # dict = [<s>, </s>, a, b, c]; ids[0] dropped
+    assert vitstr_label_decode([9, 2, 3, 4], cs) == "abc"
+    assert vitstr_label_decode([2, 0, 3], cs) == "<s>b"   # sos literal
+    assert vitstr_label_decode([2, 3, 1, 4], cs) == "b"   # live break @1
+    assert vitstr_label_decode([2, 1], cs) == ""          # break at idx 0
+    assert vitstr_label_decode([2, 3, 99, 4], cs) == "bc"  # OOR skipped
+    assert vitstr_label_decode([2, 3, -1], cs) == "bc"    # -1 wraps to 'c'
+    assert vitstr_label_decode([2, 3, -5], cs) == "b<s>"  # wraps to <s>
+    assert vitstr_label_decode([2, 3, -6, 4], cs) == "bc"  # too neg: skip
+    assert vitstr_label_decode([], cs) == ""
+    assert vitstr_label_decode([4], cs) == ""             # only dropped
+
+
+def test_srn_label_decode_quirks():
+    import pytest as _pytest
+    from paddleocr_spark.kernels import srn_label_decode
+    cs = "abc"          # dict = [a, b, c, <BOS>, <EOS>]; beg=3, end=4
+    assert srn_label_decode([0, 1, 2], cs) == "abc"
+    assert srn_label_decode([0, 4, 1], cs) == "ab"   # eos NEVER breaks
+    assert srn_label_decode([4, 0], cs) == "a"
+    assert srn_label_decode([3, 0, 3], cs) == "a"    # beg skipped anywhere
+    assert srn_label_decode([0, -1], cs) == "a<EOS>"  # -1 not ignored: wraps
+    assert srn_label_decode([0, -2], cs) == "a<BOS>"
+    with _pytest.raises(IndexError):
+        srn_label_decode([5], cs)                    # no bare except in SRN
+
+
+def test_vitstr_srn_decode_distributed_match_kernels(spark):
+    from paddleocr_spark.kernels import srn_label_decode, vitstr_label_decode
+    from paddleocr_spark.operators.recognize import (CHARSET, srn_decode,
+                                                     vitstr_decode)
+    docs_rows = [(0, "hello world"), (4, "sos case"), (5, "lead eos"),
+                 (6, "mid beg"), (7, "neg wrap"), (9, "UNK Ä char"),
+                 (10, ""), (11, None), (15, "eos+tail"), (20, "both"),
+                 (21, "beg+wrap Ä"), (28, "every quirk")]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    got_v = {r["doc_id"]: r["vitstr_text"]
+             for r in vitstr_decode(docs).collect()}
+    got_s = {r["doc_id"]: r["srn_text"] for r in srn_decode(docs).collect()}
+    n = len(CHARSET)
+    vit_big, beg, end = n + 2, n, n + 1
+
+    def enc_v(t):
+        return [CHARSET.index(c) + 2 if c in CHARSET else vit_big + 20
+                for c in t]
+
+    def enc_s(t):
+        return [CHARSET.index(c) if c in CHARSET else beg for c in t]
+
+    for d, t in docs_rows:
+        t = t or ""
+        vids = ([2] + ([0] if d % 4 == 0 else []) + enc_v(t)
+                + ([-1] if d % 7 == 0 else []) + [1] + enc_v(t[:2]))
+        assert got_v[d] == vitstr_label_decode(vids, CHARSET), (d, got_v[d])
+        sids = (([end] if d % 5 == 0 else []) + enc_s(t)
+                + ([beg] if d % 3 == 0 else []) + [end] + enc_s(t[:2])
+                + ([-1] if d % 7 == 0 else []))
+        assert got_s[d] == srn_label_decode(sids, CHARSET), (d, got_s[d])
+    # signature quirks, spot-checked against literal expectations:
+    assert got_v[4].startswith("<s>")          # sos decodes literally
+    # doc 0 hits every modulus: sos literal + tail-cut at eos + the -1
+    # wrap to CHARSET's last char (a space)
+    assert got_v[0] == "<s>hello world "
+    assert got_v[9] == "  char"                # OOD chars skipped, eos cut
+    assert got_s[0] == "hello worldhe<EOS>"    # eos never breaks: tail DOES
+    assert got_s[7] == "neg wrapne<EOS>"       # -1 wraps to the literal

@@ -492,3 +492,47 @@ def test_filter_tag_det_res_matches_executed_reference():
         got = filter_tag_det_res([b.copy() for b in boxes], (h, w))
         want = ref.filter_tag_det_res([b.copy() for b in boxes], (h, w))
         assert np.array_equal(got, want), (trial, boxes, got, want)
+
+
+def test_vitstr_decode_matches_executed_reference():
+    """ViTSTR inherits NRTR's decode verbatim (rec_postprocess.py:1102)
+    over the 2-special dict; the __call__ column drop is applied here by
+    slicing ids[1:] before the executed reference walk, exactly the
+    preds[:, 1:] line (:1110-1114)."""
+    from paddleocr_spark.kernels import vitstr_label_decode
+    chars = "abc xyz09"
+
+    class Shim:
+        character = ["<s>", "</s>"] + list(chars)
+
+    dec = _exec_decode("class NRTRLabelDecode", "class ViTSTRLabelDecode",
+                       Shim())
+    rng = random.Random(31)
+    n = len(chars)
+    for _ in range(300):
+        # out-of-dict positives (skip path) + negatives (wrap/IndexError)
+        ids = [rng.randint(-(n + 4), n + 6)
+               for _ in range(rng.randint(0, 15))]
+        assert vitstr_label_decode(ids, list(chars)) == dec(ids[1:]), ids
+
+
+def test_srn_decode_matches_executed_reference():
+    from paddleocr_spark.kernels import srn_label_decode
+    chars = "abc xyz09"
+    n = len(chars)
+
+    class Shim:
+        character = list(chars) + ["<BOS>", "<EOS>"]
+
+        def get_ignored_tokens(self):
+            return [n, n + 1]
+
+    dec = _exec_decode("class SRNLabelDecode", "class SARLabelDecode",
+                       Shim())
+    rng = random.Random(37)
+    for _ in range(300):
+        # negatives wrap (no try/except in SRN: -1 -> literal '<EOS>',
+        # -2 -> '<BOS>'); keep positives in-dict since out-of-range
+        # raises in BOTH implementations
+        ids = [rng.randint(-2, n + 1) for _ in range(rng.randint(0, 15))]
+        assert srn_label_decode(ids, list(chars)) == dec(ids), ids
