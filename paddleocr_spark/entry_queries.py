@@ -939,6 +939,17 @@ def q_pse_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pse_detect(docs)
 
 
+def q_ct_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 second family: CTPostProcess (Centripetal Text,
+    ct_postprocess.py:60-152, box_type='rect') over deterministic
+    per-doc kernel/offset/score maps (first 200 docs); committed-fixture
+    oracle (4-CC + centripetal propagation are iterative)."""
+    from .operators.spatial import ct_detect
+    docs = _docs(spark, sf_dir).select("doc_id").filter(
+        F.col("doc_id") < 200)
+    return ct_detect(docs)
+
+
 def q_db_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 DBPostProcess box pipeline (binarize → CC → box_score_fast →
     unclip → rescale, db_postprocess.py:104-263) over deterministic
@@ -1364,6 +1375,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "east_detect": q_east_detect,                  # fixture oracle
         "east_nms": q_east_nms,                        # fixture oracle
         "pse_detect": q_pse_detect,                    # fixture oracle
+        "ct_detect": q_ct_detect,                      # fixture oracle
         "nms_per_class": q_nms,                        # fixture oracle
         "char_prf_metric": q_char_prf,                 # fixture oracle
         "det_eval_greedy": q_det_eval,                 # fixture oracle
@@ -1618,6 +1630,12 @@ FROM synth_final GROUP BY doc_id, kind"""
         "teds_metric", "CAST(pair_id AS BIGINT) AS pair_id, teds")
     sqls["pse_detect"] = _fixture_sql(
         "pse_detect",
+        "CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(box_idx AS BIGINT) AS box_idx, "
+        "CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1, "
+        "CAST(x2 AS BIGINT) AS x2, CAST(y2 AS BIGINT) AS y2, score")
+    sqls["ct_detect"] = _fixture_sql(
+        "ct_detect",
         "CAST(doc_id AS BIGINT) AS doc_id, "
         "CAST(box_idx AS BIGINT) AS box_idx, "
         "CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1, "

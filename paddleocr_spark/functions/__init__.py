@@ -49,6 +49,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 additions
         "nrtr_decode": _entry("q_nrtr_decode"),
         "media_decode_real": _entry("q_media_decode_real"),
+        "gif_frames": _entry("q_gif_frames"),
         "tensor_ops": _entry("q_tensor_ops"),
         "rotate_crop": _entry("q_rotate_crop"),
         "layout_preprocess": _entry("q_layout_preprocess"),

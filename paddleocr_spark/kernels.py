@@ -716,6 +716,98 @@ def pse_boxes(score: np.ndarray, kernels: np.ndarray, shape,
     return out
 
 
+def ct_boxes(out: "np.ndarray", score: "np.ndarray", org_size,
+             min_score: float = 0.88, min_area: int = 16):
+    """CTPostProcess (Centripetal Text), ppocr/postprocess/
+    ct_postprocess.py:60-152, box_type='rect', transcribed over
+    (3, H, W) model output (channel 0 = kernel logits, 1:3 = centripetal
+    offsets) + an (H, W) score map at the same resolution (the resize at
+    :114-116 is INTER_NEAREST to the identical size here — identity).
+
+    Faithful sequence, quirks preserved:
+
+    1. kernel = out[0] > 0.2 (strict); 4-CC (cv2.connectedComponents
+       convention — our ``connected_components_4``).
+    2. Kernel components under 10 px are ZEROED, not renumbered
+       (:83-87); their score_pocket slot is computed afterwards over the
+       now-empty mask → 0.0 (:103-110), and every pixel whose offset
+       lands on them propagates label 0 (background).
+    3. Centripetal propagation (:88-101): every pixel (x, y) moves by
+       ``10/4 * loc`` (loc[0] = Δx, loc[1] = Δy), int32-TRUNCATED, then
+       clipped per-axis; it adopts the kernel label at the landing
+       pixel. Kernel pixels then override with their own label.
+    4. label_num is re-derived as max(label) + 1 (:112) — trailing
+       zeroed components fall out of the loop entirely.
+    5. Per label: drop if propagated pixel count < min_area (strict,
+       :121-125) or kernel-mean score < min_score (strict, :127-129);
+       'rect' box = minAreaRect over (x, y) points (np.where gives
+       (row, col) → the [:, ::-1] swap, :131-132), boxPoints scaled by
+       (org_w/w, org_h/h), then SHRUNK 0.85 about the corner centroid
+       (:133-135) and int32-truncated.
+
+    DEVIATION per SURVEY §1.1 (same as pse_boxes/db_boxes): the emitted
+    box is the axis-aligned envelope of the shrunk rectangle's corners —
+    the rotating-calipers rect (pixelops.min_area_box) is computed
+    faithfully, but corner ORDER is cv2-internal, so the hash-gated
+    contract is the order-free envelope. Returns (x1, y1, x2, y2, score)
+    tuples in label order.
+    """
+    import numpy as np
+
+    from .pixelops import min_area_box
+
+    out = np.asarray(out, dtype=np.float32)
+    score = np.asarray(score, dtype=np.float32)
+    kernel = (out[0] > 0.2).astype(np.uint8)
+    loc = out[1:].astype(np.float32)
+    h, w = kernel.shape
+    label_num, label_kernel = connected_components_4(kernel)
+    for i in range(1, label_num):
+        ind = label_kernel == i
+        if ind.sum() < 10:
+            label_kernel[ind] = 0
+
+    label = np.zeros_like(label_kernel)
+    yy, xx = np.mgrid[0:h, 0:w]
+    pixels = np.stack([xx.reshape(-1), yy.reshape(-1)])   # coord: x then y
+    points = pixels.T.astype(np.float32)
+    off_points = (points + 10.0 / 4.0
+                  * loc[:, pixels[1], pixels[0]].T).astype(np.int32)
+    off_points[:, 0] = np.clip(off_points[:, 0], 0, w - 1)
+    off_points[:, 1] = np.clip(off_points[:, 1], 0, h - 1)
+    label[pixels[1], pixels[0]] = label_kernel[off_points[:, 1],
+                                               off_points[:, 0]]
+    label[label_kernel > 0] = label_kernel[label_kernel > 0]
+
+    score_pocket = [0.0]
+    for i in range(1, label_num):
+        ind = label_kernel == i
+        if ind.sum() == 0:
+            score_pocket.append(0.0)
+            continue
+        score_pocket.append(float(np.mean(score[ind])))
+
+    label_num = int(np.max(label)) + 1
+    org_h, org_w = org_size
+    scale = (float(org_w) / float(w), float(org_h) / float(h))
+    boxes = []
+    for i in range(1, label_num):
+        ind = label == i
+        pts = np.array(np.where(ind)).transpose((1, 0))
+        if pts.shape[0] < min_area:
+            continue
+        score_i = score_pocket[i]
+        if score_i < min_score:
+            continue
+        bbox = min_area_box(pts[:, ::-1].astype(np.int32)) * scale
+        z = bbox.mean(0)
+        bbox = (z + (bbox - z) * 0.85).astype("int32")
+        boxes.append((int(bbox[:, 0].min()), int(bbox[:, 1].min()),
+                      int(bbox[:, 0].max()), int(bbox[:, 1].max()),
+                      score_i))
+    return boxes
+
+
 # ---------------------------------------------------------------------------
 # DBPostProcess box pipeline (D1 — the reference's DEFAULT detector path)
 # ---------------------------------------------------------------------------

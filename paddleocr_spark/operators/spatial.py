@@ -272,6 +272,82 @@ def db_detect(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(run, schema=DB_SCHEMA)
 
 
+#: CT demo geometry: GRID² maps scaled up to ORG² source pixels
+#: (exercising the boxPoints × (org/img) rescale at ct_postprocess
+#: :118-120,133; the :114 nearest resize is identity at equal sizes).
+CT_GRID = 32
+CT_ORG = 64
+
+
+def ct_doc_maps(d: int):
+    """Deterministic CT model output for doc d — (3, H, W) maps
+    (kernel logits + centripetal Δx/Δy) and an (H, W) score map.
+
+    Designed so every ct_boxes branch fires across the corpus: 1-3
+    shrunk "kernel" blobs whose logits clear the 0.2 threshold; blob
+    areas 4..~40 px straddle BOTH the 10-px kernel zeroing and the
+    16-px propagated min_area; per-blob score plateaus 0.84..0.91
+    straddle min_score = 0.88; a 2-px ring around each blob carries
+    centripetal offsets pointing at the blob center (truncation + the
+    per-axis clip exercised at the borders), while background offsets
+    point nowhere useful (label 0).
+    """
+    import numpy as np
+
+    h = w = CT_GRID
+    yy, xx = np.mgrid[0:h, 0:w]
+    logits = ((xx * 13 + yy * 5 + d) % 31) / 31.0 * 0.19
+    loc = np.zeros((2, h, w), dtype=np.float32)
+    score = ((xx * 3 + yy * 11 + d) % 23) / 23.0 * 0.2
+    for b in range(1 + d % 3):
+        x0 = 2 + (d * 7 + b * 11) % 22
+        y0 = 2 + (d * 3 + b * 17) % 22
+        bw = 2 + (d + b * 5) % 6
+        bh = 2 + (d * 5 + b) % 5
+        blob = np.zeros((h, w), dtype=bool)
+        blob[y0:y0 + bh, x0:x0 + bw] = True
+        logits = np.where(blob, 0.3 + ((d + b) % 5) / 10.0, logits)
+        score = np.where(blob, 0.84 + ((d + b * 3) % 8) / 100.0, score)
+        # ring: 2 px around the blob, centripetal offsets to the center —
+        # only for alternating (d, b), so ringless kernels of 10-15 px
+        # survive the zeroing yet FAIL the 16-px propagated min_area
+        if (d + b) % 2 == 0:
+            ring = np.zeros((h, w), dtype=bool)
+            ry0, ry1 = max(y0 - 2, 0), min(y0 + bh + 2, h)
+            rx0, rx1 = max(x0 - 2, 0), min(x0 + bw + 2, w)
+            ring[ry0:ry1, rx0:rx1] = True
+            ring &= ~blob
+            cx, cy = x0 + bw / 2.0, y0 + bh / 2.0
+            loc[0] = np.where(ring, (cx - xx) / 2.5, loc[0])
+            loc[1] = np.where(ring, (cy - yy) / 2.5, loc[1])
+    out = np.concatenate([logits[None].astype(np.float32), loc])
+    return out, score.astype(np.float32)
+
+
+def ct_detect(docs: DataFrame) -> DataFrame:
+    """D3 second family: CTPostProcess (Centripetal Text) distributed —
+    per-doc map synthesis + kernels.ct_boxes (4-CC, small-kernel
+    zeroing, centripetal label propagation, min_area/min_score filters,
+    calipers rect + 0.85 shrink + org/img rescale) in Arrow batches.
+    Same per-doc independence as pse_detect/db_detect. Input
+    (doc_id bigint); one row per kept box, in label order.
+    """
+    from ..kernels import ct_boxes
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                out, score = ct_doc_maps(int(d))
+                boxes = ct_boxes(out, score, (CT_ORG, CT_ORG))
+                for bi, (x1, y1, x2, y2, s) in enumerate(boxes):
+                    rows.append((int(d), bi, x1, y1, x2, y2, s))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "box_idx", "x1", "y1", "x2", "y2", "score"])
+
+    return docs.select("doc_id").mapInPandas(run, schema=PSE_SCHEMA)
+
+
 #: EAST demo geometry: GRID² score/geo maps at the reference's 4× pixel
 #: stride, scaled back to SRC² source pixels (ratio = 0.5).
 EAST_GRID = 24

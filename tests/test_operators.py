@@ -608,3 +608,50 @@ def test_vitstr_srn_decode_distributed_match_kernels(spark):
     assert got_v[9] == "  char"                # OOD chars skipped, eos cut
     assert got_s[0] == "hello worldhe<EOS>"    # eos never breaks: tail DOES
     assert got_s[7] == "neg wrapne<EOS>"       # -1 wraps to the literal
+
+
+def test_ct_boxes_quirks():
+    """Hand-built CT maps pinning the transcription's quirks: 4-CC
+    kernel labeling, <10-px zeroing (pixels offset-landing there get
+    background), centripetal adoption of the landing pixel's label,
+    kernel-pixel override, strict min_area/min_score, 0.85 shrink +
+    org/img scaling with int32 truncation."""
+    import numpy as np
+    from paddleocr_spark.kernels import ct_boxes
+
+    h = w = 20
+    out = np.zeros((3, h, w), dtype=np.float32)
+    score = np.zeros((h, w), dtype=np.float32)
+    # kernel A: 4x4 block at (2,2) -> 16 px, survives zeroing
+    out[0, 2:6, 2:6] = 0.9
+    score[2:6, 2:6] = 0.95
+    # kernel B: 2x2 block at (12,12) -> 4 px, ZEROED (<10)
+    out[0, 12:14, 12:14] = 0.9
+    score[12:14, 12:14] = 0.99
+    # pixel (9, 9): offset points into kernel A's block -> adopts label A
+    out[1, 9, 9] = (3 - 9) / 2.5     # dx: lands at x=3
+    out[2, 9, 9] = (3 - 9) / 2.5     # dy: lands at y=3
+    # pixel (10, 12): offset points into ZEROED kernel B -> background
+    out[1, 10, 12] = (13 - 12) / 2.5
+    out[2, 10, 12] = (13 - 10) / 2.5
+    boxes = ct_boxes(out, score, (40, 40))  # scale 2x
+    assert len(boxes) == 1
+    x1, y1, x2, y2, s = boxes[0]
+    assert s == pytest.approx(0.95)
+    # component A = 4x4 block + the adopted (9,9) pixel = 17 px >= 16;
+    # the outlier pixel makes the calipers rect ROTATED, so the envelope
+    # exceeds the pixel bbox; pinned values (exact parity with the
+    # reference's own code is separately pinned by the exec-ref
+    # differential in test_reference_exec.py)
+    assert (x1, y1, x2, y2) == (2, 2, 16, 20)
+    # min_score: same geometry, score plateau under 0.88 -> dropped
+    score2 = score.copy()
+    score2[2:6, 2:6] = 0.80
+    assert ct_boxes(out, score2, (40, 40)) == []
+    # min_area boundary: without the adopted pixel the component is
+    # exactly 16 px — the strict < passes it, and the pure 4x4 block
+    # yields the axis-aligned shrunk square
+    out3 = out.copy()
+    out3[1:, 9, 9] = 0               # (9,9) now lands on itself: bg
+    boxes3 = ct_boxes(out3, score, (40, 40))
+    assert [b[:4] for b in boxes3] == [(4, 4, 9, 9)]

@@ -536,3 +536,73 @@ def test_srn_decode_matches_executed_reference():
         # raises in BOTH implementations
         ids = [rng.randint(-2, n + 1) for _ in range(rng.randint(0, 15))]
         assert srn_label_decode(ids, list(chars)) == dec(ids), ids
+
+
+def test_ct_postprocess_matches_executed_reference():
+    """Executes the reference's ENTIRE CTPostProcess class
+    (ct_postprocess.py:30-152, box_type='rect') with stub modules for
+    paddle/pyclipper and a cv2 shim backed by our own primitives
+    (connectedComponents → kernels.connected_components_4, identity
+    same-size INTER_NEAREST resize, minAreaRect/boxPoints →
+    pixelops.min_area_box) — the centripetal propagation, small-kernel
+    zeroing, score pocket, min_area/min_score filters, and the 0.85
+    shrink all run as the reference wrote them. Our ct_boxes must emit
+    the same box count and the same int32 corner envelopes."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from paddleocr_spark.kernels import connected_components_4, ct_boxes
+    from paddleocr_spark.operators.spatial import (CT_GRID, CT_ORG,
+                                                   ct_doc_maps)
+    from paddleocr_spark.pixelops import min_area_box
+
+    class _FakeTensor:        # isinstance(x, paddle.Tensor) is False
+        pass
+
+    paddle_stub = types.ModuleType("paddle")
+    paddle_stub.Tensor = _FakeTensor
+    cv2_stub = types.ModuleType("cv2")
+    cv2_stub.INTER_NEAREST = 0
+
+    def _cc(kernel, connectivity=4):
+        assert connectivity == 4
+        return connected_components_4(kernel.astype(bool))
+
+    def _resize(arr, size, interpolation=None):
+        assert size == (arr.shape[1], arr.shape[0])  # identity here
+        return arr
+
+    cv2_stub.connectedComponents = _cc
+    cv2_stub.resize = _resize
+    cv2_stub.minAreaRect = lambda pts: min_area_box(pts)
+    cv2_stub.boxPoints = lambda rect: rect
+    saved = {m: sys.modules.get(m) for m in ("paddle", "cv2", "pyclipper")}
+    sys.modules["paddle"] = paddle_stub
+    sys.modules["cv2"] = cv2_stub
+    sys.modules["pyclipper"] = types.ModuleType("pyclipper")
+    try:
+        ns: dict = {}
+        src = open("/root/reference/ppocr/postprocess/"
+                   "ct_postprocess.py").read()
+        exec(src[src.index("from __future__"):], ns)
+        post = ns["CTPostProcess"](box_type="rect")
+        for d in range(40):
+            out, score = ct_doc_maps(d)
+            preds = {"maps": out[None].astype(np.float32),
+                     "score": score[None].astype(np.float32)}
+            batch = [np.array([CT_ORG, CT_ORG, 3, CT_GRID, CT_GRID, 3])]
+            want = post(preds, batch)[0]["points"]
+            got = ct_boxes(out, score, (CT_ORG, CT_ORG))
+            assert len(got) == len(want), d
+            for (x1, y1, x2, y2, _s), bbox in zip(got, want):
+                assert (x1, y1, x2, y2) == (
+                    int(bbox[:, 0].min()), int(bbox[:, 1].min()),
+                    int(bbox[:, 0].max()), int(bbox[:, 1].max())), d
+    finally:
+        for m, v in saved.items():
+            if v is None:
+                sys.modules.pop(m, None)
+            else:
+                sys.modules[m] = v

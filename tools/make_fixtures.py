@@ -268,6 +268,28 @@ def fx_pse_detect(con, sf_dir: str) -> pd.DataFrame:
          "y1": "int64", "x2": "int64", "y2": "int64"})
 
 
+def fx_ct_detect(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_ct_detect single-node: doc ids from DuckDB, maps +
+    centripetal propagation via the shared kernels."""
+    from paddleocr_spark.kernels import ct_boxes
+    from paddleocr_spark.operators.spatial import CT_ORG, ct_doc_maps
+    ids = con.sql(f"""
+        SELECT doc_id FROM read_parquet(
+            '{os.path.join(sf_dir, "documents.parquet")}')
+        WHERE doc_id < 200 ORDER BY doc_id
+    """).df()["doc_id"]
+    rows = []
+    for d in ids:
+        out, score = ct_doc_maps(int(d))
+        for bi, (x1, y1, x2, y2, s) in enumerate(
+                ct_boxes(out, score, (CT_ORG, CT_ORG))):
+            rows.append((int(d), bi, x1, y1, x2, y2, s))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "box_idx", "x1", "y1", "x2", "y2", "score"]).astype(
+        {"doc_id": "int64", "box_idx": "int64", "x1": "int64",
+         "y1": "int64", "x2": "int64", "y2": "int64"})
+
+
 def fx_db_detect(con, sf_dir: str) -> pd.DataFrame:
     """entry_queries.q_db_detect single-node: doc ids from DuckDB, maps +
     boxes_from_bitmap via the shared kernels."""
@@ -431,6 +453,7 @@ FIXTURES = {
     "teds_metric": fx_teds,
     "east_nms": fx_east_nms,
     "pse_detect": fx_pse_detect,
+    "ct_detect": fx_ct_detect,
     "db_detect": fx_db_detect,
     "table_html_master": fx_table_html_master,
     "east_detect": fx_east_detect,
