@@ -939,6 +939,17 @@ def q_pse_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pse_detect(docs)
 
 
+def q_sast_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 third family: SASTPostProcess (sast_postprocess.py:207-320)
+    over deterministic per-doc TCL/TVO/TBO/TCO maps (first 200 docs);
+    committed-fixture oracle (quad NMS + TCO clustering are
+    iterative)."""
+    from .operators.spatial import sast_detect
+    docs = _docs(spark, sf_dir).select("doc_id").filter(
+        F.col("doc_id") < 200)
+    return sast_detect(docs)
+
+
 def q_ct_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3 second family: CTPostProcess (Centripetal Text,
     ct_postprocess.py:60-152, box_type='rect') over deterministic
@@ -1376,6 +1387,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "east_nms": q_east_nms,                        # fixture oracle
         "pse_detect": q_pse_detect,                    # fixture oracle
         "ct_detect": q_ct_detect,                      # fixture oracle
+        "sast_detect": q_sast_detect,                  # fixture oracle
         "nms_per_class": q_nms,                        # fixture oracle
         "char_prf_metric": q_char_prf,                 # fixture oracle
         "det_eval_greedy": q_det_eval,                 # fixture oracle
@@ -1634,6 +1646,11 @@ FROM synth_final GROUP BY doc_id, kind"""
         "CAST(box_idx AS BIGINT) AS box_idx, "
         "CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1, "
         "CAST(x2 AS BIGINT) AS x2, CAST(y2 AS BIGINT) AS y2, score")
+    sqls["sast_detect"] = _fixture_sql(
+        "sast_detect",
+        "CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(poly_idx AS BIGINT) AS poly_idx, "
+        "CAST(pt_idx AS BIGINT) AS pt_idx, x, y")
     sqls["ct_detect"] = _fixture_sql(
         "ct_detect",
         "CAST(doc_id AS BIGINT) AS doc_id, "

@@ -716,6 +716,222 @@ def pse_boxes(score: np.ndarray, kernels: np.ndarray, shape,
     return out
 
 
+def _sast_quad_nms(dets: "np.ndarray", thres: float = 0.2) -> "np.ndarray":
+    """locality_aware_nms.nms_locality over (N, 9) quad dets
+    (:183-205): sequential scan in input order, score-weighted
+    8-coordinate merge (weighted_merge, :62-68) whenever IoU > thres,
+    then standard_nms (:55-69, score-descending argsort[::-1], suppress
+    IoU > thres).
+
+    DEVIATION (same as the EAST transcription): shapely's Polygon IoU is
+    computed as the axis-aligned IoU of each quad's corner envelope —
+    EXACT whenever the quads are axis-aligned rectangles, which the
+    sast_detect synthesis guarantees (and the exec-ref differential
+    re-checks by stubbing the reference's ``intersection`` the same
+    way). np.argsort is kept UNSTABLE-equivalent by using the same
+    default introsort; the synthesis keeps scores distinct.
+    """
+    import numpy as np
+
+    def iou(g, p):
+        gx1, gy1 = g[0:8:2].min(), g[1:8:2].min()
+        gx2, gy2 = g[0:8:2].max(), g[1:8:2].max()
+        px1, py1 = p[0:8:2].min(), p[1:8:2].min()
+        px2, py2 = p[0:8:2].max(), p[1:8:2].max()
+        ix = min(gx2, px2) - max(gx1, px1)
+        iy = min(gy2, py2) - max(gy1, py1)
+        if ix <= 0 or iy <= 0:
+            return 0.0
+        inter = ix * iy
+        union = ((gx2 - gx1) * (gy2 - gy1)
+                 + (px2 - px1) * (py2 - py1) - inter)
+        return 0.0 if union == 0 else inter / union
+
+    S: list = []
+    p = None
+    for g in dets:
+        g = g.copy()
+        if p is not None and iou(g, p) > thres:
+            w = g[8] + p[8]
+            g[:8] = (g[8] * g[:8] + p[8] * p[:8]) / w
+            g[8] = w
+            p = g
+        else:
+            if p is not None:
+                S.append(p)
+            p = g
+    if p is not None:
+        S.append(p)
+    if len(S) == 0:
+        return np.zeros((0, 9), dtype=np.float32)
+    S = np.array(S)
+    order = np.argsort(S[:, 8])[::-1]
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(i)
+        ovr = np.array([iou(S[i], S[t]) for t in order[1:]])
+        inds = np.where(ovr <= thres)[0]
+        order = order[inds + 1]
+    return S[keep]
+
+
+def sast_polys(tcl_map: "np.ndarray", tvo_map: "np.ndarray",
+               tbo_map: "np.ndarray", tco_map: "np.ndarray",
+               ratio_w: float, ratio_h: float, src_w: float, src_h: float,
+               shrink_ratio_of_width: float = 0.3,
+               tcl_map_thresh: float = 0.5, offset_expand: float = 1.0,
+               sample_pts_num: int = 2, nms_thresh: float = 0.2,
+               out_strid: float = 4.0):
+    """SASTPostProcess.detect_sast, ppocr/postprocess/
+    sast_postprocess.py:207-320, transcribed over HWC maps: tcl (H,W,1)
+    text-center-line scores, tvo (H,W,8) vertex offsets, tbo (H,W,4)
+    border offsets, tco (H,W,2) center offsets.
+
+    Faithful sequence: restore_quad (:113-131 — TCL pixels above thresh,
+    (x, y) reversal, argsort by y, quads = tiled-xy − tvo), locality
+    NMS (:144-151 via :pyclass:`_sast_quad_nms`), NEGATED shoelace quad
+    areas (:133-142, clockwise-negative convention), cluster_by_quads_tco
+    (:153-178: every TCL pixel argmin-assigns to the nearest quad center
+    after subtracting its tco offset — +1 labels, background 0), then
+    per instance: area < 5 and min-side < 3 and empty-CC skips
+    (:249-263), the sum(scores)/area < 0.1 confidence skip (:265-269 —
+    against the NEGATED area, a sign quirk kept as written), projection
+    sort along the quad's left→right center axis (:271-281), float32
+    linspace→int32 center-line sampling (:283-293), per-sample border
+    offsets (the offset_expand≠1 clip path :296-306), the
+    (y, x)+offset → [:, ::-1] reversal × out_strid / (ratio_w, ratio_h)
+    rescale (:307-310), point_pair2poly (:59-69 — first points forward,
+    second points mirrored), expand_poly_along_width (:84-111), and the
+    final per-axis clip to src dims (:315-318).
+
+    Returns a list of (2·sample_pts, 2) float32 polys in instance order.
+    """
+    import numpy as np
+
+    xy_text = np.argwhere(tcl_map[:, :, 0] > tcl_map_thresh)
+    xy_text = xy_text[:, ::-1]
+    xy_text = xy_text[np.argsort(xy_text[:, 1])]
+    scores = tcl_map[xy_text[:, 1], xy_text[:, 0], 0][:, np.newaxis]
+    tvo = tvo_map[xy_text[:, 1], xy_text[:, 0], :]
+    quads = np.tile(xy_text, (1, 4)) - tvo
+    dets = np.hstack((quads, scores)).astype(np.float32, copy=False)
+    dets = _sast_quad_nms(dets, nms_thresh)
+    if dets.shape[0] == 0:
+        return []
+    quads = dets[:, :-1].reshape(-1, 4, 2)
+
+    def quad_area(quad):
+        edge = [(quad[1][0] - quad[0][0]) * (quad[1][1] + quad[0][1]),
+                (quad[2][0] - quad[1][0]) * (quad[2][1] + quad[1][1]),
+                (quad[3][0] - quad[2][0]) * (quad[3][1] + quad[2][1]),
+                (quad[0][0] - quad[3][0]) * (quad[0][1] + quad[3][1])]
+        return np.sum(edge) / 2.0
+
+    quad_areas = [-quad_area(q) for q in quads]
+
+    # cluster_by_quads_tco
+    instance_count = quads.shape[0] + 1
+    instance_label_map = np.zeros(tcl_map.shape[:2], dtype=np.int32)
+    xy_all = np.argwhere(tcl_map[:, :, 0] > tcl_map_thresh)[:, ::-1]
+    if instance_count > 1 and xy_all.shape[0] > 0:
+        tco = tco_map[xy_all[:, 1], xy_all[:, 0], :]
+        pred_tc = xy_all - tco
+        gt_tc = np.mean(quads, axis=1)
+        dist = np.linalg.norm(
+            pred_tc[:, np.newaxis, :] - gt_tc[np.newaxis, :, :], axis=2)
+        instance_label_map[xy_all[:, 1], xy_all[:, 0]] = (
+            np.argmin(dist, axis=1) + 1)
+
+    poly_list = []
+    for instance_idx in range(1, instance_count):
+        xy_text = np.argwhere(instance_label_map == instance_idx)[:, ::-1]
+        quad = quads[instance_idx - 1]
+        q_area = quad_areas[instance_idx - 1]
+        if q_area < 5:
+            continue
+        len1 = float(np.linalg.norm(quad[0] - quad[1]))
+        len2 = float(np.linalg.norm(quad[1] - quad[2]))
+        if min(len1, len2) < 3:
+            continue
+        if xy_text.shape[0] <= 0:
+            continue
+        xy_text_scores = tcl_map[xy_text[:, 1], xy_text[:, 0], 0]
+        if np.sum(xy_text_scores) / quad_areas[instance_idx - 1] < 0.1:
+            continue
+        left_center_pt = np.array(
+            [[(quad[0, 0] + quad[-1, 0]) / 2.0,
+              (quad[0, 1] + quad[-1, 1]) / 2.0]])
+        right_center_pt = np.array(
+            [[(quad[1, 0] + quad[2, 0]) / 2.0,
+              (quad[1, 1] + quad[2, 1]) / 2.0]])
+        proj_unit_vec = (right_center_pt - left_center_pt) / (
+            np.linalg.norm(right_center_pt - left_center_pt) + 1e-6)
+        proj_value = np.sum(xy_text * proj_unit_vec, axis=1)
+        xy_text = xy_text[np.argsort(proj_value)]
+
+        xy_center_line = xy_text[np.linspace(
+            0, xy_text.shape[0] - 1, sample_pts_num,
+            endpoint=True, dtype=np.float32).astype(np.int32)]
+
+        point_pair_list = []
+        for x, y in xy_center_line:
+            offset = tbo_map[y, x, :].reshape(2, 2)
+            if offset_expand != 1.0:
+                offset_length = np.linalg.norm(offset, axis=1,
+                                               keepdims=True)
+                expand_length = np.clip(
+                    offset_length * (offset_expand - 1),
+                    a_min=0.5, a_max=3.0)
+                offset = offset + offset / offset_length * expand_length
+            ori_yx = np.array([y, x], dtype=np.float32)
+            point_pair = ((ori_yx + offset)[:, ::-1] * out_strid
+                          / np.array([ratio_w, ratio_h]).reshape(-1, 2))
+            point_pair_list.append(point_pair)
+
+        # point_pair2poly
+        point_num = len(point_pair_list) * 2
+        point_list = [0] * point_num
+        for idx, point_pair in enumerate(point_pair_list):
+            point_list[idx] = point_pair[0]
+            point_list[point_num - 1 - idx] = point_pair[1]
+        poly = np.array(point_list).reshape(-1, 2)
+
+        # expand_poly_along_width
+        pn = poly.shape[0]
+        left_quad = np.array(
+            [poly[0], poly[1], poly[-2], poly[-1]], dtype=np.float32)
+        left_ratio = (-shrink_ratio_of_width
+                      * np.linalg.norm(left_quad[0] - left_quad[3])
+                      / (np.linalg.norm(left_quad[0] - left_quad[1])
+                         + 1e-6))
+
+        def shrink_quad(quad4, b, e):
+            rp = np.array([[b], [e]], dtype=np.float32)
+            p0_1 = quad4[0] + (quad4[1] - quad4[0]) * rp
+            p3_2 = quad4[3] + (quad4[2] - quad4[3]) * rp
+            return np.array([p0_1[0], p0_1[1], p3_2[1], p3_2[0]])
+
+        left_exp = shrink_quad(left_quad, left_ratio, 1.0)
+        right_quad = np.array(
+            [poly[pn // 2 - 2], poly[pn // 2 - 1],
+             poly[pn // 2], poly[pn // 2 + 1]], dtype=np.float32)
+        right_ratio = (1.0 + shrink_ratio_of_width
+                       * np.linalg.norm(right_quad[0] - right_quad[3])
+                       / (np.linalg.norm(right_quad[0] - right_quad[1])
+                          + 1e-6))
+        right_exp = shrink_quad(right_quad, 0.0, right_ratio)
+        poly[0] = left_exp[0]
+        poly[-1] = left_exp[-1]
+        poly[pn // 2 - 1] = right_exp[1]
+        poly[pn // 2] = right_exp[2]
+        poly[:, 0] = np.clip(poly[:, 0], a_min=0, a_max=src_w)
+        poly[:, 1] = np.clip(poly[:, 1], a_min=0, a_max=src_h)
+        poly_list.append(poly)
+
+    return poly_list
+
+
 def ct_boxes(out: "np.ndarray", score: "np.ndarray", org_size,
              min_score: float = 0.88, min_area: int = 16):
     """CTPostProcess (Centripetal Text), ppocr/postprocess/

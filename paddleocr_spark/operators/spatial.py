@@ -348,6 +348,95 @@ def ct_detect(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(run, schema=PSE_SCHEMA)
 
 
+#: SAST demo geometry: GRID² TCL/TVO/TBO/TCO maps at the reference's 4×
+#: stride (out_strid, sast_postprocess.py:219), rescaled by ratio 0.5 to
+#: SRC² source pixels.
+SAST_GRID = 32
+SAST_RATIO = 0.5
+SAST_SRC = int(SAST_GRID * 4 / SAST_RATIO)
+
+
+def sast_doc_maps(d: int):
+    """Deterministic SAST model output for doc d: HWC maps tcl (H,W,1),
+    tvo (H,W,8), tbo (H,W,4), tco (H,W,2).
+
+    1-3 axis-aligned text instances per doc. Each instance is a rect
+    whose TCL center-line strip scores 0.55..0.94 (> thresh 0.5, all
+    distinct); tvo at every strip pixel restores the EXACT rect corners
+    [tl, tr, br, bl] (clockwise → the negated shoelace area is
+    positive); tco points at the rect center (argmin cluster assignment
+    is exact); tbo carries the vertical offsets to the top/bottom
+    borders. Coverage knobs: rect areas 6..88 straddle the <5 area
+    skip, min sides 2..8 straddle the <3 skip, strip-density vs height
+    straddles the sum/area < 0.1 confidence skip, and every (d+b)%4==0
+    follow-up rect overlaps its predecessor by all-but-1-px so the
+    locality-NMS merge path fires.
+    """
+    import numpy as np
+
+    h = w = SAST_GRID
+    tcl = np.zeros((h, w, 1), dtype=np.float32)
+    tvo = np.zeros((h, w, 8), dtype=np.float32)
+    tbo = np.zeros((h, w, 4), dtype=np.float32)
+    tco = np.zeros((h, w, 2), dtype=np.float32)
+    prev = None
+    for b in range(1 + d % 3):
+        if prev is not None and (d + b) % 4 == 0:
+            x0, y0 = prev[0] + 1, prev[1]
+            bw, bh = prev[2], prev[3]
+        else:
+            x0 = 2 + (d * 5 + b * 9) % 18
+            y0 = 2 + (d * 3 + b * 7) % 18
+            bw = 3 + (d + b) % 9
+            bh = 2 + (d * 2 + b) % 7
+        prev = (x0, y0, bw, bh)
+        x1, y1 = x0 + bw, y0 + bh
+        corners = np.array([x0, y0, x1, y0, x1, y1, x0, y1],
+                           dtype=np.float32)
+        cx, cy = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+        ym = min(y0 + bh // 2, h - 1)
+        for x in range(x0, min(x1, w)):
+            s = 0.55 + ((x * 7 + ym * 3 + d) % 40) / 100.0
+            tcl[ym, x, 0] = s
+            pix = np.array([x, ym, x, ym, x, ym, x, ym], dtype=np.float32)
+            tvo[ym, x, :] = pix - corners
+            tco[ym, x, :] = np.array([x - cx, ym - cy], dtype=np.float32)
+            tbo[ym, x, :] = np.array([y0 - ym, 0.0, y1 - ym, 0.0],
+                                     dtype=np.float32)
+    return tcl, tvo, tbo, tco
+
+
+SAST_SCHEMA = ("doc_id long, poly_idx long, pt_idx long, "
+               "x double, y double")
+
+
+def sast_detect(docs: DataFrame) -> DataFrame:
+    """D3 third family: SASTPostProcess distributed — per-doc map
+    synthesis + kernels.sast_polys (quad restore, locality NMS,
+    TCO clustering, confidence/area/side filters, center-line sampling,
+    border-offset polys, width expansion) in Arrow batches. Input
+    (doc_id bigint); one row per poly point, in instance order.
+    """
+    from ..kernels import sast_polys
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                tcl, tvo, tbo, tco = sast_doc_maps(int(d))
+                polys = sast_polys(tcl, tvo, tbo, tco,
+                                   SAST_RATIO, SAST_RATIO,
+                                   SAST_SRC, SAST_SRC)
+                for pi, poly in enumerate(polys):
+                    for qi, (x, y) in enumerate(poly):
+                        rows.append((int(d), pi, qi,
+                                     float(x), float(y)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "poly_idx", "pt_idx", "x", "y"])
+
+    return docs.select("doc_id").mapInPandas(run, schema=SAST_SCHEMA)
+
+
 #: EAST demo geometry: GRID² score/geo maps at the reference's 4× pixel
 #: stride, scaled back to SRC² source pixels (ratio = 0.5).
 EAST_GRID = 24

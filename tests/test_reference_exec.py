@@ -606,3 +606,83 @@ def test_ct_postprocess_matches_executed_reference():
                 sys.modules.pop(m, None)
             else:
                 sys.modules[m] = v
+
+
+def test_sast_postprocess_matches_executed_reference():
+    """Executes the reference's ENTIRE SASTPostProcess
+    (sast_postprocess.py:33-357) including its own locality_aware_nms
+    module — the only substitutions are import stubs (paddle/cv2, both
+    unused on this path) and the NMS module's shapely ``intersection``,
+    replaced by exact axis-aligned IoU (exact for the axis-aligned
+    rectangle quads the synthesis emits, as in the EAST NMS
+    differential). Quad restore, weighted merge, standard NMS, TCO
+    clustering, every filter, center-line sampling, border-offset poly
+    assembly and width expansion all run as the reference wrote them."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from paddleocr_spark.kernels import sast_polys
+    from paddleocr_spark.operators.spatial import (SAST_RATIO, SAST_SRC,
+                                                   sast_doc_maps)
+
+    def _axis_iou(g, p):
+        gx, gy = g[0:8:2], g[1:8:2]
+        px, py = p[0:8:2], p[1:8:2]
+        ix = min(gx.max(), px.max()) - max(gx.min(), px.min())
+        iy = min(gy.max(), py.max()) - max(gy.min(), py.min())
+        if ix <= 0 or iy <= 0:
+            return 0.0
+        inter = ix * iy
+        union = ((gx.max() - gx.min()) * (gy.max() - gy.min())
+                 + (px.max() - px.min()) * (py.max() - py.min()) - inter)
+        return 0.0 if union == 0 else inter / union
+
+    # exec the reference's OWN nms module with only shapely intersection
+    # swapped; expose it as the relative module sast_postprocess imports
+    nms_src = open("/root/reference/ppocr/postprocess/"
+                   "locality_aware_nms.py").read()
+    nms_ns: dict = {}
+    exec(nms_src[nms_src.index("import numpy"):]
+         .replace("from shapely.geometry import Polygon", ""),
+         nms_ns)
+    nms_ns["intersection"] = _axis_iou
+
+    class _FakeTensor:
+        pass
+
+    saved = {m: sys.modules.get(m) for m in ("paddle", "cv2")}
+    paddle_stub = types.ModuleType("paddle")
+    paddle_stub.Tensor = _FakeTensor
+    sys.modules["paddle"] = paddle_stub
+    sys.modules["cv2"] = types.ModuleType("cv2")
+    try:
+        src = open("/root/reference/ppocr/postprocess/"
+                   "sast_postprocess.py").read()
+        src = src[src.index("import numpy"):].replace(
+            "from .locality_aware_nms import nms_locality", "")
+        ns = {"nms_locality": nms_ns["nms_locality"], "sys": sys,
+              "os": os, "time": __import__("time")}
+        exec(src, ns)
+        post = ns["SASTPostProcess"]()
+        for d in range(60):
+            tcl, tvo, tbo, tco = sast_doc_maps(d)
+            outs = {"f_score": tcl.transpose(2, 0, 1)[None],
+                    "f_border": tbo.transpose(2, 0, 1)[None],
+                    "f_tvo": tvo.transpose(2, 0, 1)[None],
+                    "f_tco": tco.transpose(2, 0, 1)[None]}
+            shape_list = [np.array([SAST_SRC, SAST_SRC,
+                                    SAST_RATIO, SAST_RATIO])]
+            want = post(outs, shape_list)[0]["points"]
+            got = sast_polys(tcl, tvo, tbo, tco, SAST_RATIO, SAST_RATIO,
+                             SAST_SRC, SAST_SRC)
+            assert len(got) == len(want), d
+            for g, wpoly in zip(got, want):
+                assert np.allclose(g, wpoly, atol=0, rtol=0), d
+    finally:
+        for m, v in saved.items():
+            if v is None:
+                sys.modules.pop(m, None)
+            else:
+                sys.modules[m] = v

@@ -268,6 +268,30 @@ def fx_pse_detect(con, sf_dir: str) -> pd.DataFrame:
          "y1": "int64", "x2": "int64", "y2": "int64"})
 
 
+def fx_sast_detect(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_sast_detect single-node: doc ids from DuckDB,
+    maps + quad restore/NMS/clustering via the shared kernels."""
+    from paddleocr_spark.kernels import sast_polys
+    from paddleocr_spark.operators.spatial import (SAST_RATIO, SAST_SRC,
+                                                   sast_doc_maps)
+    ids = con.sql(f"""
+        SELECT doc_id FROM read_parquet(
+            '{os.path.join(sf_dir, "documents.parquet")}')
+        WHERE doc_id < 200 ORDER BY doc_id
+    """).df()["doc_id"]
+    rows = []
+    for d in ids:
+        tcl, tvo, tbo, tco = sast_doc_maps(int(d))
+        polys = sast_polys(tcl, tvo, tbo, tco, SAST_RATIO, SAST_RATIO,
+                           SAST_SRC, SAST_SRC)
+        for pi, poly in enumerate(polys):
+            for qi, (x, y) in enumerate(poly):
+                rows.append((int(d), pi, qi, float(x), float(y)))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "poly_idx", "pt_idx", "x", "y"]).astype(
+        {"doc_id": "int64", "poly_idx": "int64", "pt_idx": "int64"})
+
+
 def fx_ct_detect(con, sf_dir: str) -> pd.DataFrame:
     """entry_queries.q_ct_detect single-node: doc ids from DuckDB, maps +
     centripetal propagation via the shared kernels."""
@@ -416,7 +440,10 @@ def fx_table_xlsx(con, sf_dir: str) -> pd.DataFrame:
         if os.path.exists(p):
             con.execute(f"CREATE OR REPLACE VIEW {t} AS "
                         f"SELECT * FROM read_parquet('{p}')")
-    html = con.sql(oracle_sql()["table_html"]).df()
+    # DuckDB's parallel scan returns rows in nondeterministic order;
+    # sort so fixture regeneration is byte-stable (gate sorts anyway)
+    html = con.sql(oracle_sql()["table_html"]).df().sort_values(
+        "t_id").reset_index(drop=True)
     rows = [xlsx_rows_for(t, h)[:6]
             for t, h in zip(html["t_id"], html["html"])]
     return pd.DataFrame(rows, columns=[
@@ -453,6 +480,7 @@ FIXTURES = {
     "teds_metric": fx_teds,
     "east_nms": fx_east_nms,
     "pse_detect": fx_pse_detect,
+    "sast_detect": fx_sast_detect,
     "ct_detect": fx_ct_detect,
     "db_detect": fx_db_detect,
     "table_html_master": fx_table_html_master,
