@@ -939,6 +939,18 @@ def q_pse_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pse_detect(docs)
 
 
+def q_fce_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 fourth family: FCEPostProcess (fce_postprocess.py:64-239,
+    box_type='poly') over deterministic per-doc cls/reg Fourier maps
+    (first 120 docs — the ifft reconstruction is per-pixel heavy);
+    committed-fixture oracle (hole fill, CC, and the three-level poly
+    NMS are iterative)."""
+    from .operators.spatial import fce_detect
+    docs = _docs(spark, sf_dir).select("doc_id").filter(
+        F.col("doc_id") < 120)
+    return fce_detect(docs)
+
+
 def q_sast_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3 third family: SASTPostProcess (sast_postprocess.py:207-320)
     over deterministic per-doc TCL/TVO/TBO/TCO maps (first 200 docs);
@@ -1388,6 +1400,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pse_detect": q_pse_detect,                    # fixture oracle
         "ct_detect": q_ct_detect,                      # fixture oracle
         "sast_detect": q_sast_detect,                  # fixture oracle
+        "fce_detect": q_fce_detect,                    # fixture oracle
         "nms_per_class": q_nms,                        # fixture oracle
         "char_prf_metric": q_char_prf,                 # fixture oracle
         "det_eval_greedy": q_det_eval,                 # fixture oracle
@@ -1646,6 +1659,11 @@ FROM synth_final GROUP BY doc_id, kind"""
         "CAST(box_idx AS BIGINT) AS box_idx, "
         "CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1, "
         "CAST(x2 AS BIGINT) AS x2, CAST(y2 AS BIGINT) AS y2, score")
+    sqls["fce_detect"] = _fixture_sql(
+        "fce_detect",
+        "CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(poly_idx AS BIGINT) AS poly_idx, "
+        "CAST(pt_idx AS BIGINT) AS pt_idx, x, y, score")
     sqls["sast_detect"] = _fixture_sql(
         "sast_detect",
         "CAST(doc_id AS BIGINT) AS doc_id, "

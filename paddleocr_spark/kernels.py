@@ -716,6 +716,223 @@ def pse_boxes(score: np.ndarray, kernels: np.ndarray, shape,
     return out
 
 
+# ---------------------------------------------------------------------------
+# FCE (Fourier Contour Embedding) — D3 fourth family
+# ---------------------------------------------------------------------------
+
+def _poly_area(pts: "np.ndarray") -> float:
+    """|shoelace|/2 — shapely Polygon.area for a simple polygon."""
+    import numpy as np
+
+    x, y = pts[:, 0], pts[:, 1]
+    return float(abs(np.dot(x, np.roll(y, -1))
+                     - np.dot(y, np.roll(x, -1))) / 2.0)
+
+
+def _convex_clip(subject: "np.ndarray", clip: "np.ndarray") -> "np.ndarray":
+    """Sutherland–Hodgman: subject polygon clipped by a CONVEX clip
+    polygon; returns the intersection polygon's vertices (possibly
+    empty). Orientation-normalized to CCW clip."""
+    import numpy as np
+
+    cp = clip
+    if (np.dot(cp[:, 0], np.roll(cp[:, 1], -1))
+            - np.dot(cp[:, 1], np.roll(cp[:, 0], -1))) < 0:
+        cp = cp[::-1]
+    out = [tuple(p) for p in subject]
+    n = len(cp)
+    for i in range(n):
+        a, b = cp[i], cp[(i + 1) % n]
+        inp = out
+        out = []
+        if not inp:
+            break
+
+        def inside(p):
+            return ((b[0] - a[0]) * (p[1] - a[1])
+                    - (b[1] - a[1]) * (p[0] - a[0])) >= 0
+
+        def isect(p, q):
+            dx1, dy1 = q[0] - p[0], q[1] - p[1]
+            dx2, dy2 = b[0] - a[0], b[1] - a[1]
+            den = dx1 * dy2 - dy1 * dx2
+            if den == 0:
+                return q
+            t = ((a[0] - p[0]) * dy2 - (a[1] - p[1]) * dx2) / den
+            return (p[0] + t * dx1, p[1] + t * dy1)
+
+        s = inp[-1]
+        for e in inp:
+            if inside(e):
+                if not inside(s):
+                    out.append(isect(s, e))
+                out.append(e)
+            elif inside(s):
+                out.append(isect(s, e))
+            s = e
+    return np.array(out) if out else np.zeros((0, 2))
+
+
+def fce_boundary_iou(src: list, target: list) -> float:
+    """poly_nms.boundary_iou (ppocr/utils/poly_nms.py:90-125) for the
+    flat even-length point lists FCE passes around.
+
+    DEVIATION per SURVEY §1.1: shapely's general polygon intersection is
+    computed by Sutherland–Hodgman convex clipping (+ a bbox-disjoint
+    fast path) — exact for the convex/identical/disjoint polygon
+    population the fce synthesis emits; shapely's buffer(1e-4) epsilon
+    is omitted.
+    """
+    import numpy as np
+
+    a = np.asarray(src, dtype=np.float64).reshape(-1, 2)
+    b = np.asarray(target, dtype=np.float64).reshape(-1, 2)
+    if (a[:, 0].max() <= b[:, 0].min() or b[:, 0].max() <= a[:, 0].min()
+            or a[:, 1].max() <= b[:, 1].min()
+            or b[:, 1].max() <= a[:, 1].min()):
+        return 0.0
+    if a.shape == b.shape and (a == b).all():
+        return 1.0 if _poly_area(a) > 0 else 0.0  # identical: IoU exact
+    inter_poly = _convex_clip(a, b)
+    inter = _poly_area(inter_poly) if len(inter_poly) >= 3 else 0.0
+    union = _poly_area(a) + _poly_area(b) - inter
+    return 0.0 if union == 0 else inter / union
+
+
+def fce_poly_nms(polygons: list, threshold: float) -> list:
+    """poly_nms (ppocr/utils/poly_nms.py:127-146): STABLE ascending sort
+    by trailing score (ties keep input order, so the LAST input wins the
+    pick), pop from the top, suppress IoU > threshold."""
+    import numpy as np
+
+    polygons = np.array(sorted(polygons, key=lambda x: x[-1]))
+    keep_poly = []
+    index = [i for i in range(polygons.shape[0])]
+    while len(index) > 0:
+        keep_poly.append(polygons[index[-1]].tolist())
+        A = polygons[index[-1]][:-1]
+        index = np.delete(index, -1)
+        iou_list = np.zeros((len(index),))
+        for i in range(len(index)):
+            B = polygons[index[i]][:-1]
+            iou_list[i] = fce_boundary_iou(A.tolist(), B.tolist())
+        remove_index = np.where(iou_list > threshold)
+        index = np.delete(index, remove_index)
+    return keep_poly
+
+
+def fce_fill_hole(input_mask: "np.ndarray") -> "np.ndarray":
+    """fce_postprocess.fill_hole (:26-37): border flood on a padded
+    canvas; zeros unreachable from the border are holes → filled.
+    cv2.floodFill from (0, 0) == the 4-connected zero component of the
+    padded canvas containing the border."""
+    import numpy as np
+
+    h, w = input_mask.shape
+    canvas = np.zeros((h + 2, w + 2), dtype=bool)
+    canvas[1:h + 1, 1:w + 1] = input_mask.astype(bool)
+    _, label = connected_components_4(~canvas)
+    outside = label == label[0, 0]
+    filled = canvas | outside
+    return ~filled[1:h + 1, 1:w + 1] | input_mask.astype(bool)
+
+
+def fourier2poly(fourier_coeff: "np.ndarray",
+                 num_reconstr_points: int = 50) -> "np.ndarray":
+    """fce_postprocess.fourier2poly (:39-61), verbatim numpy: place the
+    2k+1 coefficients into the ifft spectrum (DC+positives at the head,
+    negatives at the tail), ifft × N, int32-TRUNCATE, flatten to
+    (n, 2·N)."""
+    import numpy as np
+    from numpy.fft import ifft
+
+    a = np.zeros((len(fourier_coeff), num_reconstr_points),
+                 dtype="complex")
+    k = (len(fourier_coeff[0]) - 1) // 2
+    a[:, 0:k + 1] = fourier_coeff[:, k:]
+    a[:, -k:] = fourier_coeff[:, :k]
+    poly_complex = ifft(a) * num_reconstr_points
+    polygon = np.zeros((len(fourier_coeff), num_reconstr_points, 2))
+    polygon[:, :, 0] = poly_complex.real
+    polygon[:, :, 1] = poly_complex.imag
+    return polygon.astype("int32").reshape((len(fourier_coeff), -1))
+
+
+def fce_boundaries(cls_pred: "np.ndarray", reg_pred: "np.ndarray",
+                   ratio: float, fourier_degree: int = 5,
+                   num_reconstr_points: int = 50, scale: int = 4,
+                   alpha: float = 1.0, beta: float = 1.0,
+                   score_thr: float = 0.3, nms_thr: float = 0.1):
+    """FCEPostProcess single-scale path: fcenet_decode
+    (fce_postprocess.py:156-239, box_type='poly') + get_boundary's
+    final poly_nms + resize_boundary (:103-140).
+
+    cls_pred is (4, H, W) — tr_pred = [0:2], tcl_pred = [2:4]; reg_pred
+    is (4k+2, H, W) CHW (transposed to HWC internally like __call__).
+    score = tr[1]^alpha · tcl[1]^beta; mask > score_thr; fill_hole;
+    per-CONTOUR decode: every masked pixel contributes Fourier
+    coefficients with its own position added to the DC term, × scale,
+    ifft-reconstructed, int32-truncated; per-contour poly_nms, then a
+    global poly_nms, then resize by (1/ratio_w, 1/ratio_h) tiled and a
+    float32 cast.
+
+    DEVIATION per SURVEY §1.1: cv2.findContours(RETR_TREE) +
+    drawContours(filled) is replaced by 4-connected components of the
+    hole-filled mask — identical pixel sets for the simply-connected
+    blobs the synthesis emits (fill_hole has already closed holes).
+
+    Returns (boxes float32 (n, N, 2), scores list).
+    """
+    import numpy as np
+
+    tr_pred = cls_pred[0:2]
+    tcl_pred = cls_pred[2:]
+    reg = reg_pred.transpose(1, 2, 0)
+    x_pred = reg[:, :, :2 * fourier_degree + 1]
+    y_pred = reg[:, :, 2 * fourier_degree + 1:]
+    score_pred = (tr_pred[1] ** alpha) * (tcl_pred[1] ** beta)
+    tr_pred_mask = score_pred > score_thr
+    tr_mask = fce_fill_hole(tr_pred_mask)
+
+    label_num, label = connected_components_4(tr_mask)
+    boundaries: list = []
+    for comp in range(1, label_num):
+        deal_map = (label == comp).astype(np.int8)
+        score_map = score_pred * deal_map
+        score_mask = score_map > 0
+        xy_text = np.argwhere(score_mask)
+        dxy = xy_text[:, 1] + xy_text[:, 0] * 1j
+        x, y = x_pred[score_mask], y_pred[score_mask]
+        c = x + y * 1j
+        c[:, fourier_degree] = c[:, fourier_degree] + dxy
+        c *= scale
+        polygons = fourier2poly(c, num_reconstr_points)
+        score = score_map[score_mask].reshape(-1, 1)
+        polygons = fce_poly_nms(
+            np.hstack((polygons, score)).tolist(), nms_thr)
+        boundaries = boundaries + polygons
+
+    # THREE NMS levels, as the reference wires them: per contour
+    # (above), per scale (fcenet_decode's closing pass, :232), and the
+    # cross-scale pass in get_boundary (:134) — with tied scores each
+    # stable pass REVERSES the kept order, so the pass count is
+    # observable and must match.
+    boundaries = fce_poly_nms(boundaries, nms_thr)
+    boundaries = fce_poly_nms(boundaries, nms_thr)
+
+    # resize_boundary with scale_factor = (1/ratio_w, 1/ratio_h)
+    sf = np.array([1.0 / ratio, 1.0 / ratio], dtype=np.float64)
+    boxes, scores = [], []
+    for b in boundaries:
+        sz = len(b)
+        scores.append(b[-1])
+        b = (np.array(b[:sz - 1])
+             * (np.tile(sf, int((sz - 1) / 2)).reshape(1, sz - 1))
+             ).flatten().tolist()
+        boxes.append(np.array(b).reshape([-1, 2]))
+    return np.array(boxes, dtype=np.float32), scores
+
+
 def _sast_quad_nms(dets: "np.ndarray", thres: float = 0.2) -> "np.ndarray":
     """locality_aware_nms.nms_locality over (N, 9) quad dets
     (:183-205): sequential scan in input order, score-weighted

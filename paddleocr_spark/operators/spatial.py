@@ -348,6 +348,88 @@ def ct_detect(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(run, schema=PSE_SCHEMA)
 
 
+#: FCE demo geometry: GRID² cls/reg maps at downsample scale 4
+#: (fce_postprocess scale), rescaled by ratio 0.5 (so 1/ratio = 2 is
+#: float-exact) to source pixels.
+FCE_GRID = 40
+FCE_RATIO = 0.5
+FCE_DEGREE = 5
+
+
+def fce_doc_maps(d: int):
+    """Deterministic FCE model output for doc d: cls (4, H, W) with
+    tr = [0:2] / tcl = [2:4], reg (4k+2, H, W) Fourier coefficients.
+
+    1-3 blobs on a disjoint grid. Per blob: a 5×5 text-region rect with
+    per-pixel tcl scores 0.60..0.79 (tr 0.8 → final scores 0.48..0.63 >
+    thr 0.3, score ties possible — exercising poly_nms's stable-sort
+    tie pick); every in-blob pixel carries coefficients whose DC term
+    compensates the pixel's own position, so the whole blob reconstructs
+    ONE identical int32 ellipse (DC = blob center, first harmonics
+    a±1 real → axis radii r1±r2) and per-contour NMS keeps exactly one
+    candidate. Every 5th doc punches a 1-px hole in blob 0: fill_hole
+    restores the component, but the hole pixel's score stays 0 — the
+    score_mask-vs-component distinction stays live. Blob centers are
+    ≥16 map px apart with radii ≤5, so cross-blob polygon bboxes are
+    disjoint (the convex-clip IoU deviation never meets a partial
+    overlap).
+    """
+    import numpy as np
+
+    h = w = FCE_GRID
+    k = FCE_DEGREE
+    cls = np.zeros((4, h, w), dtype=np.float32)
+    cls[1] = 0.1                      # background tr below threshold
+    reg = np.zeros((4 * k + 2, h, w), dtype=np.float32)
+    for b in range(1 + d % 3):
+        cxm = 10 + 20 * (b % 2) + (d % 5) - 2
+        cym = 10 + 20 * (b // 2) + ((d // 2) % 5) - 2
+        r1 = 2 + (d + b) % 3
+        r2 = (d + b * 7) % 2
+        yy, xx = np.mgrid[cym - 2:cym + 3, cxm - 2:cxm + 3]
+        tr = np.full(xx.shape, 0.8, dtype=np.float32)
+        if d % 5 == 0 and b == 0:
+            tr[2, 2] = 0.0            # the hole fill_hole re-covers
+        cls[1, cym - 2:cym + 3, cxm - 2:cxm + 3] = tr
+        cls[3, cym - 2:cym + 3, cxm - 2:cxm + 3] = (
+            0.6 + ((xx * 3 + yy * 7 + d) % 20) / 100.0)
+        # x coeffs = reg[:2k+1], y coeffs = reg[2k+1:]; DC at index k
+        reg[k, cym - 2:cym + 3, cxm - 2:cxm + 3] = cxm - xx
+        reg[3 * k + 1, cym - 2:cym + 3, cxm - 2:cxm + 3] = cym - yy
+        reg[k + 1, cym - 2:cym + 3, cxm - 2:cxm + 3] = r1
+        reg[k - 1, cym - 2:cym + 3, cxm - 2:cxm + 3] = r2
+    return cls, reg
+
+
+FCE_SCHEMA = ("doc_id long, poly_idx long, pt_idx long, "
+              "x double, y double, score double")
+
+
+def fce_detect(docs: DataFrame) -> DataFrame:
+    """D3 fourth family: FCEPostProcess distributed — per-doc map
+    synthesis + kernels.fce_boundaries (score fusion, hole fill,
+    component contours, per-pixel Fourier reconstruction, two-level
+    poly NMS, ratio rescale) in Arrow batches. Input (doc_id bigint);
+    one row per reconstructed polygon point, in keep order.
+    """
+    from ..kernels import fce_boundaries
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                cls, reg = fce_doc_maps(int(d))
+                boxes, scores = fce_boundaries(cls, reg, FCE_RATIO)
+                for pi, (poly, s) in enumerate(zip(boxes, scores)):
+                    for qi, (x, y) in enumerate(poly):
+                        rows.append((int(d), pi, qi, float(x), float(y),
+                                     float(s)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "poly_idx", "pt_idx", "x", "y", "score"])
+
+    return docs.select("doc_id").mapInPandas(run, schema=FCE_SCHEMA)
+
+
 #: SAST demo geometry: GRID² TCL/TVO/TBO/TCO maps at the reference's 4×
 #: stride (out_strid, sast_postprocess.py:219), rescaled by ratio 0.5 to
 #: SRC² source pixels.

@@ -686,3 +686,113 @@ def test_sast_postprocess_matches_executed_reference():
                 sys.modules.pop(m, None)
             else:
                 sys.modules[m] = v
+
+
+def test_fce_postprocess_matches_executed_reference():
+    """Executes the reference's ENTIRE FCEPostProcess
+    (fce_postprocess.py:64-239) plus its REAL poly_nms module
+    (ppocr/utils/poly_nms.py). Substitutions: paddle stub; cv2
+    floodFill/findContours/drawContours backed by our 4-CC labeling
+    (identical pixel sets for the simply-connected hole-filled blobs
+    the synthesis emits); shapely's Polygon swapped for a shim over our
+    Sutherland-Hodgman clipper with buffer() as identity — the same
+    deviations fce_boundaries documents, so score fusion, hole fill,
+    per-pixel Fourier reconstruction, ifft placement, int32 truncation,
+    the two-level NMS walk and the resize all run as reference code."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from paddleocr_spark.kernels import (_convex_clip, _poly_area,
+                                         connected_components_4,
+                                         fce_boundaries)
+    from paddleocr_spark.operators.spatial import FCE_RATIO, fce_doc_maps
+
+    class _Poly:
+        def __init__(self, pts):
+            self.pts = np.asarray(pts, dtype=np.float64)
+
+        is_valid = True
+
+        def buffer(self, _b):
+            return self
+
+        @property
+        def area(self):
+            return _poly_area(self.pts) if len(self.pts) >= 3 else 0.0
+
+        def __and__(self, other):
+            a, b = self.pts, other.pts
+            if (a[:, 0].max() <= b[:, 0].min()
+                    or b[:, 0].max() <= a[:, 0].min()
+                    or a[:, 1].max() <= b[:, 1].min()
+                    or b[:, 1].max() <= a[:, 1].min()):
+                return _Poly(np.zeros((0, 2)))
+            return _Poly(_convex_clip(a, b))
+
+        def intersection(self, other):
+            return self & other
+
+    # exec the REAL poly_nms module with the Polygon shim
+    pn_src = open("/root/reference/ppocr/utils/poly_nms.py").read()
+    pn_ns: dict = {"Polygon": _Poly}
+    exec(pn_src[pn_src.index("import numpy"):].replace(
+        "from shapely.geometry import Polygon", ""), pn_ns)
+
+    class _FakeTensor:
+        pass
+
+    cv2_stub = types.ModuleType("cv2")
+    cv2_stub.RETR_TREE = 0
+    cv2_stub.CHAIN_APPROX_SIMPLE = 0
+
+    def _flood_fill(canvas, _mask, seed, val):
+        assert seed == (0, 0)
+        _, label = connected_components_4(canvas == 0)
+        canvas[label == label[0, 0]] = val
+
+    def _find_contours(m, *_a):
+        n, label = connected_components_4(m.astype(bool))
+        return [label == i for i in range(1, n)], None
+
+    def _draw_contours(img, conts, idx, color, thickness):
+        assert idx == -1 and thickness == -1
+        for mask in conts:
+            img[mask] = color
+
+    cv2_stub.floodFill = _flood_fill
+    cv2_stub.findContours = _find_contours
+    cv2_stub.drawContours = _draw_contours
+    paddle_stub = types.ModuleType("paddle")
+    paddle_stub.Tensor = _FakeTensor
+    saved = {m: sys.modules.get(m) for m in ("paddle", "cv2")}
+    sys.modules["paddle"] = paddle_stub
+    sys.modules["cv2"] = cv2_stub
+    try:
+        src = open("/root/reference/ppocr/postprocess/"
+                   "fce_postprocess.py").read()
+        src = src[src.index("import cv2"):].replace(
+            "from ppocr.utils.poly_nms import poly_nms, valid_boundary",
+            "")
+        ns = {"poly_nms": pn_ns["poly_nms"],
+              "valid_boundary": pn_ns["valid_boundary"]}
+        exec(src, ns)
+        post = ns["FCEPostProcess"](scales=[4], fourier_degree=5)
+        for d in range(40):
+            cls, reg = fce_doc_maps(d)
+            preds = {"lvl": np.concatenate([cls, reg])[None]}
+            shape_list = np.array([[320.0, 320.0, FCE_RATIO, FCE_RATIO]])
+            out = post(preds, shape_list)[0]
+            got_boxes, got_scores = fce_boundaries(cls, reg, FCE_RATIO)
+            assert len(got_boxes) == len(out["points"]), d
+            assert got_scores == out["scores"], d
+            for g, wpoly in zip(got_boxes, out["points"]):
+                assert np.array_equal(g, np.asarray(wpoly,
+                                                    dtype=np.float32)), d
+    finally:
+        for m, v in saved.items():
+            if v is None:
+                sys.modules.pop(m, None)
+            else:
+                sys.modules[m] = v

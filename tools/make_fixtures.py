@@ -268,6 +268,28 @@ def fx_pse_detect(con, sf_dir: str) -> pd.DataFrame:
          "y1": "int64", "x2": "int64", "y2": "int64"})
 
 
+def fx_fce_detect(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_fce_detect single-node: doc ids from DuckDB,
+    maps + Fourier reconstruction/NMS via the shared kernels."""
+    from paddleocr_spark.kernels import fce_boundaries
+    from paddleocr_spark.operators.spatial import FCE_RATIO, fce_doc_maps
+    ids = con.sql(f"""
+        SELECT doc_id FROM read_parquet(
+            '{os.path.join(sf_dir, "documents.parquet")}')
+        WHERE doc_id < 120 ORDER BY doc_id
+    """).df()["doc_id"]
+    rows = []
+    for d in ids:
+        cls, reg = fce_doc_maps(int(d))
+        boxes, scores = fce_boundaries(cls, reg, FCE_RATIO)
+        for pi, (poly, s) in enumerate(zip(boxes, scores)):
+            for qi, (x, y) in enumerate(poly):
+                rows.append((int(d), pi, qi, float(x), float(y), float(s)))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "poly_idx", "pt_idx", "x", "y", "score"]).astype(
+        {"doc_id": "int64", "poly_idx": "int64", "pt_idx": "int64"})
+
+
 def fx_sast_detect(con, sf_dir: str) -> pd.DataFrame:
     """entry_queries.q_sast_detect single-node: doc ids from DuckDB,
     maps + quad restore/NMS/clustering via the shared kernels."""
@@ -480,6 +502,7 @@ FIXTURES = {
     "teds_metric": fx_teds,
     "east_nms": fx_east_nms,
     "pse_detect": fx_pse_detect,
+    "fce_detect": fx_fce_detect,
     "sast_detect": fx_sast_detect,
     "ct_detect": fx_ct_detect,
     "db_detect": fx_db_detect,
