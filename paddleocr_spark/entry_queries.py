@@ -939,6 +939,19 @@ def q_pse_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pse_detect(docs)
 
 
+def q_drrg_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 fifth family: DRRGPostprocess (drrg_postprocess.py:259-326)
+    over deterministic per-doc GCN-head graphs (first 200 docs);
+    committed-fixture oracle (graph clustering + greedy path are
+    iterative). Output order is the deterministic smallest-member
+    cluster order (the reference's own set-pop order is random —
+    kernels.drrg_boundaries docstring)."""
+    from .operators.spatial import drrg_detect
+    docs = _docs(spark, sf_dir).select("doc_id").filter(
+        F.col("doc_id") < 200)
+    return drrg_detect(docs)
+
+
 def q_fce_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3 fourth family: FCEPostProcess (fce_postprocess.py:64-239,
     box_type='poly') over deterministic per-doc cls/reg Fourier maps
@@ -1401,6 +1414,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ct_detect": q_ct_detect,                      # fixture oracle
         "sast_detect": q_sast_detect,                  # fixture oracle
         "fce_detect": q_fce_detect,                    # fixture oracle
+        "drrg_detect": q_drrg_detect,                  # fixture oracle
         "nms_per_class": q_nms,                        # fixture oracle
         "char_prf_metric": q_char_prf,                 # fixture oracle
         "det_eval_greedy": q_det_eval,                 # fixture oracle
@@ -1659,6 +1673,11 @@ FROM synth_final GROUP BY doc_id, kind"""
         "CAST(box_idx AS BIGINT) AS box_idx, "
         "CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1, "
         "CAST(x2 AS BIGINT) AS x2, CAST(y2 AS BIGINT) AS y2, score")
+    sqls["drrg_detect"] = _fixture_sql(
+        "drrg_detect",
+        "CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(boundary_idx AS BIGINT) AS boundary_idx, "
+        "CAST(pt_idx AS BIGINT) AS pt_idx, x, y, score")
     sqls["fce_detect"] = _fixture_sql(
         "fce_detect",
         "CAST(doc_id AS BIGINT) AS doc_id, "

@@ -717,6 +717,226 @@ def pse_boxes(score: np.ndarray, kernels: np.ndarray, shape,
 
 
 # ---------------------------------------------------------------------------
+# DRRG — D3 fifth family (postprocess only; the GCN that produces the
+# edge/score/component tensors is model-side inference, out of scope)
+# ---------------------------------------------------------------------------
+
+def _point_in_contour(cont: "np.ndarray", point) -> bool:
+    """cv2.pointPolygonTest(cont, p, False) > 0.5 — i.e. STRICTLY
+    inside: on-edge returns 0 in cv2 and must count as outside. On-edge
+    is detected exactly first (integer contours, half-integer test
+    points), then even-odd ray casting."""
+    x, y = float(point[0]), float(point[1])
+    n = len(cont)
+    inside = False
+    for i in range(n):
+        x1, y1 = float(cont[i][0]), float(cont[i][1])
+        x2, y2 = float(cont[(i + 1) % n][0]), float(cont[(i + 1) % n][1])
+        cross = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+        if (cross == 0 and min(x1, x2) <= x <= max(x1, x2)
+                and min(y1, y2) <= y <= max(y1, y2)):
+            return False                       # on edge: test == 0
+        if (y1 > y) != (y2 > y):
+            xin = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+            if xin > x:
+                inside = not inside
+    return inside
+
+
+def _min_connect_path(points: list) -> list:
+    """drrg_postprocess.min_connect_path (:143-183), verbatim: greedy
+    two-ended nearest-neighbor chain growth. QUIRKS preserved: the
+    candidate dicts are keyed by DISTANCE (equal lengths — later point
+    overwrites earlier), ``points.index`` resolves duplicated centers
+    to their FIRST occurrence, and the final node order is the
+    first-seen flattening of the edge list."""
+    import functools
+    import operator
+
+    points_queue = points.copy()
+    shortest_path: list = []
+    current_edge = [[], []]
+    edge_dict0: dict = {}
+    edge_dict1: dict = {}
+    current_edge[0] = points_queue[0]
+    current_edge[1] = points_queue[0]
+    points_queue.remove(points_queue[0])
+
+    def norm2(p, q):
+        return ((p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2) ** 0.5
+
+    while points_queue:
+        for point in points_queue:
+            edge_dict0[norm2(point, current_edge[0])] = [point,
+                                                         current_edge[0]]
+            edge_dict1[norm2(current_edge[1], point)] = [current_edge[1],
+                                                         point]
+        key0 = min(edge_dict0.keys())
+        key1 = min(edge_dict1.keys())
+        if key0 <= key1:
+            start, end = edge_dict0[key0]
+            shortest_path.insert(0, [points.index(start),
+                                     points.index(end)])
+            points_queue.remove(start)
+            current_edge[0] = start
+        else:
+            start, end = edge_dict1[key1]
+            shortest_path.append([points.index(start), points.index(end)])
+            points_queue.remove(end)
+            current_edge[1] = end
+        edge_dict0 = {}
+        edge_dict1 = {}
+    shortest_path = functools.reduce(operator.concat, shortest_path)
+    return sorted(set(shortest_path), key=shortest_path.index)
+
+
+def drrg_boundaries(edges: "np.ndarray", scores: "np.ndarray",
+                    text_comps: "np.ndarray", ratio: float,
+                    link_thr: float = 0.8, edge_len_thr: float = 50.0):
+    """DRRGPostprocess.__call__, ppocr/postprocess/
+    drrg_postprocess.py:259-304, over the GCN head's (edges, scores,
+    text_comps) outputs.
+
+    Faithful sequence: graph_propagation (:46-78 — edge column sort,
+    the >50px center-distance score ZEROING, and the duplicate-edge
+    0.5·(old+new) running-average quirk), link-thresholded BFS
+    clustering (:81-104), clusters2labels + remove_single (:107-136 —
+    singleton clusters dropped AFTER labeling, leaving label gaps that
+    comps2boundaries skips), comps2boundaries (:220-256: per cluster a
+    greedy min_connect_path over int32 centers, top/bot midlines,
+    fix_corner's strictly-inside pointPolygonTest checks (:185-217),
+    and the DEAD single-comp branch whose ``[2:4:-1]`` slice is empty —
+    transcribed as written), then resize_boundary (:305-326, float64).
+
+    DEVIATION per SURVEY §1.1: the reference pops clusters from a SET
+    of id-hashed Node objects, so its cluster (and output) ORDER is
+    genuinely nondeterministic run-to-run; cluster membership, every
+    boundary's points and its score are order-independent. Here
+    clusters enumerate deterministically by smallest member index; the
+    exec-ref differential compares order-insensitively.
+
+    Returns (boxes list of (k, 2) float64 arrays, scores list).
+    """
+    import numpy as np
+
+    if edges is None or len(edges) == 0:
+        return [], []
+    edges = np.sort(np.asarray(edges), axis=1)
+    scores = np.asarray(scores, dtype=np.float64).copy()
+    score_dict: dict = {}
+    for i, edge in enumerate(edges):
+        box1 = text_comps[edge[0], :8].reshape(4, 2)
+        box2 = text_comps[edge[1], :8].reshape(4, 2)
+        distance = float(np.linalg.norm(
+            np.mean(box1, axis=0) - np.mean(box2, axis=0)))
+        if distance > edge_len_thr:
+            scores[i] = 0
+        key = (edge[0], edge[1])
+        if key in score_dict:
+            score_dict[key] = 0.5 * (score_dict[key] + scores[i])
+        else:
+            score_dict[key] = scores[i]
+
+    nodes = np.sort(np.unique(edges.flatten()))
+    adj: dict = {int(n): set() for n in nodes}
+    for a, b in edges:
+        adj[int(a)].add(int(b))
+        adj[int(b)].add(int(a))
+
+    # BFS clustering, deterministic by ascending node index
+    visited: set = set()
+    clusters = []
+    for start in nodes:
+        start = int(start)
+        if start in visited:
+            continue
+        cluster = {start}
+        queue = [start]
+        while queue:
+            node = queue.pop(0)
+            neigh = {nb for nb in adj[node]
+                     if score_dict[tuple(sorted([node, nb]))] >= link_thr}
+            neigh -= cluster
+            cluster |= neigh
+            queue.extend(sorted(neigh))
+        visited |= cluster
+        clusters.append(sorted(cluster))
+
+    node_labels = np.zeros(text_comps.shape[0])
+    for cluster_ind, cluster in enumerate(clusters):
+        for n in cluster:
+            node_labels[n] = cluster_ind
+
+    # remove_single
+    single = np.zeros_like(node_labels)
+    for label in np.unique(node_labels):
+        flag = node_labels == label
+        if np.sum(flag) == 1:
+            single[np.where(flag)[0][0]] = 1
+    keep = [i for i in range(len(node_labels)) if not single[i]]
+    text_comps = text_comps[keep, :]
+    node_labels = node_labels[keep]
+
+    # comps2boundaries
+    boundaries = []
+    if len(text_comps) >= 1:
+        for cluster_ind in range(0, int(np.max(node_labels)) + 1):
+            inds = np.where(node_labels == cluster_ind)
+            boxes4 = text_comps[inds, :8].reshape((-1, 4, 2)).astype(
+                np.int32)
+            score = np.mean(text_comps[inds, -1])
+            if boxes4.shape[0] < 1:
+                continue
+            elif boxes4.shape[0] > 1:
+                centers = np.mean(boxes4, axis=1).astype(np.int32).tolist()
+                path = _min_connect_path(centers)
+                boxes4 = boxes4[path]
+                top_line = np.mean(boxes4[:, 0:2, :],
+                                   axis=1).astype(np.int32).tolist()
+                bot_line = np.mean(boxes4[:, 2:4, :],
+                                   axis=1).astype(np.int32).tolist()
+                # fix_corner
+                contour = np.array(top_line + bot_line[::-1])
+                sb, eb = boxes4[0], boxes4[-1]
+                s_left = (sb[0] + sb[3]) / 2
+                s_right = (sb[1] + sb[2]) / 2
+                e_left = (eb[0] + eb[3]) / 2
+                e_right = (eb[1] + eb[2]) / 2
+                if not _point_in_contour(contour, s_left):
+                    top_line.insert(0, sb[0].tolist())
+                    bot_line.insert(0, sb[3].tolist())
+                elif not _point_in_contour(contour, s_right):
+                    top_line.insert(0, sb[1].tolist())
+                    bot_line.insert(0, sb[2].tolist())
+                if not _point_in_contour(contour, e_left):
+                    top_line.append(eb[0].tolist())
+                    bot_line.append(eb[3].tolist())
+                elif not _point_in_contour(contour, e_right):
+                    top_line.append(eb[1].tolist())
+                    bot_line.append(eb[2].tolist())
+                boundary_points = top_line + bot_line[::-1]
+            else:
+                top_line = boxes4[0, 0:2, :].astype(np.int32).tolist()
+                bot_line = boxes4[0, 2:4:-1, :].astype(np.int32).tolist()
+                boundary_points = top_line + bot_line   # dead branch, as-is
+            boundaries.append(
+                [p for coord in boundary_points for p in coord]
+                + [float(score)])
+
+    # resize_boundary, scale_factor = (1/ratio_w, 1/ratio_h)
+    sf = np.array([1.0 / ratio, 1.0 / ratio], dtype=np.float64)
+    boxes, out_scores = [], []
+    for b in boundaries:
+        sz = len(b)
+        out_scores.append(b[-1])
+        b = (np.array(b[:sz - 1])
+             * (np.tile(sf, int((sz - 1) / 2)).reshape(1, sz - 1))
+             ).flatten().tolist()
+        boxes.append(np.array(b).reshape([-1, 2]))
+    return boxes, out_scores
+
+
+# ---------------------------------------------------------------------------
 # FCE (Fourier Contour Embedding) — D3 fourth family
 # ---------------------------------------------------------------------------
 

@@ -348,6 +348,90 @@ def ct_detect(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(run, schema=PSE_SCHEMA)
 
 
+#: DRRG demo geometry: the GCN head's (edges, scores, text_comps)
+#: outputs, rescaled by ratio 0.5 at the end.
+DRRG_RATIO = 0.5
+
+
+def drrg_doc_graph(d: int):
+    """Deterministic DRRG head output for doc d: (edges (E,2) int,
+    scores (E,) float, text_comps (N,9) float).
+
+    1-2 chains of 3-5 axis-aligned comps each. Coverage knobs: every
+    (d+c)%4==0 chain stretches one hop past the 50-px edge_len_thr
+    (score zeroed → chain splits); every (d+j)%5==0 edge scores 0.5
+    (< link_thr 0.8 → split, possibly leaving singleton halves that
+    remove_single drops); the first edge of each chain is DUPLICATED in
+    reversed node order (the 0.5·(old+new) running-average quirk — the
+    duplicate carries a DIFFERENT score so the average is observable).
+    Every comp appears in at least one edge: components absent from the
+    edge list inherit label 0 and would merge into whichever cluster is
+    enumerated first — an order-dependence this synthesis must not
+    trip, since the reference's own cluster order is set-pop random
+    (kernels.drrg_boundaries docstring).
+    """
+    import numpy as np
+
+    comps = []
+    edges = []
+    escores = []
+    cid = 0
+    for c in range(1 + d % 2):
+        m = 3 + (d + c) % 3
+        x = 5.0
+        first = cid
+        for j in range(m):
+            y0 = 5.0 + c * 120
+            comps.append([x, y0, x + 20, y0, x + 20, y0 + 10, x, y0 + 10,
+                          0.6 + ((d + 7 * j + 13 * c) % 30) / 100.0])
+            step = 60.0 if ((d + c) % 4 == 0 and j == 1) else 30.0
+            x += step
+            if j > 0:
+                s = (0.5 if (d + j) % 5 == 0
+                     else 0.85 + ((d + j) % 10) / 100.0)
+                edges.append([cid - 1, cid])
+                escores.append(s)
+            cid += 1
+        # duplicate first edge reversed, different score -> average quirk
+        if cid - first >= 2:
+            edges.append([first + 1, first])
+            escores.append(0.9 + (d % 10) / 100.0)
+    return (np.array(edges, dtype=np.int64),
+            np.array(escores, dtype=np.float64),
+            np.array(comps, dtype=np.float64))
+
+
+DRRG_SCHEMA = ("doc_id long, boundary_idx long, pt_idx long, "
+               "x double, y double, score double")
+
+
+def drrg_detect(docs: DataFrame) -> DataFrame:
+    """D3 fifth family: DRRGPostprocess distributed — per-doc graph
+    synthesis + kernels.drrg_boundaries (edge-score propagation,
+    link-thresholded clustering, singleton removal, greedy
+    min-connect-path boundary assembly, ratio rescale) in Arrow
+    batches. Input (doc_id bigint); one row per boundary point, in
+    deterministic smallest-member cluster order.
+    """
+    from ..kernels import drrg_boundaries
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                edges, scores, comps = drrg_doc_graph(int(d))
+                boxes, bscores = drrg_boundaries(edges, scores, comps,
+                                                 DRRG_RATIO)
+                for pi, (poly, s) in enumerate(zip(boxes, bscores)):
+                    for qi, (x, y) in enumerate(poly):
+                        rows.append((int(d), pi, qi, float(x), float(y),
+                                     float(s)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "boundary_idx", "pt_idx", "x", "y", "score"])
+
+    return docs.select("doc_id").mapInPandas(run, schema=DRRG_SCHEMA)
+
+
 #: FCE demo geometry: GRID² cls/reg maps at downsample scale 4
 #: (fce_postprocess scale), rescaled by ratio 0.5 (so 1/ratio = 2 is
 #: float-exact) to source pixels.

@@ -796,3 +796,66 @@ def test_fce_postprocess_matches_executed_reference():
                 sys.modules.pop(m, None)
             else:
                 sys.modules[m] = v
+
+
+def test_drrg_postprocess_matches_executed_reference():
+    """Executes the reference's ENTIRE DRRGPostprocess module
+    (drrg_postprocess.py:29-326) with paddle stubbed and
+    cv2.pointPolygonTest backed by our exact on-edge/ray-cast test.
+    The reference pops clusters from a set of id-hashed Node objects,
+    so its OUTPUT ORDER is genuinely nondeterministic — boundaries are
+    compared as multisets (every boundary's points and score must
+    match exactly; only order may differ)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from paddleocr_spark.kernels import _point_in_contour, drrg_boundaries
+    from paddleocr_spark.operators.spatial import (DRRG_RATIO,
+                                                   drrg_doc_graph)
+
+    class _FakeTensor:
+        pass
+
+    cv2_stub = types.ModuleType("cv2")
+
+    def _ppt(cont, point, measure_dist):
+        assert measure_dist is False
+        return 1.0 if _point_in_contour(cont, point) else -1.0
+
+    cv2_stub.pointPolygonTest = _ppt
+    paddle_stub = types.ModuleType("paddle")
+    paddle_stub.Tensor = _FakeTensor
+    saved = {m: sys.modules.get(m) for m in ("paddle", "cv2")}
+    sys.modules["paddle"] = paddle_stub
+    sys.modules["cv2"] = cv2_stub
+    try:
+        src = open("/root/reference/ppocr/postprocess/"
+                   "drrg_postprocess.py").read()
+        ns: dict = {}
+        exec(src[src.index("import functools"):], ns)
+        post = ns["DRRGPostprocess"](link_thr=0.8)
+        for d in range(60):
+            edges, scores, comps = drrg_doc_graph(d)
+            shape_list = np.array([[320.0, 320.0, DRRG_RATIO,
+                                    DRRG_RATIO]])
+            out = post((edges, scores.copy(), comps), shape_list)[0]
+            got_boxes, got_scores = drrg_boundaries(
+                edges, scores, comps, DRRG_RATIO)
+            assert len(got_boxes) == len(out["points"]), d
+
+            def canon(boxes, bscores):
+                return sorted(
+                    (tuple(map(tuple, np.asarray(b, dtype=np.float64))),
+                     float(s))
+                    for b, s in zip(boxes, bscores))
+
+            assert canon(got_boxes, got_scores) == canon(
+                out["points"], out["scores"]), d
+    finally:
+        for m, v in saved.items():
+            if v is None:
+                sys.modules.pop(m, None)
+            else:
+                sys.modules[m] = v

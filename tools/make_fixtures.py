@@ -268,6 +268,29 @@ def fx_pse_detect(con, sf_dir: str) -> pd.DataFrame:
          "y1": "int64", "x2": "int64", "y2": "int64"})
 
 
+def fx_drrg_detect(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_drrg_detect single-node: doc ids from DuckDB,
+    graphs + clustering/boundary assembly via the shared kernels."""
+    from paddleocr_spark.kernels import drrg_boundaries
+    from paddleocr_spark.operators.spatial import (DRRG_RATIO,
+                                                   drrg_doc_graph)
+    ids = con.sql(f"""
+        SELECT doc_id FROM read_parquet(
+            '{os.path.join(sf_dir, "documents.parquet")}')
+        WHERE doc_id < 200 ORDER BY doc_id
+    """).df()["doc_id"]
+    rows = []
+    for d in ids:
+        edges, scores, comps = drrg_doc_graph(int(d))
+        boxes, bscores = drrg_boundaries(edges, scores, comps, DRRG_RATIO)
+        for pi, (poly, s) in enumerate(zip(boxes, bscores)):
+            for qi, (x, y) in enumerate(poly):
+                rows.append((int(d), pi, qi, float(x), float(y), float(s)))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "boundary_idx", "pt_idx", "x", "y", "score"]).astype(
+        {"doc_id": "int64", "boundary_idx": "int64", "pt_idx": "int64"})
+
+
 def fx_fce_detect(con, sf_dir: str) -> pd.DataFrame:
     """entry_queries.q_fce_detect single-node: doc ids from DuckDB,
     maps + Fourier reconstruction/NMS via the shared kernels."""
@@ -502,6 +525,7 @@ FIXTURES = {
     "teds_metric": fx_teds,
     "east_nms": fx_east_nms,
     "pse_detect": fx_pse_detect,
+    "drrg_detect": fx_drrg_detect,
     "fce_detect": fx_fce_detect,
     "sast_detect": fx_sast_detect,
     "ct_detect": fx_ct_detect,
