@@ -19,6 +19,19 @@ from __future__ import annotations
 
 import numpy as np
 
+
+def _norm2(v):
+    """Euclidean norm of a 2-vector via scalar ops, preserving dtype.
+
+    np.linalg.norm on a 1-D array is sqrt(BLAS dot) — its last bit
+    varies across OpenBLAS builds/CPU kernels (FMA vs mul+add), which was
+    observed to shift committed-fixture values between sandbox
+    containers. Scalar IEEE-754 ops are bit-identical everywhere, and
+    keeping the input dtype (float32 boxes stay float32) preserves the
+    reference's truncation behavior at exact-integer edge lengths."""
+    dx, dy = v[0], v[1]
+    return np.sqrt(dx * dx + dy * dy)
+
 # ---------------------------------------------------------------------------
 # Style-token stripping (P11)
 # ---------------------------------------------------------------------------
@@ -827,8 +840,7 @@ def drrg_boundaries(edges: "np.ndarray", scores: "np.ndarray",
     for i, edge in enumerate(edges):
         box1 = text_comps[edge[0], :8].reshape(4, 2)
         box2 = text_comps[edge[1], :8].reshape(4, 2)
-        distance = float(np.linalg.norm(
-            np.mean(box1, axis=0) - np.mean(box2, axis=0)))
+        distance = _norm2(np.mean(box1, axis=0) - np.mean(box2, axis=0))
         if distance > edge_len_thr:
             scores[i] = 0
         key = (edge[0], edge[1])
@@ -944,9 +956,11 @@ def _poly_area(pts: "np.ndarray") -> float:
     """|shoelace|/2 — shapely Polygon.area for a simple polygon."""
     import numpy as np
 
+    # elementwise + np.sum, not np.dot: 1-D np.dot is BLAS ddot whose
+    # rounding varies across builds (cross-container fixture drift)
     x, y = pts[:, 0], pts[:, 1]
-    return float(abs(np.dot(x, np.roll(y, -1))
-                     - np.dot(y, np.roll(x, -1))) / 2.0)
+    cross = x * np.roll(y, -1) - y * np.roll(x, -1)
+    return float(abs(np.sum(cross)) / 2.0)
 
 
 def _convex_clip(subject: "np.ndarray", clip: "np.ndarray") -> "np.ndarray":
@@ -956,8 +970,8 @@ def _convex_clip(subject: "np.ndarray", clip: "np.ndarray") -> "np.ndarray":
     import numpy as np
 
     cp = clip
-    if (np.dot(cp[:, 0], np.roll(cp[:, 1], -1))
-            - np.dot(cp[:, 1], np.roll(cp[:, 0], -1))) < 0:
+    if np.sum(cp[:, 0] * np.roll(cp[:, 1], -1)
+              - cp[:, 1] * np.roll(cp[:, 0], -1)) < 0:
         cp = cp[::-1]
     out = [tuple(p) for p in subject]
     n = len(cp)
@@ -1287,8 +1301,8 @@ def sast_polys(tcl_map: "np.ndarray", tvo_map: "np.ndarray",
         q_area = quad_areas[instance_idx - 1]
         if q_area < 5:
             continue
-        len1 = float(np.linalg.norm(quad[0] - quad[1]))
-        len2 = float(np.linalg.norm(quad[1] - quad[2]))
+        len1 = _norm2(quad[0] - quad[1])
+        len2 = _norm2(quad[1] - quad[2])
         if min(len1, len2) < 3:
             continue
         if xy_text.shape[0] <= 0:
@@ -1303,7 +1317,7 @@ def sast_polys(tcl_map: "np.ndarray", tvo_map: "np.ndarray",
             [[(quad[1, 0] + quad[2, 0]) / 2.0,
               (quad[1, 1] + quad[2, 1]) / 2.0]])
         proj_unit_vec = (right_center_pt - left_center_pt) / (
-            np.linalg.norm(right_center_pt - left_center_pt) + 1e-6)
+            _norm2((right_center_pt - left_center_pt)[0]) + 1e-6)
         proj_value = np.sum(xy_text * proj_unit_vec, axis=1)
         xy_text = xy_text[np.argsort(proj_value)]
 
@@ -1339,8 +1353,8 @@ def sast_polys(tcl_map: "np.ndarray", tvo_map: "np.ndarray",
         left_quad = np.array(
             [poly[0], poly[1], poly[-2], poly[-1]], dtype=np.float32)
         left_ratio = (-shrink_ratio_of_width
-                      * np.linalg.norm(left_quad[0] - left_quad[3])
-                      / (np.linalg.norm(left_quad[0] - left_quad[1])
+                      * _norm2(left_quad[0] - left_quad[3])
+                      / (_norm2(left_quad[0] - left_quad[1])
                          + 1e-6))
 
         def shrink_quad(quad4, b, e):
@@ -1354,8 +1368,8 @@ def sast_polys(tcl_map: "np.ndarray", tvo_map: "np.ndarray",
             [poly[pn // 2 - 2], poly[pn // 2 - 1],
              poly[pn // 2], poly[pn // 2 + 1]], dtype=np.float32)
         right_ratio = (1.0 + shrink_ratio_of_width
-                       * np.linalg.norm(right_quad[0] - right_quad[3])
-                       / (np.linalg.norm(right_quad[0] - right_quad[1])
+                       * _norm2(right_quad[0] - right_quad[3])
+                       / (_norm2(right_quad[0] - right_quad[1])
                           + 1e-6))
         right_exp = shrink_quad(right_quad, 0.0, right_ratio)
         poly[0] = left_exp[0]
@@ -2052,8 +2066,8 @@ def filter_tag_det_res(dt_boxes, image_shape) -> "np.ndarray":
             box = np.array(box)
         box = order_points_clockwise(box)
         box = clip_det_res(box, img_height, img_width)
-        rect_width = int(np.linalg.norm(box[0] - box[1]))
-        rect_height = int(np.linalg.norm(box[0] - box[3]))
+        rect_width = int(_norm2(box[0] - box[1]))
+        rect_height = int(_norm2(box[0] - box[3]))
         if rect_width <= 3 or rect_height <= 3:
             continue
         out.append(box)

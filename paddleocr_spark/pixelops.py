@@ -178,6 +178,39 @@ def resize_op(img: np.ndarray, size=(640, 640)):
 # homography + warp (getPerspectiveTransform / warpPerspective analogs)
 # ---------------------------------------------------------------------------
 
+def _solve_pp(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Gaussian elimination with partial pivoting over Python floats.
+
+    np.linalg.solve dispatches to LAPACK dgesv, whose last-bit rounding
+    varies across BLAS builds/CPU kernels — a committed fixture generated
+    under one OpenBLAS was observed NOT to reproduce under another (101 of
+    1212 rotate_crop rows drifted, some by a whole crop dimension). Plain
+    IEEE-754 scalar arithmetic in a fixed order is bit-identical
+    everywhere, and an 8×8 solve is far too small for BLAS to matter."""
+    n = len(b)
+    m = [[float(a[i, j]) for j in range(n)] + [float(b[i])]
+         for i in range(n)]
+    for col in range(n):
+        piv = max(range(col, n), key=lambda r: abs(m[r][col]))
+        if m[piv][col] == 0.0:
+            raise np.linalg.LinAlgError("singular matrix")
+        m[col], m[piv] = m[piv], m[col]
+        prow = m[col]
+        for r in range(col + 1, n):
+            f = m[r][col] / prow[col]
+            if f != 0.0:
+                row = m[r]
+                for j in range(col, n + 1):
+                    row[j] -= f * prow[j]
+    x = [0.0] * n
+    for i in range(n - 1, -1, -1):
+        s = m[i][n]
+        for j in range(i + 1, n):
+            s -= m[i][j] * x[j]
+        x[i] = s / m[i][i]
+    return np.array(x, dtype=np.float64)
+
+
 def get_perspective_transform(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     """Solve the 3×3 homography H with H·src_i ∝ dst_i for 4 point pairs
     (the cv2.getPerspectiveTransform 8×8 system, h22 = 1)."""
@@ -191,7 +224,7 @@ def get_perspective_transform(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
         a[i] = [sx, sy, 1, 0, 0, 0, -sx * dx, -sy * dx]
         a[i + 4] = [0, 0, 0, sx, sy, 1, -sx * dy, -sy * dy]
         b[i], b[i + 4] = dx, dy
-    h = np.linalg.solve(a, b)
+    h = _solve_pp(a, b)
     return np.append(h, 1.0).reshape(3, 3)
 
 
@@ -218,13 +251,29 @@ def warp_perspective(img: np.ndarray, m: np.ndarray, out_w: int,
     clamp (replicate); Keys bicubic a = -0.75 in float64; half-up uint8
     saturation."""
     h, w = img.shape[:2]
-    minv = np.linalg.inv(np.asarray(m, dtype=np.float64))
+    # 3×3 inverse via the adjugate over Python floats, and the inverse map
+    # applied as elementwise linear combinations: LAPACK dgetri / BLAS
+    # dgemm round differently across builds (see _solve_pp), while
+    # per-element a·x + b·y + c has no accumulation order to vary.
+    mm = np.asarray(m, dtype=np.float64)
+    (a0, a1, a2), (b0, b1, b2), (c0, c1, c2) = (
+        [float(v) for v in row] for row in mm)
+    det = (a0 * (b1 * c2 - b2 * c1) - a1 * (b0 * c2 - b2 * c0)
+           + a2 * (b0 * c1 - b1 * c0))
+    if det == 0.0:
+        raise np.linalg.LinAlgError("singular matrix")
+    minv = [[(b1 * c2 - b2 * c1) / det, (a2 * c1 - a1 * c2) / det,
+             (a1 * b2 - a2 * b1) / det],
+            [(b2 * c0 - b0 * c2) / det, (a0 * c2 - a2 * c0) / det,
+             (a2 * b0 - a0 * b2) / det],
+            [(b0 * c1 - b1 * c0) / det, (a1 * c0 - a0 * c1) / det,
+             (a0 * b1 - a1 * b0) / det]]
     ys, xs = np.mgrid[0:out_h, 0:out_w]
-    ones = np.ones_like(xs, dtype=np.float64)
-    pts = np.stack([xs.astype(np.float64), ys.astype(np.float64), ones])
-    src = minv @ pts.reshape(3, -1)
-    sx = (src[0] / src[2]).reshape(out_h, out_w)
-    sy = (src[1] / src[2]).reshape(out_h, out_w)
+    xs = xs.astype(np.float64)
+    ys = ys.astype(np.float64)
+    den = minv[2][0] * xs + minv[2][1] * ys + minv[2][2]
+    sx = (minv[0][0] * xs + minv[0][1] * ys + minv[0][2]) / den
+    sy = (minv[1][0] * xs + minv[1][1] * ys + minv[1][2]) / den
     x0 = np.floor(sx).astype(np.int64)
     y0 = np.floor(sy).astype(np.int64)
     wx = _cubic_weights(sx - x0)
@@ -256,12 +305,20 @@ def get_rotate_crop_image(img: np.ndarray, points: np.ndarray) -> np.ndarray:
     when the crop is tall (h/w ≥ 1.5)."""
     points = np.asarray(points, dtype=np.float32)
     assert len(points) == 4, "shape of points must be 4*2"
-    img_crop_width = int(
-        max(np.linalg.norm(points[0] - points[1]),
-            np.linalg.norm(points[2] - points[3])))
-    img_crop_height = int(
-        max(np.linalg.norm(points[0] - points[3]),
-            np.linalg.norm(points[1] - points[2])))
+
+    def _edge(i: int, j: int) -> np.float32:
+        # the reference takes np.linalg.norm over float32 point diffs and
+        # int()-truncates — axis-aligned quads land EXACTLY on integers,
+        # so the float32 rounding decides the crop size. Replicate that
+        # dtype chain with scalar ops (bit-stable; np.linalg.norm on a
+        # 1-D array is a BLAS dot whose last bit varies across builds,
+        # which shifted committed fixtures between sandbox containers).
+        dx = points[i][0] - points[j][0]
+        dy = points[i][1] - points[j][1]
+        return np.sqrt(dx * dx + dy * dy)
+
+    img_crop_width = int(max(_edge(0, 1), _edge(2, 3)))
+    img_crop_height = int(max(_edge(0, 3), _edge(1, 2)))
     pts_std = np.float32([[0, 0], [img_crop_width, 0],
                           [img_crop_width, img_crop_height],
                           [0, img_crop_height]])
@@ -333,8 +390,10 @@ def min_area_box(points: np.ndarray) -> np.ndarray:
             continue
         u = e / norm
         v = np.array([-u[1], u[0]])
-        pu = hull @ u
-        pv = hull @ v
+        # elementwise projections, not hull @ u: BLAS dgemv rounding
+        # varies across builds and the area argmin below compares floats
+        pu = hull[:, 0] * u[0] + hull[:, 1] * u[1]
+        pv = hull[:, 0] * v[0] + hull[:, 1] * v[1]
         area = (pu.max() - pu.min()) * (pv.max() - pv.min())
         if best is None or area < best[0]:
             best = (area, u, v, pu.min(), pu.max(), pv.min(), pv.max())
