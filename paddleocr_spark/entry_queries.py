@@ -844,6 +844,74 @@ def q_srn_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srn_decode(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
+def q_rfl_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 seventh decoder family: RFLLabelDecode — Attn's walk over the
+    ['sos']+cs+['eos'] dict PLUS the counting branch: per-sample length
+    = Python round(sum(cnt)) with BANKER'S rounding on .5 ties
+    (rec_postprocess.py:601-607)."""
+    from .operators.recognize import rfl_decode
+    return rfl_decode(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_seed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 eighth decoder family: SEEDLabelDecode — live break-at-eos
+    with NO ignored-token skip at all: 'padding' and 'unknown' decode as
+    literal dictionary strings (rec_postprocess.py:660-684)."""
+    from .operators.recognize import seed_decode
+    return seed_decode(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_satrn_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 ninth decoder family: SATRNLabelDecode with rm_symbol=True —
+    SAR's walk plus the lowercase+strip pass whose regex class keeps
+    literal '^' characters (rec_postprocess.py:915-918)."""
+    from .operators.recognize import satrn_decode
+    return satrn_decode(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_pren_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 tenth decoder family: PRENLabelDecode — the only family that
+    PREPENDS all three specials (pad=0/eos=1/unk=2); eos breaks, pad/unk
+    skip, unknowns drop silently (rec_postprocess.py:996-1023)."""
+    from .operators.recognize import pren_decode
+    return pren_decode(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_abinet_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 eleventh decoder family: ABINetLabelDecode — NRTR's bare-
+    except walk over the 1-special dict ['</s>'] + cs: eos is id ZERO
+    (rec_postprocess.py:1128-1164)."""
+    from .operators.recognize import abinet_decode
+    return abinet_decode(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_spin_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 twelfth decoder family: SPINLabelDecode — Attn's decode over
+    the FRONT-loaded dict ['sos','eos'] + cs, so -1 wraps to the last
+    charset char instead of Attn's literal 'eos'
+    (rec_postprocess.py:1405-1418)."""
+    from .operators.recognize import spin_decode
+    return spin_decode(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_vl_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 thirteenth decoder family: VLLabelDecode eval path — fixed
+    nsteps with length = index of the first 0 INCLUSIVE (the eos step
+    counts), out-of-range ids decoding to '' while still occupying a
+    counted step (rec_postprocess.py:1458-1516)."""
+    from .operators.recognize import vl_decode
+    return vl_decode(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_can_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 fourteenth decoder family: CANLabelDecode — seq_end = argmin
+    (first occurrence of the SMALLEST id, not an eos search; live on
+    ordinary text containing the charset's first char) and SPACE-joined
+    latex symbols (rec_postprocess.py:1529-1541)."""
+    from .operators.recognize import can_decode
+    return can_decode(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def q_e2e_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 E2EMetric mode-A full report (eval_end2end.py:71-180 +
     combine: precision/recall/fmeasure on hits, character_acc and
@@ -1441,6 +1509,14 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nrtr_decode": q_nrtr_decode,
         "vitstr_decode": q_vitstr_decode,
         "srn_decode": q_srn_decode,
+        "rfl_decode": q_rfl_decode,
+        "seed_decode": q_seed_decode,
+        "satrn_decode": q_satrn_decode,
+        "pren_decode": q_pren_decode,
+        "abinet_decode": q_abinet_decode,
+        "spin_decode": q_spin_decode,
+        "vl_decode": q_vl_decode,
+        "can_decode": q_can_decode,
         "e2e_metric": q_e2e_metric,
         "preprocess_image": q_preprocess_image,
         "media_decode_real": q_media_decode_real,
@@ -2615,6 +2691,251 @@ SELECT doc_id,
                 ELSE substring('{cs2}', CAST(v + 1 AS INT), 1) END), '')
            AS srn_text
 FROM ids"""
+
+    # --- R4f RFLLabelDecode (Attn's walk over ['sos']+cs+['eos'] plus
+    #     the counting branch: length = BANKER'S round of sum(lens)) ---
+    rfl_end = n_cs + 1
+    rfl_enc = f"strpos('{cs2}', substring(t, CAST(i AS INT), 1))"
+    sqls["rfl_decode"] = f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+ids AS (
+    SELECT doc_id,
+           ((CASE WHEN doc_id % 5 = 0 THEN [{rfl_end}] ELSE [] END)
+            || list_transform(generate_series(1, length(t)), i -> {rfl_enc})
+            || (CASE WHEN doc_id % 3 = 0 THEN [0] ELSE [] END)
+            || [{rfl_end}]
+            || list_transform(generate_series(1, least(length(t), 2)),
+                 i -> {rfl_enc})
+            || (CASE WHEN doc_id % 7 = 0 THEN [-1] ELSE [] END)
+           ) AS ids,
+           coalesce(list_sum(list_transform(
+               generate_series(1, length(t)),
+               k -> ((doc_id + k) % 5) * 0.25)), 0.0) AS s
+    FROM base
+)
+SELECT doc_id,
+       array_to_string(list_transform(
+           list_filter(ids, v -> v != 0 AND v != {rfl_end}),
+           v -> CASE WHEN v = -1 THEN 'eos'
+                ELSE substring('{cs2}', CAST(v AS INT), 1) END), '')
+           AS rfl_text,
+       CAST((CASE WHEN s - floor(s) < 0.5 THEN floor(s)
+             WHEN s - floor(s) > 0.5 THEN floor(s) + 1
+             WHEN CAST(floor(s) AS BIGINT) % 2 = 0 THEN floor(s)
+             ELSE floor(s) + 1 END) AS BIGINT) AS rfl_cnt_len
+FROM ids"""
+
+    # --- R4g SEEDLabelDecode (live break at eos; NO ignored-token skip:
+    #     'padding'/'unknown' decode as literal dictionary strings) ---
+    sd_eos, sd_pad, sd_unk = n_cs, n_cs + 1, n_cs + 2
+    seed_enc = (f"CASE WHEN strpos('{cs2}', substring(t, CAST(i AS INT), "
+                f"1)) = 0 THEN {sd_unk} ELSE strpos('{cs2}', "
+                f"substring(t, CAST(i AS INT), 1)) - 1 END")
+    sqls["seed_decode"] = f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+ids AS (
+    SELECT doc_id,
+           (list_transform(generate_series(1, length(t)), i -> {seed_enc})
+            || (CASE WHEN doc_id % 3 = 0 THEN [{sd_pad}] ELSE [] END)
+            || (CASE WHEN doc_id % 7 = 0 THEN [-1] ELSE [] END)
+            || [{sd_eos}]
+            || list_transform(generate_series(1, least(length(t), 2)),
+                 i -> {seed_enc})
+           ) AS ids
+    FROM base
+),
+cuts AS (SELECT doc_id, ids, list_position(ids, {sd_eos}) AS p FROM ids)
+SELECT doc_id,
+       array_to_string(list_transform(
+           ids[1:(CASE WHEN p > 0 THEN p - 1 ELSE len(ids) END)],
+           v -> CASE WHEN v = {sd_pad} THEN 'padding'
+                WHEN v = {sd_unk} OR v = -1 THEN 'unknown'
+                ELSE substring('{cs2}', CAST(v + 1 AS INT), 1) END), '')
+           AS seed_text
+FROM cuts"""
+
+    # --- R4h SATRNLabelDecode rm_symbol=True (SAR's walk + lowercase +
+    #     strip with LITERAL in-class '^' quirk) ---
+    st_unk, st_end, st_pad = n_cs, n_cs + 1, n_cs + 2
+    satrn_enc = (f"CASE WHEN strpos('{cs2}', substring(t, CAST(i AS INT), "
+                 f"1)) = 0 THEN {st_unk} ELSE strpos('{cs2}', "
+                 f"substring(t, CAST(i AS INT), 1)) - 1 END")
+    sqls["satrn_decode"] = f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+ids AS (
+    SELECT doc_id,
+           ((CASE WHEN doc_id % 5 = 0 THEN [{st_end}] ELSE [] END)
+            || list_transform(generate_series(1, length(t)), i -> {satrn_enc})
+            || (CASE WHEN doc_id % 7 = 0 THEN [-1] ELSE [] END)
+            || [{st_end}]
+            || list_transform(generate_series(1, least(length(t), 2)),
+                 i -> {satrn_enc})
+           ) AS ids
+    FROM base
+),
+work AS (
+    SELECT doc_id,
+           CASE WHEN len(ids) > 0 AND ids[1] = {st_end}
+                THEN ids[2:] ELSE ids END AS ids
+    FROM ids
+),
+cuts AS (SELECT doc_id, ids, list_position(ids, {st_end}) AS p FROM work)
+SELECT doc_id,
+       regexp_replace(lower(array_to_string(list_transform(
+           list_filter(ids[1:(CASE WHEN p > 0 THEN p - 1
+                               ELSE len(ids) END)],
+                       v -> v != {st_pad}),
+           v -> CASE WHEN v = -1 THEN '<PAD>'
+                WHEN v = {st_unk} THEN '<UKN>'
+                ELSE substring('{cs2}', CAST(v + 1 AS INT), 1) END), '')),
+           '[^A-Z^a-z0-9一-龥]', '', 'g') AS satrn_text
+FROM cuts"""
+
+    # --- R4i PRENLabelDecode (all three specials PREPENDED:
+    #     pad=0/eos=1/unk=2; eos breaks, pad/unk skip) ---
+    pren_enc = (f"CASE WHEN strpos('{cs2}', substring(t, CAST(i AS INT), "
+                f"1)) = 0 THEN 2 ELSE strpos('{cs2}', "
+                f"substring(t, CAST(i AS INT), 1)) + 2 END")
+    sqls["pren_decode"] = f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+ids AS (
+    SELECT doc_id,
+           ((CASE WHEN doc_id % 3 = 0 THEN [0] ELSE [] END)
+            || list_transform(generate_series(1, length(t)), i -> {pren_enc})
+            || (CASE WHEN doc_id % 7 = 0 THEN [-1] ELSE [] END)
+            || [1]
+            || list_transform(generate_series(1, least(length(t), 2)),
+                 i -> {pren_enc})
+           ) AS ids
+    FROM base
+),
+cuts AS (SELECT doc_id, ids, list_position(ids, 1) AS p FROM ids)
+SELECT doc_id,
+       array_to_string(list_transform(
+           list_filter(ids[1:(CASE WHEN p > 0 THEN p - 1
+                              ELSE len(ids) END)],
+                       v -> v != 0 AND v != 2),
+           v -> CASE WHEN v = -1 THEN substring('{cs2}', {n_cs}, 1)
+                ELSE substring('{cs2}', CAST(v - 2 AS INT), 1) END), '')
+           AS pren_text
+FROM cuts"""
+
+    # --- R4j ABINetLabelDecode (NRTR's bare-except walk over the
+    #     1-special dict ['</s>'] + cs: eos is id ZERO) ---
+    ab_big = n_cs + 1
+    ab_enc = (f"CASE WHEN strpos('{cs2}', substring(t, CAST(i AS INT), "
+              f"1)) = 0 THEN {ab_big + 20} ELSE strpos('{cs2}', "
+              f"substring(t, CAST(i AS INT), 1)) END")
+    sqls["abinet_decode"] = f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+ids AS (
+    SELECT doc_id,
+           (list_transform(generate_series(1, length(t)), i -> {ab_enc})
+            || (CASE WHEN doc_id % 7 = 0 THEN [-1] ELSE [] END)
+            || [0]
+            || list_transform(generate_series(1, least(length(t), 2)),
+                 i -> {ab_enc})
+           ) AS ids
+    FROM base
+),
+kept AS (
+    SELECT doc_id,
+           list_filter(list_transform(ids,
+               v -> CASE WHEN v < 0 THEN v + {ab_big} ELSE v END),
+               v -> v >= 0 AND v < {ab_big}) AS ids
+    FROM ids
+),
+cuts AS (SELECT doc_id, ids, list_position(ids, 0) AS p FROM kept)
+SELECT doc_id,
+       array_to_string(list_transform(
+           ids[1:(CASE WHEN p > 0 THEN p - 1 ELSE len(ids) END)],
+           v -> substring('{cs2}', CAST(v AS INT), 1)), '') AS abinet_text
+FROM cuts"""
+
+    # --- R4k SPINLabelDecode (Attn's decode over the FRONT-loaded dict
+    #     ['sos','eos'] + cs; -1 wraps to the LAST charset char) ---
+    spin_enc = (f"CASE WHEN strpos('{cs2}', substring(t, CAST(i AS INT), "
+                f"1)) = 0 THEN 0 ELSE strpos('{cs2}', "
+                f"substring(t, CAST(i AS INT), 1)) + 1 END")
+    sqls["spin_decode"] = f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+ids AS (
+    SELECT doc_id,
+           ((CASE WHEN doc_id % 5 = 0 THEN [1] ELSE [] END)
+            || list_transform(generate_series(1, length(t)), i -> {spin_enc})
+            || (CASE WHEN doc_id % 3 = 0 THEN [0] ELSE [] END)
+            || [1]
+            || list_transform(generate_series(1, least(length(t), 2)),
+                 i -> {spin_enc})
+            || (CASE WHEN doc_id % 7 = 0 THEN [-1] ELSE [] END)
+           ) AS ids
+    FROM base
+)
+SELECT doc_id,
+       array_to_string(list_transform(
+           list_filter(ids, v -> v != 0 AND v != 1),
+           v -> CASE WHEN v = -1 THEN substring('{cs2}', {n_cs}, 1)
+                ELSE substring('{cs2}', CAST(v - 1 AS INT), 1) END), '')
+           AS spin_text
+FROM ids"""
+
+    # --- R4l VLLabelDecode eval path (fixed nsteps; length = first-0
+    #     index INCLUSIVE; out-of-range ids decode to '' but count) ---
+    vl_pad, vl_n = n_cs + 30, n_cs
+    vl_enc = (f"CASE WHEN strpos('{cs2}', substring(t, CAST(i AS INT), "
+              f"1)) = 0 THEN {vl_pad} ELSE strpos('{cs2}', "
+              f"substring(t, CAST(i AS INT), 1)) END")
+    sqls["vl_decode"] = f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+ids AS (
+    SELECT doc_id,
+           list_slice(
+               list_transform(generate_series(1, length(t)), i -> {vl_enc})
+               || [0]
+               || list_transform(generate_series(1, least(length(t), 2)),
+                    i -> {vl_enc})
+               || list_transform(generate_series(1, 25), i -> {vl_pad}),
+               1, 25) AS ids
+    FROM base
+),
+cuts AS (
+    SELECT doc_id, ids,
+           (CASE WHEN list_position(ids, 0) > 0
+                 THEN list_position(ids, 0) ELSE 25 END) AS ln
+    FROM ids
+)
+SELECT doc_id,
+       array_to_string(list_transform(ids[1:ln],
+           v -> CASE WHEN v >= 1 AND v <= {vl_n}
+                THEN substring('{cs2}', CAST(v AS INT), 1)
+                ELSE '' END), '') AS vl_text,
+       CAST(ln AS BIGINT) AS vl_len
+FROM cuts"""
+
+    # --- R4m CANLabelDecode (seq_end = argmin, not an eos search;
+    #     SPACE-joined latex symbols) ---
+    can_enc = (f"CASE WHEN strpos('{cs2}', substring(t, CAST(i AS INT), "
+               f"1)) = 0 THEN {n_cs - 1} ELSE strpos('{cs2}', "
+               f"substring(t, CAST(i AS INT), 1)) - 1 END")
+    sqls["can_decode"] = f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+ids AS (
+    SELECT doc_id,
+           (list_transform(generate_series(1, length(t)), i -> {can_enc})
+            || [0]
+            || list_transform(generate_series(1, least(length(t), 2)),
+                 i -> {can_enc})
+           ) AS ids
+    FROM base
+),
+cuts AS (SELECT doc_id, ids,
+                list_position(ids, list_min(ids)) AS p FROM ids)
+SELECT doc_id,
+       coalesce(array_to_string(list_transform(ids[1:(p - 1)],
+           v -> substring('{cs2}', CAST(v + 1 AS INT), 1)), ' '), '')
+           AS can_text
+FROM cuts"""
+
     # --- A8 E2EMetric mode-A full report ---
     sqls["e2e_metric"] = """
 WITH base0 AS (

@@ -2019,6 +2019,208 @@ def srn_label_decode(ids, charset) -> str:
     return "".join(out)
 
 
+def rfl_label_decode(ids, charset) -> str:
+    """RFLLabelDecode.decode, rec_postprocess.py:556-583, dict layout
+    ['sos'] + charset + ['eos'] (add_special_char :549-554).
+
+    The seq walk is Attn's exactly (same [sos]+cs+['eos'] layout, same
+    ignored_tokens = [beg, end], same DEAD ``break`` at eos — the
+    ignored-membership ``continue`` fires first, so text after a
+    mid-stream eos still decodes; id -1 is NOT in ignored_tokens and
+    wraps Python-style to the literal 'eos'; out-of-range RAISES). What
+    makes RFL a distinct family is its COUNTING branch: ``__call__``
+    with a plain cnt head returns length = round(np.sum(lens)) per
+    sample (see rfl_cnt_length) instead of any decoded text."""
+    n = len(charset)
+    character = ["sos"] + list(charset) + ["eos"]
+    out = []
+    for v in ids:
+        v = int(v)
+        if v in (0, n + 1):           # ignored anywhere; break is dead
+            continue
+        out.append(character[v])      # IndexError propagates; -1 wraps
+    return "".join(out)
+
+
+def rfl_cnt_length(lens) -> int:
+    """RFLLabelDecode.__call__ counting branch (rec_postprocess.py
+    :601-607): per-sample predicted length = round(np.sum(lens)) —
+    Python 3 ``round``, i.e. BANKER'S rounding (x.5 → nearest even), not
+    the half-away-from-zero a SQL ``ROUND`` does."""
+    return int(round(float(sum(float(x) for x in lens))))
+
+
+def seed_label_decode(ids, charset) -> str:
+    """SEEDLabelDecode.decode, rec_postprocess.py:660-684, dict layout
+    charset + ['eos', 'padding', 'unknown'] (add_special_char :638-645).
+
+    Signature: eos BREAKS anywhere (live, exact-int compare) but there
+    is NO ignored-token skip at all — 'padding' (n+1) and 'unknown'
+    (n+2) are real decodable entries contributing their LITERAL strings
+    (seven/seven characters) to the text. id -1 is not eos, so it wraps
+    Python-style to the literal 'unknown'; out-of-range RAISES."""
+    n = len(charset)
+    character = list(charset) + ["eos", "padding", "unknown"]
+    out = []
+    for v in ids:
+        v = int(v)
+        if v == n:                    # eos: live break, any position
+            break
+        out.append(character[v])      # IndexError propagates; -1 wraps
+    return "".join(out)
+
+
+def satrn_label_decode(ids, charset, rm_symbol: bool = False) -> str:
+    """SATRNLabelDecode.decode, rec_postprocess.py:889-923, dict layout
+    charset + ['<UKN>', '<BOS/EOS>', '<PAD>'] (add_special_char
+    :876-887; start_idx == end_idx — one shared '<BOS/EOS>').
+
+    The walk is SAR's exactly (ignored = [pad] only; break at eos except
+    a position-0 eos with no probs, which is skipped; '<UKN>' decodes
+    literally; -1 wraps to the literal '<PAD>' since only the exact int
+    n+2 is ignored). What distinguishes the family is ``rm_symbol``
+    (:915-918): lowercase, then strip ``[^A-Z^a-z^0-9^\\u4e00-\\u9fa5]``
+    — inside a character class the later '^'s are LITERALS, so actual
+    caret characters SURVIVE the stripping (and '<UKN>' reduces to
+    'ukn')."""
+    import re
+
+    n = len(charset)
+    character = list(charset) + ["<UKN>", "<BOS/EOS>", "<PAD>"]
+    end_idx, padding_idx = n + 1, n + 2
+    out = []
+    for idx, v in enumerate(ids):
+        v = int(v)
+        if v == padding_idx:          # ignored_tokens = [padding_idx]
+            continue
+        if v == end_idx:
+            if idx == 0:              # text_prob is None and idx == 0
+                continue
+            break
+        out.append(character[v])      # IndexError propagates; -1 wraps
+    text = "".join(out)
+    if rm_symbol:
+        comp = re.compile("[^A-Z^a-z^0-9^一-龥]")
+        text = comp.sub("", text.lower())
+    return text
+
+
+def pren_label_decode(ids, charset) -> str:
+    """PRENLabelDecode.decode, rec_postprocess.py:996-1023, dict layout
+    ['<PAD>', '<EOS>', '<UNK>'] + charset — the ONLY family that
+    PREPENDS all three specials (pad=0, eos=1, unk=2; a charset char
+    sits at index+3).
+
+    eos (exact int 1) breaks anywhere; pad/unk skip anywhere; id -1 is
+    neither, so it wraps Python-style to the LAST charset char;
+    out-of-range RAISES. (The reference's empty-text branch pins
+    confidence 1 — text itself is '' either way.)"""
+    character = ["<PAD>", "<EOS>", "<UNK>"] + list(charset)
+    out = []
+    for v in ids:
+        v = int(v)
+        if v == 1:                    # eos: live break
+            break
+        if v in (0, 2):               # pad / unk skipped
+            continue
+        out.append(character[v])      # IndexError propagates; -1 wraps
+    return "".join(out)
+
+
+def abinet_label_decode(ids, charset) -> str:
+    """ABINetLabelDecode: NRTR's inherited walk (rec_postprocess.py
+    :1077-1099 — bare-except skip of out-of-range ids, Python-style
+    negative wrap, break on the '</s>' STRING) over the 1-special dict
+    ['</s>'] + charset (add_special_char :1160-1164, use_unkown=False).
+
+    Signature: eos is id ZERO (every other family puts it elsewhere),
+    there is no blank/'<unk>'/'<s>' at all, and a charset char sits at
+    index+1. id -1 wraps to the LAST charset char (not a special)."""
+    character = ["</s>"] + list(charset)
+    out = []
+    for v in ids:
+        v = int(v)
+        try:
+            ch = character[v]
+        except IndexError:
+            continue
+        if ch == "</s>":
+            break
+        out.append(ch)
+    return "".join(out)
+
+
+def spin_label_decode(ids, charset) -> str:
+    """SPINLabelDecode: Attn's inherited decode (rec_postprocess.py
+    :476-503 — ignored = [beg, end] skipped anywhere, the break at eos
+    DEAD because the ignored check continues first) over the dict
+    ['sos'] + ['eos'] + charset (add_special_char :1413-1418) — both
+    specials at the FRONT, so beg=0, end=1 and a charset char sits at
+    index+2.
+
+    id -1 is not in ignored_tokens and wraps Python-style to the LAST
+    charset char (Attn's trailing-'eos' layout would give the literal
+    'eos' instead); out-of-range RAISES."""
+    character = ["sos", "eos"] + list(charset)
+    out = []
+    for v in ids:
+        v = int(v)
+        if v in (0, 1):               # ignored anywhere; break is dead
+            continue
+        out.append(character[v])      # IndexError propagates; -1 wraps
+    return "".join(out)
+
+
+def vl_eval_decode(ids, charset, nsteps: int = 25):
+    """VLLabelDecode.__call__ eval path, rec_postprocess.py:1458-1516,
+    collapsed to one sample's per-step top-1 ids.
+
+    The reference walks nsteps time-steps: out_length = the step index
+    of the FIRST top-1 == 0 (+1, so the eos step is INCLUDED), or nsteps
+    if none; the text then joins character[id - 1] over steps
+    0..length-1 — ids outside [1, len(charset)] contribute '' via the
+    ``if idx > 0 and idx <= len(self.character)`` guard (:1503-1507), so
+    the counted eos step itself decodes to nothing but still inflates
+    the length. Returns (text, length)."""
+    ids = [int(v) for v in ids[:nsteps]]
+    length = nsteps
+    for i, v in enumerate(ids):
+        if v == 0:
+            length = i + 1
+            break
+    n = len(charset)
+    out = [charset[v - 1] if 0 < v <= n else "" for v in ids[:length]]
+    return "".join(out), length
+
+
+def vl_label_decode(ids, charset) -> str:
+    """VLLabelDecode.decode (label path), rec_postprocess.py:1430-1456:
+    BaseRecLabelDecode-style vectorized selection — ids equal to any
+    ignored token ([0]) are masked out ANYWHERE (no break), survivors
+    decode via character[id - 1] (the family's off-by-one: id 1 is the
+    first charset char). Negative ids survive the mask and wrap
+    Python-style (-1 → character[-2], i.e. the second-to-last char);
+    out-of-range RAISES."""
+    character = list(charset)
+    return "".join(character[int(v) - 1] for v in ids if int(v) != 0)
+
+
+def can_label_decode(ids, charset) -> str:
+    """CANLabelDecode.decode, rec_postprocess.py:1529-1541: seq_end =
+    ``argmin`` of the id sequence — the position of the FIRST occurrence
+    of the SMALLEST id, NOT a search for eos==0. If 0 never appears the
+    cut lands on the first occurrence of whatever id is smallest (a real
+    symbol!). Symbols before the cut join with SPACES (latex token
+    stream). Empty input → '' (argmin of an empty array would raise in
+    numpy; the reference never feeds one — we pin '' as the
+    deterministic answer, documented deviation)."""
+    ids = [int(v) for v in ids]
+    if not ids:
+        return ""
+    seq_end = min(range(len(ids)), key=lambda i: ids[i])
+    return " ".join(charset[v] for v in ids[:seq_end])
+
+
 def order_points_clockwise(pts) -> "np.ndarray":
     """TextDetector.order_points_clockwise, tools/infer/predict_det.py
     :192-201: rect[0]/rect[2] = min/max coordinate-sum corners; the other

@@ -346,3 +346,322 @@ def srn_decode(docs: DataFrame) -> DataFrame:
                f"ELSE substring('{cs}', CAST(v + 1 AS INT), 1) END))")
     return (docs.withColumn("_ids", F.expr(ids))
             .select("doc_id", F.expr(decoded).alias("srn_text")))
+
+
+def rfl_decode(docs: DataFrame) -> DataFrame:
+    """R4 seventh decoder family: RFLLabelDecode demo
+    (kernels.rfl_label_decode / rfl_cnt_length twins, pure JVM).
+
+    Seq branch: Attn's exact walk over the same ['sos'] + CHARSET +
+    ['eos'] layout (both specials ignored anywhere, the break at eos
+    DEAD, id -1 wrapping to the literal 'eos'). The family's signature
+    is the COUNTING branch (rec_postprocess.py:601-607): a cnt head's
+    per-step floats sum to a predicted length via Python round() —
+    BANKER'S rounding, which this demo exercises with exact 0.25-step
+    sums (x.5 ties go to the even neighbor; a SQL half-away ROUND would
+    drift on every odd-floor tie).
+
+    Deterministic "model output": every 5th doc prepends eos (skipped,
+    dead break); body = encode(text) with out-of-dict chars → sos
+    (skipped); every 3rd doc inserts a mid-stream sos; then eos +
+    encode(first 2 chars) — which DOES decode; every 7th doc appends
+    id -1 → the literal 'eos' joins the text. cnt lens: step k of
+    length(text) contributes ((doc_id + k) % 5) * 0.25.
+    Output: (doc_id, rfl_text, rfl_cnt_len).
+    """
+    cs = CHARSET.replace("\\", "\\\\").replace("'", "\\'")
+    n = len(CHARSET)
+    end = n + 1
+    enc = (lambda src: f"transform(filter(split({src}, ''), c -> c != ''), "
+           f"c -> CASE WHEN instr('{cs}', c) = 0 THEN 0 "
+           f"ELSE instr('{cs}', c) END)")
+    body = enc("coalesce(text, '')")
+    head2 = enc("substring(coalesce(text, ''), 1, 2)")
+    ids = (f"concat(CASE WHEN doc_id % 5 = 0 THEN array({end}) "
+           f"ELSE array() END, {body}, "
+           f"CASE WHEN doc_id % 3 = 0 THEN array(0) ELSE array() END, "
+           f"array({end}), {head2}, "
+           f"CASE WHEN doc_id % 7 = 0 THEN array(-1) ELSE array() END)")
+    decoded = (f"concat_ws('', transform(filter(_ids, "
+               f"v -> v != 0 AND v != {end}), "
+               f"v -> CASE WHEN v = -1 THEN 'eos' "
+               f"ELSE substring('{cs}', CAST(v AS INT), 1) END))")
+    # banker's round of an exact multiple of 0.25 — spelled out as CASE
+    # so Spark and DuckDB share one rounding definition (kernel twin:
+    # rfl_cnt_length)
+    # sequence(1, 0) would yield [1, 0] (Spark steps DOWN when start >
+    # stop) — filter a 0-anchored ascending sequence instead so zero-
+    # length text sums to exactly 0.0 like DuckDB's empty generate_series
+    s = ("aggregate(filter(sequence(0, length(coalesce(text, ''))), "
+         "k -> k > 0), CAST(0.0 AS DOUBLE), "
+         "(acc, k) -> acc + ((doc_id + k) % 5) * 0.25D)")
+    cnt = (f"CAST((CASE WHEN {s} - floor({s}) < 0.5 THEN floor({s}) "
+           f"WHEN {s} - floor({s}) > 0.5 THEN floor({s}) + 1 "
+           f"WHEN CAST(floor({s}) AS BIGINT) % 2 = 0 THEN floor({s}) "
+           f"ELSE floor({s}) + 1 END) AS BIGINT)")
+    return (docs.withColumn("_ids", F.expr(ids))
+            .select("doc_id", F.expr(decoded).alias("rfl_text"),
+                    F.expr(cnt).alias("rfl_cnt_len")))
+
+
+def seed_decode(docs: DataFrame) -> DataFrame:
+    """R4 eighth decoder family: SEEDLabelDecode demo
+    (kernels.seed_label_decode twin, pure JVM).
+
+    Dict layout CHARSET + ['eos', 'padding', 'unknown'] → a charset
+    char's id is instr-1, eos = n. Signature: eos BREAKS anywhere (live)
+    but there is NO ignored-token skip — 'padding' (n+1) and 'unknown'
+    (n+2) decode as LITERAL dictionary strings, and id -1 wraps
+    Python-style to the literal 'unknown'.
+
+    Deterministic "model output": body = encode(text) with out-of-dict
+    chars → unknown id (the literal 'unknown' joins the text!); every
+    3rd doc inserts a mid-stream padding id ('padding' joins); every 7th
+    doc appends -1 ('unknown' joins); then eos + encode(first 2 chars),
+    which must NOT decode (live break). Output: (doc_id, seed_text).
+    """
+    cs = CHARSET.replace("\\", "\\\\").replace("'", "\\'")
+    n = len(CHARSET)
+    eos, pad, unk = n, n + 1, n + 2
+    enc = (lambda src: f"transform(filter(split({src}, ''), c -> c != ''), "
+           f"c -> CASE WHEN instr('{cs}', c) = 0 THEN {unk} "
+           f"ELSE instr('{cs}', c) - 1 END)")
+    body = enc("coalesce(text, '')")
+    head2 = enc("substring(coalesce(text, ''), 1, 2)")
+    ids = (f"concat({body}, "
+           f"CASE WHEN doc_id % 3 = 0 THEN array({pad}) ELSE array() END, "
+           f"CASE WHEN doc_id % 7 = 0 THEN array(-1) ELSE array() END, "
+           f"array({eos}), {head2})")
+    p = f"array_position(_ids, {eos})"
+    cut = f"(CASE WHEN {p} > 0 THEN {p} - 1 ELSE size(_ids) END)"
+    decoded = (f"concat_ws('', transform(slice(_ids, 1, CAST({cut} AS "
+               f"INT)), v -> CASE WHEN v = {pad} THEN 'padding' "
+               f"WHEN v = {unk} OR v = -1 THEN 'unknown' "
+               f"ELSE substring('{cs}', CAST(v + 1 AS INT), 1) END))")
+    return (docs.withColumn("_ids", F.expr(ids))
+            .select("doc_id", F.expr(decoded).alias("seed_text")))
+
+
+def satrn_decode(docs: DataFrame) -> DataFrame:
+    """R4 ninth decoder family: SATRNLabelDecode demo with
+    rm_symbol=True (kernels.satrn_label_decode twin, pure JVM).
+
+    The walk is SAR's (same dict layout CHARSET + ['<UKN>', '<BOS/EOS>',
+    '<PAD>'], pad-only ignored set, position-0 eos skipped, any other
+    eos breaks, -1 wraps to the literal '<PAD>'); the family signature
+    is rm_symbol (rec_postprocess.py:915-918): lowercase then strip
+    [^A-Z^a-z^0-9^\\u4e00-\\u9fa5] — the later '^'s are LITERAL inside
+    the class, so caret characters SURVIVE, and the wrapped '<PAD>'
+    reduces to 'pad'.
+
+    Deterministic "model output": every 5th doc prepends eos (skipped
+    only because it is at position 0); body = encode(text) with
+    out-of-dict chars → '<UKN>' (reduces to 'ukn'); every 7th doc
+    appends -1; then eos + encode(first 2 chars), which must NOT decode.
+    Output: (doc_id, satrn_text).
+    """
+    cs = CHARSET.replace("\\", "\\\\").replace("'", "\\'")
+    n = len(CHARSET)
+    unk, end = n, n + 1
+    enc = (lambda src: f"transform(filter(split({src}, ''), c -> c != ''), "
+           f"c -> CASE WHEN instr('{cs}', c) = 0 THEN {unk} "
+           f"ELSE instr('{cs}', c) - 1 END)")
+    body = enc("coalesce(text, '')")
+    head2 = enc("substring(coalesce(text, ''), 1, 2)")
+    ids = (f"concat(CASE WHEN doc_id % 5 = 0 THEN array({end}) "
+           f"ELSE array() END, {body}, "
+           f"CASE WHEN doc_id % 7 = 0 THEN array(-1) ELSE array() END, "
+           f"array({end}), {head2})")
+    # the idx==0 continue applies to the RAW stream; drop a leading eos
+    # first, then break before the first remaining eos
+    work = (f"(CASE WHEN size(_ids) > 0 AND element_at(_ids, 1) = {end} "
+            f"THEN slice(_ids, 2, size(_ids) - 1) ELSE _ids END)")
+    p = f"array_position({work}, {end})"
+    cut = f"(CASE WHEN {p} > 0 THEN {p} - 1 ELSE size({work}) END)"
+    raw = (f"concat_ws('', transform(filter(slice({work}, 1, CAST({cut} "
+           f"AS INT)), v -> v != {n + 2}), "
+           f"v -> CASE WHEN v = -1 THEN '<PAD>' "
+           f"WHEN v = {unk} THEN '<UKN>' "
+           f"ELSE substring('{cs}', CAST(v + 1 AS INT), 1) END))")
+    # pattern passed as a Python string (not through SQL-literal escape
+    # parsing); '^' is literal inside the class per the reference quirk
+    cleaned = F.regexp_replace(F.lower(F.expr(raw)),
+                               "[^A-Z^a-z0-9一-龥]", "")
+    return (docs.withColumn("_ids", F.expr(ids))
+            .select("doc_id", cleaned.alias("satrn_text")))
+
+
+def pren_decode(docs: DataFrame) -> DataFrame:
+    """R4 tenth decoder family: PRENLabelDecode demo
+    (kernels.pren_label_decode twin, pure JVM).
+
+    The only family that PREPENDS all three specials: dict ['<PAD>',
+    '<EOS>', '<UNK>'] + CHARSET → pad=0, eos=1, unk=2 and a charset
+    char's id is instr+2. eos breaks anywhere; pad/unk skip anywhere;
+    id -1 wraps Python-style to the LAST charset char.
+
+    Deterministic "model output": every 3rd doc prepends pad (skipped);
+    body = encode(text) with out-of-dict chars → unk (skipped, PREN
+    drops unknowns silently); every 7th doc appends -1 (the last charset
+    char — a space — joins); then eos + encode(first 2 chars), which
+    must NOT decode. Output: (doc_id, pren_text).
+    """
+    cs = CHARSET.replace("\\", "\\\\").replace("'", "\\'")
+    n = len(CHARSET)
+    enc = (lambda src: f"transform(filter(split({src}, ''), c -> c != ''), "
+           f"c -> CASE WHEN instr('{cs}', c) = 0 THEN 2 "
+           f"ELSE instr('{cs}', c) + 2 END)")
+    body = enc("coalesce(text, '')")
+    head2 = enc("substring(coalesce(text, ''), 1, 2)")
+    ids = (f"concat(CASE WHEN doc_id % 3 = 0 THEN array(0) "
+           f"ELSE array() END, {body}, "
+           f"CASE WHEN doc_id % 7 = 0 THEN array(-1) ELSE array() END, "
+           f"array(1), {head2})")
+    p = "array_position(_ids, 1)"
+    cut = f"(CASE WHEN {p} > 0 THEN {p} - 1 ELSE size(_ids) END)"
+    decoded = (f"concat_ws('', transform(filter(slice(_ids, 1, CAST({cut} "
+               f"AS INT)), v -> v != 0 AND v != 2), "
+               f"v -> CASE WHEN v = -1 THEN substring('{cs}', {n}, 1) "
+               f"ELSE substring('{cs}', CAST(v - 2 AS INT), 1) END))")
+    return (docs.withColumn("_ids", F.expr(ids))
+            .select("doc_id", F.expr(decoded).alias("pren_text")))
+
+
+def abinet_decode(docs: DataFrame) -> DataFrame:
+    """R4 eleventh decoder family: ABINetLabelDecode demo
+    (kernels.abinet_label_decode twin, pure JVM).
+
+    NRTR's inherited walk (bare-except skip of out-of-range ids,
+    Python-style negative wrap, live break on '</s>') over the 1-special
+    dict ['</s>'] + CHARSET — eos is id ZERO (unique among the
+    families) and a charset char's id is instr.
+
+    Deterministic "model output": body = encode(text) with out-of-dict
+    chars mapped out-of-range (bare-except skip); every 7th doc appends
+    -1 (wraps to the LAST charset char); then eos + encode(first 2
+    chars), which must NOT decode (live break at id 0).
+    Output: (doc_id, abinet_text).
+    """
+    cs = CHARSET.replace("\\", "\\\\").replace("'", "\\'")
+    n = len(CHARSET)
+    big = n + 1                        # dict size
+    enc = (lambda src: f"transform(filter(split({src}, ''), c -> c != ''), "
+           f"c -> CASE WHEN instr('{cs}', c) = 0 THEN {big + 20} "
+           f"ELSE instr('{cs}', c) END)")
+    body = enc("coalesce(text, '')")
+    head2 = enc("substring(coalesce(text, ''), 1, 2)")
+    ids = (f"concat({body}, "
+           f"CASE WHEN doc_id % 7 = 0 THEN array(-1) ELSE array() END, "
+           f"array(0), {head2})")
+    kept = (f"filter(transform(_ids, v -> CASE WHEN v < 0 THEN v + {big} "
+            f"ELSE v END), v -> v >= 0 AND v < {big})")
+    p = f"array_position({kept}, 0)"
+    cut = f"(CASE WHEN {p} > 0 THEN {p} - 1 ELSE size({kept}) END)"
+    decoded = (f"concat_ws('', transform(slice({kept}, 1, CAST({cut} AS "
+               f"INT)), v -> substring('{cs}', CAST(v AS INT), 1)))")
+    return (docs.withColumn("_ids", F.expr(ids))
+            .select("doc_id", F.expr(decoded).alias("abinet_text")))
+
+
+def spin_decode(docs: DataFrame) -> DataFrame:
+    """R4 twelfth decoder family: SPINLabelDecode demo
+    (kernels.spin_label_decode twin, pure JVM).
+
+    Attn's inherited decode over the FRONT-loaded dict ['sos'] + ['eos']
+    + CHARSET (beg=0, end=1, a charset char's id is instr+1): both
+    specials skipped anywhere, the break at eos DEAD, and -1 wrapping to
+    the LAST charset char (Attn's layout would give the literal 'eos').
+
+    Deterministic "model output": every 5th doc prepends eos (skipped,
+    dead break); body = encode(text) with out-of-dict chars → sos
+    (skipped); every 3rd doc inserts a mid-stream sos; then eos +
+    encode(first 2 chars) — which DOES decode; every 7th doc appends -1
+    (the last charset char joins). Output: (doc_id, spin_text).
+    """
+    cs = CHARSET.replace("\\", "\\\\").replace("'", "\\'")
+    n = len(CHARSET)
+    enc = (lambda src: f"transform(filter(split({src}, ''), c -> c != ''), "
+           f"c -> CASE WHEN instr('{cs}', c) = 0 THEN 0 "
+           f"ELSE instr('{cs}', c) + 1 END)")
+    body = enc("coalesce(text, '')")
+    head2 = enc("substring(coalesce(text, ''), 1, 2)")
+    ids = (f"concat(CASE WHEN doc_id % 5 = 0 THEN array(1) "
+           f"ELSE array() END, {body}, "
+           f"CASE WHEN doc_id % 3 = 0 THEN array(0) ELSE array() END, "
+           f"array(1), {head2}, "
+           f"CASE WHEN doc_id % 7 = 0 THEN array(-1) ELSE array() END)")
+    decoded = (f"concat_ws('', transform(filter(_ids, "
+               f"v -> v != 0 AND v != 1), "
+               f"v -> CASE WHEN v = -1 THEN substring('{cs}', {n}, 1) "
+               f"ELSE substring('{cs}', CAST(v - 1 AS INT), 1) END))")
+    return (docs.withColumn("_ids", F.expr(ids))
+            .select("doc_id", F.expr(decoded).alias("spin_text")))
+
+
+def vl_decode(docs: DataFrame, nsteps: int = 25) -> DataFrame:
+    """R4 thirteenth decoder family: VLLabelDecode eval path demo
+    (kernels.vl_eval_decode twin, pure JVM).
+
+    The reference's inference walk (rec_postprocess.py:1458-1516) fixes
+    nsteps time-steps and derives each sample's length as the step index
+    of the FIRST top-1 == 0 (+1 — the eos step is INCLUDED in the
+    length), or nsteps if none; the text joins character[id-1] over the
+    counted steps with ids outside [1, n] contributing '' (the :1505
+    guard). A charset char's id is instr (1-based, the family's
+    off-by-one).
+
+    Deterministic "model output": encode(text) (out-of-dict chars → an
+    out-of-range id that decodes to '' but still occupies a counted
+    step), then eos, then encode(first 2 chars) (must NOT decode), then
+    out-of-range padding up to nsteps; texts ≥ nsteps chars never reach
+    their eos (length pins at nsteps). Output: (doc_id, vl_text, vl_len).
+    """
+    cs = CHARSET.replace("\\", "\\\\").replace("'", "\\'")
+    n = len(CHARSET)
+    pad = n + 30
+    enc = (lambda src: f"transform(filter(split({src}, ''), c -> c != ''), "
+           f"c -> CASE WHEN instr('{cs}', c) = 0 THEN {pad} "
+           f"ELSE instr('{cs}', c) END)")
+    body = enc("coalesce(text, '')")
+    head2 = enc("substring(coalesce(text, ''), 1, 2)")
+    ids = (f"slice(concat({body}, array(0), {head2}, "
+           f"array_repeat({pad}, {nsteps})), 1, {nsteps})")
+    p = "array_position(_ids, 0)"
+    ln = f"(CASE WHEN {p} > 0 THEN {p} ELSE {nsteps} END)"
+    decoded = (f"concat_ws('', transform(slice(_ids, 1, CAST({ln} AS "
+               f"INT)), v -> CASE WHEN v >= 1 AND v <= {n} "
+               f"THEN substring('{cs}', CAST(v AS INT), 1) ELSE '' END))")
+    return (docs.withColumn("_ids", F.expr(ids))
+            .select("doc_id", F.expr(decoded).alias("vl_text"),
+                    F.expr(f"CAST({ln} AS BIGINT)").alias("vl_len")))
+
+
+def can_decode(docs: DataFrame) -> DataFrame:
+    """R4 fourteenth decoder family: CANLabelDecode demo
+    (kernels.can_label_decode twin, pure JVM).
+
+    The latex-symbol family: seq_end = ``argmin`` of the id sequence —
+    the FIRST occurrence of the SMALLEST id, not a search for 0 — and
+    symbols before the cut join with SPACES. Any text containing the
+    charset's FIRST character ('a', id 0) therefore cuts at that
+    character, not at the appended eos: the argmin quirk is live on
+    ordinary English text.
+
+    Deterministic "model output": encode(text) (0-based ids,
+    out-of-dict chars → the LAST charset id), then 0, then encode(first
+    2 chars) (never decodes — 0 is the global minimum whenever no 'a'
+    precedes it). Output: (doc_id, can_text).
+    """
+    cs = CHARSET.replace("\\", "\\\\").replace("'", "\\'")
+    n = len(CHARSET)
+    enc = (lambda src: f"transform(filter(split({src}, ''), c -> c != ''), "
+           f"c -> CASE WHEN instr('{cs}', c) = 0 THEN {n - 1} "
+           f"ELSE instr('{cs}', c) - 1 END)")
+    body = enc("coalesce(text, '')")
+    head2 = enc("substring(coalesce(text, ''), 1, 2)")
+    ids = f"concat({body}, array(0), {head2})"
+    p = "array_position(_ids, array_min(_ids))"
+    decoded = (f"concat_ws(' ', transform(slice(_ids, 1, CAST({p} - 1 AS "
+               f"INT)), v -> substring('{cs}', CAST(v + 1 AS INT), 1)))")
+    return (docs.withColumn("_ids", F.expr(ids))
+            .select("doc_id", F.expr(decoded).alias("can_text")))

@@ -655,3 +655,238 @@ def test_ct_boxes_quirks():
     out3[1:, 9, 9] = 0               # (9,9) now lands on itself: bg
     boxes3 = ct_boxes(out3, score, (40, 40))
     assert [b[:4] for b in boxes3] == [(4, 4, 9, 9)]
+
+
+def test_rfl_label_decode_quirks():
+    import pytest as _pytest
+    from paddleocr_spark.kernels import rfl_cnt_length, rfl_label_decode
+    cs = "abc"          # dict = [sos, a, b, c, eos]; beg=0, end=4
+    assert rfl_label_decode([1, 2, 3], cs) == "abc"
+    assert rfl_label_decode([1, 4, 2], cs) == "ab"    # DEAD break at eos
+    assert rfl_label_decode([0, 1], cs) == "a"        # sos skipped
+    assert rfl_label_decode([1, -1], cs) == "aeos"    # -1 wraps: literal
+    with _pytest.raises(IndexError):
+        rfl_label_decode([5], cs)                     # no bare except
+    # counting branch: Python round = BANKER'S rounding on .5 ties
+    assert rfl_cnt_length([0.25, 0.25]) == 0          # 0.5 -> 0 (even)
+    assert rfl_cnt_length([0.75, 0.75]) == 2          # 1.5 -> 2 (even)
+    assert rfl_cnt_length([1.0, 1.0, 0.5]) == 2       # 2.5 -> 2 (even)
+    assert rfl_cnt_length([3.0, 0.5]) == 4            # 3.5 -> 4 (even)
+    assert rfl_cnt_length([]) == 0
+    assert rfl_cnt_length([0.26, 0.25]) == 1          # plain nearest
+
+
+def test_seed_label_decode_quirks():
+    import pytest as _pytest
+    from paddleocr_spark.kernels import seed_label_decode
+    cs = "abc"      # dict = [a, b, c, eos, padding, unknown]; eos=3
+    assert seed_label_decode([0, 1, 2], cs) == "abc"
+    assert seed_label_decode([0, 3, 1], cs) == "a"    # LIVE break
+    assert seed_label_decode([0, 4, 1], cs) == "apaddingb"  # literal!
+    assert seed_label_decode([0, 5], cs) == "aunknown"      # literal!
+    assert seed_label_decode([0, -1], cs) == "aunknown"     # -1 wraps
+    with _pytest.raises(IndexError):
+        seed_label_decode([6], cs)
+
+
+def test_satrn_label_decode_quirks():
+    from paddleocr_spark.kernels import satrn_label_decode
+    cs = "abc"      # dict = [a, b, c, <UKN>, <BOS/EOS>, <PAD>]; end=4
+    assert satrn_label_decode([0, 1, 2], cs) == "abc"
+    assert satrn_label_decode([4, 0], cs) == "a"      # pos-0 eos skipped
+    assert satrn_label_decode([0, 4, 1], cs) == "a"   # later eos breaks
+    assert satrn_label_decode([5, 4, 0], cs) == ""    # pad@0 then eos@1
+    assert satrn_label_decode([0, 3], cs) == "a<UKN>"
+    assert satrn_label_decode([0, -1], cs) == "a<PAD>"  # -1 wraps
+    # rm_symbol: lowercase + strip, but in-class '^' is LITERAL
+    assert satrn_label_decode([0, 3], cs, True) == "aukn"
+    assert satrn_label_decode([0, -1], cs, True) == "apad"
+    assert satrn_label_decode([0, 1], "a^b", True) == "a^"  # caret lives
+
+
+def test_pren_label_decode_quirks():
+    import pytest as _pytest
+    from paddleocr_spark.kernels import pren_label_decode
+    cs = "abc"      # dict = [<PAD>, <EOS>, <UNK>, a, b, c]
+    assert pren_label_decode([3, 4, 5], cs) == "abc"
+    assert pren_label_decode([0, 3], cs) == "a"       # pad skipped
+    assert pren_label_decode([2, 3], cs) == "a"       # unk skipped
+    assert pren_label_decode([3, 1, 4], cs) == "a"    # eos breaks
+    assert pren_label_decode([3, -1], cs) == "ac"     # -1 wraps to 'c'
+    with _pytest.raises(IndexError):
+        pren_label_decode([6], cs)
+
+
+def test_abinet_label_decode_quirks():
+    from paddleocr_spark.kernels import abinet_label_decode
+    cs = "abc"      # dict = [</s>, a, b, c]; eos is id ZERO
+    assert abinet_label_decode([1, 2, 3], cs) == "abc"
+    assert abinet_label_decode([1, 0, 2], cs) == "a"  # break at id 0
+    assert abinet_label_decode([1, 99, 2], cs) == "ab"  # OOR skipped
+    assert abinet_label_decode([1, -1], cs) == "ac"   # -1 wraps to 'c'
+    assert abinet_label_decode([1, -4, 2], cs) == "a"  # -4 wraps to eos!
+    assert abinet_label_decode([-5, 1], cs) == "a"    # too neg: skipped
+
+
+def test_spin_label_decode_quirks():
+    import pytest as _pytest
+    from paddleocr_spark.kernels import spin_label_decode
+    cs = "abc"      # dict = [sos, eos, a, b, c] — specials at the FRONT
+    assert spin_label_decode([2, 3, 4], cs) == "abc"
+    assert spin_label_decode([2, 1, 3], cs) == "ab"   # DEAD break at eos
+    assert spin_label_decode([0, 2], cs) == "a"       # sos skipped
+    assert spin_label_decode([2, -1], cs) == "ac"     # -1 wraps to 'c'
+    with _pytest.raises(IndexError):
+        spin_label_decode([5], cs)
+
+
+def test_vl_decode_kernel_quirks():
+    from paddleocr_spark.kernels import vl_eval_decode, vl_label_decode
+    cs = "abc"      # id 1 = 'a' (the family's off-by-one); eos = 0
+    # eval path: length = first-0 index INCLUSIVE; OOR decodes to ''
+    assert vl_eval_decode([1, 2, 3, 0, 1], cs) == ("abc", 4)
+    assert vl_eval_decode([1, 9, 2, 0], cs) == ("ab", 4)   # OOR counts
+    assert vl_eval_decode([0, 1], cs) == ("", 1)
+    assert vl_eval_decode([1, 2], cs, 25) == ("ab", 25)    # no eos: pin
+    assert vl_eval_decode([1, 2, 0, 3], cs, 2) == ("ab", 2)  # nsteps cap
+    # label path: 0 masked ANYWHERE (no break), negatives wrap via -1
+    assert vl_label_decode([1, 2, 0, 3], cs) == "abc"
+    assert vl_label_decode([-1], cs) == "b"            # character[-2]
+
+
+def test_can_label_decode_quirks():
+    from paddleocr_spark.kernels import can_label_decode
+    cs = "abc"      # 0-based direct ids; seq_end = argmin, SPACE join
+    assert can_label_decode([2, 1, 0], cs) == "c b"
+    assert can_label_decode([0, 1, 2], cs) == ""       # min at pos 0
+    assert can_label_decode([2, 1, 2, 1], cs) == "c"   # FIRST min wins
+    assert can_label_decode([], cs) == ""              # pinned deviation
+
+
+def test_r4_decode_wave3_distributed_match_kernels(spark):
+    """rfl/seed/satrn/pren operators vs their kernel twins on the same
+    deterministic id streams the operators synthesize."""
+    from paddleocr_spark.kernels import (pren_label_decode, rfl_cnt_length,
+                                         rfl_label_decode, satrn_label_decode,
+                                         seed_label_decode)
+    from paddleocr_spark.operators.recognize import (CHARSET, pren_decode,
+                                                     rfl_decode, satrn_decode,
+                                                     seed_decode)
+    rows = [(0, "hello world"), (3, "mid sos"), (5, "lead eos"),
+            (7, "neg wrap"), (9, "UNK Ä char"), (10, ""), (11, None),
+            (14, "pos0+wrap"), (15, "both mods"), (21, "Ä^caret"),
+            (28, "every quirk"), (105, "all moduli")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n = len(CHARSET)
+    got_r = {r["doc_id"]: (r["rfl_text"], r["rfl_cnt_len"])
+             for r in rfl_decode(docs).collect()}
+    got_se = {r["doc_id"]: r["seed_text"] for r in seed_decode(docs).collect()}
+    got_sa = {r["doc_id"]: r["satrn_text"]
+              for r in satrn_decode(docs).collect()}
+    got_p = {r["doc_id"]: r["pren_text"] for r in pren_decode(docs).collect()}
+
+    def idx(c):
+        return CHARSET.index(c) if c in CHARSET else None
+
+    for d, t in rows:
+        t = t or ""
+        rids = (([n + 1] if d % 5 == 0 else [])
+                + [i + 1 if (i := idx(c)) is not None else 0 for c in t]
+                + ([0] if d % 3 == 0 else []) + [n + 1]
+                + [i + 1 if (i := idx(c)) is not None else 0 for c in t[:2]]
+                + ([-1] if d % 7 == 0 else []))
+        lens = [((d + k) % 5) * 0.25 for k in range(1, len(t) + 1)]
+        assert got_r[d] == (rfl_label_decode(rids, CHARSET),
+                            rfl_cnt_length(lens)), (d, got_r[d])
+        seids = ([i if (i := idx(c)) is not None else n + 2 for c in t]
+                 + ([n + 1] if d % 3 == 0 else [])
+                 + ([-1] if d % 7 == 0 else []) + [n]
+                 + [i if (i := idx(c)) is not None else n + 2
+                    for c in t[:2]])
+        assert got_se[d] == seed_label_decode(seids, CHARSET), (d, got_se[d])
+        saids = (([n + 1] if d % 5 == 0 else [])
+                 + [i if (i := idx(c)) is not None else n for c in t]
+                 + ([-1] if d % 7 == 0 else []) + [n + 1]
+                 + [i if (i := idx(c)) is not None else n for c in t[:2]])
+        assert got_sa[d] == satrn_label_decode(saids, CHARSET, True), \
+            (d, got_sa[d])
+        pids = (([0] if d % 3 == 0 else [])
+                + [i + 3 if (i := idx(c)) is not None else 2 for c in t]
+                + ([-1] if d % 7 == 0 else []) + [1]
+                + [i + 3 if (i := idx(c)) is not None else 2
+                   for c in t[:2]])
+        assert got_p[d] == pren_label_decode(pids, CHARSET), (d, got_p[d])
+    # spot-check live quirk content: doc 105 (all moduli) in rfl decodes
+    # the post-eos tail (dead break) and the -1 as the literal 'eos'
+    assert got_r[105][0].endswith("eos")
+    # SEED breaks LIVE at eos (tail cut), but 'padding' (%3) and the
+    # wrapped -1 -> 'unknown' (%7) both joined doc 0's text as literals
+    assert got_se[0] == "hello worldpaddingunknown"
+    assert "unknown" in got_se[9]             # Ä -> literal 'unknown'
+    assert "ukn" in got_sa[9]                 # Ä -> <UKN> -> 'ukn'
+    assert "^" in got_sa[21]                  # caret survives rm_symbol
+
+
+def test_r4_decode_wave4_distributed_match_kernels(spark):
+    """abinet/spin/vl/can operators vs their kernel twins."""
+    from paddleocr_spark.kernels import (abinet_label_decode,
+                                         can_label_decode, spin_label_decode,
+                                         vl_eval_decode)
+    from paddleocr_spark.operators.recognize import (CHARSET, abinet_decode,
+                                                     can_decode, spin_decode,
+                                                     vl_decode)
+    rows = [(0, "hello world"), (3, "mid sos"), (5, "lead eos"),
+            (7, "neg wrap"), (9, "UNK Ä char"), (10, ""), (11, None),
+            (15, "both mods"), (21, "wrap+sos"), (28, "every quirk"),
+            (105, "all moduli"),
+            (2, "a text that is well over twenty-five characters long")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n = len(CHARSET)
+    big = n + 1
+    got_a = {r["doc_id"]: r["abinet_text"]
+             for r in abinet_decode(docs).collect()}
+    got_sp = {r["doc_id"]: r["spin_text"] for r in spin_decode(docs).collect()}
+    got_v = {r["doc_id"]: (r["vl_text"], r["vl_len"])
+             for r in vl_decode(docs).collect()}
+    got_c = {r["doc_id"]: r["can_text"] for r in can_decode(docs).collect()}
+
+    def idx(c):
+        return CHARSET.index(c) if c in CHARSET else None
+
+    for d, t in rows:
+        t = t or ""
+        aids = ([i + 1 if (i := idx(c)) is not None else big + 20 for c in t]
+                + ([-1] if d % 7 == 0 else []) + [0]
+                + [i + 1 if (i := idx(c)) is not None else big + 20
+                   for c in t[:2]])
+        assert got_a[d] == abinet_label_decode(aids, CHARSET), (d, got_a[d])
+        spids = (([1] if d % 5 == 0 else [])
+                 + [i + 2 if (i := idx(c)) is not None else 0 for c in t]
+                 + ([0] if d % 3 == 0 else []) + [1]
+                 + [i + 2 if (i := idx(c)) is not None else 0
+                    for c in t[:2]]
+                 + ([-1] if d % 7 == 0 else []))
+        assert got_sp[d] == spin_label_decode(spids, CHARSET), (d, got_sp[d])
+        vids = ([i + 1 if (i := idx(c)) is not None else n + 30 for c in t]
+                + [0]
+                + [i + 1 if (i := idx(c)) is not None else n + 30
+                   for c in t[:2]]
+                + [n + 30] * 25)[:25]
+        assert got_v[d] == vl_eval_decode(vids, CHARSET, 25), (d, got_v[d])
+        cids = ([i if (i := idx(c)) is not None else n - 1 for c in t]
+                + [0]
+                + [i if (i := idx(c)) is not None else n - 1
+                   for c in t[:2]])
+        assert got_c[d] == can_label_decode(cids, CHARSET), (d, got_c[d])
+    # live quirks: spin decodes the post-eos tail (dead break); vl pins
+    # length at nsteps for the >25-char doc; can cuts at the first 'a'
+    # spin's dead break decodes the tail 'he'; the %7 -1 wraps to the
+    # LAST charset char (' '), not Attn's literal 'eos'
+    assert got_sp[0] == "hello worldhe "
+    assert got_v[2][1] == 25
+    # argmin quirk live on ordinary text: docs 2/105 START with 'a'
+    # (id 0 = the global min) so the cut lands there -> empty decode,
+    # while "hello world" (no 'a') cuts at the appended eos and decodes
+    # its full body SPACE-joined
+    assert got_c[2] == "" and got_c[105] == ""
+    assert got_c[0] == " ".join("hello world")

@@ -859,3 +859,229 @@ def test_drrg_postprocess_matches_executed_reference():
                 sys.modules.pop(m, None)
             else:
                 sys.modules[m] = v
+
+
+def test_rfl_decode_matches_executed_reference():
+    """RFLLabelDecode.decode (rec_postprocess.py:556-583): Attn's walk —
+    ignored [beg, end] anywhere, DEAD break at eos — over ['sos'] + cs +
+    ['eos']; -1 wraps to the literal 'eos'."""
+    from paddleocr_spark.kernels import rfl_label_decode
+    chars = "abc xyz09"
+    n = len(chars)
+
+    class Shim:
+        character = ["sos"] + list(chars) + ["eos"]
+
+        def get_ignored_tokens(self):
+            return [0, n + 1]
+
+    dec = _exec_decode("class RFLLabelDecode", "class SEEDLabelDecode",
+                       Shim())
+    rng = random.Random(41)
+    for _ in range(300):
+        # negatives wrap down to -(n+2); out-of-range raises in BOTH
+        ids = [rng.randint(-(n + 2), n + 1) for _ in range(rng.randint(0, 15))]
+        assert rfl_label_decode(ids, list(chars)) == dec(ids), ids
+
+
+def test_rfl_cnt_matches_executed_reference():
+    """RFLLabelDecode.__call__ counting branch (rec_postprocess.py
+    :601-607): length = Python round(np.sum(lens)) — banker's rounding
+    on .5 ties. Exec the reference __call__ with a paddle stub."""
+    import types
+
+    import numpy as np
+
+    from paddleocr_spark.kernels import rfl_cnt_length
+
+    src = open(os.path.join(
+        REF_ROOT, "ppocr/postprocess/rec_postprocess.py")).read()
+    cls = src[src.index("class RFLLabelDecode"):
+              src.index("class SEEDLabelDecode")]
+    start = cls.index("    def __call__")
+    body = textwrap.dedent(cls[start:cls.index("    def get_ignored_tokens")])
+    ns: dict = {"np": np,
+                "paddle": types.SimpleNamespace(Tensor=())}
+    exec(body, ns)
+    shim = types.SimpleNamespace()   # cnt branch touches no attributes
+    rng = random.Random(43)
+    for _ in range(200):
+        # exact .25 steps land on .5 ties often — the banker's case
+        lens = [rng.randint(0, 8) * 0.25 for _ in range(rng.randint(0, 12))]
+        want = ns["__call__"](shim, np.array([lens], dtype=np.float64)
+                              if lens else np.zeros((1, 0)))[0]
+        assert rfl_cnt_length(lens) == want, lens
+
+
+def test_seed_decode_matches_executed_reference():
+    """SEEDLabelDecode.decode (rec_postprocess.py:660-684): live break
+    at eos, NO ignored-token skip — 'padding'/'unknown' decode as
+    literal dict strings."""
+    from paddleocr_spark.kernels import seed_label_decode
+    chars = "abc xyz09"
+    n = len(chars)
+
+    class Shim:
+        character = list(chars) + ["eos", "padding", "unknown"]
+
+        def get_ignored_tokens(self):
+            return [n]
+
+    dec = _exec_decode("class SEEDLabelDecode", "class SRNLabelDecode",
+                       Shim())
+    rng = random.Random(47)
+    for _ in range(300):
+        ids = [rng.randint(-(n + 3), n + 2) for _ in range(rng.randint(0, 15))]
+        assert seed_label_decode(ids, list(chars)) == dec(ids), ids
+
+
+def test_satrn_decode_matches_executed_reference():
+    """SATRNLabelDecode.decode (rec_postprocess.py:889-923), BOTH
+    rm_symbol settings: SAR's walk (pad-only ignored, position-0 eos
+    skipped when text_prob is None) + the lowercase/strip pass whose
+    class '[^A-Z^a-z^0-9^一-龥]' keeps LITERAL carets."""
+    import re as _re
+    import types
+
+    import numpy as np
+
+    from paddleocr_spark.kernels import satrn_label_decode
+    chars = "ab^ xz09"          # includes a caret: the rm_symbol quirk
+    n = len(chars)
+    src = open(os.path.join(
+        REF_ROOT, "ppocr/postprocess/rec_postprocess.py")).read()
+    cls = src[src.index("class SATRNLabelDecode"):
+              src.index("class DistillationSARLabelDecode")]
+    start = cls.index("    def decode")
+    body = textwrap.dedent(cls[start:cls.index("    def __call__")])
+    ns: dict = {"np": np, "re": _re}
+    exec(body, ns)
+    for rm in (False, True):
+        shim = types.SimpleNamespace(
+            character=list(chars) + ["<UKN>", "<BOS/EOS>", "<PAD>"],
+            end_idx=n + 1, rm_symbol=rm,
+            get_ignored_tokens=lambda: [n + 2])
+        rng = random.Random(53)
+        for _ in range(300):
+            ids = [rng.randint(-(n + 3), n + 2)
+                   for _ in range(rng.randint(0, 15))]
+            want = ns["decode"](shim, [ids])[0][0]
+            assert satrn_label_decode(ids, list(chars), rm) == want, (rm, ids)
+
+
+def test_pren_decode_matches_executed_reference():
+    """PRENLabelDecode.decode (rec_postprocess.py:996-1023): the only
+    family that PREPENDS all three specials (pad=0/eos=1/unk=2)."""
+    from paddleocr_spark.kernels import pren_label_decode
+    chars = "abc xyz09"
+    n = len(chars)
+
+    class Shim:
+        character = ["<PAD>", "<EOS>", "<UNK>"] + list(chars)
+        padding_idx, end_idx, unknown_idx = 0, 1, 2
+
+    dec = _exec_decode("class PRENLabelDecode", "class NRTRLabelDecode",
+                       Shim())
+    rng = random.Random(59)
+    for _ in range(300):
+        ids = [rng.randint(-(n + 3), n + 2) for _ in range(rng.randint(0, 15))]
+        assert pren_label_decode(ids, list(chars)) == dec(ids), ids
+
+
+def test_abinet_decode_matches_executed_reference():
+    """ABINetLabelDecode = NRTR's inherited bare-except walk
+    (rec_postprocess.py:1077-1099) over the 1-special dict ['</s>'] +
+    cs (add_special_char :1160-1164) — eos is id ZERO."""
+    from paddleocr_spark.kernels import abinet_label_decode
+    chars = "abc xyz09"
+    n = len(chars)
+
+    class Shim:
+        character = ["</s>"] + list(chars)
+
+    dec = _exec_decode("class NRTRLabelDecode", "class ViTSTRLabelDecode",
+                       Shim())
+    rng = random.Random(61)
+    for _ in range(300):
+        # bare except: any out-of-range id (either sign) just skips
+        ids = [rng.randint(-(n + 6), n + 8) for _ in range(rng.randint(0, 15))]
+        assert abinet_label_decode(ids, list(chars)) == dec(ids), ids
+
+
+def test_spin_decode_matches_executed_reference():
+    """SPINLabelDecode = Attn's inherited decode (rec_postprocess.py
+    :476-503) over the FRONT-loaded dict ['sos','eos'] + cs
+    (add_special_char :1413-1418); -1 wraps to the LAST charset char."""
+    from paddleocr_spark.kernels import spin_label_decode
+    chars = "abc xyz09"
+    n = len(chars)
+
+    class Shim:
+        character = ["sos", "eos"] + list(chars)
+
+        def get_ignored_tokens(self):
+            return [0, 1]
+
+    dec = _exec_decode("class AttnLabelDecode", "class RFLLabelDecode",
+                       Shim())
+    rng = random.Random(67)
+    for _ in range(300):
+        ids = [rng.randint(-(n + 2), n + 1) for _ in range(rng.randint(0, 15))]
+        assert spin_label_decode(ids, list(chars)) == dec(ids), ids
+
+
+def test_vl_label_decode_matches_executed_reference():
+    """VLLabelDecode.decode label path (rec_postprocess.py:1430-1456):
+    vectorized mask of ignored [0] ANYWHERE (no break), survivors decode
+    via character[id - 1] (the family's off-by-one)."""
+    import types
+
+    import numpy as np
+
+    from paddleocr_spark.kernels import vl_label_decode
+    chars = "abc xyz09"
+    n = len(chars)
+    src = open(os.path.join(
+        REF_ROOT, "ppocr/postprocess/rec_postprocess.py")).read()
+    cls = src[src.index("class VLLabelDecode"):
+              src.index("class CANLabelDecode")]
+    body = textwrap.dedent(cls[cls.index("    def decode"):
+                               cls.index("    def __call__")])
+    ns: dict = {"np": np}
+    exec(body, ns)
+    shim = types.SimpleNamespace(character=list(chars),
+                                 get_ignored_tokens=lambda: [0])
+    rng = random.Random(71)
+    for _ in range(300):
+        # ids 1..n in-dict; negatives wrap via character[id-1] in BOTH
+        ids = [rng.randint(-(n - 1), n) for _ in range(rng.randint(1, 15))]
+        want = ns["decode"](shim, np.array([ids], dtype=np.int64))[0][0]
+        assert vl_label_decode(ids, list(chars)) == want, ids
+
+
+def test_can_decode_matches_executed_reference():
+    """CANLabelDecode.decode (rec_postprocess.py:1529-1541): seq_end =
+    argmin (FIRST occurrence of the smallest id, not an eos search);
+    SPACE-joined symbols."""
+    import types
+
+    import numpy as np
+
+    from paddleocr_spark.kernels import can_label_decode
+    chars = "abc xyz09"
+    n = len(chars)
+    src = open(os.path.join(
+        REF_ROOT, "ppocr/postprocess/rec_postprocess.py")).read()
+    cls = src[src.index("class CANLabelDecode"):]
+    body = textwrap.dedent(cls[cls.index("    def decode"):
+                               cls.index("    def __call__")])
+    ns: dict = {"np": np}
+    exec(body, ns)
+    shim = types.SimpleNamespace(character=list(chars))
+    rng = random.Random(73)
+    for _ in range(300):
+        # non-empty (reference argmin raises on empty); ids may repeat
+        # the minimum — first occurrence must win in both
+        ids = [rng.randint(0, n - 1) for _ in range(rng.randint(1, 15))]
+        want = ns["decode"](shim, np.array([ids], dtype=np.int64))[0][0]
+        assert can_label_decode(ids, list(chars)) == want, ids
