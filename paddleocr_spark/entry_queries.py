@@ -912,6 +912,41 @@ def q_can_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return can_decode(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
+def q_grapheme_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fork grapheme layer: decompose synthesized Korean text into
+    initial/medial/final representative-syllable streams
+    (korean_grapheme_label.py:11-32, incl. the <=55199 bound quirk)."""
+    from .functions.grapheme import grapheme_decompose
+    return grapheme_decompose(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_grapheme_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fork grapheme layer: decompose→compose roundtrip with the
+    prob-carrying dialect (korean_grapheme_label.py:35-104): >=2 unknown
+    jamo → max-prob verbatim passthrough, <=1 → (11,0,0) defaults,
+    empty → a single space."""
+    from .functions.grapheme import grapheme_compose
+    return grapheme_compose(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_grapheme_compose_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fork grapheme layer, label dialect (korean_compose.py:28-44):
+    unknown initial OR medial passes the initial through verbatim;
+    missing final defaults to index 0."""
+    from .functions.grapheme import grapheme_compose_label
+    return grapheme_compose_label(
+        _docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_grapheme_ned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fork RecMetric.eval_full report (rec_metric.py:147-200): acc +
+    c_ned + g_ned over (n + 1e-5), ignore_space=True — with
+    grapheme_edit_dis transcribed INCLUDING its dict-keys bug (every
+    non-empty pair scores 0; only the empty-side quirk moves the sum)."""
+    from .functions.grapheme import grapheme_ned
+    return grapheme_ned(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def q_e2e_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 E2EMetric mode-A full report (eval_end2end.py:71-180 +
     combine: precision/recall/fmeasure on hits, character_acc and
@@ -1517,6 +1552,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spin_decode": q_spin_decode,
         "vl_decode": q_vl_decode,
         "can_decode": q_can_decode,
+        "grapheme_decompose": q_grapheme_decompose,
+        "grapheme_compose": q_grapheme_compose,
+        "grapheme_compose_label": q_grapheme_compose_label,
+        "grapheme_ned": q_grapheme_ned,
         "e2e_metric": q_e2e_metric,
         "preprocess_image": q_preprocess_image,
         "media_decode_real": q_media_decode_real,
@@ -2935,6 +2974,133 @@ SELECT doc_id,
            v -> substring('{cs2}', CAST(v + 1 AS INT), 1)), ' '), '')
            AS can_text
 FROM cuts"""
+
+    # --- Fork grapheme layer (korean_grapheme_label.py / korean_compose
+    #     .py): Korean synth + decompose/compose/metric twins. DuckDB
+    #     side uses unicode()/chr(); Spark uses ascii() + the UTF-8 byte
+    #     trick. The Hangul test bound is the reference's 55199 quirk. ---
+    from .functions.grapheme import (HANGUL_FINALS as _GF,
+                                     HANGUL_INITIALS as _GI,
+                                     HANGUL_MEDIALS as _GM)
+    g_kchar = ("CASE WHEN k % 4 = 0 THEN substring(t, CAST(k AS INT), 1) "
+               "ELSE chr(CAST(44032 + (unicode(substring(t, CAST(k AS INT)"
+               ", 1)) * 31 + k * 7 + doc_id) % 11174 AS INT)) END")
+    g_base = f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+kt AS (
+    SELECT doc_id,
+           coalesce(array_to_string(list_transform(
+               generate_series(1, length(t)), k -> {g_kchar}), ''), '')
+               AS ktext
+    FROM base
+)"""
+
+    def g_stream(alpha: str, idx: str) -> str:
+        cp = "unicode(substring(ktext, CAST(k AS INT), 1))"
+        return (f"coalesce(array_to_string(list_transform("
+                f"generate_series(1, length(ktext)), "
+                f"k -> CASE WHEN {cp} BETWEEN 44032 AND 55199 "
+                f"THEN substring('{alpha}', CAST(({idx}) + 1 AS INT), 1) "
+                f"ELSE substring(ktext, CAST(k AS INT), 1) END), ''), '')")
+
+    g_code = "(unicode(substring(ktext, CAST(k AS INT), 1)) - 44032)"
+    sqls["grapheme_decompose"] = f"""{g_base}
+SELECT doc_id, ktext,
+       {g_stream(_GI, f"{g_code} // 588")} AS initial,
+       {g_stream(_GM, f"({g_code} % 588) // 28")} AS medial,
+       {g_stream(_GF, f"{g_code} % 28")} AS final
+FROM kt"""
+
+    g_dec = f"""{g_base},
+dec AS (
+    SELECT doc_id,
+           {g_stream(_GI, f"{g_code} // 588")} AS initial,
+           {g_stream(_GM, f"({g_code} % 588) // 28")} AS medial,
+           {g_stream(_GF, f"{g_code} % 28")} AS final
+    FROM kt
+)"""
+    gi_ch = "substring(initial, CAST(k AS INT), 1)"
+    gm_ch = "substring(medial, CAST(k AS INT), 1)"
+    gf_ch = "substring(final, CAST(k AS INT), 1)"
+    gip = f"strpos('{_GI}', {gi_ch})"
+    gmp = f"strpos('{_GM}', {gm_ch})"
+    gfp = f"strpos('{_GF}', {gf_ch})"
+    g_nn = (f"(CASE WHEN {gip} = 0 THEN 1 ELSE 0 END + "
+            f"CASE WHEN {gmp} = 0 THEN 1 ELSE 0 END + "
+            f"CASE WHEN {gfp} = 0 THEN 1 ELSE 0 END)")
+    g_cp = (f"44032 + ((CASE WHEN {gip} = 0 THEN 11 ELSE {gip} - 1 END) "
+            f"* 21 + (CASE WHEN {gmp} = 0 THEN 0 ELSE {gmp} - 1 END)) "
+            f"* 28 + (CASE WHEN {gfp} = 0 THEN 0 ELSE {gfp} - 1 END)")
+    pi = "((doc_id + k) % 4) * 0.25"
+    pm = "((doc_id + 2 * k) % 4) * 0.25"
+    pf = "((doc_id + 3 * k) % 4) * 0.25"
+    g_ch = (f"CASE WHEN {g_nn} >= 2 THEN "
+            f"(CASE WHEN {pi} >= {pm} AND {pi} >= {pf} THEN {gi_ch} "
+            f"WHEN {pm} >= {pf} THEN {gm_ch} ELSE {gf_ch} END) "
+            f"ELSE chr(CAST({g_cp} AS INT)) END")
+    g_conf = (f"CASE WHEN {g_nn} >= 2 THEN "
+              f"(CASE WHEN {pi} >= {pm} AND {pi} >= {pf} THEN {pi} "
+              f"WHEN {pm} >= {pf} THEN {pm} ELSE {pf} END) "
+              f"ELSE ({pi} + {pm} + {pf}) / 3 END")
+    g_n = "least(length(initial), length(medial), length(final))"
+    sqls["grapheme_compose"] = f"""{g_dec}
+SELECT doc_id,
+       CASE WHEN {g_n} = 0 THEN ' ' ELSE
+           coalesce(array_to_string(list_transform(
+               generate_series(1, {g_n}), k -> {g_ch}), ''), '') END
+           AS composed,
+       list_transform(generate_series(1, {g_n}),
+                      k -> round({g_conf}, 4)) AS conf
+FROM dec"""
+
+    g_lch = (f"CASE WHEN {gip} = 0 OR {gmp} = 0 THEN {gi_ch} "
+             f"ELSE chr(CAST(44032 + (({gip} - 1) * 21 + ({gmp} - 1)) * 28 "
+             f"+ (CASE WHEN {gfp} = 0 THEN 0 ELSE {gfp} - 1 END) AS INT)) "
+             f"END")
+    sqls["grapheme_compose_label"] = f"""{g_dec}
+SELECT doc_id,
+       coalesce(array_to_string(list_transform(
+           generate_series(1, {g_n}), k -> {g_lch}), ''), '') AS composed
+FROM dec"""
+
+    # c_ned's per-pair distance: pred is tgt minus its FIRST char (never
+    # a space — position 1 is always Hangul synth), so the char-level
+    # Levenshtein is exactly 1; DuckDB's levenshtein() is BYTE-based on
+    # Hangul, hence the implied-by-synth constant here.
+    sqls["grapheme_ned"] = f"""{g_base},
+pairs AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN '' ELSE ktext END AS tgt0
+    FROM kt
+),
+preds AS (
+    SELECT doc_id, tgt0,
+           CASE WHEN doc_id % 11 = 0 THEN ''
+                WHEN doc_id % 3 = 0 THEN tgt0
+                ELSE substring(tgt0, 2) END AS pred0
+    FROM pairs
+),
+s AS (
+    SELECT replace(tgt0, ' ', '') AS tgt,
+           replace(pred0, ' ', '') AS pred
+    FROM preds
+),
+per AS (
+    SELECT CASE WHEN pred = tgt THEN 1 ELSE 0 END AS eq,
+           CASE WHEN pred = tgt THEN 0.0
+                WHEN length(pred) = 0 OR length(tgt) = 0 THEN 1.0
+                ELSE 1.0 / greatest(length(pred), length(tgt)) END
+               AS lev_norm,
+           CASE WHEN length(pred) = 0 OR length(tgt) = 0 THEN
+                (CASE WHEN length(pred) = length(tgt) THEN 1.0
+                 ELSE 0.0 END) ELSE 0.0 END AS g_dist
+    FROM s
+)
+SELECT round(sum(eq) / (count(*) + 0.00001), 4) + 0 AS acc,
+       round(1.0 - sum(lev_norm) / (count(*) + 0.00001), 4) + 0 AS c_ned,
+       round(1.0 - sum(g_dist) / (count(*) + 0.00001), 4) + 0 AS g_ned,
+       count(*) AS n
+FROM per"""
 
     # --- A8 E2EMetric mode-A full report ---
     sqls["e2e_metric"] = """

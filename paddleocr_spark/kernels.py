@@ -2274,3 +2274,126 @@ def filter_tag_det_res(dt_boxes, image_shape) -> "np.ndarray":
             continue
         out.append(box)
     return np.array(out)
+
+
+# ---------------------------------------------------------------------------
+# Korean grapheme layer (the fork's distinguishing feature):
+# ppocr/utils/korean_grapheme_label.py + korean_compose.py
+# ---------------------------------------------------------------------------
+
+#: Representative-syllable jamo alphabets (korean_grapheme_label.py:7-9).
+#: Each entry is ONE precomposed syllable standing for a jamo: initials are
+#: C+아, medials are 아+V, finals are 으+C.
+HANGUL_INITIALS = "가까나다따라마바빠사싸아자짜차카타파하"
+HANGUL_MEDIALS = "아애야얘어에여예오와왜외요우워웨위유으의이"
+HANGUL_FINALS = "으윽윾윿은읁읂읃을읅읆읇읈읉읊읋음읍읎읏읐응읒읓읔읕읖읗"
+
+
+def decompose_korean_char(text) -> tuple:
+    """decompose_korean_char, korean_grapheme_label.py:11-32: per char,
+    Hangul syllables split arithmetically (code//588, (code%588)//28,
+    code%28) into the three representative-syllable alphabets;
+    everything else passes through to ALL THREE streams verbatim.
+
+    Pinned quirk: the Hangul test is ``44032 <= ord(c) <= 55199`` — the
+    block really ends at 55203 (U+D7A3), so the LAST FOUR syllables
+    ('힠힡힢힣') take the non-Hangul passthrough path. Returns the
+    reference dict's three values as (initial, medial, final) strings.
+    """
+    ini, med, fin = [], [], []
+    for c in text:
+        cp = ord(c)
+        if 44032 <= cp <= 55199:
+            code = cp - 44032
+            ini.append(HANGUL_INITIALS[code // 588])
+            med.append(HANGUL_MEDIALS[(code % 588) // 28])
+            fin.append(HANGUL_FINALS[code % 28])
+        else:
+            ini.append(c)
+            med.append(c)
+            fin.append(c)
+    return "".join(ini), "".join(med), "".join(fin)
+
+
+def compose_korean_char(initial, medial, final,
+                        initial_p=None, medial_p=None, final_p=None):
+    """compose_korean_char, korean_grapheme_label.py:35-104 (the
+    prob-carrying dialect): zip the three jamo strings (zip TRUNCATES to
+    the shortest — quirk preserved); per position, when >=2 of the three
+    chars are not in their jamo alphabet the result is the max-prob
+    grapheme passed through VERBATIM (np.argmax first-max tie, None
+    probs coerced to 0 beforehand); otherwise missing indices default to
+    (11, 0, 0) and the syllable is 44032 + (ii*21 + mi)*28 + fi with
+    conf = (ip+mp+fp)/3.
+
+    Empty input returns (' ', 0) — a SPACE and a scalar 0, not ('', []).
+    Probs may be per-char lists or None (None -> per-char None -> 0).
+    """
+    def _probs(text, p):
+        if p is None:
+            return [None] * len(text)
+        if isinstance(p, int):      # int (not float!) scalars replicate
+            return [p] * len(text)  # — preprocessing_of_prob :76-88
+        return p
+
+    ip_l, mp_l, fp_l = (_probs(initial, initial_p), _probs(medial, medial_p),
+                        _probs(final, final_p))
+    out, confs = [], []
+    for i, m, f, ip, mp, fp in zip(initial, medial, final, ip_l, mp_l, fp_l):
+        ip = 0 if ip is None else ip
+        mp = 0 if mp is None else mp
+        fp = 0 if fp is None else fp
+        ii = HANGUL_INITIALS.index(i) if i in HANGUL_INITIALS else None
+        mi = HANGUL_MEDIALS.index(m) if m in HANGUL_MEDIALS else None
+        fi = HANGUL_FINALS.index(f) if f in HANGUL_FINALS else None
+        if [ii, mi, fi].count(None) >= 2:
+            grapheme, p = [i, m, f], [ip, mp, fp]
+            # np.argmax first-max tie order
+            idx = 0 if p[0] >= p[1] and p[0] >= p[2] else (
+                1 if p[1] >= p[2] else 2)
+            out.append(grapheme[idx])
+            confs.append(p[idx])
+            continue
+        ii = ii if ii is not None else 11
+        mi = mi if mi is not None else 0
+        fi = fi if fi is not None else 0
+        out.append(chr(44032 + (ii * 21 + mi) * 28 + fi))
+        confs.append((ip + mp + fp) / 3)
+    if not out:
+        return " ", 0
+    return "".join(out), confs
+
+
+def compose_korean_char_grapheme_label(initial, medial, final) -> list:
+    """compose_korean_char_grapheme_label, korean_compose.py:28-44 (the
+    label dialect): per position, a char whose INITIAL or MEDIAL is not
+    in its jamo alphabet passes the INITIAL through verbatim (the medial
+    /final are discarded); a missing FINAL defaults to index 0. Returns
+    the per-char list, zip-truncated to the shortest stream."""
+    out = []
+    for i, m, f in zip(initial, medial, final):
+        ii = HANGUL_INITIALS.index(i) if i in HANGUL_INITIALS else None
+        mi = HANGUL_MEDIALS.index(m) if m in HANGUL_MEDIALS else None
+        fi = HANGUL_FINALS.index(f) if f in HANGUL_FINALS else None
+        if ii is None or mi is None:
+            out.append(i)
+            continue
+        fi = fi if fi is not None else 0
+        out.append(chr(44032 + (ii * 21 + mi) * 28 + fi))
+    return out
+
+
+def grapheme_edit_dis(x: str, y: str) -> float:
+    """grapheme_edit_dis, korean_grapheme_label.py:106-126 — transcribed
+    WITH its bug: after ``x = decompose_korean_char(x)`` returns a dict,
+    ``"".join(["".join(v) for v in x])`` iterates the DICT KEYS, so both
+    sides collapse to the constant 'initialmedialfinal' and the
+    normalized Levenshtein distance is 0.0 for EVERY non-empty pair
+    (the commented-out line above it shows the intended per-value join).
+
+    Empty-side quirk (:108-112): when either side is empty the function
+    returns 1 if the LENGTHS ARE EQUAL (i.e. both empty) else 0 —
+    inverted relative to a distance (identical empties -> max value)."""
+    if len(x) == 0 or len(y) == 0:
+        return 1.0 if len(x) == len(y) else 0.0
+    return 0.0

@@ -890,3 +890,106 @@ def test_r4_decode_wave4_distributed_match_kernels(spark):
     # its full body SPACE-joined
     assert got_c[2] == "" and got_c[105] == ""
     assert got_c[0] == " ".join("hello world")
+
+
+def _ksyn(d, t):
+    """Python twin of grapheme.korean_text_expr (ASCII %4 passthrough,
+    Hangul synth overshooting the 55199 quirk bound)."""
+    return "".join(
+        c if (i + 1) % 4 == 0
+        else chr(44032 + (ord(c) * 31 + (i + 1) * 7 + d) % 11174)
+        for i, c in enumerate(t))
+
+
+def test_grapheme_kernel_quirks():
+    from paddleocr_spark.kernels import (compose_korean_char,
+                                         compose_korean_char_grapheme_label,
+                                         decompose_korean_char,
+                                         grapheme_edit_dis)
+    # the <=55199 bound: U+D7A0..U+D7A3 are REAL Hangul but pass through
+    assert decompose_korean_char("힣") == ("힣", "힣", "힣")
+    assert decompose_korean_char("힟")[0] != "힟"   # 55199 in
+    assert decompose_korean_char("가") == ("가", "아", "으")
+    assert decompose_korean_char("한a") == ("하a", "아a", "은a")
+    # compose: roundtrip identity incl. non-Hangul fallback
+    i, m, f = decompose_korean_char("한글 ok힣")
+    assert compose_korean_char(i, m, f)[0] == "한글 ok힣"
+    assert compose_korean_char("", "", "") == (" ", 0)      # space quirk
+    # >=2 unknown: max-prob grapheme passes through (first-max tie)
+    assert compose_korean_char("x", "y", "z",
+                               [0.5], [0.5], [0.9]) == ("z", [0.9])
+    assert compose_korean_char("x", "y", "z",
+                               [0.5], [0.5], [0.2]) == ("x", [0.5])
+    # exactly 1 unknown: defaults (11, 0, 0) compose a real syllable
+    assert compose_korean_char("Q", "아", "윽",
+                               [0.3], [0.3], [0.3])[0] == "악"
+    # int scalar probs replicate per char; float scalars crash upstream
+    assert compose_korean_char("xy", "xy", "xy", 1, None, None)[1] == [1, 1]
+    # label dialect: unknown initial OR medial -> initial verbatim
+    assert compose_korean_char_grapheme_label("Z", "아", "으") == ["Z"]
+    assert compose_korean_char_grapheme_label("가", "Z", "으") == ["가"]
+    assert compose_korean_char_grapheme_label("가", "아", "Z") == ["가"]
+    # the dict-keys bug: constant 0 on non-empty; inverted empty quirk
+    assert grapheme_edit_dis("한", "completely different") == 0.0
+    assert grapheme_edit_dis("", "") == 1.0
+    assert grapheme_edit_dis("", "x") == 0.0
+
+
+def test_grapheme_distributed_matches_kernels(spark):
+    from paddleocr_spark.functions.grapheme import (grapheme_compose,
+                                                    grapheme_compose_label,
+                                                    grapheme_decompose,
+                                                    grapheme_ned)
+    from paddleocr_spark.kernels import (compose_korean_char,
+                                         compose_korean_char_grapheme_label,
+                                         decompose_korean_char)
+    rows = [(0, "hello world"), (1, "plain doc"), (3, "mid text"),
+            (7, ""), (11, None), (13, "abc XYZ 0123 .,^"),
+            (33, "every fourth char stays"), (143, "x")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    dec = {r["doc_id"]: r for r in grapheme_decompose(docs).collect()}
+    comp = {r["doc_id"]: r for r in grapheme_compose(docs).collect()}
+    lab = {r["doc_id"]: r["composed"]
+           for r in grapheme_compose_label(docs).collect()}
+    for d, t in rows:
+        kt = _ksyn(d, t or "")
+        i, m, f = decompose_korean_char(kt)
+        r = dec[d]
+        assert (r["ktext"], r["initial"], r["medial"], r["final"]) == \
+            (kt, i, m, f), d
+        n = len(kt)
+        ip = [((d + k) % 4) * 0.25 for k in range(1, n + 1)]
+        mp = [((d + 2 * k) % 4) * 0.25 for k in range(1, n + 1)]
+        fp = [((d + 3 * k) % 4) * 0.25 for k in range(1, n + 1)]
+        text, conf = compose_korean_char(i, m, f, ip, mp, fp)
+        want_conf = [] if n == 0 else [round(c, 4) for c in conf]
+        assert comp[d]["composed"] == text, d
+        assert [round(c, 4) for c in comp[d]["conf"]] == want_conf, d
+        assert lab[d] == "".join(
+            compose_korean_char_grapheme_label(i, m, f)), d
+    # empty-doc quirks surface distributedly: composed ' ' and conf []
+    assert comp[7]["composed"] == " " and comp[7]["conf"] == []
+    # ned: expectations from the python twin of the synth + the
+    # reference semantics (incl. the g_dist constant-0 bug)
+    ned = grapheme_ned(docs).collect()[0]
+    import math
+    eq = lev_sum = g_sum = 0
+    for d, t in rows:
+        tgt = "" if d % 13 == 0 else _ksyn(d, t or "")
+        pred = "" if d % 11 == 0 else (tgt if d % 3 == 0 else tgt[1:])
+        tgt, pred = tgt.replace(" ", ""), pred.replace(" ", "")
+        eq += pred == tgt
+        if pred != tgt:
+            # pred is tgt minus its first (non-space) char, or empty
+            lev_sum += (1.0 if not pred and tgt
+                        else 1.0 / max(len(pred), len(tgt)))
+        if (not pred or not tgt):
+            g_sum += 1.0 if len(pred) == len(tgt) else 0.0
+    n = len(rows)
+    assert ned["n"] == n
+    assert math.isclose(ned["acc"], round(eq / (n + 1e-5), 4))
+    assert math.isclose(ned["c_ned"], round(1 - lev_sum / (n + 1e-5), 4))
+    assert math.isclose(ned["g_ned"], round(1 - g_sum / (n + 1e-5), 4))
+    # the bug, visible distributedly: docs 13/143 went empty-BOTH and
+    # score 1 (the inverted empty quirk); every non-empty pair scored 0
+    assert g_sum >= 3

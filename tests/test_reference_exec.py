@@ -1085,3 +1085,152 @@ def test_can_decode_matches_executed_reference():
         ids = [rng.randint(0, n - 1) for _ in range(rng.randint(1, 15))]
         want = ns["decode"](shim, np.array([ids], dtype=np.int64))[0][0]
         assert can_label_decode(ids, list(chars)) == want, ids
+
+
+def _exec_korean_module(fname: str) -> dict:
+    """Exec a reference korean_* util module with rapidfuzz (absent in
+    this container) stubbed by a plain-python Levenshtein; pydantic is
+    stubbed too if unavailable (validate_call is a pass-through)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    def _lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    class _Lev2:
+        @staticmethod
+        def normalized_distance(a, b):
+            m = max(len(a), len(b))
+            return _lev(a, b) / m if m else 0.0
+
+    dist = types.ModuleType("rapidfuzz.distance")
+    dist.Levenshtein = _Lev2
+    rf = types.ModuleType("rapidfuzz")
+    rf.distance = dist
+    saved = {m: sys.modules.get(m)
+             for m in ("rapidfuzz", "rapidfuzz.distance", "pydantic")}
+    sys.modules["rapidfuzz"] = rf
+    sys.modules["rapidfuzz.distance"] = dist
+    # ALWAYS stub pydantic: real validate_call resolves the exec'd
+    # functions' string annotations through a module globalns that
+    # doesn't exist here (NameError: Union); validation is not the
+    # behavior under test.
+    pyd = types.ModuleType("pydantic")
+    pyd.BaseModel = object
+    pyd.validate_call = lambda f: f
+    sys.modules["pydantic"] = pyd
+    src = open(os.path.join(REF_ROOT, "ppocr/utils", fname)).read()
+    ns: dict = {"np": np}
+    try:
+        exec(compile(src, fname, "exec"), ns)
+    finally:
+        for m, v in saved.items():
+            if v is None:
+                sys.modules.pop(m, None)
+            else:
+                sys.modules[m] = v
+    return ns
+
+
+def _random_korean(rng, n) -> str:
+    """Mixed string: Hangul across the whole block INCLUDING the
+    reference's 55200..55203 passthrough quirk range, plus ASCII."""
+    out = []
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.55:
+            out.append(chr(rng.randint(44032, 55203)))
+        elif r < 0.65:
+            out.append(chr(rng.randint(55196, 55203)))   # the boundary
+        else:
+            out.append(rng.choice("abc XYZ09.^"))
+    return "".join(out)
+
+
+def test_grapheme_decompose_matches_executed_reference():
+    from paddleocr_spark.kernels import decompose_korean_char
+    ns = _exec_korean_module("korean_grapheme_label.py")
+    rng = random.Random(79)
+    for _ in range(200):
+        text = _random_korean(rng, rng.randint(0, 20))
+        want = ns["decompose_korean_char"](text)
+        got = decompose_korean_char(text)
+        assert got == (want["initial"], want["medial"], want["final"]), text
+
+
+def test_grapheme_compose_matches_executed_reference():
+    """compose_korean_char (the prob dialect) against the executed
+    reference: jamo strings built FROM decomposition (so >=2-known
+    paths fire) plus raw mixed strings (fallback paths), with prob
+    lists, int scalars, and None."""
+    from paddleocr_spark.kernels import (compose_korean_char,
+                                         decompose_korean_char)
+    ns = _exec_korean_module("korean_grapheme_label.py")
+    rng = random.Random(83)
+    for trial in range(200):
+        if trial % 2 == 0:
+            i, m, f = decompose_korean_char(_random_korean(
+                rng, rng.randint(0, 15)))
+        else:
+            i = _random_korean(rng, rng.randint(0, 15))
+            m = _random_korean(rng, len(i))
+            f = _random_korean(rng, len(i))
+        kind = rng.random()
+        if kind < 0.4:
+            ip = [rng.randint(0, 8) * 0.125 for _ in i]
+            mp = [rng.randint(0, 8) * 0.125 for _ in i]
+            fp = [rng.randint(0, 8) * 0.125 for _ in i]
+        elif kind < 0.6:
+            ip = mp = fp = None
+        else:
+            ip, mp, fp = rng.randint(0, 3), rng.randint(0, 3), None
+        want = ns["compose_korean_char"](i, m, f, ip, mp, fp)
+        got = compose_korean_char(i, m, f, ip, mp, fp)
+        assert got[0] == want[0], (i, m, f, got[0], want[0])
+        assert got[1] == want[1], (i, m, f, ip, mp, fp, got[1], want[1])
+
+
+def test_grapheme_compose_label_matches_executed_reference():
+    from paddleocr_spark.kernels import (compose_korean_char_grapheme_label,
+                                         decompose_korean_char)
+    ns = _exec_korean_module("korean_compose.py")
+    rng = random.Random(89)
+    for trial in range(200):
+        if trial % 2 == 0:
+            i, m, f = decompose_korean_char(_random_korean(
+                rng, rng.randint(0, 15)))
+        else:
+            i = _random_korean(rng, rng.randint(0, 15))
+            m = _random_korean(rng, rng.randint(0, 15))
+            f = _random_korean(rng, rng.randint(0, 15))
+        want = ns["compose_korean_char_grapheme_label"](i, m, f)
+        got = compose_korean_char_grapheme_label(i, m, f)
+        assert got == want, (i, m, f, got, want)
+
+
+def test_grapheme_edit_dis_matches_executed_reference():
+    """Executes the reference grapheme_edit_dis and confirms the
+    dict-keys bug live: every non-empty pair scores 0.0 regardless of
+    content, and the empty-side branch returns 1 only when the lengths
+    match (both empty)."""
+    from paddleocr_spark.kernels import grapheme_edit_dis
+    ns = _exec_korean_module("korean_grapheme_label.py")
+    rng = random.Random(97)
+    for _ in range(100):
+        x = _random_korean(rng, rng.randint(0, 10))
+        y = _random_korean(rng, rng.randint(0, 10))
+        assert grapheme_edit_dis(x, y) == ns["grapheme_edit_dis"](x, y), \
+            (x, y)
+    assert ns["grapheme_edit_dis"]("한", "글") == 0.0       # the bug, live
+    assert ns["grapheme_edit_dis"]("한글과 영어", "xyz") == 0.0
+    assert ns["grapheme_edit_dis"]("", "") == 1
+    assert ns["grapheme_edit_dis"]("", "x") == 0
