@@ -947,6 +947,35 @@ def q_grapheme_ned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grapheme_ned(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
+def q_utf8_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fork utf8string dialect: flatten synthesized Korean text to a
+    compatibility-jamo stream (korean_compose_by_utf8.py:16-31; '@' for
+    an absent final; FULL-block Hangul test, unlike the other dialect's
+    55199)."""
+    from .functions.grapheme import utf8_decompose
+    return utf8_decompose(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_utf8_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fork utf8string dialect: greedy jamo re-composition with probs
+    (korean_compose_by_utf8.py:60-94) as a sequential aggregate-HOF
+    fold — cho+jung starts a syllable and CONSUMES an optional
+    JONGSUNG-member final (including '@')."""
+    from .functions.grapheme import utf8_compose
+    return utf8_compose(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_rec_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fork ensemble layer (korean_compose_by_utf8.py:96-198, used at
+    inference by rec_postprocess.py:340-357): char-level max-prob pick,
+    char-level threshold pick, word-level product-of-probs pick (long
+    docs underflow both products to 0 and the tie rule decides), and the
+    log-avg threshold pick whose default threshold 0.5 is unreachable on
+    the log scale (always pred2 — pinned quirk)."""
+    from .functions.grapheme import rec_ensemble
+    return rec_ensemble(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def q_e2e_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 E2EMetric mode-A full report (eval_end2end.py:71-180 +
     combine: precision/recall/fmeasure on hits, character_acc and
@@ -1556,6 +1585,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grapheme_compose": q_grapheme_compose,
         "grapheme_compose_label": q_grapheme_compose_label,
         "grapheme_ned": q_grapheme_ned,
+        "utf8_decompose": q_utf8_decompose,
+        "utf8_compose": q_utf8_compose,
+        "rec_ensemble": q_rec_ensemble,
         "e2e_metric": q_e2e_metric,
         "preprocess_image": q_preprocess_image,
         "media_decode_real": q_media_decode_real,
@@ -3101,6 +3133,74 @@ SELECT round(sum(eq) / (count(*) + 0.00001), 4) + 0 AS acc,
        round(1.0 - sum(g_dist) / (count(*) + 0.00001), 4) + 0 AS g_ned,
        count(*) AS n
 FROM per"""
+
+    # --- utf8string dialect: flat compatibility-jamo streams + greedy
+    #     re-composition + the ensemble layer (korean_compose_by_utf8
+    #     .py). The Hangul test here is the FULL block (<= 55203). ---
+    from .functions.grapheme import CHOSUNG as _CHO
+    from .functions.grapheme import JONGSUNG as _JON
+    from .functions.grapheme import JUNGSUNG as _JUN
+    u_cp = "unicode(substring(ktext, CAST(k AS INT), 1))"
+    u_code = f"({u_cp} - 44032)"
+    u_jong = f"({u_code} % 28)"
+    u_jung = f"((({u_code} - {u_jong}) // 28) % 21)"
+    u_cho = f"((({u_code} - {u_jong}) // 28) // 21)"
+    u_per = (f"CASE WHEN {u_cp} BETWEEN 44032 AND 55203 THEN "
+             f"substring('{_CHO}', CAST({u_cho} + 1 AS INT), 1) || "
+             f"substring('{_JUN}', CAST({u_jung} + 1 AS INT), 1) || "
+             f"substring('{_JON}', CAST({u_jong} + 1 AS INT), 1) "
+             f"ELSE substring(ktext, CAST(k AS INT), 1) END")
+    sqls["utf8_decompose"] = f"""{g_base}
+SELECT doc_id,
+       coalesce(array_to_string(list_transform(
+           generate_series(1, length(ktext)), k -> {u_per}), ''), '')
+           AS jamo
+FROM kt"""
+
+    # Greedy re-composition, implied by the synth: decompose ALWAYS
+    # emits cho+jung+jong ('@' at minimum) per syllable and the %4 ASCII
+    # chars are never jamo, so the scan's parse is statically known —
+    # composed == ktext, each Hangul output char consumed exactly 3 jamo
+    # positions (avg of 3 probs) and each ASCII char consumed 1. The
+    # jamo start offset of output char k is 1 + sum of the widths
+    # (3 Hangul / 1 other) of the chars before it.
+    u_ism = ("CASE WHEN unicode(substring(ktext, CAST(m AS INT), 1)) "
+             "BETWEEN 44032 AND 55203 THEN 3 ELSE 1 END")
+    u_off = (f"(1 + coalesce(list_sum(list_transform("
+             f"generate_series(1, k - 1), m -> {u_ism})), 0))")
+    u_p = "(CAST((doc_id + 5 * j) % 8 + 1 AS DOUBLE) / 8)"
+    u_p0 = u_p.replace("j)", f"{u_off})")
+    u_p1 = u_p.replace("j)", f"({u_off} + 1))")
+    u_p2 = u_p.replace("j)", f"({u_off} + 2))")
+    sqls["utf8_compose"] = f"""{g_base}
+SELECT doc_id, ktext AS composed,
+       list_transform(generate_series(1, length(ktext)),
+           k -> round(CASE WHEN {u_cp} BETWEEN 44032 AND 55203
+                THEN ({u_p0} + {u_p1} + {u_p2}) / 3
+                ELSE {u_p0} END, 4)) AS ps
+FROM kt"""
+
+    u_c1 = "substring(ktext, CAST(k AS INT), 1)"
+    u_c2 = f"CASE WHEN k % 5 = 0 THEN 'x' ELSE {u_c1} END"
+    u_e1 = "(CAST((doc_id + k) % 8 + 1 AS DOUBLE) / 8)"
+    u_e2 = "(CAST((doc_id + 3 * k) % 8 + 1 AS DOUBLE) / 8)"
+    u_mul = (lambda p: f"CASE WHEN length(ktext) = 0 THEN 0.0 ELSE "
+             f"list_aggregate(list_transform(generate_series(1, "
+             f"length(ktext)), k -> {p}), 'product') END")
+    sqls["rec_ensemble"] = f"""{g_base}
+SELECT doc_id,
+       coalesce(array_to_string(list_transform(
+           generate_series(1, length(ktext)),
+           k -> CASE WHEN {u_e1} >= {u_e2} THEN {u_c1} ELSE {u_c2} END),
+           ''), '') AS char_ens,
+       coalesce(array_to_string(list_transform(
+           generate_series(1, length(ktext)),
+           k -> CASE WHEN {u_e1} >= 0.5 THEN {u_c1} ELSE {u_c2} END),
+           ''), '') AS char_thr,
+       CASE WHEN ({u_mul(u_e1)}) >= ({u_mul(u_e2)}) THEN 'p1'
+            ELSE 'p2' END AS mul_pick,
+       'p2' AS logavg_pick
+FROM kt"""
 
     # --- A8 E2EMetric mode-A full report ---
     sqls["e2e_metric"] = """

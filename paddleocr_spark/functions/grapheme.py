@@ -221,3 +221,133 @@ def grapheme_ned(docs: DataFrame) -> DataFrame:
 
 def docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# utf8string dialect (korean_compose_by_utf8.py) + the ensemble layer the
+# fork's grapheme decoders call at inference (rec_postprocess.py:306,
+# 340-357): flat compatibility-jamo streams, greedy re-composition, and
+# char/word-level prediction ensembles.
+# ---------------------------------------------------------------------------
+
+from ..kernels import CHOSUNG, JONGSUNG, JUNGSUNG  # noqa: E402
+
+#: This dialect's Hangul test is the FULL block (korean_compose_by_utf8
+#: .py:19 — <= 44032+11171), unlike korean_grapheme_label's 55199.
+UTF8_HI = 44032 + 11171
+
+
+def utf8_decompose(docs: DataFrame) -> DataFrame:
+    """Flatten synthesized Korean text to a compatibility-jamo stream
+    (kernels.decompose_hangul_by_utf8 twin): every syllable becomes
+    cho+jung+jong with '@' for an absent final; non-Hangul passes
+    through. Output: (doc_id, jamo)."""
+    d = docs.withColumn("ktext", F.expr(korean_text_expr()))
+    code = f"(ascii(c) - {HANGUL_LO})"
+    jong = f"({code} % 28)"
+    junk = f"((({code} - {jong}) div 28) % 21)"
+    cho = f"((({code} - {jong}) div 28) div 21)"
+    per = (f"CASE WHEN ascii(c) >= {HANGUL_LO} AND ascii(c) <= {UTF8_HI} "
+           f"THEN concat(substring('{CHOSUNG}', {cho} + 1, 1), "
+           f"substring('{JUNGSUNG}', {junk} + 1, 1), "
+           f"substring('{JONGSUNG}', {jong} + 1, 1)) ELSE c END")
+    return d.select(
+        "doc_id",
+        F.expr(f"array_join(transform(filter(split(ktext, ''), "
+               f"c -> c != ''), c -> {per}), '')").alias("jamo"))
+
+
+#: Per-jamo-position prob for the compose/ensemble demos: in (0, 1].
+def _jp(mult: int) -> str:
+    return f"(CAST((doc_id + {mult} * k) % 8 + 1 AS DOUBLE) / 8)"
+
+
+def utf8_compose(docs: DataFrame) -> DataFrame:
+    """Greedy jamo re-composition (kernels.compose_string_by_utf8 twin)
+    with deterministic per-position probs, as a LEFT FOLD over positions
+    (`aggregate` HOF): the scan is inherently sequential — a cho+jung
+    start CONSUMES the next 1-2 positions (a following JONGSUNG char,
+    INCLUDING '@' → final index 0, is eaten as the final), so a
+    stateless per-position transform would double-start overlapping
+    candidates. The fold is per-row and stays whole-stage-codegen'd;
+    array-append copying makes it quadratic in doc length, fine at this
+    corpus's ~1-2 KB docs (the at-scale path would be the grouped-Arrow
+    kernel pattern used by the span walk).
+
+    Output: (doc_id, composed, ps array<double> rounded 4dp)."""
+    d = utf8_decompose(docs).withColumn(
+        "chars", F.expr("filter(split(jamo, ''), c -> c != '')"))
+    n = "size(chars)"
+    c0 = "element_at(chars, CAST(k AS INT))"
+    c1 = "element_at(chars, CAST(k + 1 AS INT))"
+    c2 = "element_at(chars, CAST(k + 2 AS INT))"
+    start = (f"instr('{CHOSUNG}', {c0}) > 0 AND k + 1 <= {n} "
+             f"AND instr('{JUNGSUNG}', {c1}) > 0")
+    hasjong = f"(k + 2 <= {n} AND instr('{JONGSUNG}', {c2}) > 0)"
+    cp = (f"{HANGUL_LO} + ((instr('{CHOSUNG}', {c0}) - 1) * 21 + "
+          f"instr('{JUNGSUNG}', {c1}) - 1) * 28 + "
+          f"(CASE WHEN {hasjong} THEN instr('{JONGSUNG}', {c2}) - 1 "
+          f"ELSE 0 END)")
+    p0, p1, p2 = (_jp(5).replace(" k", " k"),
+                  _jp(5).replace("* k", "* (k + 1)"),
+                  _jp(5).replace("* k", "* (k + 2)"))
+    avg = (f"CASE WHEN {hasjong} THEN ({p0} + {p1} + {p2}) / 3 "
+           f"ELSE ({p0} + {p1}) / 2 END")
+    step = (
+        f"CASE WHEN acc.skip > 0 THEN named_struct("
+        f"'out', acc.out, 'ps', acc.ps, 'skip', acc.skip - 1) "
+        f"WHEN {start} THEN named_struct("
+        f"'out', concat(acc.out, array({_utf8_char(cp)})), "
+        f"'ps', concat(acc.ps, array({avg})), "
+        f"'skip', CASE WHEN {hasjong} THEN 2 ELSE 1 END) "
+        f"ELSE named_struct('out', concat(acc.out, array({c0})), "
+        f"'ps', concat(acc.ps, array({p0})), 'skip', 0) END")
+    fold = (f"aggregate(filter(sequence(0, {n}), k -> k > 0), "
+            f"named_struct('out', cast(array() as array<string>), "
+            f"'ps', cast(array() as array<double>), 'skip', 0), "
+            f"(acc, k) -> {step}, "
+            f"acc -> struct(array_join(acc.out, '') AS composed, "
+            f"transform(acc.ps, x -> round(x, 4)) AS ps))")
+    return d.select("doc_id", F.expr(fold).alias("_f")).select(
+        "doc_id", F.col("_f.composed").alias("composed"),
+        F.col("_f.ps").alias("ps"))
+
+
+def rec_ensemble(docs: DataFrame) -> DataFrame:
+    """The fork's prediction-ensemble layer over two synthetic preds:
+    pred1 = synthesized Korean text with probs p1(k), pred2 = the same
+    text with every 5th char substituted ('x') and probs p2(k).
+
+    Columns (kernels twins in parentheses):
+    - char_ens: per-position max-prob pick (char_level_ensemble)
+    - char_thr: on='left' threshold-0.5 pick
+      (char_level_ensemble_by_threshold)
+    - mul_pick: 'p1'/'p2' by product-of-probs (word_level_ensemble;
+      ties → p1 — and long docs UNDERFLOW both products to 0.0, so the
+      tie rule decides, a real reference behavior at word length ≫ 1)
+    - logavg_pick: threshold_word_ensemble_log_avg with the DEFAULT
+      threshold 0.5 — a mean LOG-prob is always <= 0, so the on='left'
+      test never passes and pred2 wins unconditionally (pinned quirk).
+    """
+    d = docs.withColumn("kt", F.expr(korean_text_expr())).withColumn(
+        "chars", F.expr("filter(split(kt, ''), c -> c != '')"))
+    n = "size(chars)"
+    seq = f"filter(sequence(0, {n}), k -> k > 0)"
+    c1 = "element_at(chars, CAST(k AS INT))"
+    c2 = f"CASE WHEN k % 5 = 0 THEN 'x' ELSE {c1} END"
+    p1, p2 = _jp(1), _jp(3)
+    char_ens = (f"array_join(transform({seq}, k -> "
+                f"CASE WHEN {p1} >= {p2} THEN {c1} ELSE {c2} END), '')")
+    char_thr = (f"array_join(transform({seq}, k -> "
+                f"CASE WHEN {p1} >= 0.5D THEN {c1} ELSE {c2} END), '')")
+    mul1 = (f"CASE WHEN {n} = 0 THEN CAST(0 AS DOUBLE) ELSE "
+            f"aggregate({seq}, CAST(1 AS DOUBLE), (a, k) -> a * {p1}) END")
+    mul2 = (f"CASE WHEN {n} = 0 THEN CAST(0 AS DOUBLE) ELSE "
+            f"aggregate({seq}, CAST(1 AS DOUBLE), (a, k) -> a * {p2}) END")
+    return d.select(
+        "doc_id",
+        F.expr(char_ens).alias("char_ens"),
+        F.expr(char_thr).alias("char_thr"),
+        F.expr(f"CASE WHEN {mul1} >= {mul2} THEN 'p1' ELSE 'p2' END")
+        .alias("mul_pick"),
+        F.lit("p2").alias("logavg_pick"))

@@ -2397,3 +2397,176 @@ def grapheme_edit_dis(x: str, y: str) -> float:
     if len(x) == 0 or len(y) == 0:
         return 1.0 if len(x) == len(y) else 0.0
     return 0.0
+
+
+#: Compatibility-jamo alphabets for the utf8string grapheme dialect
+#: (korean_compose_by_utf8.py:12-14). JONGSUNG[0] is the literal '@' —
+#: the dialect's stand-in for "no final", ALWAYS emitted on decompose.
+CHOSUNG = "ㄱㄲㄴㄷㄸㄹㅁㅂㅃㅅㅆㅇㅈㅉㅊㅋㅌㅍㅎ"
+JUNGSUNG = "ㅏㅐㅑㅒㅓㅔㅕㅖㅗㅘㅙㅚㅛㅜㅝㅞㅟㅠㅡㅢㅣ"
+JONGSUNG = "@ㄱㄲㄳㄴㄵㄶㄷㄹㄺㄻㄼㄽㄾㄿㅀㅁㅂㅄㅅㅆㅇㅈㅊㅋㅌㅍㅎ"
+
+
+def decompose_hangul_by_utf8(text: str) -> str:
+    """decompose_hangul_by_utf8, korean_compose_by_utf8.py:16-31: each
+    Hangul syllable flattens to THREE compatibility jamo — cho + jung +
+    jong, with '@' standing for an absent final (JONGSUNG_LIST[0]).
+    Non-Hangul passes through as a single char.
+
+    Quirk DIFFERENCE vs korean_grapheme_label's decompose: the bound
+    here is the FULL block (<= 44032 + 11171 = 55203), so '힠힡힢힣'
+    decompose normally in this dialect but pass through in the other."""
+    out = []
+    for c in text:
+        cp = ord(c)
+        if not (44032 <= cp <= 44032 + 11171):
+            out.append(c)
+            continue
+        code = cp - 44032
+        jong = code % 28
+        jung = ((code - jong) // 28) % 21
+        cho = ((code - jong) // 28) // 21
+        out.append(CHOSUNG[cho] + JUNGSUNG[jung] + JONGSUNG[jong])
+    return "".join(out)
+
+
+def compose_string_by_utf8(decomposed: str, p_list):
+    """compose_string_by_utf8, korean_compose_by_utf8.py:60-94: greedy
+    left-to-right scan over a flat jamo stream. A cho followed by a jung
+    starts a syllable; a following char in JONGSUNG_LIST (INCLUDING '@'
+    → final index 0) is consumed as the final. conf = mean of the 3 (or
+    2, when no jong was consumed) jamo probs. Anything else passes
+    through with its own prob. Inputs are first TRUNCATED to the shorter
+    of (chars, probs) — the reference's min-len guard.
+
+    Returns (composed string, per-output-char prob list)."""
+    n = min(len(decomposed), len(p_list))
+    decomposed, p_list = decomposed[:n], list(p_list[:n])
+    out, ps = [], []
+    i = 0
+    while i < n:
+        c = decomposed[i]
+        if c in CHOSUNG and i + 1 < n and decomposed[i + 1] in JUNGSUNG:
+            jung = decomposed[i + 1]
+            jong = (decomposed[i + 2]
+                    if i + 2 < n and decomposed[i + 2] in JONGSUNG else "")
+            if jong != "":
+                avg = sum(p_list[i:i + 3]) / 3
+            else:
+                avg = sum(p_list[i:i + 2]) / 2
+            ji = JONGSUNG.index(jong) if jong else 0
+            out.append(chr(44032 + (CHOSUNG.index(c) * 21
+                                    + JUNGSUNG.index(jung)) * 28 + ji))
+            ps.append(avg)
+            i += 3 if jong else 2
+        else:
+            out.append(c)
+            ps.append(p_list[i])
+            i += 1
+    return "".join(out), ps
+
+
+def char_level_ensemble(pred1, pred2):
+    """char_level_ensemble, korean_compose_by_utf8.py:96-113: per-char
+    max-prob pick over zip(*pred1, *pred2) — zip TRUNCATES to the
+    shortest of the four sequences. An empty pred1 text short-circuits
+    to pred1 (likewise pred2). Any exception inside the loop returns
+    pred1 unchanged (the bare-except fallback)."""
+    if len(pred1[0]) == 0:
+        return pred1
+    if len(pred2[0]) == 0:
+        return pred2
+    try:
+        c, p = [], []
+        for c1, p1, c2, p2 in zip(*pred1, *pred2):
+            if p1 >= p2:
+                c.append(c1)
+                p.append(p1)
+            else:
+                c.append(c2)
+                p.append(p2)
+        return "".join(c), p
+    except Exception:
+        return pred1
+
+
+def char_level_ensemble_by_threshold(pred1, pred2, threshold=0.5,
+                                     on="left"):
+    """char_level_ensemble_by_threshold, korean_compose_by_utf8.py
+    :115-143: like char_level_ensemble but the pick is 'does the
+    on-side's prob clear the threshold', not a max."""
+    if len(pred1[0]) == 0:
+        return pred1
+    if len(pred2[0]) == 0:
+        return pred2
+    try:
+        c, p = [], []
+        for c1, p1, c2, p2 in zip(*pred1, *pred2):
+            take1 = (p1 >= threshold) if on == "left" else not (
+                p2 >= threshold)
+            if on not in ("left", "right"):
+                raise ValueError("on should be either 'left' or 'right'")
+            if take1:
+                c.append(c1)
+                p.append(p1)
+            else:
+                c.append(c2)
+                p.append(p2)
+        return "".join(c), p
+    except Exception:
+        return pred1
+
+
+def mul_prob(prob_list):
+    """korean_compose_by_utf8.py:195-198: product of probs; EMPTY -> 0
+    (not 1 — an empty word can never win a word-level ensemble)."""
+    r = 1.0
+    if not prob_list:
+        return 0
+    for p in prob_list:
+        r *= p
+    return r
+
+
+def log_avg_prob(prob_list):
+    """korean_compose_by_utf8.py:187-193: mean log-prob with each prob
+    floored at 1e-6; EMPTY -> 0 (which is the MAX possible value of a
+    mean log-prob — the opposite polarity of mul_prob's empty rule)."""
+    import math
+    if not prob_list:
+        return 0
+    return sum(math.log(max(p, 1e-6)) for p in prob_list) / len(prob_list)
+
+
+def word_level_ensemble(pred1, pred2):
+    """word_level_ensemble, korean_compose_by_utf8.py:149-156: whole-
+    word pick by product-of-probs, ties to pred1."""
+    return pred1 if mul_prob(pred1[1]) >= mul_prob(pred2[1]) else pred2
+
+
+def word_level_ensemble_by_threshold(pred1, pred2, prob1, prob2,
+                                     threshold=0.5, on="left"):
+    """__word_level_ensemble_by_threshold, korean_compose_by_utf8.py
+    :169-181: on='left' keeps pred1 iff prob1 clears the threshold;
+    on='right' SWAPS the argument order (pred2 wins iff prob2 clears)."""
+    if on == "left":
+        return pred1 if prob1 >= threshold else pred2
+    if on == "right":
+        return pred2 if prob2 >= threshold else pred1
+    raise ValueError("on should be either 'left' or 'right'")
+
+
+def threshold_word_ensemble_mul(pred1, pred2, threshold=0.5, on="left"):
+    """threshold_based_word_level_ensemble_with_mul_prob (:158-161)."""
+    return word_level_ensemble_by_threshold(
+        pred1, pred2, mul_prob(pred1[1]), mul_prob(pred2[1]),
+        threshold, on)
+
+
+def threshold_word_ensemble_log_avg(pred1, pred2, threshold=0.5,
+                                    on="left"):
+    """threshold_based_word_level_ensemble_with_log_avg_prob
+    (:163-167)."""
+    return word_level_ensemble_by_threshold(
+        pred1, pred2, log_avg_prob(pred1[1]), log_avg_prob(pred2[1]),
+        threshold, on)

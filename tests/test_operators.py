@@ -993,3 +993,77 @@ def test_grapheme_distributed_matches_kernels(spark):
     # the bug, visible distributedly: docs 13/143 went empty-BOTH and
     # score 1 (the inverted empty quirk); every non-empty pair scored 0
     assert g_sum >= 3
+
+
+def test_utf8_kernel_quirks():
+    from paddleocr_spark.kernels import (char_level_ensemble,
+                                         compose_string_by_utf8,
+                                         decompose_hangul_by_utf8,
+                                         log_avg_prob, mul_prob,
+                                         threshold_word_ensemble_log_avg,
+                                         word_level_ensemble)
+    # FULL-block bound here (vs korean_grapheme_label's 55199): '힣'
+    # decomposes in THIS dialect
+    assert decompose_hangul_by_utf8("힣") == "ㅎㅣㅎ"
+    # '@' is the always-emitted empty-final marker
+    assert decompose_hangul_by_utf8("가") == "ㄱㅏ@"
+    assert decompose_hangul_by_utf8("a가b") == "aㄱㅏ@b"
+    # greedy compose: '@' is CONSUMED as final index 0
+    assert compose_string_by_utf8("ㄱㅏ@", [0.3, 0.6, 0.9]) == \
+        ("가", [(0.3 + 0.6 + 0.9) / 3])
+    # without a JONGSUNG member following, only 2 jamo are consumed
+    assert compose_string_by_utf8("ㄱㅏㅏ", [0.4, 0.6, 1.0]) == \
+        ("가ㅏ", [0.5, 1.0])
+    # a following cho IS a valid final: greedy scan eats it
+    assert compose_string_by_utf8("ㄱㅏㄱㅏ", [1, 1, 1, 1]) == \
+        ("각ㅏ", [1.0, 1])
+    # min-len truncation of (chars, probs)
+    assert compose_string_by_utf8("ab", [0.5]) == ("a", [0.5])
+    # ensembles: empty-side short-circuits; zip truncation
+    assert char_level_ensemble(("", []), ("xy", [1, 1])) == ("", [])
+    assert char_level_ensemble(("abc", [1, 0, 1]), ("xy", [0, 1])) == \
+        ("ay", [1, 1])
+    # mul_prob: empty -> 0 (never wins); log_avg: empty -> 0 (the MAX)
+    assert mul_prob([]) == 0 and log_avg_prob([]) == 0
+    assert word_level_ensemble(("a", [0.9]), ("", []))[0] == "a"
+    # default threshold 0.5 is unreachable on the log scale -> pred2
+    assert threshold_word_ensemble_log_avg(
+        ("a", [1.0]), ("b", [0.001]))[0] == "b"
+
+
+def test_utf8_distributed_matches_kernels(spark):
+    from paddleocr_spark.functions.grapheme import (rec_ensemble,
+                                                    utf8_compose,
+                                                    utf8_decompose)
+    from paddleocr_spark.kernels import (char_level_ensemble,
+                                         char_level_ensemble_by_threshold,
+                                         compose_string_by_utf8,
+                                         decompose_hangul_by_utf8, mul_prob)
+    rows = [(0, "hello world"), (1, "plain doc"), (7, ""), (11, None),
+            (13, "abc XYZ 0123 .,^"), (40, "x" * 40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    dec = {r["doc_id"]: r["jamo"] for r in utf8_decompose(docs).collect()}
+    comp = {r["doc_id"]: r for r in utf8_compose(docs).collect()}
+    ens = {r["doc_id"]: r for r in rec_ensemble(docs).collect()}
+    for d, t in rows:
+        kt = _ksyn(d, t or "")
+        j = decompose_hangul_by_utf8(kt)
+        assert dec[d] == j, d
+        ps = [((d + 5 * k) % 8 + 1) / 8 for k in range(1, len(j) + 1)]
+        text, pc = compose_string_by_utf8(j, ps)
+        assert comp[d]["composed"] == text == kt, d   # roundtrip identity
+        assert comp[d]["ps"] == [round(x, 4) for x in pc], d
+        n = len(kt)
+        p1 = [((d + k) % 8 + 1) / 8 for k in range(1, n + 1)]
+        p2 = [((d + 3 * k) % 8 + 1) / 8 for k in range(1, n + 1)]
+        t2 = "".join("x" if k % 5 == 0 else c for k, c in enumerate(kt, 1))
+        assert ens[d]["char_ens"] == char_level_ensemble(
+            (kt, p1), (t2, p2))[0], d
+        assert ens[d]["char_thr"] == char_level_ensemble_by_threshold(
+            (kt, p1), (t2, p2), 0.5, "left")[0], d
+        want = "p1" if mul_prob(p1) >= mul_prob(p2) else "p2"
+        assert ens[d]["mul_pick"] == want, d
+        assert ens[d]["logavg_pick"] == "p2", d
+    # doc 40 is long enough that both products underflow to 0.0 -> tie
+    # -> the reference's tie rule picks pred1
+    assert ens[40]["mul_pick"] == "p1"

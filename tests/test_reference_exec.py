@@ -1234,3 +1234,95 @@ def test_grapheme_edit_dis_matches_executed_reference():
     assert ns["grapheme_edit_dis"]("한글과 영어", "xyz") == 0.0
     assert ns["grapheme_edit_dis"]("", "") == 1
     assert ns["grapheme_edit_dis"]("", "x") == 0
+
+
+def _exec_utf8_module() -> dict:
+    """korean_compose_by_utf8.py imports only functools/operator/math —
+    exec'able directly."""
+    src = open(os.path.join(
+        REF_ROOT, "ppocr/utils/korean_compose_by_utf8.py")).read()
+    ns: dict = {}
+    exec(compile(src, "korean_compose_by_utf8.py", "exec"), ns)
+    return ns
+
+
+def _random_jamo_stream(rng, n) -> str:
+    """Adversarial flat stream: raw jamo letters (so greedy-scan
+    boundaries get exercised), decomposed syllables, ASCII."""
+    from paddleocr_spark.kernels import (CHOSUNG, JONGSUNG, JUNGSUNG,
+                                         decompose_hangul_by_utf8)
+    out = []
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.3:
+            out.append(rng.choice(CHOSUNG))
+        elif r < 0.5:
+            out.append(rng.choice(JUNGSUNG))
+        elif r < 0.65:
+            out.append(rng.choice(JONGSUNG))   # includes '@'
+        elif r < 0.85:
+            out.append(decompose_hangul_by_utf8(
+                chr(rng.randint(44032, 55203))))
+        else:
+            out.append(rng.choice("ax 9."))
+    return "".join(out)
+
+
+def test_utf8_decompose_matches_executed_reference():
+    from paddleocr_spark.kernels import decompose_hangul_by_utf8
+    ns = _exec_utf8_module()
+    rng = random.Random(101)
+    for _ in range(200):
+        text = _random_korean(rng, rng.randint(0, 20))
+        assert decompose_hangul_by_utf8(text) == \
+            ns["decompose_hangul_by_utf8"](text), text
+    # dialect difference vs korean_grapheme_label: FULL-block bound
+    assert ns["decompose_hangul_by_utf8"]("힣") == "ㅎㅣㅎ"
+
+
+def test_utf8_compose_matches_executed_reference():
+    from paddleocr_spark.kernels import compose_string_by_utf8
+    ns = _exec_utf8_module()
+    rng = random.Random(103)
+    for _ in range(300):
+        jamo = _random_jamo_stream(rng, rng.randint(0, 10))
+        # probs deliberately longer/shorter sometimes: min-len truncation
+        plen = max(0, len(jamo) + rng.randint(-2, 2))
+        ps = [rng.randint(1, 8) / 8 for _ in range(plen)]
+        want = ns["compose_string_by_utf8"](jamo, ps)
+        got = compose_string_by_utf8(jamo, ps)
+        assert got[0] == want[0], (jamo, got[0], want[0])
+        assert got[1] == want[1], (jamo, ps)
+
+
+def test_utf8_ensembles_match_executed_reference():
+    from paddleocr_spark.kernels import (char_level_ensemble,
+                                         char_level_ensemble_by_threshold,
+                                         log_avg_prob, mul_prob,
+                                         threshold_word_ensemble_log_avg,
+                                         threshold_word_ensemble_mul,
+                                         word_level_ensemble)
+    ns = _exec_utf8_module()
+    rng = random.Random(107)
+    for _ in range(300):
+        n1, n2 = rng.randint(0, 8), rng.randint(0, 8)
+        p1 = ("".join(rng.choice("ab한글") for _ in range(n1)),
+              [rng.randint(0, 8) / 8 for _ in range(n1)])
+        p2 = ("".join(rng.choice("xy한글") for _ in range(n2)),
+              [rng.randint(0, 8) / 8 for _ in range(n2)])
+        assert char_level_ensemble(p1, p2) == \
+            ns["char_level_ensemble"](p1, p2), (p1, p2)
+        for on in ("left", "right"):
+            th = rng.choice([0.25, 0.5, 0.75])
+            assert char_level_ensemble_by_threshold(p1, p2, th, on) == \
+                ns["char_level_ensemble_by_threshold"](p1, p2, th, on)
+            assert threshold_word_ensemble_mul(p1, p2, th, on) == \
+                ns["threshold_based_word_level_ensemble_with_mul_prob"](
+                    p1, p2, th, on), (p1, p2, th, on)
+            assert threshold_word_ensemble_log_avg(p1, p2, th, on) == \
+                ns["threshold_based_word_level_ensemble_with_log_avg_prob"](
+                    p1, p2, th, on), (p1, p2, th, on)
+        assert word_level_ensemble(p1, p2) == \
+            ns["word_level_ensemble"](p1, p2), (p1, p2)
+        assert mul_prob(p1[1]) == ns["mul_prob"](p1[1])
+        assert log_avg_prob(p1[1]) == ns["log_avg_prob"](p1[1])
