@@ -53,6 +53,9 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tensor_ops": _entry("q_tensor_ops"),
         "rotate_crop": _entry("q_rotate_crop"),
         "layout_preprocess": _entry("q_layout_preprocess"),
+        # round-4 tail: grapheme layer representatives
+        "grapheme_compose": _entry("q_grapheme_compose"),
+        "utf8_compose": _entry("q_utf8_compose"),
     }
 
 
