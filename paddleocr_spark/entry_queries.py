@@ -958,9 +958,10 @@ def q_utf8_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_utf8_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fork utf8string dialect: greedy jamo re-composition with probs
-    (korean_compose_by_utf8.py:60-94) as a sequential aggregate-HOF
-    fold — cho+jung starts a syllable and CONSUMES an optional
-    JONGSUNG-member final (including '@')."""
+    (korean_compose_by_utf8.py:60-94) — cho+jung starts a syllable and
+    CONSUMES an optional JONGSUNG-member final (including '@'). The
+    sequential scan runs as an Arrow-batched row kernel (the HOF-fold
+    form measured O(n²); see PERF.md)."""
     from .functions.grapheme import utf8_compose
     return utf8_compose(_docs(spark, sf_dir).select("doc_id", "text"))
 
@@ -3164,21 +3165,41 @@ FROM kt"""
     # positions (avg of 3 probs) and each ASCII char consumed 1. The
     # jamo start offset of output char k is 1 + sum of the widths
     # (3 Hangul / 1 other) of the chars before it.
-    u_ism = ("CASE WHEN unicode(substring(ktext, CAST(m AS INT), 1)) "
-             "BETWEEN 44032 AND 55203 THEN 3 ELSE 1 END")
-    u_off = (f"(1 + coalesce(list_sum(list_transform("
-             f"generate_series(1, k - 1), m -> {u_ism})), 0))")
-    u_p = "(CAST((doc_id + 5 * j) % 8 + 1 AS DOUBLE) / 8)"
-    u_p0 = u_p.replace("j)", f"{u_off})")
-    u_p1 = u_p.replace("j)", f"({u_off} + 1))")
-    u_p2 = u_p.replace("j)", f"({u_off} + 2))")
-    sqls["utf8_compose"] = f"""{g_base}
-SELECT doc_id, ktext AS composed,
-       list_transform(generate_series(1, length(ktext)),
-           k -> round(CASE WHEN {u_cp} BETWEEN 44032 AND 55203
-                THEN ({u_p0} + {u_p1} + {u_p2}) / 3
-                ELSE {u_p0} END, 4)) AS ps
-FROM kt"""
+    # The jamo start offset of output char k is 1 + the cumulative width
+    # (3 Hangul / 1 other) of the chars before it — a window sum over an
+    # unnested position table (linear; the naive per-k list_sum re-scan
+    # was O(n^2) per doc and cost ~40 s of DuckDB time at sf0.01).
+    u_p = "(CAST((doc_id + 5 * (j)) % 8 + 1 AS DOUBLE) / 8)"
+    sqls["utf8_compose"] = f"""{g_base},
+pos AS (
+    SELECT doc_id, ktext,
+           unnest(generate_series(1, length(ktext))) AS k
+    FROM kt
+),
+off AS (
+    SELECT doc_id, ktext, k,
+           ({u_cp} BETWEEN 44032 AND 55203) AS hang,
+           1 + coalesce(sum(CASE WHEN {u_cp} BETWEEN 44032 AND 55203
+                            THEN 3 ELSE 1 END)
+               OVER (PARTITION BY doc_id ORDER BY k
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS o
+    FROM pos
+),
+per AS (
+    SELECT doc_id, ktext, k,
+           round(CASE WHEN hang
+                 THEN ({u_p.replace('(j)', 'o')} +
+                       {u_p.replace('(j)', '(o + 1)')} +
+                       {u_p.replace('(j)', '(o + 2)')}) / 3
+                 ELSE {u_p.replace('(j)', 'o')} END, 4) AS pk
+    FROM off
+)
+SELECT kt.doc_id, kt.ktext AS composed,
+       coalesce(agg.ps, []) AS ps
+FROM kt LEFT JOIN (
+    SELECT doc_id, list(pk ORDER BY k) AS ps FROM per GROUP BY doc_id
+) agg USING (doc_id)"""
 
     u_c1 = "substring(ktext, CAST(k AS INT), 1)"
     u_c2 = f"CASE WHEN k % 5 = 0 THEN 'x' ELSE {u_c1} END"

@@ -263,54 +263,49 @@ def _jp(mult: int) -> str:
 
 
 def utf8_compose(docs: DataFrame) -> DataFrame:
-    """Greedy jamo re-composition (kernels.compose_string_by_utf8 twin)
-    with deterministic per-position probs, as a LEFT FOLD over positions
-    (`aggregate` HOF): the scan is inherently sequential — a cho+jung
-    start CONSUMES the next 1-2 positions (a following JONGSUNG char,
-    INCLUDING '@' → final index 0, is eaten as the final), so a
-    stateless per-position transform would double-start overlapping
-    candidates. The fold is per-row and stays whole-stage-codegen'd;
-    array-append copying makes it quadratic in doc length, fine at this
-    corpus's ~1-2 KB docs (the at-scale path would be the grouped-Arrow
-    kernel pattern used by the span walk).
+    """Greedy jamo re-composition (kernels.compose_string_by_utf8, the
+    exec-ref-differentialed kernel, applied per row) with deterministic
+    per-position probs.
+
+    The scan is inherently sequential — a cho+jung start CONSUMES the
+    next 1-2 positions (a following JONGSUNG char, INCLUDING '@' →
+    final index 0, is eaten as the final) — so a stateless per-position
+    transform would double-start overlapping candidates. An
+    `aggregate`-HOF left fold expresses it JVM-side but measured
+    O(n²): HOFs are interpreted, and each step's array-append copies
+    the whole accumulator (58 s for 500 × ~7.5k-jamo docs at sf0.01).
+    This is the textbook 'built-ins can't express it efficiently' case,
+    so the scan runs as an Arrow-batched mapInPandas over (doc_id,
+    jamo) rows — O(n) per doc, ~100× faster, and general over
+    adversarial jamo streams (not just roundtrip ones).
 
     Output: (doc_id, composed, ps array<double> rounded 4dp)."""
-    d = utf8_decompose(docs).withColumn(
-        "chars", F.expr("filter(split(jamo, ''), c -> c != '')"))
-    n = "size(chars)"
-    c0 = "element_at(chars, CAST(k AS INT))"
-    c1 = "element_at(chars, CAST(k + 1 AS INT))"
-    c2 = "element_at(chars, CAST(k + 2 AS INT))"
-    start = (f"instr('{CHOSUNG}', {c0}) > 0 AND k + 1 <= {n} "
-             f"AND instr('{JUNGSUNG}', {c1}) > 0")
-    hasjong = f"(k + 2 <= {n} AND instr('{JONGSUNG}', {c2}) > 0)"
-    cp = (f"{HANGUL_LO} + ((instr('{CHOSUNG}', {c0}) - 1) * 21 + "
-          f"instr('{JUNGSUNG}', {c1}) - 1) * 28 + "
-          f"(CASE WHEN {hasjong} THEN instr('{JONGSUNG}', {c2}) - 1 "
-          f"ELSE 0 END)")
-    p0, p1, p2 = (_jp(5).replace(" k", " k"),
-                  _jp(5).replace("* k", "* (k + 1)"),
-                  _jp(5).replace("* k", "* (k + 2)"))
-    avg = (f"CASE WHEN {hasjong} THEN ({p0} + {p1} + {p2}) / 3 "
-           f"ELSE ({p0} + {p1}) / 2 END")
-    step = (
-        f"CASE WHEN acc.skip > 0 THEN named_struct("
-        f"'out', acc.out, 'ps', acc.ps, 'skip', acc.skip - 1) "
-        f"WHEN {start} THEN named_struct("
-        f"'out', concat(acc.out, array({_utf8_char(cp)})), "
-        f"'ps', concat(acc.ps, array({avg})), "
-        f"'skip', CASE WHEN {hasjong} THEN 2 ELSE 1 END) "
-        f"ELSE named_struct('out', concat(acc.out, array({c0})), "
-        f"'ps', concat(acc.ps, array({p0})), 'skip', 0) END")
-    fold = (f"aggregate(filter(sequence(0, {n}), k -> k > 0), "
-            f"named_struct('out', cast(array() as array<string>), "
-            f"'ps', cast(array() as array<double>), 'skip', 0), "
-            f"(acc, k) -> {step}, "
-            f"acc -> struct(array_join(acc.out, '') AS composed, "
-            f"transform(acc.ps, x -> round(x, 4)) AS ps))")
-    return d.select("doc_id", F.expr(fold).alias("_f")).select(
-        "doc_id", F.col("_f.composed").alias("composed"),
-        F.col("_f.ps").alias("ps"))
+    d = utf8_decompose(docs)
+    sc = docs.sparkSession.sparkContext
+    schema = "doc_id long, composed string, ps array<double>"
+
+    def batches(it):
+        import pandas as pd
+
+        from ..kernels import compose_string_by_utf8
+        for pdf in it:
+            ids, texts, pss = [], [], []
+            for d_id, jamo in zip(pdf["doc_id"], pdf["jamo"]):
+                d_id = int(d_id)
+                jamo = jamo or ""
+                probs = [((d_id + 5 * k) % 8 + 1) / 8
+                         for k in range(1, len(jamo) + 1)]
+                text, pc = compose_string_by_utf8(jamo, probs)
+                ids.append(d_id)
+                texts.append(text)
+                pss.append([round(x, 4) for x in pc])
+            yield pd.DataFrame(
+                {"doc_id": ids, "composed": texts, "ps": pss})
+
+    # CPU-bound Python stage: widen so the kernel runs at full
+    # parallelism (pipeline.ensure_input_parallelism rationale)
+    return d.repartition(sc.defaultParallelism).mapInPandas(
+        batches, schema=schema)
 
 
 def rec_ensemble(docs: DataFrame) -> DataFrame:
