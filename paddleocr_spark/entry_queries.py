@@ -1440,6 +1440,76 @@ def q_rotate_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry
 # ---------------------------------------------------------------------------
 
+def q_rec_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 train-side label encoders (CTC / Attn / SAR), pure JVM.
+
+    Deterministic sample texts: ``substring(text, 1 + doc_id % 7,
+    doc_id % 30)`` (raw lengths 0..29 hit every reject branch), upper-cased
+    for every third doc to exercise the forced lower-folding of the
+    dict_path=None roster.  NULL columns render the reference's
+    return-None sample drop (label_ops.py:152-170); the Attn length-24
+    26-element-label quirk is preserved (label_ops.py:519-521).
+    """
+    from .functions import labelenc as LE
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.upper(F.expr("substring(text, 1 + doc_id % 7, doc_id % 30)")))
+        .otherwise(F.expr("substring(text, 1 + doc_id % 7, doc_id % 30)"))
+        .alias("text"))
+    out = LE.with_sar_label(LE.with_attn_label(LE.with_ctc_label(base)))
+    return out.select(
+        "doc_id", "ctc_label", F.col("ctc_length").cast("long"), "ctc_ace",
+        "attn_label", F.col("attn_length").cast("long"),
+        "sar_label", F.col("sar_length").cast("long"))
+
+
+def q_det_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 DetLabelEncode: json label → per-box (poly, txt, ignore_tag).
+
+    Labels are synthesized per doc from lineitem geometry as REAL JSON
+    strings (to_json), then parsed back by the op — so the oracle (which
+    computes the expected rows closed-form, never touching JSON) fails on
+    any parse/expand divergence.  Mixed 4- and 6-point boxes exercise
+    ``expand_points_num``'s repeat-last-point padding; '*'/'###'
+    transcriptions set ignore_tags; a sprinkling of '[]' labels exercises
+    the nBox==0 → None sample drop (label_ops.py:49-72).
+    """
+    from .functions.labelenc import det_label_encode
+
+    li = _lineitem(spark, sf_dir).filter(F.col("l_linenumber") <= 5)
+    px = ((F.col("l_partkey") % 50) * 20).cast("int")
+    py = ((F.col("l_suppkey") % 40) * 15).cast("int")
+    rect = F.array(F.array(px, py), F.array(px + 30, py),
+                   F.array(px + 30, py + 12), F.array(px, py + 12))
+    hexpts = F.array(
+        F.array(px, py), F.array(px + 15, py), F.array(px + 30, py),
+        F.array(px + 30, py + 12), F.array(px + 15, py + 12),
+        F.array(px, py + 12))
+    boxes = li.select(
+        F.format_string("doc_%04d", F.col("l_orderkey") % 300)
+        .alias("doc_id"),
+        F.col("l_linenumber").alias("ln"),
+        F.when(F.col("l_orderkey") % 13 == 0, F.lit("*"))
+        .when(F.col("l_orderkey") % 17 == 0, F.lit("###"))
+        .otherwise(F.format_string("w%d", F.col("l_linenumber")))
+        .alias("transcription"),
+        F.when(F.col("l_linenumber") % 2 == 0, hexpts).otherwise(rect)
+        .alias("points"))
+    labels = boxes.groupBy("doc_id").agg(
+        F.to_json(F.expr(
+            "transform(array_sort(collect_list(struct(ln, transcription, "
+            "points))), b -> struct(b.transcription as transcription, "
+            "b.points as points))")).alias("label"))
+    empties = _docs(spark, sf_dir).filter(F.col("doc_id") % 97 == 0).select(
+        F.format_string("empty_%07d", F.col("doc_id")).alias("doc_id"),
+        F.lit("[]").alias("label"))
+    return det_label_encode(labels.unionByName(empties)).select(
+        "doc_id", F.col("box_no").cast("long").alias("box_no"),
+        "txt", "ignore_tag", "poly")
+
+
 # ---------------------------------------------------------------------------
 # Gate-coverage ledger (VERDICT r3 item 2): rounds 2 and 3 both saw the
 # driver's correctness gate silently truncate the registry tail (2 then 6
@@ -1619,6 +1689,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": T.fingerprint,
         "gopher_rules": T.gopher_rules,
         "det_clip_filter": q_det_clip_filter,
+        # R5 train-side label encoders (round 4 final wave)
+        "rec_label_encode": q_rec_label_encode,
+        "det_label_encode": q_det_label_encode,
     }
 
 
@@ -3494,5 +3567,99 @@ reach(v, u) AS (
     SELECT r.v, e.d FROM reach r JOIN cedges e ON r.u = e.s
 )
 SELECT v AS vec_id, min(u) AS component FROM reach GROUP BY v"""
+
+    # --- R5 train-side label encoders (labelenc.py twins) ---
+    from .functions.labelenc import ENC_CHARSET, MAX_TEXT_LEN
+    enc, ml = ENC_CHARSET, MAX_TEXT_LEN
+    eos_attn, sar_be, sar_pad = len(enc) + 1, len(enc) + 1, len(enc) + 2
+    sqls["rec_label_encode"] = f"""
+WITH base AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN upper(substring(text, CAST(1 + doc_id % 7 AS INT),
+                                     CAST(doc_id % 30 AS INT)))
+                ELSE substring(text, CAST(1 + doc_id % 7 AS INT),
+                               CAST(doc_id % 30 AS INT)) END AS text
+    FROM documents
+),
+e AS (
+    SELECT doc_id,
+           length(coalesce(text, '')) AS raw_len,
+           list_filter(list_transform(
+               string_split(lower(coalesce(text, '')), ''),
+               c -> strpos('{enc}', c)), i -> i > 0) AS ids
+    FROM base
+),
+f AS (
+    SELECT doc_id, ids, len(ids) AS n,
+           (raw_len = 0 OR raw_len > {ml}) AS rej0
+    FROM e
+),
+g AS (
+    SELECT doc_id, ids, n, rej0,
+           list_concat(ids, list_transform(
+               generate_series(1, {ml} - n), x -> 0)) AS padded
+    FROM f
+)
+SELECT doc_id,
+    CASE WHEN rej0 OR n = 0 THEN NULL
+         ELSE array_to_string(padded, ',') END AS ctc_label,
+    CASE WHEN rej0 OR n = 0 THEN NULL
+         ELSE CAST(n AS BIGINT) END AS ctc_length,
+    CASE WHEN rej0 OR n = 0 THEN NULL
+         ELSE array_to_string(list_transform(generate_series(0, {len(enc)}),
+              s -> len(list_filter(padded, x -> x = s))), ',') END AS ctc_ace,
+    CASE WHEN rej0 OR n = 0 OR n >= {ml} THEN NULL
+         ELSE array_to_string(list_concat(list_concat([0], ids),
+              list_concat([{eos_attn}],
+                  list_transform(generate_series(1,
+                      greatest(0, {ml} - n - 2)), x -> 0))), ',')
+         END AS attn_label,
+    CASE WHEN rej0 OR n = 0 OR n >= {ml} THEN NULL
+         ELSE CAST(n AS BIGINT) END AS attn_length,
+    CASE WHEN rej0 OR n = 0 OR n >= {ml - 1} THEN NULL
+         ELSE array_to_string(list_concat(
+              list_concat([{sar_be}], list_transform(ids, i -> i - 1)),
+              list_concat([{sar_be}],
+                  list_transform(generate_series(1, {ml} - n - 2),
+                                 x -> {sar_pad}))), ',') END AS sar_label,
+    CASE WHEN rej0 OR n = 0 OR n >= {ml - 1} THEN NULL
+         ELSE CAST(n AS BIGINT) END AS sar_length
+FROM g"""
+
+    sqls["det_label_encode"] = """
+WITH b AS (
+    SELECT printf('doc_%04d', l_orderkey % 300) AS doc_id,
+           l_linenumber AS ln,
+           CASE WHEN l_orderkey % 13 = 0 THEN '*'
+                WHEN l_orderkey % 17 = 0 THEN '###'
+                ELSE printf('w%d', l_linenumber) END AS txt,
+           CAST((l_partkey % 50) * 20 AS BIGINT) AS px,
+           CAST((l_suppkey % 40) * 15 AS BIGINT) AS py,
+           (l_linenumber % 2 = 0) AS hex6
+    FROM lineitem WHERE l_linenumber <= 5
+),
+p AS (
+    SELECT doc_id, ln, txt, px, py,
+           CASE WHEN hex6 THEN
+               [[px, py], [px + 15, py], [px + 30, py], [px + 30, py + 12],
+                [px + 15, py + 12], [px, py + 12]]
+           ELSE
+               [[px, py], [px + 30, py], [px + 30, py + 12], [px, py + 12]]
+           END AS pts
+    FROM b
+),
+m AS (
+    SELECT *, max(len(pts)) OVER (PARTITION BY doc_id) AS maxpts,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY ln, txt, px, py) - 1 AS box_no
+    FROM p
+)
+SELECT doc_id, CAST(box_no AS BIGINT) AS box_no, txt,
+       (txt IN ('*', '###')) AS ignore_tag,
+       array_to_string(flatten(list_concat(pts,
+           list_transform(generate_series(1, maxpts - len(pts)),
+                          x -> pts[-1]))), ',') AS poly
+FROM m"""
 
     return sqls

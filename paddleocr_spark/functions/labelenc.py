@@ -1,0 +1,231 @@
+"""R5 train-side label encoders, as pure JVM column expressions.
+
+Transcribes the deterministic text→id-array encoders from
+``ppocr/data/imaug/label_ops.py`` (reference):
+
+* ``BaseRecLabelEncode.encode`` (label_ops.py:97-171): with
+  ``character_dict_path=None`` the dict is the 36-char
+  ``"0123456789abcdefghijklmnopqrstuvwxyz"`` roster and ``lower`` is
+  forced True; encode rejects empty or >max_text_len raw text, lowers,
+  SKIPS out-of-dict chars (warning path), and rejects if nothing
+  survives.  A rejected sample returns None and is dropped from the
+  batch — rendered relationally here as NULL label columns (the row
+  survives so the drop is visible and hashable).
+* ``CTCLabelEncode`` (label_ops.py:173-206): 'blank' prepended (char
+  ids shift +1), label padded with 0 to max_text_len, plus the
+  ``label_ace`` histogram which counts the PADDED list — so slot 0
+  (blank) always holds ``max_text_len - length``.
+* ``AttnLabelEncode`` (label_ops.py:494-537): [sos]+dict+[eos]; extra
+  reject when len >= max_text_len; label = [0]+ids+[eos]+0-pad to
+  max_text_len... with the length-24 QUIRK: the pad count
+  ``max_len - len - 2`` is -1 for len==24, Python's ``[0]*-1 == []``,
+  so those labels are 26 long instead of 25.  Preserved bit-for-bit.
+* ``SARLabelEncode`` (label_ops.py:894-935): dict + [<UKN>,
+  <BOS/EOS>, <PAD>] appended (ids NOT shifted); reject when
+  len >= max_text_len - 1; label = [start]+ids+[end] then <PAD>-filled
+  to max_text_len.
+* ``DetLabelEncode`` (label_ops.py:45-94): json label → (points,
+  transcription) boxes; ignore_tags true iff transcription in
+  {'*', '###'}; ``expand_points_num`` pads every box to the per-label
+  max point count by repeating its LAST point; a label with zero boxes
+  returns None (sample dropped).
+
+Everything is whole-stage-codegen Spark SQL — no Python in the hot
+path.  ``*_py`` twins exist only for the exec-reference differentials
+(tests/test_reference_exec.py) and fixture tooling.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: label_ops.py:115-118 — the character_dict_path=None roster (lower=True).
+ENC_CHARSET = "0123456789abcdefghijklmnopqrstuvwxyz"
+MAX_TEXT_LEN = 25
+
+_N = len(ENC_CHARSET)          # 36
+_CTC_DICT_LEN = _N + 1         # + 'blank' at 0
+_ATTN_EOS = _N + 1             # [sos] + 36 chars → eos at 37
+_SAR_UKN = _N                  # appended specials: 36/37/38
+_SAR_BOS_EOS = _N + 1
+_SAR_PAD = _N + 2
+
+
+def _ids_expr(text_col: str) -> str:
+    """1-based dict positions of the surviving (lowered, in-dict) chars.
+
+    ``instr`` is 1-based, which IS the CTC/Attn char id (both prepend one
+    special); SAR subtracts 1.  Out-of-dict chars filter out — the
+    encode loop's ``continue`` (label_ops.py:160-165).
+    """
+    return (f"filter(transform(split(lower(coalesce({text_col}, '')), ''), "
+            f"c -> instr('{ENC_CHARSET}', c)), i -> i > 0)")
+
+
+def _base_reject(text_col: str) -> Column:
+    """encode()'s pre-filter reject: empty or over-long raw text
+    (label_ops.py:152-153 — length checked BEFORE lowering/filtering)."""
+    ln = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    return (ln == 0) | (ln > MAX_TEXT_LEN)
+
+
+def with_ctc_label(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """CTCLabelEncode columns: ctc_label / ctc_length / ctc_ace.
+
+    Arrays surface as comma-joined strings so the Spark and DuckDB
+    sides hash identically.
+    """
+    ids = F.expr(_ids_expr(text_col))
+    rejected = _base_reject(text_col) | (F.size(ids) == 0)
+    padded = F.concat(ids, F.expr(
+        f"array_repeat(0, {MAX_TEXT_LEN} - size({_ids_expr(text_col)}))"))
+    # label_ace counts the PADDED list: slot 0 = max_len - length, slot i
+    # = occurrences of char i-1 (label_ops.py:193-196).
+    ace = F.expr(
+        f"transform(sequence(0, {_CTC_DICT_LEN - 1}), s -> size(filter("
+        f"concat({_ids_expr(text_col)}, array_repeat(0, {MAX_TEXT_LEN} - "
+        f"size({_ids_expr(text_col)}))), x -> x = s)))")
+    return df.withColumns({
+        "ctc_label": F.when(rejected, F.lit(None))
+        .otherwise(F.array_join(padded, ",")),
+        "ctc_length": F.when(rejected, F.lit(None)).otherwise(F.size(ids)),
+        "ctc_ace": F.when(rejected, F.lit(None))
+        .otherwise(F.array_join(ace, ",")),
+    })
+
+
+def with_attn_label(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """AttnLabelEncode columns: attn_label / attn_length.
+
+    Pins the len==24 quirk: pad count ``25 - len - 2`` floors at 0
+    (Python's negative list-multiply), so a 24-char text yields a
+    26-long label (label_ops.py:519-521).
+    """
+    ids = F.expr(_ids_expr(text_col))
+    rejected = (_base_reject(text_col) | (F.size(ids) == 0)
+                | (F.size(ids) >= MAX_TEXT_LEN))
+    label = F.concat(
+        F.array(F.lit(0)), ids, F.array(F.lit(_ATTN_EOS)),
+        F.expr(f"array_repeat(0, greatest(0, {MAX_TEXT_LEN} - "
+               f"size({_ids_expr(text_col)}) - 2))"))
+    return df.withColumns({
+        "attn_label": F.when(rejected, F.lit(None))
+        .otherwise(F.array_join(label, ",")),
+        "attn_length": F.when(rejected, F.lit(None)).otherwise(F.size(ids)),
+    })
+
+
+def with_sar_label(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """SARLabelEncode columns: sar_label / sar_length (ids unshifted;
+    start/end id 37, pad id 38; reject at len >= 24)."""
+    ids0 = F.expr(f"transform({_ids_expr(text_col)}, i -> i - 1)")
+    ids = F.expr(_ids_expr(text_col))
+    rejected = (_base_reject(text_col) | (F.size(ids) == 0)
+                | (F.size(ids) >= MAX_TEXT_LEN - 1))
+    label = F.concat(
+        F.array(F.lit(_SAR_BOS_EOS)), ids0, F.array(F.lit(_SAR_BOS_EOS)),
+        F.expr(f"array_repeat({_SAR_PAD}, {MAX_TEXT_LEN} - "
+               f"size({_ids_expr(text_col)}) - 2)"))
+    return df.withColumns({
+        "sar_label": F.when(rejected, F.lit(None))
+        .otherwise(F.array_join(label, ",")),
+        "sar_length": F.when(rejected, F.lit(None)).otherwise(F.size(ids)),
+    })
+
+
+_DET_LABEL_SCHEMA = ("array<struct<transcription: string, "
+                     "points: array<array<int>>>>")
+
+
+def det_label_encode(df: DataFrame, label_col: str = "label") -> DataFrame:
+    """DetLabelEncode as a relational op: one row per (sample, box).
+
+    json.loads → per-box (points, transcription, ignore) with
+    ``expand_points_num``'s repeat-last-point padding to the per-label
+    max.  Zero-box labels return None in the reference (sample
+    dropped): those input rows vanish here too.  Emits ``poly`` as the
+    flattened "x,y,..." string of the float32 array.
+    """
+    parsed = df.withColumn(
+        "_boxes", F.from_json(F.col(label_col), _DET_LABEL_SCHEMA))
+    parsed = parsed.filter(F.size("_boxes") > 0)
+    parsed = parsed.withColumn(
+        "_maxpts", F.expr("array_max(transform(_boxes, b -> size(b.points)))"))
+    box = parsed.select(
+        *[c for c in df.columns if c != label_col],
+        F.col("_maxpts"),
+        F.posexplode("_boxes").alias("box_no", "_b"))
+    return box.select(
+        *[c for c in df.columns if c != label_col],
+        "box_no",
+        F.col("_b.transcription").alias("txt"),
+        F.col("_b.transcription").isin("*", "###").alias("ignore_tag"),
+        F.array_join(F.expr(
+            "transform(flatten(concat(_b.points, "
+            "array_repeat(element_at(_b.points, -1), "
+            "_maxpts - size(_b.points)))), "
+            "v -> cast(cast(v as int) as string))"), ",").alias("poly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python twins — ONLY for the exec-reference differentials and fixtures.
+# ---------------------------------------------------------------------------
+
+def _encode_py(text: str) -> list[int] | None:
+    if text is None:
+        text = ""
+    if len(text) == 0 or len(text) > MAX_TEXT_LEN:
+        return None
+    out = [ENC_CHARSET.find(c) for c in text.lower()]
+    out = [i for i in out if i >= 0]
+    return out or None
+
+
+def ctc_encode_py(text: str):
+    ids = _encode_py(text)
+    if ids is None:
+        return None
+    ids = [i + 1 for i in ids]
+    length = len(ids)
+    label = ids + [0] * (MAX_TEXT_LEN - length)
+    ace = [0] * _CTC_DICT_LEN
+    for x in label:
+        ace[x] += 1
+    return label, length, ace
+
+
+def attn_encode_py(text: str):
+    ids = _encode_py(text)
+    if ids is None or len(ids) >= MAX_TEXT_LEN:
+        return None
+    ids = [i + 1 for i in ids]
+    label = [0] + ids + [_ATTN_EOS] + [0] * (MAX_TEXT_LEN - len(ids) - 2)
+    return label, len(ids)
+
+
+def sar_encode_py(text: str):
+    ids = _encode_py(text)
+    if ids is None or len(ids) >= MAX_TEXT_LEN - 1:
+        return None
+    target = [_SAR_BOS_EOS] + ids + [_SAR_BOS_EOS]
+    label = [_SAR_PAD] * MAX_TEXT_LEN
+    label[:len(target)] = target
+    return label, len(ids)
+
+
+def det_label_encode_py(label: str):
+    boxes = json.loads(label)
+    if len(boxes) == 0:
+        return None
+    maxpts = max(len(b["points"]) for b in boxes)
+    out = []
+    for no, b in enumerate(boxes):
+        pts = b["points"] + [b["points"][-1]] * (maxpts - len(b["points"]))
+        out.append((no, b["transcription"],
+                    b["transcription"] in ("*", "###"),
+                    [float(v) for xy in pts for v in xy]))
+    return out

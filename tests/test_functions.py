@@ -288,3 +288,79 @@ def test_star_cc_matches_min_label_on_random_graph(spark):
             want_members.setdefault(find(v), set()).add(v)
     want = {v: min(ms) for ms in want_members.values() for v in ms}
     assert got == want
+
+
+def test_label_encode_exprs_match_python_twins(spark, documents):
+    """R5: the pure-JVM encoder expressions equal the labelenc Python
+    twins (which the exec-reference differential pins to label_ops.py)
+    over the corpus-derived sample texts used by the gate query."""
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.functions import labelenc as LE
+
+    base = documents.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.upper(F.expr("substring(text, 1 + doc_id % 7, doc_id % 30)")))
+        .otherwise(F.expr("substring(text, 1 + doc_id % 7, doc_id % 30)"))
+        .alias("text"))
+    out = LE.with_sar_label(LE.with_attn_label(LE.with_ctc_label(base)))
+    rows = out.collect()
+    assert any(r["ctc_label"] is None for r in rows)        # reject branch
+    assert any(r["ctc_label"] is not None for r in rows)
+    for r in rows:
+        ctc = LE.ctc_encode_py(r["text"])
+        if ctc is None:
+            assert r["ctc_label"] is None and r["ctc_ace"] is None
+        else:
+            label, length, ace = ctc
+            assert r["ctc_label"] == ",".join(map(str, label))
+            assert r["ctc_length"] == length
+            assert r["ctc_ace"] == ",".join(map(str, ace))
+        attn = LE.attn_encode_py(r["text"])
+        if attn is None:
+            assert r["attn_label"] is None
+        else:
+            assert r["attn_label"] == ",".join(map(str, attn[0]))
+            assert r["attn_length"] == attn[1]
+        sar = LE.sar_encode_py(r["text"])
+        if sar is None:
+            assert r["sar_label"] is None
+        else:
+            assert r["sar_label"] == ",".join(map(str, sar[0]))
+            assert r["sar_length"] == sar[1]
+
+    # the Attn length-24 quirk survives the JVM path: 26-element label
+    quirk = LE.with_attn_label(
+        spark.createDataFrame([("x", "a" * 24)], "doc_id string, text string"))
+    lbl = quirk.collect()[0]["attn_label"]
+    assert lbl is not None and len(lbl.split(",")) == 26
+
+
+def test_det_label_encode_matches_python_twin(spark):
+    """R5 DetLabelEncode: JSON parse + expand_points_num + ignore tags +
+    the zero-box sample drop, Spark vs the exec-ref-pinned twin."""
+    import json as _json
+
+    from paddleocr_spark.functions import labelenc as LE
+
+    labels = [
+        ("d0", _json.dumps([
+            {"transcription": "w1", "points": [[0, 0], [10, 0], [10, 5],
+                                               [0, 5]]},
+            {"transcription": "*", "points": [[1, 2], [3, 2], [3, 4],
+                                              [1, 4], [0, 3], [0, 2]]},
+        ])),
+        ("d1", _json.dumps([
+            {"transcription": "###", "points": [[5, 5], [9, 5], [9, 9],
+                                                [5, 9]]}])),
+        ("d2", "[]"),
+    ]
+    df = spark.createDataFrame(labels, "doc_id string, label string")
+    got = {(r["doc_id"], r["box_no"]): (r["txt"], r["ignore_tag"], r["poly"])
+           for r in LE.det_label_encode(df).collect()}
+    assert "d2" not in {k[0] for k in got}          # nBox==0 sample dropped
+    for doc_id, lbl in labels[:2]:
+        for no, txt, tag, poly in LE.det_label_encode_py(lbl):
+            assert got[(doc_id, no)] == (
+                txt, tag, ",".join(str(int(v)) for v in poly)), (doc_id, no)

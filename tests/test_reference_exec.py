@@ -1326,3 +1326,86 @@ def test_utf8_ensembles_match_executed_reference():
             ns["word_level_ensemble"](p1, p2), (p1, p2)
         assert mul_prob(p1[1]) == ns["mul_prob"](p1[1])
         assert log_avg_prob(p1[1]) == ns["log_avg_prob"](p1[1])
+
+
+def test_label_encoders_match_executed_reference():
+    """R5: run the reference's BaseRecLabelEncode/CTC/Attn/SAR/Det label
+    encoders (ppocr/data/imaug/label_ops.py, character_dict_path=None)
+    against the labelenc Python twins on randomized texts covering every
+    reject branch, the out-of-dict skip, the forced lower-folding, and
+    the Attn length-24 26-element-label quirk."""
+    import json as _json
+    import types
+
+    from paddleocr_spark.functions import labelenc as LE
+
+    shim = {"get_logger": lambda: types.SimpleNamespace(
+        warning=lambda *a, **k: None), "json": _json}
+    ns = _exec_slice("ppocr/data/imaug/label_ops.py",
+                     "class BaseRecLabelEncode",
+                     "class CTCLabelEncode_GraphemeLabel", shim)
+    ns = _exec_slice("ppocr/data/imaug/label_ops.py",
+                     "class AttnLabelEncode", "class RFLLabelEncode", ns)
+    ns = _exec_slice("ppocr/data/imaug/label_ops.py",
+                     "class SARLabelEncode", "class SATRNLabelEncode", ns)
+    det_ns = _exec_slice("ppocr/data/imaug/label_ops.py",
+                         "class DetLabelEncode", "class BaseRecLabelEncode",
+                         shim)
+    ctc = ns["CTCLabelEncode"](25)
+    attn = ns["AttnLabelEncode"](25)
+    sar = ns["SARLabelEncode"](25)
+    det = det_ns["DetLabelEncode"]()
+
+    rng = random.Random(41)
+    pool = "abcXYZ019 .,!한글*#"
+    texts = ["", "a" * 26, "   ", "한글한", "A" * 24, "a" * 24, "b" * 23]
+    texts += ["".join(rng.choice(pool) for _ in range(rng.randint(0, 30)))
+              for _ in range(400)]
+    for t in texts:
+        r = ctc({"label": t})
+        mine = LE.ctc_encode_py(t)
+        if r is None:
+            assert mine is None, t
+        else:
+            label, length, ace = mine
+            assert r["label"].tolist() == label, t
+            assert int(r["length"]) == length, t
+            assert r["label_ace"].tolist() == ace, t
+        r = attn({"label": t})
+        mine = LE.attn_encode_py(t)
+        if r is None:
+            assert mine is None, t
+        else:
+            assert r["label"].tolist() == mine[0], t
+            assert int(r["length"]) == mine[1], t
+        r = sar({"label": t})
+        mine = LE.sar_encode_py(t)
+        if r is None:
+            assert mine is None, t
+        else:
+            assert r["label"].tolist() == mine[0], t
+            assert int(r["length"]) == mine[1], t
+
+    # the length-24 quirk must actually fire: 26-long Attn label
+    q = attn({"label": "a" * 24})
+    assert len(q["label"]) == 26 and LE.attn_encode_py("a" * 24)[0] \
+        == q["label"].tolist()
+
+    for _ in range(200):
+        boxes = []
+        for _b in range(rng.randint(0, 5)):
+            npts = rng.choice([4, 4, 5, 6])
+            boxes.append({
+                "transcription": rng.choice(["w1", "*", "###", "x", ""]),
+                "points": [[rng.randint(0, 900), rng.randint(0, 600)]
+                           for _ in range(npts)]})
+        lbl = _json.dumps(boxes)
+        r = det({"label": lbl})
+        mine = LE.det_label_encode_py(lbl)
+        if r is None:
+            assert mine is None or mine == [], lbl
+        else:
+            assert [m[1] for m in mine] == r["texts"], lbl
+            assert [m[2] for m in mine] == r["ignore_tags"].tolist(), lbl
+            assert [m[3] for m in mine] == [
+                [float(v) for v in b.reshape(-1)] for b in r["polys"]], lbl
