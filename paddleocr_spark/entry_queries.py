@@ -1510,6 +1510,91 @@ def q_det_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "txt", "ignore_tag", "poly")
 
 
+_LMDB_FIXTURE_ROOT = "/tmp/paddleocr_spark_lmdb"
+_LMDB_W, _LMDB_H = 40, 26
+
+
+def _lmdb_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf corpus) two hierarchical LMDB envs from the
+    documents table: even doc_ids → env_a, odd → env_b; label-%09d =
+    'doc_%07d:<first 20 chars>'; image-%09d = a 40×26 P6 PPM whose gray
+    value at (x, y) is (7·doc_id + 3x + 11y) % 256 (3133 bytes — every
+    image rides the F_BIGDATA overflow path); every 31st doc_id omits
+    its label key to exercise the reference's missing-label skip.
+    Fixture synthesis scaffolding, like render_ref_gif — the operator
+    under test is the reader."""
+    import numpy as np
+
+    from .imagecodecs import encode_pnm
+    from .sources.lmdbfile import write_mdb
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dest = os.path.join(_LMDB_FIXTURE_ROOT, tag)
+    if all(os.path.exists(os.path.join(dest, e, "data.mdb"))
+           for e in ("env_a", "env_b")):
+        return dest
+    rows = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 20).alias("t")).collect()
+    xs = np.arange(_LMDB_W)[None, :, None]
+    ys = np.arange(_LMDB_H)[:, None, None]
+    tmp = f"{dest}.tmp-{os.getpid()}"
+    for parity, env in ((0, "env_a"), (1, "env_b")):
+        docs = sorted((r["doc_id"], r["t"]) for r in rows
+                      if r["doc_id"] % 2 == parity)
+        items = {b"num-samples": str(len(docs)).encode()}
+        for fidx, (doc_id, t) in enumerate(docs, start=1):
+            g = ((7 * doc_id + 3 * xs + 11 * ys) % 256).astype(np.uint8)
+            items[b"image-%09d" % fidx] = encode_pnm(
+                np.broadcast_to(g, (_LMDB_H, _LMDB_W, 3)))
+            if doc_id % 31 != 0:
+                items[b"label-%09d" % fidx] = (
+                    f"doc_{doc_id:07d}:{t}").encode()
+        write_mdb(os.path.join(tmp, env), items)
+    try:
+        os.rename(tmp, dest)
+    except OSError:                       # concurrent builder won the race
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dest
+
+
+def q_lmdb_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 LMDBDataSet source: hierarchical env discovery + 1-based idx
+    traversal + label/image key fetch (lmdb_dataset.py:50-140) over a
+    pure-Python data.mdb B+tree reader, then a real PPM decode of every
+    image.  The DuckDB twin predicts every output — env/file_idx
+    assignment, the missing-label drops, the exact 3133-byte length,
+    and per-image integer gray statistics — closed-form from the
+    documents parquet WITHOUT touching LMDB or PPM bytes, so one wrong
+    bit anywhere in mdb write→B+tree read→PPM decode hash-fails."""
+    import pandas as pd
+
+    from .imagecodecs import decode_pnm
+    from .sources.lmdbfile import read_lmdb_dataset
+
+    data_dir = _lmdb_fixture_dir(spark, sf_dir)
+    df = read_lmdb_dataset(spark, data_dir)
+
+    def stats(batches):
+        for pdf in batches:
+            out = []
+            for lmdb_idx, file_idx, label, img in zip(
+                    pdf["lmdb_idx"], pdf["file_idx"], pdf["label"],
+                    pdf["image"]):
+                arr = decode_pnm(bytes(img))
+                gray = arr[:, :, 0].astype("int64")
+                out.append((int(lmdb_idx), int(file_idx), label,
+                            len(img), int(gray.sum()), int(gray.min()),
+                            int(gray.max())))
+            yield pd.DataFrame(out, columns=[
+                "lmdb_idx", "file_idx", "label", "img_len", "sum_gray",
+                "min_gray", "max_gray"])
+
+    return df.mapInPandas(
+        stats, schema="lmdb_idx int, file_idx int, label string, "
+        "img_len long, sum_gray long, min_gray long, max_gray long")
+
+
 # ---------------------------------------------------------------------------
 # Gate-coverage ledger (VERDICT r3 item 2): rounds 2 and 3 both saw the
 # driver's correctness gate silently truncate the registry tail (2 then 6
@@ -1692,6 +1777,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # R5 train-side label encoders (round 4 final wave)
         "rec_label_encode": q_rec_label_encode,
         "det_label_encode": q_det_label_encode,
+        # S5 LMDB source (round 4 final wave)
+        "lmdb_scan": q_lmdb_scan,
     }
 
 
@@ -3626,6 +3713,29 @@ SELECT doc_id,
     CASE WHEN rej0 OR n = 0 OR n >= {ml - 1} THEN NULL
          ELSE CAST(n AS BIGINT) END AS sar_length
 FROM g"""
+
+    # --- S5 LMDB scan: closed-form prediction of the whole
+    #     write→B+tree-read→PPM-decode path ---
+    npix = _LMDB_W * _LMDB_H
+    img_len = 13 + 3 * npix             # "P6\n40 26\n255\n" + RGB bytes
+    gexpr = (f"list_transform(generate_series(0, {npix - 1}), i -> "
+             f"(7 * doc_id + 3 * (i % {_LMDB_W}) + 11 * (i // {_LMDB_W}))"
+             f" % 256)")
+    sqls["lmdb_scan"] = f"""
+WITH r AS (
+    SELECT doc_id, substring(text, 1, 20) AS t,
+           CAST(doc_id % 2 AS INT) AS lmdb_idx,
+           CAST(row_number() OVER (PARTITION BY doc_id % 2
+                                   ORDER BY doc_id) AS INT) AS file_idx
+    FROM documents
+)
+SELECT lmdb_idx, file_idx,
+       printf('doc_%07d', doc_id) || ':' || t AS label,
+       CAST({img_len} AS BIGINT) AS img_len,
+       CAST(list_sum({gexpr}) AS BIGINT) AS sum_gray,
+       CAST(list_min({gexpr}) AS BIGINT) AS min_gray,
+       CAST(list_max({gexpr}) AS BIGINT) AS max_gray
+FROM r WHERE doc_id % 31 != 0"""
 
     sqls["det_label_encode"] = """
 WITH b AS (
