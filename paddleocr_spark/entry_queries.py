@@ -1510,6 +1510,164 @@ def q_det_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "txt", "ignore_tag", "poly")
 
 
+_SHRINK_W, _SHRINK_H = 120, 68
+
+
+def q_shrink_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 MakeShrinkMap (make_shrink_map.py:32-124): DBNet training gt
+    generation over deterministic per-doc rect layouts.  Per-box rows
+    carry the decision (masked vs gt + Clipper-grid shrunk coords) and
+    every row also carries its doc's REAL raster pixel counts (the
+    kernel fills actual float32 gt/mask canvases); the DuckDB twin
+    recomputes the counts as closed-form unions of integer rectangles
+    (DISTINCT pixel sweep), so a one-pixel fill divergence hash-fails.
+    Rect inset never escalates the shrink ratio (proof in
+    kernels.make_shrink_map); the escalation branch is pinned by the
+    exec-reference differential instead."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .kernels import make_shrink_map
+    from .operators.grouped import grouped_map_arrow
+
+    li = _lineitem(spark, sf_dir).filter(
+        (F.col("l_linenumber") <= 4) & (F.col("l_orderkey") % 11 == 0))
+    boxes = li.select(
+        F.format_string("doc_%04d", F.col("l_orderkey") % 200)
+        .alias("doc_id"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("box_id"),
+        ((F.col("l_partkey") % 12) * 10 - 5).cast("double").alias("x0"),
+        ((F.col("l_suppkey") % 8) * 9 - 4).cast("double").alias("y0"),
+        (F.col("l_orderkey") % 30).cast("double").alias("bw"),
+        ((F.col("l_suppkey") + F.col("l_linenumber")) % 24)
+        .cast("double").alias("bh"),
+        (F.col("l_orderkey") % 23 == 0).alias("tag"),
+    ).select("doc_id", "box_id", "x0", "y0",
+             (F.col("x0") + F.col("bw")).alias("x1"),
+             (F.col("y0") + F.col("bh")).alias("y1"), "tag")
+
+    h, w = _SHRINK_H, _SHRINK_W
+    out_schema = ("doc_id string, box_id long, status string, "
+                  "ratio double, sx0 int, sy0 int, sx1 int, sy1 int, "
+                  "gt_count long, mask_count long")
+
+    def emit(tbl: "pa.Table") -> "pa.RecordBatch":
+        from .operators.grouped import group_starts, string_codes
+
+        doc = string_codes(tbl.column("doc_id"))
+        cols = {c: tbl.column(c).to_numpy(zero_copy_only=False)
+                for c in ("box_id", "x0", "y0", "x1", "y1", "tag")}
+        docs_str = tbl.column("doc_id").to_pylist()
+        starts = group_starts(doc)
+        ends = np.r_[starts[1:], len(doc)]
+        rows = {k: [] for k in ("doc_id", "box_id", "status", "ratio",
+                                "sx0", "sy0", "sx1", "sy1",
+                                "gt_count", "mask_count")}
+        for s, e in zip(starts, ends):
+            rect = np.stack([cols["x0"][s:e], cols["y0"][s:e],
+                             cols["x1"][s:e], cols["y1"][s:e]], axis=1)
+            recs, gt, mask = make_shrink_map(
+                rect, cols["tag"][s:e].astype(bool), h, w)
+            gt_n = int(gt.sum())
+            mask_n = int(mask.sum())
+            for j, (status, ratio, sx0, sy0, sx1, sy1) in enumerate(recs):
+                rows["doc_id"].append(docs_str[s])
+                rows["box_id"].append(int(cols["box_id"][s + j]))
+                rows["status"].append(status)
+                rows["ratio"].append(float(ratio))
+                rows["sx0"].append(sx0)
+                rows["sy0"].append(sy0)
+                rows["sx1"].append(sx1)
+                rows["sy1"].append(sy1)
+                rows["gt_count"].append(gt_n)
+                rows["mask_count"].append(mask_n)
+        types = {"doc_id": pa.string(), "box_id": pa.int64(),
+                 "status": pa.string(), "ratio": pa.float64(),
+                 "sx0": pa.int32(), "sy0": pa.int32(),
+                 "sx1": pa.int32(), "sy1": pa.int32(),
+                 "gt_count": pa.int64(), "mask_count": pa.int64()}
+        return pa.RecordBatch.from_arrays(
+            [pa.array(rows[k], type=t) for k, t in types.items()],
+            names=list(types))
+
+    return grouped_map_arrow(boxes, ["doc_id"], ["box_id"], emit,
+                             out_schema)
+
+
+def _border_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-doc rect layouts for q_border_map — on-canvas
+    top-left, may overflow right/bottom (exercises the valid-window
+    slicing) but never fully off-canvas (the reference CRASHES there —
+    kernels.make_border_map docstring)."""
+    li = _lineitem(spark, sf_dir).filter(
+        (F.col("l_linenumber") <= 4) & (F.col("l_orderkey") % 11 == 0))
+    return li.select(
+        F.format_string("doc_%04d", F.col("l_orderkey") % 200)
+        .alias("doc_id"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("box_id"),
+        ((F.col("l_partkey") % 11) * 10).cast("double").alias("x0"),
+        ((F.col("l_suppkey") % 7) * 9).cast("double").alias("y0"),
+        (F.col("l_orderkey") % 29).cast("double").alias("bw"),
+        ((F.col("l_suppkey") + F.col("l_linenumber")) % 24)
+        .cast("double").alias("bh"),
+        (F.col("l_orderkey") % 23 == 0).alias("tag"),
+    ).select("doc_id", "box_id", "x0", "y0",
+             (F.col("x0") + F.col("bw")).alias("x1"),
+             (F.col("y0") + F.col("bh")).alias("y1"), "tag")
+
+
+def q_border_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 MakeBorderMap (make_border_map.py:38-124): per-doc threshold
+    map + mask over deterministic rect layouts; committed-fixture oracle
+    (the per-pixel float32 law-of-cosines raster is not SQL-restatable
+    at hash precision).  Emits exact float32-raster aggregates per doc;
+    the exec-reference differential pins the kernel to the reference
+    source."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .kernels import BORDER_THRESH_MIN, make_border_map
+    from .operators.grouped import grouped_map_arrow
+
+    h, w = _SHRINK_H, _SHRINK_W
+
+    def emit(tbl: "pa.Table") -> "pa.RecordBatch":
+        from .operators.grouped import group_starts, string_codes
+
+        doc = string_codes(tbl.column("doc_id"))
+        cols = {c: tbl.column(c).to_numpy(zero_copy_only=False)
+                for c in ("x0", "y0", "x1", "y1", "tag")}
+        docs_str = tbl.column("doc_id").to_pylist()
+        starts = group_starts(doc)
+        ends = np.r_[starts[1:], len(doc)]
+        rows = {k: [] for k in ("doc_id", "thr_sum", "thr_max", "thr_px",
+                                "mask_px")}
+        for s, e in zip(starts, ends):
+            rect = np.stack([cols["x0"][s:e], cols["y0"][s:e],
+                             cols["x1"][s:e], cols["y1"][s:e]], axis=1)
+            canvas, mask = make_border_map(
+                rect, cols["tag"][s:e].astype(bool), h, w)
+            rows["doc_id"].append(docs_str[s])
+            rows["thr_sum"].append(float(canvas.sum(dtype=np.float64)))
+            rows["thr_max"].append(float(canvas.max()))
+            rows["thr_px"].append(int((canvas > BORDER_THRESH_MIN).sum()))
+            rows["mask_px"].append(int(mask.sum()))
+        types = {"doc_id": pa.string(), "thr_sum": pa.float64(),
+                 "thr_max": pa.float64(), "thr_px": pa.int64(),
+                 "mask_px": pa.int64()}
+        return pa.RecordBatch.from_arrays(
+            [pa.array(rows[k], type=t) for k, t in types.items()],
+            names=list(types))
+
+    out_schema = ("doc_id string, thr_sum double, thr_max double, "
+                  "thr_px long, mask_px long")
+    # thr_sum/thr_max stay UNROUNDED: the fixture runs the identical
+    # kernel single-node, so the doubles are bit-equal by construction
+    # and the gate's 4dp canon formats them identically.
+    return grouped_map_arrow(_border_boxes(spark, sf_dir), ["doc_id"],
+                             ["box_id"], emit, out_schema)
+
+
 _LMDB_FIXTURE_ROOT = "/tmp/paddleocr_spark_lmdb"
 _LMDB_W, _LMDB_H = 40, 26
 
@@ -1779,6 +1937,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_label_encode": q_det_label_encode,
         # S5 LMDB source (round 4 final wave)
         "lmdb_scan": q_lmdb_scan,
+        # R6 deterministic training gt-maps (round 4 final wave)
+        "shrink_map": q_shrink_map,
+        "border_map": q_border_map,                    # fixture oracle
     }
 
 
@@ -3736,6 +3897,86 @@ SELECT lmdb_idx, file_idx,
        CAST(list_min({gexpr}) AS BIGINT) AS min_gray,
        CAST(list_max({gexpr}) AS BIGINT) AS max_gray
 FROM r WHERE doc_id % 31 != 0"""
+
+    sqls["border_map"] = _fixture_sql(
+        "border_map",
+        "doc_id, thr_sum, thr_max, CAST(thr_px AS BIGINT) AS thr_px, "
+        "CAST(mask_px AS BIGINT) AS mask_px")
+
+    # --- R6 MakeShrinkMap: decisions + union-of-rects raster counts ---
+    sw, sh = _SHRINK_W, _SHRINK_H
+    sqls["shrink_map"] = f"""
+WITH b AS (
+    SELECT printf('doc_%04d', l_orderkey % 200) AS doc_id,
+           CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS box_id,
+           CAST((l_partkey % 12) * 10 - 5 AS DOUBLE) AS x0,
+           CAST((l_suppkey % 8) * 9 - 4 AS DOUBLE) AS y0,
+           CAST(l_orderkey % 30 AS DOUBLE) AS bw0,
+           CAST((l_suppkey + l_linenumber) % 24 AS DOUBLE) AS bh0,
+           (l_orderkey % 23 = 0) AS tag
+    FROM lineitem WHERE l_linenumber <= 4 AND l_orderkey % 11 = 0
+),
+c AS (
+    SELECT doc_id, box_id, tag,
+           least(greatest(x0, 0), {sw - 1}) AS cx0,
+           least(greatest(y0, 0), {sh - 1}) AS cy0,
+           least(greatest(x0 + bw0, 0), {sw - 1}) AS cx1,
+           least(greatest(y0 + bh0, 0), {sh - 1}) AS cy1
+    FROM b
+),
+d AS (
+    SELECT *,
+           (tag OR (cx1 - cx0) * (cy1 - cy0) < 1
+                OR least(cx1 - cx0, cy1 - cy0) < 8) AS masked,
+           ((cx1 - cx0) * (cy1 - cy0))
+               * (1 - CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE))
+               / (2 * ((cx1 - cx0) + (cy1 - cy0))) AS dist
+    FROM c
+),
+e AS (
+    SELECT doc_id, box_id, masked,
+           CAST(trunc(cx0) AS INT) AS mx0, CAST(trunc(cy0) AS INT) AS my0,
+           CAST(trunc(cx1) AS INT) AS mx1, CAST(trunc(cy1) AS INT) AS my1,
+           CASE WHEN masked THEN NULL
+                ELSE CAST(floor(cx0 + dist + 0.5) AS INT) END AS sx0,
+           CASE WHEN masked THEN NULL
+                ELSE CAST(floor(cy0 + dist + 0.5) AS INT) END AS sy0,
+           CASE WHEN masked THEN NULL
+                ELSE CAST(floor(cx1 - dist + 0.5) AS INT) END AS sx1,
+           CASE WHEN masked THEN NULL
+                ELSE CAST(floor(cy1 - dist + 0.5) AS INT) END AS sy1
+    FROM d
+),
+g AS (
+    SELECT doc_id, count(*) AS gt_count FROM (
+        SELECT DISTINCT doc_id, gx.x, gy.y
+        FROM e,
+             UNNEST(generate_series(CAST(sx0 AS BIGINT),
+                                    CAST(sx1 AS BIGINT))) gx(x),
+             UNNEST(generate_series(CAST(sy0 AS BIGINT),
+                                    CAST(sy1 AS BIGINT))) gy(y)
+        WHERE NOT masked
+    ) GROUP BY doc_id
+),
+m AS (
+    SELECT doc_id, count(*) AS mask_zeroed FROM (
+        SELECT DISTINCT doc_id, gx.x, gy.y
+        FROM e,
+             UNNEST(generate_series(CAST(mx0 AS BIGINT),
+                                    CAST(mx1 AS BIGINT))) gx(x),
+             UNNEST(generate_series(CAST(my0 AS BIGINT),
+                                    CAST(my1 AS BIGINT))) gy(y)
+        WHERE masked
+    ) GROUP BY doc_id
+)
+SELECT e.doc_id, e.box_id,
+       CASE WHEN masked THEN 'masked' ELSE 'gt' END AS status,
+       CAST(CASE WHEN masked THEN 0.0 ELSE 0.4 END AS DOUBLE) + 0 AS ratio,
+       sx0, sy0, sx1, sy1,
+       CAST(coalesce(g.gt_count, 0) AS BIGINT) AS gt_count,
+       CAST({sw * sh} - coalesce(m.mask_zeroed, 0) AS BIGINT) AS mask_count
+FROM e LEFT JOIN g ON e.doc_id = g.doc_id
+       LEFT JOIN m ON e.doc_id = m.doc_id"""
 
     sqls["det_label_encode"] = """
 WITH b AS (

@@ -2570,3 +2570,217 @@ def threshold_word_ensemble_log_avg(pred1, pred2, threshold=0.5,
     return word_level_ensemble_by_threshold(
         pred1, pred2, log_avg_prob(pred1[1]), log_avg_prob(pred2[1]),
         threshold, on)
+
+
+# ---------------------------------------------------------------------------
+# R6 MakeShrinkMap (DBNet training gt generation)
+# ---------------------------------------------------------------------------
+
+SHRINK_MIN_TEXT_SIZE = 8
+SHRINK_RATIO = 0.4
+
+
+def _clipper_round(x: float) -> int:
+    """Clipper's Round (half away from zero; coords here are >= 0)."""
+    return int(np.floor(x + 0.5))
+
+
+def shrink_rect(x0: float, y0: float, x1: float, y1: float,
+                distance: float) -> list | None:
+    """pyclipper PyclipperOffset.Execute(-distance) for an axis-aligned
+    rectangle with integer-grid input coords: the inward offset either
+    collapses (empty result) or is the inset rectangle with every
+    coordinate rounded to Clipper's integer grid.  For a rectangle the
+    JT_ROUND join style is irrelevant (round joins only shape OUTWARD
+    corners)."""
+    if (x1 - x0) <= 2 * distance or (y1 - y0) <= 2 * distance:
+        return None
+    return [_clipper_round(x0 + distance), _clipper_round(y0 + distance),
+            _clipper_round(x1 - distance), _clipper_round(y1 - distance)]
+
+
+def fill_rect(img: "np.ndarray", x0: int, y0: int, x1: int, y1: int,
+              val: float) -> None:
+    """cv2.fillPoly for an integer axis-aligned rectangle polygon: fills
+    [y0..y1] x [x0..x1] INCLUSIVE (cv2 polygon fill includes the
+    right/bottom boundary; a degenerate zero-area polygon fills its
+    boundary line), clipped to the canvas."""
+    h, w = img.shape
+    img[max(y0, 0):min(y1, h - 1) + 1, max(x0, 0):min(x1, w - 1) + 1] = val
+
+
+def make_shrink_map(boxes: "np.ndarray", tags: "np.ndarray",
+                    h: int, w: int,
+                    min_text_size: int = SHRINK_MIN_TEXT_SIZE,
+                    shrink_ratio: float = SHRINK_RATIO):
+    """MakeShrinkMap (ppocr/data/imaug/make_shrink_map.py:32-124) over
+    axis-aligned rectangle polys — the repo-wide corpus shape (SURVEY
+    §1.1).
+
+    Faithful points, in reference order:
+
+    * ``validate_polygons`` (:101-117): clip x to [0, w-1] / y to
+      [0, h-1]; signed shoelace |area| < 1 → ignore (the point-order
+      reversal for positive area has no raster effect for rects).
+    * ignored or clipped min-side < min_text_size → the ORIGINAL
+      (clipped) poly is int-truncated and zeroed in the mask
+      (:60-63); ignore_tags[i] is set True.
+    * else distance = area·(1 − ratio²)/perimeter via shapely on the
+      clipped poly, offset by pyclipper (:66-82).  The ratio-escalation
+      loop (possible_ratios = arange(0.4, 1, 0.4) = [0.4, 0.8] — the
+      ``np.append(possible_ratios, 1)`` at :75 discards its result, so
+      ratio 1 is NEVER tried; quirk pinned) is DEAD CODE for
+      rectangles: w ≤ 0.84·wh/(w+h) ⟺ w+h ≤ 0.84h, impossible — a
+      rectangle always survives the first ratio.  The escalation branch
+      is still transcribed (and exec-ref-differentialed via non-fitting
+      synthetic distances).
+    * surviving shrunk polys fill 1 into gt (:93-95).
+
+    Returns (records, gt, mask): per-box (status, ratio, sx0, sy0, sx1,
+    sy1) where status ∈ {'gt', 'masked'}, plus the float32 rasters.
+    """
+    gt = np.zeros((h, w), dtype=np.float32)
+    mask = np.ones((h, w), dtype=np.float32)
+    boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4).copy()
+    tags = list(np.asarray(tags, dtype=bool))
+    # validate_polygons: clip, then the |shoelace| < 1 degeneracy flag
+    boxes[:, 0] = np.clip(boxes[:, 0], 0, w - 1)
+    boxes[:, 2] = np.clip(boxes[:, 2], 0, w - 1)
+    boxes[:, 1] = np.clip(boxes[:, 1], 0, h - 1)
+    boxes[:, 3] = np.clip(boxes[:, 3], 0, h - 1)
+    records = []
+    for i, (x0, y0, x1, y1) in enumerate(boxes):
+        bw, bh = x1 - x0, y1 - y0
+        if bw * bh < 1:                       # |signed area| < 1
+            tags[i] = True
+        if tags[i] or min(bh, bw) < min_text_size:
+            fill_rect(mask, int(x0), int(y0), int(x1), int(y1), 0)
+            tags[i] = True
+            records.append(("masked", 0.0, None, None, None, None))
+            continue
+        area, length = bw * bh, 2 * (bw + bh)
+        shrunk, used = None, 0.0
+        for ratio in (shrink_ratio, 2 * shrink_ratio):   # arange(.4,1,.4)
+            distance = area * (1 - ratio ** 2) / length
+            shrunk = shrink_rect(x0, y0, x1, y1, distance)
+            if shrunk is not None:
+                used = ratio
+                break
+        if shrunk is None:
+            fill_rect(mask, int(x0), int(y0), int(x1), int(y1), 0)
+            tags[i] = True
+            records.append(("masked", 0.0, None, None, None, None))
+            continue
+        fill_rect(gt, shrunk[0], shrunk[1], shrunk[2], shrunk[3], 1)
+        records.append(("gt", used, *shrunk))
+    return records, gt, mask
+
+
+# ---------------------------------------------------------------------------
+# R6 MakeBorderMap (DBNet training threshold-map generation)
+# ---------------------------------------------------------------------------
+
+BORDER_THRESH_MIN = 0.3
+BORDER_THRESH_MAX = 0.7
+
+
+def _border_edge_distance(xs: "np.ndarray", ys: "np.ndarray",
+                          p1, p2) -> "np.ndarray":
+    """MakeBorderMap._distance (make_border_map.py:126-151) verbatim:
+    law-of-cosines point-to-segment distance with the cosin<0
+    endpoint-min branch and the nan_to_num of square_sin."""
+    square_distance_1 = np.square(xs - p1[0]) + np.square(ys - p1[1])
+    square_distance_2 = np.square(xs - p2[0]) + np.square(ys - p2[1])
+    square_distance = np.square(p1[0] - p2[0]) + np.square(p1[1] - p2[1])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cosin = (square_distance - square_distance_1 - square_distance_2) / (
+            2 * np.sqrt(square_distance_1 * square_distance_2))
+        square_sin = 1 - np.square(cosin)
+        square_sin = np.nan_to_num(square_sin)
+        result = np.sqrt(square_distance_1 * square_distance_2 * square_sin
+                         / square_distance)
+    result[cosin < 0] = np.sqrt(np.fmin(
+        square_distance_1, square_distance_2))[cosin < 0]
+    return result
+
+
+def make_border_map(boxes: "np.ndarray", tags: "np.ndarray", h: int, w: int,
+                    shrink_ratio: float = SHRINK_RATIO,
+                    thresh_min: float = BORDER_THRESH_MIN,
+                    thresh_max: float = BORDER_THRESH_MAX):
+    """MakeBorderMap (ppocr/data/imaug/make_border_map.py:38-124) over
+    axis-aligned rects.  Unlike MakeShrinkMap there is NO
+    validate_polygons here — polys arrive unclipped and only the input
+    ignore_tags gate a box (the op runs before MakeShrinkMap in the
+    DBNet transform list); degenerate boxes skip via ``area <= 0``.
+
+    Exact parts (literal transcription): distance =
+    area·(1−ratio²)/perimeter; the padded-polygon bbox (the JT_ROUND
+    offset's axis extremes are the edge-normal offset points, so
+    xmin..ymax = ClipperRound(coord ± distance) exactly); the per-edge
+    ``_distance`` law-of-cosines map, its clip(·/distance, 0, 1), the
+    4-edge min, the float32 casts, the valid-window slicing arithmetic,
+    the fmax canvas update, and the final thresh_min/max affine.
+    Quirk preserved: :115-121 never guards against a padded bbox lying
+    FULLY outside the canvas on either axis — the distance-map slice
+    goes empty while the clamped canvas slice is (≥1)-wide, and numpy
+    raises ValueError.  The reference crashes on such a polygon; so do
+    we (the broadcast error propagates untouched).  Callers must feed
+    canvas-intersecting boxes, as the reference's crop stages guarantee.
+
+    DEVIATION (documented, same family as db_boxes unclip): the MASK is
+    filled over the padded polygon's bounding rectangle; the true
+    cv2.fillPoly of Clipper's round-join arc polygon excludes up to
+    (4−π)·d² corner-arc pixels per box.  Canvas (threshold) values are
+    unaffected — the reference computes them over the same bbox window.
+
+    Returns (canvas, mask) float32 rasters.
+    """
+    canvas = np.zeros((h, w), dtype=np.float32)
+    mask = np.zeros((h, w), dtype=np.float32)
+    boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+    tags = np.asarray(tags, dtype=bool)
+    for (x0, y0, x1, y1), tag in zip(boxes, tags):
+        if tag:
+            continue
+        bw, bh = x1 - x0, y1 - y0
+        area = bw * bh
+        if area <= 0:
+            continue
+        distance = area * (1 - np.power(shrink_ratio, 2)) / (2 * (bw + bh))
+        xmin = _clipper_round(x0 - distance)
+        xmax = _clipper_round(x1 + distance)
+        ymin = _clipper_round(y0 - distance)
+        ymax = _clipper_round(y1 + distance)
+        fill_rect(mask, xmin, ymin, xmax, ymax, 1.0)
+        width = xmax - xmin + 1
+        height = ymax - ymin + 1
+        poly = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]],
+                        dtype=np.float32)
+        poly[:, 0] = poly[:, 0] - xmin
+        poly[:, 1] = poly[:, 1] - ymin
+        xs = np.broadcast_to(
+            np.linspace(0, width - 1, num=width).reshape(1, width),
+            (height, width))
+        ys = np.broadcast_to(
+            np.linspace(0, height - 1, num=height).reshape(height, 1),
+            (height, width))
+        distance_map = np.zeros((4, height, width), dtype=np.float32)
+        for i in range(4):
+            j = (i + 1) % 4
+            absolute = _border_edge_distance(xs, ys, poly[i], poly[j])
+            distance_map[i] = np.clip(absolute / distance, 0, 1)
+        distance_map = distance_map.min(axis=0)
+        xmin_valid = min(max(0, xmin), w - 1)
+        xmax_valid = min(max(0, xmax), w - 1)
+        ymin_valid = min(max(0, ymin), h - 1)
+        ymax_valid = min(max(0, ymax), h - 1)
+        canvas[ymin_valid:ymax_valid + 1, xmin_valid:xmax_valid + 1] = \
+            np.fmax(
+                1 - distance_map[
+                    ymin_valid - ymin:ymax_valid - ymax + height,
+                    xmin_valid - xmin:xmax_valid - xmax + width],
+                canvas[ymin_valid:ymax_valid + 1,
+                       xmin_valid:xmax_valid + 1])
+    canvas = canvas * (thresh_max - thresh_min) + thresh_min
+    return canvas, mask

@@ -1470,3 +1470,158 @@ def test_lmdb_dataset_matches_executed_reference(tmp_path):
                                   mdb.get(b"image-%09d" % fidx))
         mdb.close()
     assert got == exp and len(got) == 4          # label-2 of env_a skipped
+
+
+def test_make_shrink_map_matches_executed_reference():
+    """R6: execute the reference's MakeShrinkMap class
+    (ppocr/data/imaug/make_shrink_map.py) over random axis-aligned rect
+    polys, with cv2.fillPoly / pyclipper inward offset / shapely Polygon
+    shimmed by the same small axioms our kernel uses (inclusive rect
+    fill, inset+Clipper-grid-round-or-empty, rect area/perimeter) — the
+    reference's control flow (validate_polygons clip + degeneracy,
+    min_text_size, ratio loop, mask/gt fills, ignore_tags mutation) runs
+    for real.  Rasters and final ignore_tags must match bit-for-bit."""
+    import types
+
+    import numpy as np
+
+    import paddleocr_spark.kernels as K
+
+    class _Poly:
+        def __init__(self, pts):
+            p = np.asarray(pts, dtype=np.float64)
+            x = p[:, 0]
+            y = p[:, 1]
+            self.area = abs(float(
+                np.sum(x * np.roll(y, 1) - y * np.roll(x, 1))) / 2.0)
+            self.length = float(np.sum(np.hypot(
+                np.diff(np.r_[x, x[0]]), np.diff(np.r_[y, y[0]]))))
+
+    class _Offset:
+        def AddPath(self, path, jt, et):
+            p = np.asarray(path, dtype=np.float64)
+            self.x0, self.y0 = p[:, 0].min(), p[:, 1].min()
+            self.x1, self.y1 = p[:, 0].max(), p[:, 1].max()
+
+        def Execute(self, delta):
+            r = K.shrink_rect(self.x0, self.y0, self.x1, self.y1, -delta)
+            if r is None:
+                return []
+            x0, y0, x1, y1 = r
+            return [[(x0, y0), (x1, y0), (x1, y1), (x0, y1)]]
+
+    def _fill(img, pts_list, val):
+        for pts in pts_list:
+            p = np.asarray(pts, dtype=np.int64).reshape(-1, 2)
+            K.fill_rect(img, int(p[:, 0].min()), int(p[:, 1].min()),
+                        int(p[:, 0].max()), int(p[:, 1].max()), val)
+
+    ns = _exec_slice(
+        "ppocr/data/imaug/make_shrink_map.py", "class MakeShrinkMap", None,
+        {"cv2": types.SimpleNamespace(fillPoly=_fill),
+         "Polygon": _Poly,
+         "pyclipper": types.SimpleNamespace(
+             PyclipperOffset=_Offset, JT_ROUND=0, ET_CLOSEDPOLYGON=0)})
+    op = ns["MakeShrinkMap"]()
+
+    rng = random.Random(31)
+    for trial in range(150):
+        h, w = rng.choice([(68, 120), (40, 40), (16, 200)])
+        n = rng.randint(0, 6)
+        rects, tags = [], []
+        for _ in range(n):
+            x0 = rng.randint(-10, w + 5)
+            y0 = rng.randint(-10, h + 5)
+            bw = rng.choice([0, 2, 5, 8, 9, 15, 40, 90])
+            bh = rng.choice([0, 2, 5, 8, 9, 15, 30])
+            rects.append([x0, y0, x0 + bw, y0 + bh])
+            tags.append(rng.random() < 0.25)
+        polys = np.array(
+            [[[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
+             for x0, y0, x1, y1 in rects], dtype=np.float32
+        ).reshape(n, 4, 2)
+        data = op({"image": np.zeros((h, w, 3), dtype=np.uint8),
+                   "polys": polys.copy(),
+                   "ignore_tags": list(tags)})
+        _rec, gt, mask = K.make_shrink_map(
+            np.array(rects, dtype=np.float64).reshape(-1, 4),
+            np.array(tags, dtype=bool), h, w)
+        assert np.array_equal(data["shrink_map"], gt), (trial, rects, tags)
+        assert np.array_equal(data["shrink_mask"], mask), (trial, rects,
+                                                           tags)
+
+
+def test_make_border_map_matches_executed_reference():
+    """R6: execute the reference's MakeBorderMap
+    (ppocr/data/imaug/make_border_map.py) over random canvas-intersecting
+    rects — the _distance law-of-cosines map, clip/min/fmax pipeline,
+    valid-window slicing, float32 casts, and thresh affine all run from
+    the reference source — with pyclipper's outward offset and
+    cv2.fillPoly shimmed by the same bbox axioms our kernel documents
+    as its deviation.  Rasters must match bit-for-bit."""
+    import types
+
+    import numpy as np
+
+    import paddleocr_spark.kernels as K
+
+    class _Poly:
+        def __init__(self, pts):
+            p = np.asarray(pts, dtype=np.float64)
+            x, y = p[:, 0], p[:, 1]
+            self.area = abs(float(
+                np.sum(x * np.roll(y, 1) - y * np.roll(x, 1))) / 2.0)
+            self.length = float(np.sum(np.hypot(
+                np.diff(np.r_[x, x[0]]), np.diff(np.r_[y, y[0]]))))
+
+    class _Offset:
+        def AddPath(self, path, jt, et):
+            p = np.asarray(path, dtype=np.float64)
+            self.x0, self.y0 = p[:, 0].min(), p[:, 1].min()
+            self.x1, self.y1 = p[:, 0].max(), p[:, 1].max()
+
+        def Execute(self, delta):
+            x0 = K._clipper_round(self.x0 - delta)
+            y0 = K._clipper_round(self.y0 - delta)
+            x1 = K._clipper_round(self.x1 + delta)
+            y1 = K._clipper_round(self.y1 + delta)
+            return [[(x0, y0), (x1, y0), (x1, y1), (x0, y1)]]
+
+    def _fill(img, pts_list, val):
+        for pts in pts_list:
+            p = np.asarray(pts, dtype=np.int64).reshape(-1, 2)
+            K.fill_rect(img, int(p[:, 0].min()), int(p[:, 1].min()),
+                        int(p[:, 0].max()), int(p[:, 1].max()), val)
+
+    ns = _exec_slice(
+        "ppocr/data/imaug/make_border_map.py", "class MakeBorderMap", None,
+        {"cv2": types.SimpleNamespace(fillPoly=_fill),
+         "Polygon": _Poly,
+         "pyclipper": types.SimpleNamespace(
+             PyclipperOffset=_Offset, JT_ROUND=0, ET_CLOSEDPOLYGON=0)})
+    op = ns["MakeBorderMap"]()
+
+    rng = random.Random(67)
+    for trial in range(120):
+        h, w = rng.choice([(68, 120), (40, 40), (24, 180)])
+        n = rng.randint(0, 5)
+        rects, tags = [], []
+        for _ in range(n):
+            x0 = rng.randint(0, w - 2)
+            y0 = rng.randint(0, h - 2)
+            bw = rng.choice([0, 3, 9, 15, 40])
+            bh = rng.choice([0, 3, 9, 15, 28])
+            rects.append([x0, y0, x0 + bw, y0 + bh])   # may overflow right
+            tags.append(rng.random() < 0.3)
+        polys = np.array(
+            [[[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
+             for x0, y0, x1, y1 in rects], dtype=np.float32
+        ).reshape(n, 4, 2)
+        data = op({"image": np.zeros((h, w, 3), dtype=np.uint8),
+                   "polys": polys.copy(),
+                   "ignore_tags": list(tags)})
+        canvas, mask = K.make_border_map(
+            np.array(rects, dtype=np.float64).reshape(-1, 4),
+            np.array(tags, dtype=bool), h, w)
+        assert np.array_equal(data["threshold_map"], canvas), (trial, rects)
+        assert np.array_equal(data["threshold_mask"], mask), (trial, rects)

@@ -513,8 +513,43 @@ def fx_rotate_crop(con, sf_dir: str) -> pd.DataFrame:
         "media_ref", "crop_id", "out_h", "out_w", "pix_sum", "first_val"])
 
 
+def fx_border_map(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_border_map single-node: the identical
+    make_border_map kernel over the identical box synthesis, so the
+    unrounded doubles are bit-equal to the distributed run."""
+    import numpy as np
+
+    from paddleocr_spark.kernels import BORDER_THRESH_MIN, make_border_map
+
+    boxes = con.sql(f"""
+        SELECT printf('doc_%04d', l_orderkey % 200) AS doc_id,
+               l_orderkey * 10 + l_linenumber AS box_id,
+               CAST((l_partkey % 11) * 10 AS DOUBLE) AS x0,
+               CAST((l_suppkey % 7) * 9 AS DOUBLE) AS y0,
+               CAST((l_partkey % 11) * 10 + l_orderkey % 29 AS DOUBLE) AS x1,
+               CAST((l_suppkey % 7) * 9
+                    + (l_suppkey + l_linenumber) % 24 AS DOUBLE) AS y1,
+               (l_orderkey % 23 = 0) AS tag
+        FROM read_parquet('{os.path.join(sf_dir, "lineitem.parquet")}')
+        WHERE l_linenumber <= 4 AND l_orderkey % 11 = 0
+        ORDER BY doc_id, box_id
+    """).df()
+    rows = []
+    for doc_id, g in boxes.groupby("doc_id", sort=True):
+        rect = g[["x0", "y0", "x1", "y1"]].to_numpy(dtype=np.float64)
+        canvas, mask = make_border_map(
+            rect, g["tag"].to_numpy(dtype=bool), 68, 120)
+        rows.append((doc_id, float(canvas.sum(dtype=np.float64)),
+                     float(canvas.max()),
+                     int((canvas > BORDER_THRESH_MIN).sum()),
+                     int(mask.sum())))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "thr_sum", "thr_max", "thr_px", "mask_px"])
+
+
 FIXTURES = {
     "tensor_ops": fx_tensor_ops,
+    "border_map": fx_border_map,
     "rotate_crop": fx_rotate_crop,
     "layout_preprocess": fx_layout_preprocess,
     "table_xlsx": fx_table_xlsx,
