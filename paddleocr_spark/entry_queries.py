@@ -1452,17 +1452,49 @@ def q_rec_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .functions import labelenc as LE
 
-    base = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.when(F.col("doc_id") % 3 == 0,
-               F.upper(F.expr("substring(text, 1 + doc_id % 7, doc_id % 30)")))
-        .otherwise(F.expr("substring(text, 1 + doc_id % 7, doc_id % 30)"))
-        .alias("text"))
+    base = _encode_sample_texts(spark, sf_dir)
     out = LE.with_sar_label(LE.with_attn_label(LE.with_ctc_label(base)))
     return out.select(
         "doc_id", "ctc_label", F.col("ctc_length").cast("long"), "ctc_ace",
         "attn_label", F.col("attn_length").cast("long"),
         "sar_label", F.col("sar_length").cast("long"))
+
+
+def _encode_sample_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared deterministic sample texts for the encoder queries: raw
+    lengths 0..29 (every reject branch), upper-cased every third doc
+    (forced lower-fold)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.upper(F.expr("substring(text, 1 + doc_id % 7, doc_id % 30)")))
+        .otherwise(F.expr("substring(text, 1 + doc_id % 7, doc_id % 30)"))
+        .alias("text"))
+
+
+def q_rec_label_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 closing wave: the REST of the deterministic rec-encoder roster
+    — SEED / SRN / NRTR / ViTSTR / ABINet / SPIN / RFL (generic
+    prefix/shift/suffix/pad builder), PREN (its own unknown→2 encode),
+    CAN (word tokens; the vanishing-'<EOS>' and label=None-without-drop
+    quirks), ClsLabelEncode — pure JVM, NULL = the reference's sample
+    drop.  VLLabelEncode is excluded: its occlusion draw is
+    random.sample (label_ops.py:1741-1746), no deterministic contract.
+    MultiLabelEncode = the CTC+SAR columns of rec_label_encode composed.
+    """
+    from .functions import labelenc as LE
+
+    base = _encode_sample_texts(spark, sf_dir).withColumn(
+        "ori", F.when(F.col("doc_id") % 3 == 0, F.lit("0"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("180")).otherwise(F.lit("90")))
+    out = LE.with_cls_label(
+        LE.with_can_label(LE.with_pren_label(LE.with_roster_labels(base))),
+        "ori")
+    keep = ["doc_id"]
+    for fam in LE._ROSTER:
+        keep += [f"{fam}_label", f"{fam}_length"]
+    keep += ["rfl_cnt", "pren_label", "can_label", "cls_idx"]
+    return out.select(*keep)
 
 
 def q_det_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1934,6 +1966,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_clip_filter": q_det_clip_filter,
         # R5 train-side label encoders (round 4 final wave)
         "rec_label_encode": q_rec_label_encode,
+        "rec_label_roster": q_rec_label_roster,
         "det_label_encode": q_det_label_encode,
         # S5 LMDB source (round 4 final wave)
         "lmdb_scan": q_lmdb_scan,
@@ -3977,6 +4010,80 @@ SELECT e.doc_id, e.box_id,
        CAST({sw * sh} - coalesce(m.mask_zeroed, 0) AS BIGINT) AS mask_count
 FROM e LEFT JOIN g ON e.doc_id = g.doc_id
        LEFT JOIN m ON e.doc_id = m.doc_id"""
+
+    # --- R5 closing wave: the rest of the deterministic encoder roster ---
+    from .functions.labelenc import _ROSTER
+    roster_cols = []
+    for fam, (shift, pre, suf, pad, target, extra) in _ROSTER.items():
+        _, op, bound = extra.split()
+        rej = f"(rej0 OR n = 0 OR n {op} {bound})"
+        fixed = len(pre) + len(suf)
+        lbl = f"list_transform(ids, i -> i + {shift})"
+        if pre:
+            lbl = f"list_concat([{', '.join(map(str, pre))}], {lbl})"
+        if suf:
+            lbl = f"list_concat({lbl}, [{', '.join(map(str, suf))}])"
+        lbl = (f"list_concat({lbl}, list_transform(generate_series(1, "
+               f"{target} - {fixed} - n), x -> {pad}))")
+        roster_cols.append(f"CASE WHEN {rej} THEN NULL ELSE "
+                           f"array_to_string({lbl}, ',') END AS {fam}_label")
+        ln = "n + 1" if fam == "seed" else "n"
+        roster_cols.append(f"CASE WHEN {rej} THEN NULL ELSE "
+                           f"CAST({ln} AS BIGINT) END AS {fam}_length")
+    roster_cols.append(f"""
+    CASE WHEN (rej0 OR n = 0 OR n >= {ml - 1}) THEN NULL
+         ELSE array_to_string(list_transform(generate_series(0,
+             {len(enc) + 1}), s -> len(list_filter(ids, x -> x = s))), ',')
+    END AS rfl_cnt""")
+    roster_cols.append(f"""
+    CASE WHEN raw_len = 0 OR raw_len >= {ml} THEN NULL
+         ELSE array_to_string(list_concat(list_concat(
+             list_transform(string_split(lower(coalesce(text, '')), ''),
+                 c -> CASE WHEN strpos('{enc}', c) > 0
+                      THEN strpos('{enc}', c) + 2 ELSE 2 END), [1]),
+             list_transform(generate_series(1, {ml} - 1 - raw_len),
+                 x -> 0)), ',')
+    END AS pren_label""")
+    roster_cols.append(f"""
+    CASE WHEN len(can_ids) = 0 THEN NULL
+         ELSE array_to_string(list_transform(can_ids, i -> i - 1), ',')
+    END AS can_label""")
+    roster_cols.append("""
+    CASE WHEN doc_id % 3 = 0 THEN CAST(0 AS BIGINT)
+         WHEN doc_id % 3 = 1 THEN CAST(1 AS BIGINT)
+         ELSE NULL END AS cls_idx""")
+    sqls["rec_label_roster"] = f"""
+WITH base AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN upper(substring(text, CAST(1 + doc_id % 7 AS INT),
+                                     CAST(doc_id % 30 AS INT)))
+                ELSE substring(text, CAST(1 + doc_id % 7 AS INT),
+                               CAST(doc_id % 30 AS INT)) END AS text
+    FROM documents
+),
+e AS (
+    SELECT doc_id, text,
+           length(coalesce(text, '')) AS raw_len,
+           list_filter(list_transform(
+               string_split(lower(coalesce(text, '')), ''),
+               c -> strpos('{enc}', c)), i -> i > 0) AS ids,
+           list_filter(list_transform(
+               list_filter(string_split_regex(trim(coalesce(text, '')),
+                                              '\\s+'), t -> t != ''),
+               t -> CASE WHEN length(t) = 1
+                    THEN strpos('{enc}', t) ELSE 0 END),
+               i -> i > 0) AS can_ids
+    FROM base
+),
+f AS (
+    SELECT doc_id, text, raw_len, ids, can_ids, len(ids) AS n,
+           (raw_len = 0 OR raw_len > {ml}) AS rej0
+    FROM e
+)
+SELECT doc_id,
+    {(',' + chr(10) + '    ').join(roster_cols)}
+FROM f"""
 
     sqls["det_label_encode"] = """
 WITH b AS (

@@ -229,3 +229,166 @@ def det_label_encode_py(label: str):
                     b["transcription"] in ("*", "###"),
                     [float(v) for xy in pts for v in xy]))
     return out
+
+
+# ---------------------------------------------------------------------------
+# The rest of the deterministic rec-encoder roster (round-4 closing wave).
+# VLLabelEncode is EXCLUDED by design: it draws the occluded character
+# with random.sample (label_ops.py:1741-1746) — no deterministic contract
+# to match.  MultiLabelEncode is CTC+SAR composed (both columns here).
+# ---------------------------------------------------------------------------
+
+def _roster_label(ids_shift: int, prefix: list[int], suffix: list[int],
+                  pad: int, target: int) -> str:
+    """SQL for prefix ++ (ids+shift) ++ suffix ++ pad-fill to target,
+    over a PRE-MATERIALIZED ``_ids`` column (inlining the split/filter
+    expression once per family made Catalyst's tree quadratic — the
+    first cut of rec_label_roster spent 100 s in analysis)."""
+    lbl = f"transform(_ids, i -> i + {ids_shift})"
+    if prefix:
+        lbl = f"concat(array({', '.join(map(str, prefix))}), {lbl})"
+    if suffix:
+        lbl = f"concat({lbl}, array({', '.join(map(str, suffix))}))"
+    fixed = len(prefix) + len(suffix)
+    return (f"concat({lbl}, array_repeat({pad}, "
+            f"{target} - {fixed} - size(_ids)))")
+
+
+#: (name, ids_shift, prefix, suffix, pad, target, reject_n) — reject_n is
+#: the post-filter length bound (None = base encode only); length output
+#: per family notes below.
+_ROSTER = {
+    # SEED (label_ops.py:596-627): specials APPENDED (eos 36, pad 37,
+    # unk 38); length = n+1 ("conclude eos"); eos+pad fill.
+    "seed": (-1, [], [36], 37, 25, "n >= 25"),
+    # SRN (:630-655): <BOS>/<EOS> appended; reject len > 25 (NOT >=);
+    # eos(37)-padded, no terminator.
+    "srn": (-1, [], [], 37, 25, "n > 25"),
+    # NRTR (:1474-1502): [blank,<unk>,<s>,</s>] PREPENDED (ids +3);
+    # <s>=2 / </s>=3 wrap; 0-pad; reject len >= 24.
+    "nrtr": (3, [2], [3], 0, 25, "n >= 24"),
+    # ViTSTR (:1505-1535): [<s>,</s>] prepended (ids +1); label is
+    # max_len+2 = 27 long, wrapped ignore_index(0)/1.
+    "vitstr": (1, [0], [1], 0, 27, "n >= 25"),
+    # ABINet (:1538-1574, use_unknown=False): ['</s>'] prepended (ids
+    # = instr); append </s>=0; fill ignore_index=100 to 26.
+    "abinet": (0, [], [0], 100, 26, "n >= 25"),
+    # SPIN (:1691-1723): [sos,eos] prepended (ids +1); [0]+ids+[1]
+    # 0-padded to 27; reject len > 25 (NOT >=).
+    "spin": (1, [0], [1], 0, 27, "n > 25"),
+    # RFL (:540-593): Attn's dict/wrap — but the post-pad
+    # ``len(text) != max_text_len → None`` check REJECTS n == 24 (where
+    # Attn emits its 26-long quirk label); so effectively n >= 24.
+    "rfl": (0, [0], [37], 0, 25, "n >= 24"),
+}
+
+
+def with_roster_labels(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """SEED/SRN/NRTR/ViTSTR/ABINet/SPIN/RFL label columns (comma-joined;
+    NULL renders the reference's return-None sample drop), plus RFL's
+    UNPADDED cnt histogram (unlike CTC's padded-list label_ace)."""
+    tmp = df.withColumn("_ids", F.expr(_ids_expr(text_col)))
+    n = F.size(F.col("_ids"))
+    base_rej = _base_reject(text_col) | (n == 0)
+    cols = {}
+    for name, (shift, pre, suf, pad, target, extra) in _ROSTER.items():
+        _, op, bound = extra.split()
+        over = (n >= int(bound)) if op == ">=" else (n > int(bound))
+        rej = base_rej | over
+        arr = F.expr(_roster_label(shift, pre, suf, pad, target))
+        cols[f"{name}_label"] = F.when(rej, F.lit(None)).otherwise(
+            F.array_join(arr, ","))
+        cols[f"{name}_length"] = F.when(rej, F.lit(None)).otherwise(
+            n + 1 if name == "seed" else n).cast("long")
+    rfl_rej = base_rej | (n >= MAX_TEXT_LEN - 1)
+    cols["rfl_cnt"] = F.when(rfl_rej, F.lit(None)).otherwise(F.array_join(
+        F.expr(f"transform(sequence(0, {_N + 1}), s -> size(filter("
+               f"_ids, x -> x = s)))"), ","))
+    return tmp.withColumns(cols).drop("_ids")
+
+
+def with_pren_label(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PRENLabelEncode (label_ops.py:994-1038): its OWN encode — reject
+    on RAW length (0 or >= 25, pre-lower); out-of-dict chars map to
+    unknown_idx 2 (never skipped); ids = dict position + 3 specials;
+    append <EOS>=1; <PAD>=0-fill to 25."""
+    raw = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    rej = (raw == 0) | (raw >= MAX_TEXT_LEN)
+    ids = (f"transform(split(lower(coalesce({text_col}, '')), ''), c -> "
+           f"CASE WHEN instr('{ENC_CHARSET}', c) > 0 "
+           f"THEN instr('{ENC_CHARSET}', c) + 2 ELSE 2 END)")
+    arr = F.expr(f"concat({ids}, array(1), array_repeat(0, "
+                 f"{MAX_TEXT_LEN} - 1 - size({ids})))")
+    return df.withColumn(
+        "pren_label",
+        F.when(rej, F.lit(None)).otherwise(F.array_join(arr, ",")))
+
+
+def with_can_label(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """CANLabelEncode (label_ops.py:1813-1839) with the default-dict
+    quirks pinned: tokens are whitespace-split WORDS matched
+    case-sensitively by LIST membership (only single chars can hit the
+    roster — substring instr alone would false-match multi-char
+    tokens); the appended '<EOS>' string is itself out-of-dict and
+    VANISHES; __call__ never checks encode's None, so an all-skipped
+    label yields label=None WITHOUT dropping the sample."""
+    toks = (f"filter(split(trim(coalesce({text_col}, '')), '\\\\s+'), "
+            f"t -> t != '')")
+    ids = (f"filter(transform({toks}, t -> CASE WHEN length(t) = 1 "
+           f"THEN instr('{ENC_CHARSET}', t) ELSE 0 END), i -> i > 0)")
+    return df.withColumn(
+        "can_label",
+        F.when(F.expr(f"size({ids})") == 0, F.lit(None)).otherwise(
+            F.array_join(F.expr(f"transform({ids}, i -> i - 1)"), ",")))
+
+
+def with_cls_label(df: DataFrame, label_col: str,
+                   label_list: tuple[str, ...] = ("0", "180")) -> DataFrame:
+    """ClsLabelEncode (label_ops.py:32-42): list index or None-drop."""
+    expr = F.lit(None)
+    for i, lab in reversed(list(enumerate(label_list))):
+        expr = F.when(F.col(label_col) == lab, F.lit(i)).otherwise(expr)
+    return df.withColumn("cls_idx", expr.cast("long"))
+
+
+# Python twins for the exec-reference differentials -------------------------
+
+def roster_encode_py(name: str, text: str):
+    shift, pre, suf, pad, target, extra = _ROSTER[name]
+    ids = _encode_py(text)
+    if ids is None:
+        return None
+    n = len(ids)
+    _, op, bound = extra.split()
+    if (n >= int(bound)) if op == ">=" else (n > int(bound)):
+        return None
+    arr = pre + [i + 1 + shift for i in ids] + suf
+    arr = arr + [pad] * (target - len(arr))
+    length = n + 1 if name == "seed" else n
+    if name == "rfl":
+        cnt = [0] * (_N + 2)
+        for i in ids:
+            cnt[i + 1] += 1
+        return arr, length, cnt
+    return arr, length
+
+
+def pren_encode_py(text: str):
+    if text is None:
+        text = ""
+    if len(text) == 0 or len(text) >= MAX_TEXT_LEN:
+        return None
+    out = []
+    for c in text.lower():
+        p = ENC_CHARSET.find(c)
+        out.append(p + 3 if p >= 0 else 2)
+    out.append(1)
+    return out + [0] * (MAX_TEXT_LEN - len(out))
+
+
+def can_encode_py(text: str):
+    toks = (text or "").strip().split()
+    toks.append("<EOS>")
+    out = [ENC_CHARSET.find(t) for t in toks
+           if len(t) == 1 and t in ENC_CHARSET]
+    return out or None

@@ -364,3 +364,37 @@ def test_det_label_encode_matches_python_twin(spark):
         for no, txt, tag, poly in LE.det_label_encode_py(lbl):
             assert got[(doc_id, no)] == (
                 txt, tag, ",".join(str(int(v)) for v in poly)), (doc_id, no)
+
+
+def test_roster_encode_exprs_match_python_twins(spark, documents):
+    """R5 closing wave: the roster/PREN/CAN JVM expressions equal the
+    exec-ref-pinned twins over the gate sample texts."""
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.functions import labelenc as LE
+
+    base = documents.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.upper(F.expr("substring(text, 1 + doc_id % 7, doc_id % 30)")))
+        .otherwise(F.expr("substring(text, 1 + doc_id % 7, doc_id % 30)"))
+        .alias("text"))
+    out = LE.with_can_label(LE.with_pren_label(LE.with_roster_labels(base)))
+    rows = out.collect()
+    assert any(r["seed_label"] is not None for r in rows)
+    for r in rows:
+        for fam in LE._ROSTER:
+            mine = LE.roster_encode_py(fam, r["text"])
+            if mine is None:
+                assert r[f"{fam}_label"] is None, (fam, r["text"])
+            else:
+                assert r[f"{fam}_label"] == ",".join(map(str, mine[0]))
+                assert r[f"{fam}_length"] == mine[1]
+                if fam == "rfl":
+                    assert r["rfl_cnt"] == ",".join(map(str, mine[2]))
+        pren = LE.pren_encode_py(r["text"])
+        assert r["pren_label"] == (
+            None if pren is None else ",".join(map(str, pren)))
+        can = LE.can_encode_py(r["text"])
+        assert r["can_label"] == (
+            None if can is None else ",".join(map(str, can)))

@@ -1625,3 +1625,73 @@ def test_make_border_map_matches_executed_reference():
             np.array(tags, dtype=bool), h, w)
         assert np.array_equal(data["threshold_map"], canvas), (trial, rects)
         assert np.array_equal(data["threshold_mask"], mask), (trial, rects)
+
+
+def test_label_encoder_roster_matches_executed_reference():
+    """R5 closing wave: execute the reference's SEED/SRN/NRTR/ViTSTR/
+    ABINet/SPIN/RFL/PREN/CAN/Cls label encoders against the labelenc
+    twins — pinning SEED's length+1, SRN/SPIN's > (not >=) rejects,
+    RFL's post-pad !=25 re-reject of n==24, PREN's unknown→2 mapping,
+    and CAN's vanishing-'<EOS>' + label=None-without-drop quirks."""
+    import types
+
+    from paddleocr_spark.functions import labelenc as LE
+
+    shim = {"get_logger": lambda: types.SimpleNamespace(
+        warning=lambda *a, **k: None)}
+    ns = _exec_slice("ppocr/data/imaug/label_ops.py",
+                     "class BaseRecLabelEncode",
+                     "class CTCLabelEncode_GraphemeLabel", shim)
+    for start, end in [
+            ("class AttnLabelEncode", "class RFLLabelEncode"),
+            ("class RFLLabelEncode", "class SEEDLabelEncode"),
+            ("class SEEDLabelEncode", "class SRNLabelEncode"),
+            ("class SRNLabelEncode", "class TableLabelEncode"),
+            ("class NRTRLabelEncode", "class ViTSTRLabelEncode"),
+            ("class ViTSTRLabelEncode", "class ABINetLabelEncode"),
+            ("class ABINetLabelEncode",
+             "class ABINetLabelEncode_GraphemeLabel"),
+            ("class SPINLabelEncode", "class VLLabelEncode"),
+            ("class PRENLabelEncode", "class VQATokenLabelEncode"),
+            ("class CANLabelEncode", None),
+            ("class ClsLabelEncode", "class DetLabelEncode")]:
+        ns = _exec_slice("ppocr/data/imaug/label_ops.py", start, end, ns)
+
+    refs = {name: ns[cls](25) for name, cls in [
+        ("seed", "SEEDLabelEncode"), ("srn", "SRNLabelEncode"),
+        ("nrtr", "NRTRLabelEncode"), ("vitstr", "ViTSTRLabelEncode"),
+        ("abinet", "ABINetLabelEncode"), ("spin", "SPINLabelEncode"),
+        ("rfl", "RFLLabelEncode")]}
+    pren = ns["PRENLabelEncode"](25, None)
+    can = ns["CANLabelEncode"](character_dict_path=None)
+    cls_enc = ns["ClsLabelEncode"](label_list=["0", "180"])
+
+    rng = random.Random(59)
+    pool = "abcXYZ019 .,!한글*#"
+    texts = ["", "a" * 26, "a" * 25, "a" * 24, "b" * 23, "   ", "한글한"]
+    texts += ["".join(rng.choice(pool) for _ in range(rng.randint(0, 30)))
+              for _ in range(400)]
+    for t in texts:
+        for name, enc in refs.items():
+            r = enc({"label": t})
+            mine = LE.roster_encode_py(name, t)
+            if r is None:
+                assert mine is None, (name, t)
+                continue
+            assert r["label"].tolist() == mine[0], (name, t)
+            assert int(r["length"]) == mine[1], (name, t)
+            if name == "rfl":
+                assert r["cnt_label"].tolist() == mine[2], t
+        r = pren({"label": t})
+        mine = LE.pren_encode_py(t)
+        if r is None:
+            assert mine is None, t
+        else:
+            assert r["label"].tolist() == mine, t
+        r = can({"label": t})                 # never None: quirk
+        assert r is not None, t
+        assert r["label"] == LE.can_encode_py(t), t
+
+    for lab, want in [("0", 0), ("180", 1), ("90", None), ("", None)]:
+        r = cls_enc({"label": lab})
+        assert (r is None and want is None) or r["label"] == want, lab
