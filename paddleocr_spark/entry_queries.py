@@ -1497,6 +1497,39 @@ def q_rec_label_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*keep)
 
 
+def q_table_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5: TableLabelEncode (label_ops.py:674-788) over deterministic
+    per-table structure grammars exercising the merge_no_span skip, the
+    span ' '-prefix, empty-token removal, and the td→cell bbox walk.
+    The DuckDB twin CONSTRUCTS the expected ids/positions closed-form
+    from the variant grammar (it never restates merge/encode), so any
+    divergence in the sequential fold hash-fails.  Out-of-dict tokens
+    are excluded from the synthesis: the fork CRASHES on them
+    (never-set use_unkown — labelenc.table_label_encode_py pins it)."""
+    from .functions.labelenc import table_label_encode
+
+    t = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("t_id")).filter("t_id < 50")
+    cellv = ("""transform(sequence(0, 1 + cast(t_id % 4 as int)), c ->
+        CASE cast((t_id + c) % 5 as int)
+          WHEN 0 THEN array('<td></td>')
+          WHEN 1 THEN array('<td>', '</td>')
+          WHEN 2 THEN array('<td', ' colspan="2"', '>', '</td>')
+          WHEN 3 THEN array('<td', 'colspan="2"', '>', '</td>')
+          ELSE array('', '<td></td>') END)""")
+    structure = (f"concat(array('<thead>', '<tr>'), flatten({cellv}), "
+                 f"array('</tr>', '</thead>', '<tbody>', '</tbody>'))")
+    cells = ("""transform(sequence(0, 1 + cast(t_id % 4 as int)), c ->
+        named_struct(
+          'has_bbox', (t_id * 7 + c) % 4 != 0,
+          'ntokens', IF((t_id + c) % 6 = 0, 0, 1),
+          'x1', cast(c * 10 as int), 'y1', cast(t_id as int),
+          'x2', cast(c * 10 + 8 as int), 'y2', cast(t_id + 6 as int)))""")
+    df = t.select("t_id", F.expr(structure).alias("structure"),
+                  F.expr(cells).alias("cells"))
+    return table_label_encode(df)
+
+
 def q_det_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R5 DetLabelEncode: json label → per-box (poly, txt, ignore_tag).
 
@@ -1967,6 +2000,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # R5 train-side label encoders (round 4 final wave)
         "rec_label_encode": q_rec_label_encode,
         "rec_label_roster": q_rec_label_roster,
+        "table_label_encode": q_table_label_encode,
         "det_label_encode": q_det_label_encode,
         # S5 LMDB source (round 4 final wave)
         "lmdb_scan": q_lmdb_scan,
@@ -4010,6 +4044,46 @@ SELECT e.doc_id, e.box_id,
        CAST({sw * sh} - coalesce(m.mask_zeroed, 0) AS BIGINT) AS mask_count
 FROM e LEFT JOIN g ON e.doc_id = g.doc_id
        LEFT JOIN m ON e.doc_id = m.doc_id"""
+
+    # --- R5 TableLabelEncode: closed-form grammar reconstruction ---
+    sqls["table_label_encode"] = """
+WITH t AS (SELECT doc_id AS t_id FROM documents WHERE doc_id < 50),
+c AS (
+    SELECT t_id, g.c AS c, (t_id + g.c) % 5 AS v,
+           ((t_id * 7 + g.c) % 4 != 0) AS has_bbox,
+           ((t_id + g.c) % 6 != 0) AS has_toks
+    FROM t, UNNEST(generate_series(0, 1 + t_id % 4)) g(c)
+),
+w AS (
+    SELECT *,
+           CASE WHEN v IN (2, 3) THEN [7, 10, 8, 9] ELSE [12] END
+               AS cell_ids,
+           CAST(3 + coalesce(sum(CASE WHEN v IN (2, 3) THEN 4 ELSE 1 END)
+               OVER (PARTITION BY t_id ORDER BY c
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS pos
+    FROM c
+),
+agg AS (
+    SELECT t_id,
+           list_concat(list_concat([0, 1, 5],
+               flatten(list(cell_ids ORDER BY c))), [6, 2, 3, 4, 13]) AS ids
+    FROM w GROUP BY t_id
+),
+padded AS (
+    SELECT t_id, array_to_string(list_concat(ids,
+        list_transform(generate_series(1, 42 - len(ids)), x -> 0)), ',')
+        AS structure
+    FROM agg
+)
+SELECT w.t_id, padded.structure, w.pos,
+       CAST(w.c AS BIGINT) AS cell_no,
+       CASE WHEN has_bbox AND has_toks
+            THEN printf('%d,%d,%d,%d', w.c * 10, w.t_id, w.c * 10 + 8,
+                        w.t_id + 6) END AS bbox,
+       CAST(CASE WHEN has_bbox AND has_toks THEN 1.0 ELSE 0.0 END
+            AS DOUBLE) + 0 AS bbox_mask
+FROM w JOIN padded ON w.t_id = padded.t_id"""
 
     # --- R5 closing wave: the rest of the deterministic encoder roster ---
     from .functions.labelenc import _ROSTER

@@ -392,3 +392,148 @@ def can_encode_py(text: str):
     out = [ENC_CHARSET.find(t) for t in toks
            if len(t) == 1 and t in ENC_CHARSET]
     return out or None
+
+
+# ---------------------------------------------------------------------------
+# TableLabelEncode (the table-structure training encoder)
+# ---------------------------------------------------------------------------
+
+TABLE_MAX_LEN = 40           # max_text_length for the table query
+_TD_TOKEN = ("<td>", "<td", "<eb></eb>", "<td></td>")
+
+
+def table_label_encode_py(structure: list[str], cells: list[dict],
+                          max_text_len: int = TABLE_MAX_LEN):
+    """TableLabelEncode.__call__ (label_ops.py:674-823) twin over the
+    repo's merged table dictionary (operators/table.py TABLE_DICT —
+    sos/eos-wrapped, '<td></td>' merged), merge_no_span_structure=True,
+    replace_empty_cell_token=False, learn_empty_box=False, loc_reg_num 4.
+
+    Quirks transcribed:
+    * ``_merge_no_span_structure`` (:789-804) rewrites '<td>' to
+      '<td></td>' and UNCONDITIONALLY SKIPS the following token —
+      whatever it is (even another '<td>', which therefore survives
+      unmerged into the next iteration's append).
+    * span tokens get a ' ' prefix only when missing (:744-747);
+      empty-string tokens drop.
+    * encode() rejects on the PRE-SKIP token count (> max), then skips
+      out-of-dict tokens.
+    * the post-pad ``len(structure) > _max_text_len`` re-check (:762)
+      is DEAD — encode already bounded the length, sos/eos/pad land
+      exactly on max+2; transcribed anyway.
+    * FORK BUG pinned: TableLabelEncode.__init__ never calls super and
+      never sets ``use_unkown``, but this fork's encode() reads
+      ``self.use_unkown`` on every out-of-dict token (label_ops.py:160)
+      — so an unknown structure token CRASHES the reference with
+      AttributeError instead of being skipped.  This twin raises the
+      same; the Spark operator documents a graceful-skip divergence
+      (a relational op cannot crash per-row; unreachable for
+      dict-valid labels).
+    * the bbox walk runs over the PADDED id array; every td_token id
+      consumes one cell; a cell contributes bbox+mask only when it has
+      a bbox AND non-empty tokens (:771-784).  More td tokens than
+      cells raises IndexError in the reference; the Spark form yields
+      null-celled rows instead (documented divergence, unreachable for
+      well-formed labels).
+    """
+    from ..operators.table import TABLE_DICT
+
+    merged, i = [], 0
+    while i < len(structure):
+        token = structure[i]
+        if token == "<td>":
+            token = "<td></td>"
+            i += 1
+        merged.append(token)
+        i += 1
+    new_structure = []
+    for token in merged:
+        if token != "":
+            if "span" in token and token[0] != " ":
+                token = " " + token
+            new_structure.append(token)
+    if len(new_structure) == 0 or len(new_structure) > max_text_len:
+        return None
+    idx = {t: i for i, t in enumerate(TABLE_DICT)}
+    ids = []
+    for t in new_structure:
+        if t not in idx:                    # fork bug: encode() reads the
+            raise AttributeError(           # never-set use_unkown attr
+                "'TableLabelEncode' object has no attribute 'use_unkown'")
+        ids.append(idx[t])
+    if not ids:
+        return None
+    eos = len(TABLE_DICT) - 1
+    padded = [0] + ids + [eos]
+    padded = padded + [0] * (max_text_len + 2 - len(padded))
+    if len(padded) > max_text_len + 2:          # dead re-check (:762)
+        return None
+    td_ids = {idx[t] for t in _TD_TOKEN if t in idx}
+    rows, bbox_idx = [], 0
+    for i, tok in enumerate(padded):
+        if tok in td_ids:
+            cell = cells[bbox_idx]
+            keep = ("bbox" in cell) and len(cell.get("tokens", [])) > 0
+            rows.append((i, bbox_idx,
+                         [float(v) for v in cell["bbox"]] if keep else None,
+                         1.0 if keep else 0.0))
+            bbox_idx += 1
+    return padded, rows
+
+
+def table_label_encode(df: DataFrame) -> DataFrame:
+    """Spark form of :func:`table_label_encode_py`: input rows
+    (t_id, structure array<string>, cells array<struct<has_bbox:
+    boolean, ntokens: int, x1..y2: int>>) → one row per td token with
+    the table's padded structure-id string alongside.  The sequential
+    merge skip runs as an ``aggregate`` fold (exact; tables are
+    grammar-bounded to tens of tokens, so the O(n²) accumulator copy is
+    irrelevant here — unlike utf8_compose's document-length strings).
+    Rejected tables (empty / over-long structure) drop, like the
+    reference's return-None."""
+    from ..operators.table import TABLE_DICT
+
+    dict_lit = "array(" + ", ".join(
+        f"'{t}'" for t in TABLE_DICT) + ")"
+    eos = len(TABLE_DICT) - 1
+    ml = TABLE_MAX_LEN
+    merged = (
+        "aggregate(structure, "
+        "named_struct('out', cast(array() as array<string>), "
+        "'skip', false), (acc, t) -> IF(acc.skip, "
+        "named_struct('out', acc.out, 'skip', false), "
+        "IF(t = '<td>', named_struct('out', "
+        "concat(acc.out, array('<td></td>')), 'skip', true), "
+        "named_struct('out', concat(acc.out, array(t)), 'skip', false))), "
+        "acc -> acc.out)")
+    out = df.withColumn("_new", F.expr(
+        f"transform(filter({merged}, t -> t != ''), t -> "
+        f"IF(contains(t, 'span') AND substring(t, 1, 1) != ' ', "
+        f"concat(' ', t), t))"))
+    out = out.filter((F.size("_new") > 0) & (F.size("_new") <= ml))
+    out = out.withColumn("_ids", F.expr(
+        f"filter(transform(_new, t -> array_position({dict_lit}, t) - 1), "
+        f"i -> i >= 0)")).filter(F.size("_ids") > 0)
+    out = out.withColumn("_padded", F.expr(
+        f"concat(array(0), _ids, array({eos}), "
+        f"array_repeat(0, {ml} - size(_ids)))"))
+    td = out.select(
+        "t_id", "cells",
+        F.array_join(F.expr("transform(_padded, i -> cast(i as string))"),
+                     ",").alias("structure"),
+        F.posexplode(F.expr(
+            "filter(transform(_padded, (tok, i) -> IF(tok IN (7, 12), i, "
+            "-1)), p -> p >= 0)")).alias("cell_no", "pos"))
+    return td.select(
+        "t_id", "structure",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("cell_no").cast("long").alias("cell_no"),
+        F.expr("element_at(cells, cell_no + 1)").alias("_cell"),
+    ).select(
+        "t_id", "structure", "pos", "cell_no",
+        F.when(F.col("_cell.has_bbox") & (F.col("_cell.ntokens") > 0),
+               F.expr("concat_ws(',', _cell.x1, _cell.y1, _cell.x2, "
+                      "_cell.y2)")).alias("bbox"),
+        F.when(F.col("_cell.has_bbox") & (F.col("_cell.ntokens") > 0),
+               F.lit(1.0)).otherwise(F.lit(0.0)).alias("bbox_mask"),
+    )

@@ -398,3 +398,55 @@ def test_roster_encode_exprs_match_python_twins(spark, documents):
         can = LE.can_encode_py(r["text"])
         assert r["can_label"] == (
             None if can is None else ",".join(map(str, can)))
+
+
+def test_table_label_encode_spark_matches_twin(spark):
+    """R5 TableLabelEncode: the Spark aggregate-fold merge equals the
+    exec-ref-pinned twin — including adjacent bare '<td>'s, where a
+    positional drop-after-'<td>' rule would be wrong (the skip consumes
+    the second '<td>', so the THIRD token survives)."""
+    from paddleocr_spark.functions.labelenc import (table_label_encode,
+                                                    table_label_encode_py)
+
+    cases = [
+        ["<thead>", "<tr>", "<td>", "</td>", "</tr>", "</thead>"],
+        ["<td>", "<td>", "</td>"],                  # adjacent-skip quirk
+        ["<td>", "<td>", "<td>", "</td>"],
+        ["<td", "colspan=\"2\"", ">", "</td>", "", "<td></td>"],
+        [" rowspan=\"2\""],
+        [],                                          # rejected (empty)
+    ]
+    rows = []
+    for t_id, s in enumerate(cases):
+        cells = [{"tokens": ["x"] if i % 2 else [],
+                  "bbox": [i, t_id, i + 5, t_id + 5]} if i % 3 else
+                 {"tokens": ["y"]} for i in range(10)]
+        rows.append((t_id, s, [
+            ("bbox" in c, len(c["tokens"]), *c.get("bbox", [0, 0, 0, 0]))
+            for c in cells]))
+    df = spark.createDataFrame(
+        [(t, s, [{"has_bbox": hb, "ntokens": nt, "x1": a, "y1": b,
+                  "x2": cc, "y2": d} for hb, nt, a, b, cc, d in cs])
+         for t, s, cs in rows],
+        "t_id long, structure array<string>, cells array<struct<"
+        "has_bbox: boolean, ntokens: int, x1: int, y1: int, x2: int, "
+        "y2: int>>")
+    got = {}
+    for r in table_label_encode(df).collect():
+        got.setdefault(r["t_id"], []).append(
+            (r["pos"], r["cell_no"], r["bbox"], r["bbox_mask"],
+             r["structure"]))
+    for t_id, s, _cs in rows:
+        cells = [{"tokens": ["x"] if i % 2 else [],
+                  "bbox": [i, t_id, i + 5, t_id + 5]} if i % 3 else
+                 {"tokens": ["y"]} for i in range(10)]
+        mine = table_label_encode_py(list(s), cells)
+        if mine is None:
+            assert t_id not in got, s
+            continue
+        padded, tds = mine
+        want = sorted(
+            (i, c, ",".join(str(int(v)) for v in b) if b else None,
+             m, ",".join(map(str, padded)))
+            for i, c, b, m in tds)
+        assert sorted(got.get(t_id, [])) == want, s

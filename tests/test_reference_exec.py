@@ -1695,3 +1695,67 @@ def test_label_encoder_roster_matches_executed_reference():
     for lab, want in [("0", 0), ("180", 1), ("90", None), ("", None)]:
         r = cls_enc({"label": lab})
         assert (r is None and want is None) or r["label"] == want, lab
+
+
+def test_table_label_encode_matches_executed_reference(tmp_path):
+    """R5: execute the reference's TableLabelEncode (label_ops.py:674-788,
+    merge_no_span_structure=True) over randomized structures — adjacent
+    bare '<td>'s (the unconditional-skip quirk), raw span tokens,
+    empties, unknowns — with the dict file materialized from the repo's
+    TABLE_DICT, against table_label_encode_py."""
+    import types
+
+    from paddleocr_spark.functions.labelenc import table_label_encode_py
+    from paddleocr_spark.operators.table import TABLE_TOKENS
+
+    dict_file = tmp_path / "table_dict.txt"
+    dict_file.write_text("\n".join(TABLE_TOKENS) + "\n")
+
+    shim = {"get_logger": lambda: types.SimpleNamespace(
+        warning=lambda *a, **k: None)}
+    ns = _exec_slice("ppocr/data/imaug/label_ops.py",
+                     "class BaseRecLabelEncode",
+                     "class CTCLabelEncode_GraphemeLabel", shim)
+    ns = _exec_slice("ppocr/data/imaug/label_ops.py",
+                     "class AttnLabelEncode", "class RFLLabelEncode", ns)
+    ns = _exec_slice("ppocr/data/imaug/label_ops.py",
+                     "class TableLabelEncode",
+                     "class TableMasterLabelEncode", ns)
+    enc = ns["TableLabelEncode"](40, str(dict_file),
+                                 merge_no_span_structure=True)
+
+    pool = ["<thead>", "</thead>", "<tbody>", "</tbody>", "<tr>", "</tr>",
+            "<td", ">", "</td>", ' colspan="2"', 'colspan="2"',
+            ' rowspan="2"', "<td></td>", "<td>", "", "zz"]
+    rng = random.Random(73)
+    for trial in range(300):
+        structure = [rng.choice(pool) for _ in range(rng.randint(0, 44))]
+        cells = []
+        for c in range(50):                    # always more than td count
+            cell = {"tokens": ["x"] if (trial + c) % 3 else []}
+            if (trial * 7 + c) % 4:
+                cell["bbox"] = [c, trial % 9, c + 8, trial % 9 + 6]
+            cells.append(cell)
+        import copy
+        try:
+            r = enc({"structure": list(structure),
+                     "cells": copy.deepcopy(cells)})
+        except AttributeError:
+            # fork bug: out-of-dict token -> never-set use_unkown read
+            with pytest.raises(AttributeError):
+                table_label_encode_py(list(structure), cells)
+            continue
+        mine = table_label_encode_py(list(structure), cells)
+        if r is None:
+            assert mine is None, structure
+            continue
+        padded, rows = mine
+        assert r["structure"].tolist() == padded, structure
+        exp_boxes = {i: b for i, _c, b, m in rows if m}
+        for i in range(len(padded)):
+            got_mask = float(r["bbox_masks"][i][0])
+            want = exp_boxes.get(i)
+            assert got_mask == (1.0 if want is not None else 0.0), (
+                structure, i)
+            if want is not None:
+                assert r["bboxes"][i].tolist() == want, (structure, i)
