@@ -1530,6 +1530,69 @@ def q_table_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_label_encode(df)
 
 
+def q_table_label_encode_master(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """R5: TableMasterLabelEncode dialect — appended specials (0-based
+    token ids), <PAD> fill, and the LIVE post-pad length reject (dead
+    in the base class): the grammar goes up to 9 cells so the largest
+    tables exceed 38 ids and must drop, hash-verified by the twin."""
+    from .functions.labelenc import table_master_label_encode
+
+    t = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("t_id")).filter("t_id < 50")
+    cellv = ("""transform(sequence(0, 1 + cast(t_id % 8 as int)), c ->
+        CASE cast((t_id + c) % 5 as int)
+          WHEN 0 THEN array('<td></td>')
+          WHEN 1 THEN array('<td>', '</td>')
+          WHEN 2 THEN array('<td', ' colspan="2"', '>', '</td>')
+          WHEN 3 THEN array('<td', 'colspan="2"', '>', '</td>')
+          ELSE array('', '<td></td>') END)""")
+    structure = (f"concat(array('<thead>', '<tr>'), flatten({cellv}), "
+                 f"array('</tr>', '</thead>', '<tbody>', '</tbody>'))")
+    cells = ("""transform(sequence(0, 1 + cast(t_id % 8 as int)), c ->
+        named_struct(
+          'has_bbox', (t_id * 7 + c) % 4 != 0,
+          'ntokens', IF((t_id + c) % 6 = 0, 0, 1),
+          'x1', cast(c * 10 as int), 'y1', cast(t_id as int),
+          'x2', cast(c * 10 + 8 as int), 'y2', cast(t_id + 6 as int)))""")
+    df = t.select("t_id", F.expr(structure).alias("structure"),
+                  F.expr(cells).alias("cells"))
+    return table_master_label_encode(df)
+
+
+def q_e2e_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5: E2ELabelEncodeTest (label_ops.py:244-283) over per-doc JSON
+    labels (rect-only — the reference's np.float32 on ragged point
+    counts would crash).  Transcription mix exercises the whole-sample
+    drop: any '*'/'###' (all chars out-of-dict) or >25-char text nukes
+    its doc.  Oracle computes everything closed-form from lineitem."""
+    from .functions.labelenc import e2e_label_encode_test
+
+    li = _lineitem(spark, sf_dir).filter(F.col("l_linenumber") <= 4)
+    px = ((F.col("l_partkey") % 50) * 20).cast("int")
+    py = ((F.col("l_suppkey") % 40) * 15).cast("int")
+    rect = F.array(F.array(px, py), F.array(px + 30, py),
+                   F.array(px + 30, py + 12), F.array(px, py + 12))
+    boxes = li.select(
+        F.format_string("doc_%07d", F.col("l_orderkey"))
+        .alias("doc_id"),
+        F.col("l_linenumber").alias("ln"),
+        F.when(F.col("l_orderkey") % 13 == 0, F.lit("*"))
+        .when(F.col("l_orderkey") % 17 == 0, F.lit("###"))
+        .when(F.col("l_orderkey") % 19 == 0, F.lit("x" * 26))
+        .otherwise(F.format_string("w%d", F.col("l_linenumber")))
+        .alias("transcription"),
+        rect.alias("points"))
+    labels = boxes.groupBy("doc_id").agg(
+        F.to_json(F.expr(
+            "transform(array_sort(collect_list(struct(ln, transcription, "
+            "points))), b -> struct(b.transcription as transcription, "
+            "b.points as points))")).alias("label"))
+    return e2e_label_encode_test(labels).select(
+        "doc_id", F.col("box_no").cast("long").alias("box_no"),
+        "txt", "ignore_tag", "poly", "text_ids")
+
+
 def q_det_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R5 DetLabelEncode: json label → per-box (poly, txt, ignore_tag).
 
@@ -2001,7 +2064,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_label_encode": q_rec_label_encode,
         "rec_label_roster": q_rec_label_roster,
         "table_label_encode": q_table_label_encode,
+        "table_label_encode_master": q_table_label_encode_master,
         "det_label_encode": q_det_label_encode,
+        "e2e_label_encode": q_e2e_label_encode,
         # S5 LMDB source (round 4 final wave)
         "lmdb_scan": q_lmdb_scan,
         # R6 deterministic training gt-maps (round 4 final wave)
@@ -4084,6 +4149,82 @@ SELECT w.t_id, padded.structure, w.pos,
        CAST(CASE WHEN has_bbox AND has_toks THEN 1.0 ELSE 0.0 END
             AS DOUBLE) + 0 AS bbox_mask
 FROM w JOIN padded ON w.t_id = padded.t_id"""
+
+    # --- R5 TableMasterLabelEncode: 0-based ids, <PAD> fill, LIVE
+    #     over-length reject ---
+    sqls["table_label_encode_master"] = """
+WITH t AS (SELECT doc_id AS t_id FROM documents WHERE doc_id < 50),
+c AS (
+    SELECT t_id, g.c AS c, (t_id + g.c) % 5 AS v,
+           ((t_id * 7 + g.c) % 4 != 0) AS has_bbox,
+           ((t_id + g.c) % 6 != 0) AS has_toks
+    FROM t, UNNEST(generate_series(0, 1 + t_id % 8)) g(c)
+),
+w AS (
+    SELECT *,
+           CASE WHEN v IN (2, 3) THEN [6, 9, 7, 8] ELSE [11] END
+               AS cell_ids,
+           CAST(3 + coalesce(sum(CASE WHEN v IN (2, 3) THEN 4 ELSE 1 END)
+               OVER (PARTITION BY t_id ORDER BY c
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS pos
+    FROM c
+),
+agg AS (
+    SELECT t_id,
+           list_concat(list_concat([0, 4],
+               flatten(list(cell_ids ORDER BY c))), [5, 1, 2, 3]) AS ids
+    FROM w GROUP BY t_id
+),
+keep AS (SELECT t_id, ids FROM agg WHERE len(ids) + 2 <= 40),
+padded AS (
+    SELECT t_id, array_to_string(list_concat(list_concat([13], ids),
+        list_concat([14], list_transform(
+            generate_series(1, 40 - 2 - len(ids)), x -> 15))), ',')
+        AS structure
+    FROM keep
+)
+SELECT w.t_id, padded.structure, w.pos,
+       CAST(w.c AS BIGINT) AS cell_no,
+       CASE WHEN has_bbox AND has_toks
+            THEN printf('%d,%d,%d,%d', w.c * 10, w.t_id, w.c * 10 + 8,
+                        w.t_id + 6) END AS bbox,
+       CAST(CASE WHEN has_bbox AND has_toks THEN 1.0 ELSE 0.0 END
+            AS DOUBLE) + 0 AS bbox_mask
+FROM w JOIN padded ON w.t_id = padded.t_id"""
+
+    # --- R5 E2ELabelEncodeTest: whole-sample drop + padnum-36 text ids ---
+    sqls["e2e_label_encode"] = """
+WITH b AS (
+    SELECT printf('doc_%07d', l_orderkey) AS doc_id,
+           l_linenumber AS ln,
+           CASE WHEN l_orderkey % 13 = 0 THEN '*'
+                WHEN l_orderkey % 17 = 0 THEN '###'
+                WHEN l_orderkey % 19 = 0 THEN repeat('x', 26)
+                ELSE printf('w%d', l_linenumber) END AS txt,
+           CAST((l_partkey % 50) * 20 AS BIGINT) AS px,
+           CAST((l_suppkey % 40) * 15 AS BIGINT) AS py
+    FROM lineitem WHERE l_linenumber <= 4
+),
+flag AS (
+    SELECT doc_id,
+           bool_or(txt IN ('*', '###') OR length(txt) > 25) AS bad
+    FROM b GROUP BY doc_id
+),
+r AS (
+    SELECT b.*, row_number() OVER (PARTITION BY b.doc_id
+                                   ORDER BY ln, txt, px, py) - 1 AS box_no
+    FROM b JOIN flag ON b.doc_id = flag.doc_id
+    WHERE NOT flag.bad
+)
+SELECT doc_id, CAST(box_no AS BIGINT) AS box_no, txt,
+       FALSE AS ignore_tag,
+       printf('%d,%d,%d,%d,%d,%d,%d,%d', px, py, px + 30, py,
+              px + 30, py + 12, px, py + 12) AS poly,
+       array_to_string(list_concat([32, ln],
+           list_transform(generate_series(1, 23), x -> 36)), ',')
+           AS text_ids
+FROM r"""
 
     # --- R5 closing wave: the rest of the deterministic encoder roster ---
     from .functions.labelenc import _ROSTER

@@ -537,3 +537,169 @@ def table_label_encode(df: DataFrame) -> DataFrame:
         F.when(F.col("_cell.has_bbox") & (F.col("_cell.ntokens") > 0),
                F.lit(1.0)).otherwise(F.lit(0.0)).alias("bbox_mask"),
     )
+
+
+def table_master_label_encode_py(structure: list[str], cells: list[dict],
+                                 max_text_len: int = TABLE_MAX_LEN):
+    """TableMasterLabelEncode twin (label_ops.py:823-853): specials
+    APPENDED (<UKN>,<SOS>,<EOS>,<PAD> after the token dict, so raw token
+    ids are 0-based unlike the sos-prefixed base class) and
+    ``_max_text_len`` = max_text_len (NOT max+2) — which makes the
+    post-pad ``len > _max_text_len`` re-check LIVE: a structure of
+    max−1 or max tokens wraps to max+1/max+2 ids, the negative pad
+    multiply yields [], and the re-check rejects — the exact check that
+    is dead code in TableLabelEncode.  The use_unkown crash quirk is
+    inherited (TableMaster's super chain still never sets it)."""
+    from ..operators.table import TABLE_TOKENS
+
+    merged, i = [], 0
+    while i < len(structure):
+        token = structure[i]
+        if token == "<td>":
+            token = "<td></td>"
+            i += 1
+        merged.append(token)
+        i += 1
+    new_structure = []
+    for token in merged:
+        if token != "":
+            if "span" in token and token[0] != " ":
+                token = " " + token
+            new_structure.append(token)
+    if len(new_structure) == 0 or len(new_structure) > max_text_len:
+        return None
+    idx = {t: i for i, t in enumerate(TABLE_TOKENS)}
+    ids = []
+    for t in new_structure:
+        if t not in idx:
+            raise AttributeError(
+                "'TableMasterLabelEncode' object has no attribute "
+                "'use_unkown'")
+        ids.append(idx[t])
+    if not ids:
+        return None
+    n_tok = len(TABLE_TOKENS)
+    sos, eos, pad = n_tok + 1, n_tok + 2, n_tok + 3
+    padded = [sos] + ids + [eos]
+    padded = padded + [pad] * (max_text_len - len(padded))
+    if len(padded) > max_text_len:          # LIVE re-check (:762 via :841)
+        return None
+    td_ids = {idx[t] for t in _TD_TOKEN if t in idx}
+    rows, bbox_idx = [], 0
+    for i, tok in enumerate(padded):
+        if tok in td_ids:
+            cell = cells[bbox_idx]
+            keep = ("bbox" in cell) and len(cell.get("tokens", [])) > 0
+            rows.append((i, bbox_idx,
+                         [float(v) for v in cell["bbox"]] if keep else None,
+                         1.0 if keep else 0.0))
+            bbox_idx += 1
+    return padded, rows
+
+
+def table_master_label_encode(df: DataFrame) -> DataFrame:
+    """Spark form of :func:`table_master_label_encode_py` — same fold,
+    0-based token ids, appended specials, <PAD>-fill to max_text_len
+    with the LIVE over-length drop."""
+    from ..operators.table import TABLE_TOKENS
+
+    dict_lit = "array(" + ", ".join(f"'{t}'" for t in TABLE_TOKENS) + ")"
+    n_tok = len(TABLE_TOKENS)
+    sos, eos, pad = n_tok + 1, n_tok + 2, n_tok + 3
+    ml = TABLE_MAX_LEN
+    merged = (
+        "aggregate(structure, "
+        "named_struct('out', cast(array() as array<string>), "
+        "'skip', false), (acc, t) -> IF(acc.skip, "
+        "named_struct('out', acc.out, 'skip', false), "
+        "IF(t = '<td>', named_struct('out', "
+        "concat(acc.out, array('<td></td>')), 'skip', true), "
+        "named_struct('out', concat(acc.out, array(t)), 'skip', false))), "
+        "acc -> acc.out)")
+    out = df.withColumn("_new", F.expr(
+        f"transform(filter({merged}, t -> t != ''), t -> "
+        f"IF(contains(t, 'span') AND substring(t, 1, 1) != ' ', "
+        f"concat(' ', t), t))"))
+    out = out.filter((F.size("_new") > 0) & (F.size("_new") <= ml))
+    out = out.withColumn("_ids", F.expr(
+        f"filter(transform(_new, t -> array_position({dict_lit}, t) - 1), "
+        f"i -> i >= 0)")).filter(F.size("_ids") > 0)
+    # LIVE re-check: n+2 > max -> drop (negative array_repeat is empty)
+    out = out.filter(F.size("_ids") + 2 <= ml)
+    out = out.withColumn("_padded", F.expr(
+        f"concat(array({sos}), _ids, array({eos}), "
+        f"array_repeat({pad}, {ml} - 2 - size(_ids)))"))
+    td_ids = ", ".join(str(i) for i, t in enumerate(TABLE_TOKENS)
+                       if t in _TD_TOKEN)
+    td = out.select(
+        "t_id", "cells",
+        F.array_join(F.expr("transform(_padded, i -> cast(i as string))"),
+                     ",").alias("structure"),
+        F.posexplode(F.expr(
+            f"filter(transform(_padded, (tok, i) -> IF(tok IN ({td_ids}), "
+            f"i, -1)), p -> p >= 0)")).alias("cell_no", "pos"))
+    return td.select(
+        "t_id", "structure",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("cell_no").cast("long").alias("cell_no"),
+        F.expr("element_at(cells, cell_no + 1)").alias("_cell"),
+    ).select(
+        "t_id", "structure", "pos", "cell_no",
+        F.when(F.col("_cell.has_bbox") & (F.col("_cell.ntokens") > 0),
+               F.expr("concat_ws(',', _cell.x1, _cell.y1, _cell.x2, "
+                      "_cell.y2)")).alias("bbox"),
+        F.when(F.col("_cell.has_bbox") & (F.col("_cell.ntokens") > 0),
+               F.lit(1.0)).otherwise(F.lit(0.0)).alias("bbox_mask"),
+    )
+
+
+def e2e_label_encode_test(df: DataFrame, label_col: str = "label") \
+        -> DataFrame:
+    """E2ELabelEncodeTest (label_ops.py:244-283): Det-style json parse
+    (NO expand_points_num — np.float32 on ragged point counts would
+    crash the reference, so labels must be uniform-point) + per-box
+    text encode padded with padnum=36.
+
+    Quirks pinned: ANY box whose transcription rejects (empty, >25
+    chars, or all out-of-dict — which includes every '*'/'###'
+    ignore-tagged box!) returns None and drops the WHOLE sample; a
+    ZERO-box label however survives (unlike DetLabelEncode's drop) —
+    relationally it just contributes no rows."""
+    parsed = df.withColumn(
+        "_boxes", F.from_json(F.col(label_col), _DET_LABEL_SCHEMA))
+    bad = (f"exists(_boxes, b -> length(b.transcription) = 0 OR "
+           f"length(b.transcription) > {MAX_TEXT_LEN} OR "
+           f"size(filter(transform(split(lower(b.transcription), ''), "
+           f"c -> instr('{ENC_CHARSET}', c)), i -> i > 0)) = 0)")
+    kept = parsed.filter(~F.expr(bad))
+    box = kept.select(
+        *[c for c in df.columns if c != label_col],
+        F.posexplode("_boxes").alias("box_no", "_b"))
+    ids = (f"filter(transform(split(lower(_b.transcription), ''), "
+           f"c -> instr('{ENC_CHARSET}', c) - 1), i -> i >= 0)")
+    return box.select(
+        *[c for c in df.columns if c != label_col],
+        "box_no",
+        F.col("_b.transcription").alias("txt"),
+        F.col("_b.transcription").isin("*", "###").alias("ignore_tag"),
+        F.array_join(F.expr(
+            "transform(flatten(_b.points), v -> cast(v as string))"),
+            ",").alias("poly"),
+        F.array_join(F.expr(
+            f"concat({ids}, array_repeat({_N}, "
+            f"{MAX_TEXT_LEN} - size({ids})))"), ",").alias("text_ids"),
+    )
+
+
+def e2e_label_encode_test_py(label: str):
+    boxes = json.loads(label)
+    out = []
+    for no, b in enumerate(boxes):
+        txt = b["transcription"]
+        ids = _encode_py(txt)
+        if ids is None:
+            return None
+        out.append((no, [float(v) for xy in b["points"] for v in xy],
+                    txt, txt in ("*", "###"),
+                    ids + [_N] * (MAX_TEXT_LEN - len(ids))))
+    return out

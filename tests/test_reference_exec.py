@@ -1759,3 +1759,106 @@ def test_table_label_encode_matches_executed_reference(tmp_path):
                 structure, i)
             if want is not None:
                 assert r["bboxes"][i].tolist() == want, (structure, i)
+
+
+def test_table_master_label_encode_matches_executed_reference(tmp_path):
+    """R5: TableMasterLabelEncode (label_ops.py:823-853) — appended
+    specials (0-based token ids), <PAD> fill, and the post-pad length
+    re-check that is LIVE here (dead in the base class): 39/40-token
+    structures wrap past _max_text_len and reject."""
+    import types
+
+    from paddleocr_spark.functions.labelenc import (
+        table_master_label_encode_py)
+    from paddleocr_spark.operators.table import TABLE_TOKENS
+
+    dict_file = tmp_path / "table_dict.txt"
+    dict_file.write_text("\n".join(TABLE_TOKENS) + "\n")
+    shim = {"get_logger": lambda: types.SimpleNamespace(
+        warning=lambda *a, **k: None)}
+    ns = _exec_slice("ppocr/data/imaug/label_ops.py",
+                     "class BaseRecLabelEncode",
+                     "class CTCLabelEncode_GraphemeLabel", shim)
+    ns = _exec_slice("ppocr/data/imaug/label_ops.py",
+                     "class AttnLabelEncode", "class RFLLabelEncode", ns)
+    ns = _exec_slice("ppocr/data/imaug/label_ops.py",
+                     "class TableLabelEncode",
+                     "class TableMasterLabelEncode", ns)
+    ns = _exec_slice("ppocr/data/imaug/label_ops.py",
+                     "class TableMasterLabelEncode",
+                     "class TableBoxEncode", ns)
+    enc = ns["TableMasterLabelEncode"](40, str(dict_file),
+                                       merge_no_span_structure=True)
+
+    pool = ["<thead>", "</thead>", "<tbody>", "</tbody>", "<tr>", "</tr>",
+            "<td", ">", "</td>", ' colspan="2"', 'colspan="2"',
+            ' rowspan="2"', "<td></td>", "<td>", ""]
+    rng = random.Random(83)
+    cases = [["<td></td>"] * k for k in (37, 38, 39, 40)]   # live re-check
+    cases += [[rng.choice(pool) for _ in range(rng.randint(0, 44))]
+              for _ in range(250)]
+    import copy
+    for structure in cases:
+        cells = [{"tokens": ["x"] if c % 3 else [],
+                  "bbox": [c, 1, c + 8, 7]} if c % 4 else {"tokens": ["y"]}
+                 for c in range(50)]
+        r = enc({"structure": list(structure), "cells": copy.deepcopy(cells)})
+        mine = table_master_label_encode_py(list(structure), cells)
+        if r is None:
+            assert mine is None, structure
+            continue
+        padded, rows = mine
+        assert r["structure"].tolist() == padded, structure
+        exp = {i: (b, m) for i, _c, b, m in rows}
+        for i in range(len(padded)):
+            want = exp.get(i, (None, None))
+            got_mask = float(r["bbox_masks"][i][0])
+            if want[1] is None:
+                assert got_mask == 0.0, (structure, i)
+            else:
+                assert got_mask == want[1], (structure, i)
+                if want[0] is not None:
+                    assert r["bboxes"][i].tolist() == want[0], (structure, i)
+
+
+def test_e2e_label_encode_matches_executed_reference():
+    """R5: E2ELabelEncodeTest (label_ops.py:244-283) — the per-box
+    padnum-36 text ids and the whole-sample drop when ANY transcription
+    rejects (including '*'/'###' ignore boxes, whose chars are all
+    out-of-dict); zero-box labels survive."""
+    import json as _json
+    import types
+
+    from paddleocr_spark.functions.labelenc import e2e_label_encode_test_py
+
+    shim = {"get_logger": lambda: types.SimpleNamespace(
+        warning=lambda *a, **k: None), "json": _json}
+    ns = _exec_slice("ppocr/data/imaug/label_ops.py",
+                     "class BaseRecLabelEncode",
+                     "class CTCLabelEncode_GraphemeLabel", shim)
+    ns = _exec_slice("ppocr/data/imaug/label_ops.py",
+                     "class E2ELabelEncodeTest",
+                     "class E2ELabelEncodeTrain", ns)
+    enc = ns["E2ELabelEncodeTest"](25)
+
+    rng = random.Random(97)
+    for _ in range(250):
+        boxes = []
+        for _b in range(rng.randint(0, 5)):
+            boxes.append({
+                "transcription": rng.choice(
+                    ["w1", "Ab9", "*", "###", "x" * 26, "한글", "ok ok"]),
+                "points": [[rng.randint(0, 900), rng.randint(0, 600)]
+                           for _ in range(4)]})
+        lbl = _json.dumps(boxes)
+        r = enc({"label": lbl})
+        mine = e2e_label_encode_test_py(lbl)
+        if r is None:
+            assert mine is None, lbl
+            continue
+        assert mine is not None, lbl
+        assert [m[2] for m in mine] == [b["transcription"] for b in boxes]
+        assert [m[3] for m in mine] == r["ignore_tags"].tolist(), lbl
+        assert [m[1] for m in mine] == [
+            [float(v) for v in p.reshape(-1)] for p in r["polys"]], lbl
+        assert [m[4] for m in mine] == [t for t in r["texts"].tolist()], lbl
