@@ -1958,8 +1958,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the round-2/round-3 driver gates recorded exactly
+    # the TRAILING dict entries missing from CORRECTNESS_r0{2,3}.json (a
+    # time/entry budget cutoff), so dict order is risk policy. Round-4
+    # order, three groups:
+    #   1. the flagship pipeline stages (headline queries — must be
+    #      driver-green every round);
+    #   2. every entry added since CORRECTNESS_r03 (45 entries that have
+    #      never had a driver-verified row), expensive-first so a cutoff
+    #      inside the group costs only cheap, locally-re-verifiable ones;
+    #   3. the 43 remaining entries already driver-green in round 3,
+    #      expensive-first, sub-second scalars last.
+    # A cutoff therefore eats previously-verified cheap queries before it
+    # can touch anything new. GATE_COVERAGE.json records the delta loud.
     return {
-        # flagship pipeline stages
+        # -- group 1: flagship pipeline stages -------------------------
         "explode_spans": q_explode_spans,
         "span_geometry": q_span_geometry,
         "det_drop_filters": q_det_drop_filters,
@@ -1967,111 +1980,96 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_span_counts": q_flagship_span_counts,
         "flagship_kind_counts": q_flagship_kind_counts,
         "flagship_extract": q_flagship_extract,        # fixture oracle
-        # NOTE on ordering: the round-2 driver gate recorded exactly the
-        # LAST TWO dict entries missing from CORRECTNESS_r02.json (a
-        # time/entry budget cutoff) — so the expensive query families run
-        # EARLY and the sub-second scalar queries close the dict; any
-        # future cutoff can only cost cheap, easily-re-verified entries.
-        # similarity search + near-dup graph (the round-2 dropped pair
-        # first among them)
-        "embedding_neardup": SIM.neardup_pairs_cached,
-        "neardup_components": SIM.neardup_components,
-        "ann_cosine_topk": SIM.ann_cosine_topk,
-        "ann_lsh_buckets": SIM.ann_lsh_buckets,
-        "ann_ivf_assign": SIM.ivf_assign,
-        "ann_ivf_topk": SIM.ann_ivf_topk,
-        # detector/eval fixture-oracle family
-        "db_detect": q_db_detect,                      # fixture oracle
-        "east_detect": q_east_detect,                  # fixture oracle
-        "east_nms": q_east_nms,                        # fixture oracle
-        "pse_detect": q_pse_detect,                    # fixture oracle
-        "ct_detect": q_ct_detect,                      # fixture oracle
-        "sast_detect": q_sast_detect,                  # fixture oracle
-        "fce_detect": q_fce_detect,                    # fixture oracle
-        "drrg_detect": q_drrg_detect,                  # fixture oracle
-        "nms_per_class": q_nms,                        # fixture oracle
-        "char_prf_metric": q_char_prf,                 # fixture oracle
-        "det_eval_greedy": q_det_eval,                 # fixture oracle
-        "teds_metric": q_teds,                         # fixture oracle
-        # dedup
-        "dedup_exact": D.dedup_exact,
-        "dedup_minhash_pairs": D.dedup_minhash_pairs,
-        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
-        "dedup_simhash": D.dedup_simhash,
-        "simhash_pairs": D.simhash_pairs,
-        # D7/J2/A7 table-structure family (operators/table.py)
-        "table_structure": TBL.table_structure,
-        "table_html": TBL.table_html,
-        "table_html_master": TBL.table_html_master,   # fixture oracle
-        "table_token_acc": TBL.table_token_acc,
-        # J6 KIE SER->RE self-join + 4-way orientation (R1 extension)
-        "kie_pairs": KIE.kie_pairs,
-        "orientation4": q_orientation4,
-        "cls_metric": q_cls_metric,
-        # P7 resize, R4 attn decode, A8 e2e metric (round-2 widening)
-        "media_resize": q_media_resize,
-        "attn_decode": q_attn_decode,
-        "sar_decode": q_sar_decode,
-        "nrtr_decode": q_nrtr_decode,
-        "vitstr_decode": q_vitstr_decode,
-        "srn_decode": q_srn_decode,
-        "rfl_decode": q_rfl_decode,
-        "seed_decode": q_seed_decode,
-        "satrn_decode": q_satrn_decode,
-        "pren_decode": q_pren_decode,
-        "abinet_decode": q_abinet_decode,
-        "spin_decode": q_spin_decode,
-        "vl_decode": q_vl_decode,
-        "can_decode": q_can_decode,
-        "grapheme_decompose": q_grapheme_decompose,
-        "grapheme_compose": q_grapheme_compose,
+        # -- group 2: new since CORRECTNESS_r03, expensive-first -------
+        "layout_preprocess": q_layout_preprocess,      # fixture oracle
         "grapheme_compose_label": q_grapheme_compose_label,
-        "grapheme_ned": q_grapheme_ned,
-        "utf8_decompose": q_utf8_decompose,
+        "grapheme_compose": q_grapheme_compose,
+        "cell_match_bucketed": q_cell_match_bucketed,
+        "table_xlsx": q_table_xlsx,                    # fixture oracle
         "utf8_compose": q_utf8_compose,
-        "rec_ensemble": q_rec_ensemble,
-        "e2e_metric": q_e2e_metric,
-        "preprocess_image": q_preprocess_image,
-        "media_decode_real": q_media_decode_real,
+        "det_label_encode": q_det_label_encode,
+        "lmdb_scan": q_lmdb_scan,
+        "rotate_crop": q_rotate_crop,                  # fixture oracle
+        "e2e_label_encode": q_e2e_label_encode,
         "gif_frames": q_gif_frames,
         "tensor_ops": q_tensor_ops,
-        "rotate_crop": q_rotate_crop,
-        "layout_preprocess": q_layout_preprocess,
-        "table_xlsx": q_table_xlsx,
-        # relational operator demos
-        "union_sample": q_union_sample,
-        "topk_window": q_topk_window,
-        "cell_match": q_cell_match,
-        "cell_match_bucketed": q_cell_match_bucketed,
-        "cell_texts": q_cell_texts,
-        "dim_join_broadcast": q_dim_join_broadcast,
-        "e2e_eval": q_e2e_eval,
-        "embed_stats": q_embed_stats,
-        "page_limit": q_page_limit,
-        "rec_metric": q_rec_metric,
-        "det_metric": q_det_metric,
-        "strq2b": q_strq2b,
-        "ctc_roundtrip": q_ctc_roundtrip,
+        "media_decode_real": q_media_decode_real,
+        "utf8_decompose": q_utf8_decompose,
+        "grapheme_decompose": q_grapheme_decompose,
         "media_decode": q_media_decode,
-        # text analysis
-        "token_count": T.token_count,
-        "lang_id": T.lang_id,
-        "quality_score": T.quality_score,
-        "fingerprint": T.fingerprint,
         "gopher_rules": T.gopher_rules,
-        "det_clip_filter": q_det_clip_filter,
-        # R5 train-side label encoders (round 4 final wave)
-        "rec_label_encode": q_rec_label_encode,
-        "rec_label_roster": q_rec_label_roster,
-        "table_label_encode": q_table_label_encode,
-        "table_label_encode_master": q_table_label_encode_master,
-        "det_label_encode": q_det_label_encode,
-        "e2e_label_encode": q_e2e_label_encode,
-        # S5 LMDB source (round 4 final wave)
-        "lmdb_scan": q_lmdb_scan,
-        # R6 deterministic training gt-maps (round 4 final wave)
         "shrink_map": q_shrink_map,
+        "grapheme_ned": q_grapheme_ned,
+        "fce_detect": q_fce_detect,                    # fixture oracle
+        "rec_label_roster": q_rec_label_roster,
+        "rec_ensemble": q_rec_ensemble,
+        "det_clip_filter": q_det_clip_filter,
+        "rec_label_encode": q_rec_label_encode,
         "border_map": q_border_map,                    # fixture oracle
+        "quality_score": T.quality_score,
+        "table_label_encode": q_table_label_encode,
+        "lang_id": T.lang_id,
+        "table_label_encode_master": q_table_label_encode_master,
+        "satrn_decode": q_satrn_decode,
+        "rfl_decode": q_rfl_decode,
+        "sast_detect": q_sast_detect,                  # fixture oracle
+        "pren_decode": q_pren_decode,
+        "drrg_detect": q_drrg_detect,                  # fixture oracle
+        "vitstr_decode": q_vitstr_decode,
+        "srn_decode": q_srn_decode,
+        "seed_decode": q_seed_decode,
+        "nrtr_decode": q_nrtr_decode,
+        "fingerprint": T.fingerprint,
+        "ct_detect": q_ct_detect,                      # fixture oracle
+        "abinet_decode": q_abinet_decode,
+        "vl_decode": q_vl_decode,
+        "token_count": T.token_count,
+        "spin_decode": q_spin_decode,
+        "can_decode": q_can_decode,
+        # -- group 3: driver-green in round 3, expensive-first ---------
+        "neardup_components": SIM.neardup_components,
+        "e2e_metric": q_e2e_metric,
+        "embedding_neardup": SIM.neardup_pairs_cached,
+        "simhash_pairs": D.simhash_pairs,
+        "teds_metric": q_teds,                         # fixture oracle
+        "table_html": TBL.table_html,
+        "det_eval_greedy": q_det_eval,                 # fixture oracle
+        "e2e_eval": q_e2e_eval,
+        "dedup_minhash_pairs": D.dedup_minhash_pairs,
+        "preprocess_image": q_preprocess_image,
+        "cell_match": q_cell_match,
+        "table_html_master": TBL.table_html_master,   # fixture oracle
+        "cell_texts": q_cell_texts,
+        "char_prf_metric": q_char_prf,                 # fixture oracle
+        "pse_detect": q_pse_detect,                    # fixture oracle
+        "east_nms": q_east_nms,                        # fixture oracle
+        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
+        "ann_ivf_topk": SIM.ann_ivf_topk,
+        "rec_metric": q_rec_metric,
+        "dedup_simhash": D.dedup_simhash,
+        "ann_lsh_buckets": SIM.ann_lsh_buckets,
+        "media_resize": q_media_resize,
+        "ctc_roundtrip": q_ctc_roundtrip,
+        "page_limit": q_page_limit,
+        "nms_per_class": q_nms,                        # fixture oracle
+        "ann_ivf_assign": SIM.ivf_assign,
+        "ann_cosine_topk": SIM.ann_cosine_topk,
+        "east_detect": q_east_detect,                  # fixture oracle
+        "db_detect": q_db_detect,                      # fixture oracle
+        "topk_window": q_topk_window,
+        "table_token_acc": TBL.table_token_acc,
+        "table_structure": TBL.table_structure,
+        "sar_decode": q_sar_decode,
+        "kie_pairs": KIE.kie_pairs,
+        "dim_join_broadcast": q_dim_join_broadcast,
+        "det_metric": q_det_metric,
+        "dedup_exact": D.dedup_exact,
+        "attn_decode": q_attn_decode,
+        "union_sample": q_union_sample,
+        "strq2b": q_strq2b,
+        "orientation4": q_orientation4,
+        "cls_metric": q_cls_metric,
+        "embed_stats": q_embed_stats,
     }
 
 
