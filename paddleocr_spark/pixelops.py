@@ -90,7 +90,15 @@ def normalize_image(img: np.ndarray, scale: float | None = None,
     shape = (3, 1, 1) if order == "chw" else (1, 1, 3)
     mean_a = np.array(mean).reshape(shape).astype("float32")
     std_a = np.array(std).reshape(shape).astype("float32")
-    return (img.astype("float32") * scale - mean_a) / std_a
+    # In-place ``*= / -= / /=`` on the float32 copy: the same three
+    # elementwise roundings in the same order as the reference's
+    # ``(img * scale - mean) / std``, one allocation instead of four
+    # (the chain is memory-bandwidth-bound on 800×608×3 tensors).
+    out = img.astype("float32")
+    out *= scale
+    out -= mean_a
+    out /= std_a
+    return out
 
 
 def to_chw(img: np.ndarray) -> np.ndarray:
@@ -154,13 +162,27 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     w1 = np.zeros((w, out_w))
     w1[x1, np.arange(out_w)] = tx
     flat = rows.transpose(0, 2, 1).reshape(-1, w)   # (out_h*c, w)
-    out = (flat @ w0 + flat @ w1).reshape(
-        out_h, c, out_w).transpose(0, 2, 1)
+    # Sum the two 1-sparse matmuls in place and round BEFORE the layout
+    # transpose: ``a @ w0 + a @ w1`` then ``+0.5/floor/clip`` are the
+    # same scalar roundings whether the buffer is (out_h*c, out_w) or
+    # transposed, but running them on the contiguous matmul output (and
+    # in place) avoids three full-size float64 temporaries plus a
+    # strided-view pass — the big-upscale path is bandwidth-bound.
+    acc = flat @ w0
+    acc += flat @ w1                                # (out_h*c, out_w)
+    if img.dtype == np.uint8:
+        acc += 0.5
+        np.floor(acc, out=acc)
+        np.clip(acc, 0, 255, out=acc)
+        out = acc.astype(np.uint8).reshape(
+            out_h, c, out_w).transpose(0, 2, 1)
+        if squeeze:
+            out = out[..., 0]
+        return np.ascontiguousarray(out)
+    out = acc.reshape(out_h, c, out_w).transpose(0, 2, 1)
     if squeeze:
         out = out[..., 0]
-    if img.dtype == np.uint8:
-        return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
-    return out.astype(img.dtype)
+    return np.ascontiguousarray(out.astype(img.dtype))
 
 
 def resize_op(img: np.ndarray, size=(640, 640)):
