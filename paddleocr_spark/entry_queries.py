@@ -1384,7 +1384,13 @@ def q_table_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.table import table_html
     from .xlsx import xlsx_tables
 
-    return xlsx_tables(table_html(spark, sf_dir)).select(
+    # The gate corpus has ~50 tables; feeding the sink kernel 64 walk
+    # partitions costs ~30 ms of Python-batch roundtrip EACH for rows it
+    # mostly doesn't have (measured: 2.3 s -> 0.5 s warm). coalesce, do
+    # not repartition: no shuffle, and the sizing is per-call (a real
+    # corpus with millions of tables would keep the walk's width).
+    n = max(2, min(8, spark.sparkContext.defaultParallelism // 4))
+    return xlsx_tables(table_html(spark, sf_dir).coalesce(n)).select(
         "t_id", "n_rows", "n_cols", "n_merges", "xlsx_size", "xlsx_md5")
 
 
