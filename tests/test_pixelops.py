@@ -140,3 +140,67 @@ def test_rotate_crop_matches_executed_reference():
                                           (hw, hh), (-hw, hh)]])
         assert np.array_equal(P.get_rotate_crop_image(img, quad.copy()),
                               ref_fn(img, quad.copy()))
+
+
+def _naive_resize_bilinear(img: np.ndarray, out_h: int, out_w: int):
+    """Scalar per-pixel cv2.resize INTER_LINEAR semantics — the slow
+    ground truth the vectorized 1-sparse-matmul path must match bit-for-
+    bit (same float64 lerps, half-up uint8 rounding)."""
+    h, w = img.shape[:2]
+    squeeze = img.ndim == 2
+    p = img.astype(np.float64)
+    if squeeze:
+        p = p[:, :, None]
+    c = p.shape[2]
+    out = np.empty((out_h, out_w, c))
+    for oy in range(out_h):
+        fy = (oy + 0.5) * (h / out_h) - 0.5
+        y0 = int(np.floor(fy))
+        ty = fy - y0
+        y0c, y1c = min(max(y0, 0), h - 1), min(max(y0 + 1, 0), h - 1)
+        for ox in range(out_w):
+            fx = (ox + 0.5) * (w / out_w) - 0.5
+            x0 = int(np.floor(fx))
+            tx = fx - x0
+            x0c, x1c = min(max(x0, 0), w - 1), min(max(x0 + 1, 0), w - 1)
+            for ch in range(c):
+                r0 = p[y0c, x0c, ch] * (1 - ty) + p[y1c, x0c, ch] * ty
+                r1 = p[y0c, x1c, ch] * (1 - ty) + p[y1c, x1c, ch] * ty
+                out[oy, ox, ch] = r0 * (1 - tx) + r1 * tx
+    if squeeze:
+        out = out[..., 0]
+    if img.dtype == np.uint8:
+        return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+    return out.astype(img.dtype)
+
+
+def test_resize_bilinear_matches_naive_scalar_bit_for_bit():
+    rng = np.random.default_rng(23)
+    cases = [((7, 9, 3), (31, 17)), ((12, 11, 3), (5, 8)),
+             ((9, 13), (40, 21)), ((16, 8, 3), (16, 8))]
+    for shape, (oh, ow) in cases:
+        u8 = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got, want = P.resize_bilinear(u8, oh, ow), _naive_resize_bilinear(
+            u8, oh, ow)
+        assert got.dtype == want.dtype and got.shape == want.shape
+        assert np.array_equal(got, want), (shape, (oh, ow))
+    f32 = rng.random((11, 7, 3), dtype=np.float32)
+    got, want = P.resize_bilinear(f32, 19, 23), _naive_resize_bilinear(
+        f32, 19, 23)
+    assert got.dtype == np.float32 and np.array_equal(got, want)
+
+
+def test_normalize_image_matches_elementwise_formula_bit_for_bit():
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, size=(14, 9, 3), dtype=np.uint8)
+    got = P.normalize_image(img, order="hwc")
+    scale = np.float32(1.0 / 255.0)
+    mean = np.array(P.IMAGENET_MEAN, dtype=np.float32)
+    std = np.array(P.IMAGENET_STD, dtype=np.float32)
+    want = np.empty(img.shape, dtype=np.float32)
+    for y in range(img.shape[0]):
+        for x in range(img.shape[1]):
+            for ch in range(3):
+                v = np.float32(img[y, x, ch]) * scale
+                want[y, x, ch] = (v - mean[ch]) / std[ch]
+    assert got.dtype == np.float32 and np.array_equal(got, want)
