@@ -48,6 +48,25 @@ from .imagecodecs import decode_image
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
+#: Per-process scratch buffers for INTERNAL temporaries (never returned).
+#: Spark Python workers are single-threaded processes reused across
+#: tasks, so a module-level cache is race-free; reusing the two ~12 MB
+#: float64 matmul outputs avoids a fresh mmap + kernel zero-fill per
+#: image — measured to matter at 32 concurrent workers, where the
+#: big-upscale path is DRAM-bandwidth-bound.
+_SCRATCH: dict[tuple, np.ndarray] = {}
+
+
+def _scratch(tag: str, shape: tuple, dtype=np.float64) -> np.ndarray:
+    key = (tag, shape, np.dtype(dtype).str)
+    buf = _SCRATCH.get(key)
+    if buf is None:
+        if len(_SCRATCH) > 64:     # distinct-shape churn guard
+            _SCRATCH.clear()
+        buf = np.empty(shape, dtype)
+        _SCRATCH[key] = buf
+    return buf
+
 
 # ---------------------------------------------------------------------------
 # P1 DecodeImage
@@ -81,9 +100,16 @@ def decode_image_op(buf: bytes, img_mode: str = "RGB",
 # ---------------------------------------------------------------------------
 
 def normalize_image(img: np.ndarray, scale: float | None = None,
-                    mean=None, std=None, order: str = "hwc") -> np.ndarray:
+                    mean=None, std=None, order: str = "hwc",
+                    out: np.ndarray | None = None) -> np.ndarray:
     """P2: float32 ``(img * scale - mean) / std`` in the reference's
-    operation order and dtypes (operators.py:81-101)."""
+    operation order and dtypes (operators.py:81-101).
+
+    ``out``: optional caller-owned float32 buffer of ``img.shape`` to
+    write into (the copy-cast assignment produces the same float32
+    values as ``astype``); callers that drop the result immediately
+    (the per-ref digest kernels) pass a per-process scratch to avoid a
+    ~6 MB allocation per image on the bandwidth-bound path."""
     scale = np.float32(scale if scale is not None else 1.0 / 255.0)
     mean = mean if mean is not None else list(IMAGENET_MEAN)
     std = std if std is not None else list(IMAGENET_STD)
@@ -94,7 +120,10 @@ def normalize_image(img: np.ndarray, scale: float | None = None,
     # elementwise roundings in the same order as the reference's
     # ``(img * scale - mean) / std``, one allocation instead of four
     # (the chain is memory-bandwidth-bound on 800×608×3 tensors).
-    out = img.astype("float32")
+    if out is None:
+        out = img.astype("float32")
+    else:
+        np.copyto(out, img, casting="unsafe")
     out *= scale
     out -= mean_a
     out /= std_a
@@ -168,8 +197,11 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     # transposed, but running them on the contiguous matmul output (and
     # in place) avoids three full-size float64 temporaries plus a
     # strided-view pass — the big-upscale path is bandwidth-bound.
-    acc = flat @ w0
-    acc += flat @ w1                                # (out_h*c, out_w)
+    acc = _scratch("rz_acc", (flat.shape[0], out_w))
+    np.matmul(flat, w0, out=acc)
+    tmp = _scratch("rz_tmp", (flat.shape[0], out_w))
+    np.matmul(flat, w1, out=tmp)
+    acc += tmp                                      # (out_h*c, out_w)
     if img.dtype == np.uint8:
         acc += 0.5
         np.floor(acc, out=acc)
@@ -532,7 +564,8 @@ def layout_preprocess_for_ref(ref: str) -> list[tuple]:
     _, buf = render_ref_image(ref)
     img = decode_image_op(buf, "RGB")
     resized, _ = resize_op(img, (800, 608))
-    chw = to_chw(normalize_image(resized, order="hwc"))
+    nbuf = _scratch("layout_norm", resized.shape, np.float32)
+    chw = to_chw(normalize_image(resized, order="hwc", out=nbuf))
     rows = []
     for c in range(3):
         plane = chw[c]
