@@ -29,7 +29,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--max-parts", type=int, default=None)
     ap.add_argument("--cores", type=int, default=None)
-    ap.add_argument("--mode", choices=["batch", "incremental"],
+    ap.add_argument("--mode",
+                    choices=["batch", "incremental", "dedup-stream"],
                     default="batch",
                     help="batch: lineage-table resume; incremental: "
                          "Structured Streaming AvailableNow with "
@@ -37,7 +38,11 @@ def main(argv: list[str] | None = None) -> int:
                          "--input must be a DIRECTORY containing ONLY raw "
                          "documents-table parquet files (doc_id bigint, "
                          "text, ...); synthesis runs inside each "
-                         "micro-batch")
+                         "micro-batch. dedup-stream: stateful streaming "
+                         "exact dedup (applyInPandasWithState) over the "
+                         "same directory shape — emits one first-seen row "
+                         "per content hash, with checkpointed cross-run "
+                         "state")
     args = ap.parse_args(argv)
 
     from paddleocr_spark.lineage import run_extract
@@ -64,6 +69,19 @@ def main(argv: list[str] | None = None) -> int:
             input_format="documents")
         summary = {"run_id": args.run_id, "mode": "incremental",
                    "batches": n}
+    elif args.mode == "dedup-stream":
+        import os
+
+        from paddleocr_spark.streaming.stateful import (read_first_seen,
+                                                        streaming_dedup)
+        if not os.path.isdir(args.input):
+            ap.error("--mode dedup-stream needs --input to be a directory "
+                     "of raw documents parquet files")
+        streaming_dedup(spark, args.input, args.output,
+                        os.path.join(args.output, "checkpoint"))
+        summary = {"run_id": args.run_id, "mode": "dedup-stream",
+                   "distinct_total": read_first_seen(spark,
+                                                     args.output).count()}
     else:
         docs = spark.read.parquet(args.input)
         spans = synth_spans(docs)
