@@ -988,16 +988,26 @@ def q_e2e_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     never fires — keeping the metric SQL-expressible. gid%13==0 gts are
     don't-care (ignore), gid%3==0 preds carry the exact gt text (hits).
     """
-    li = _lineitem(spark, sf_dir).filter(F.col("l_linenumber") <= 4)
-    base = li.select(
-        (F.col("l_orderkey") % 50).alias("t_id"),
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("gid"),
-        F.col("l_linenumber").alias("ln"))
-    w = Window.partitionBy("t_id").orderBy("gid")
-    base = base.withColumn("r", F.row_number().over(w) - 1).select(
-        "t_id", "gid", "ln",
-        ((F.col("r") % 37) * 40).cast("double").alias("x1"),
-        (F.floor(F.col("r") / 37) * 35).cast("double").alias("y1"))
+    from .functions.dedup import _cached
+
+    def build_base() -> DataFrame:
+        li = _lineitem(spark, sf_dir).filter(F.col("l_linenumber") <= 4)
+        b = li.select(
+            (F.col("l_orderkey") % 50).alias("t_id"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("gid"),
+            F.col("l_linenumber").alias("ln"))
+        w = Window.partitionBy("t_id").orderBy("gid")
+        return b.withColumn("r", F.row_number().over(w) - 1).select(
+            "t_id", "gid", "ln",
+            ((F.col("r") % 37) * 40).cast("double").alias("x1"),
+            (F.floor(F.col("r") / 37) * 35).cast("double").alias("y1"))
+
+    # The metric fans this windowed table into gt, pred, the halo match
+    # join, two anti-joins and four aggregates — without a persist each
+    # branch recomputes the scan + window (~8 full passes; measured 21 s
+    # at sf0.1 for ONE output row). Session-keyed persist, same pattern
+    # (and release hook) as the dedup band tables.
+    base = _cached(spark, sf_dir, "e2e_metric_base", build_base)
     gtxt = F.concat(F.lit("text"), (F.col("gid") % 97).cast("string"))
     ptxt = F.when(F.col("gid") % 3 == 0, gtxt).otherwise(
         F.concat(F.lit("text"), ((F.col("gid") + 1) % 97).cast("string")))
@@ -1022,9 +1032,11 @@ def q_e2e_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     union = ((F.col("x2") - F.col("x1")) * (F.col("y2") - F.col("y1"))
              + (F.col("px2") - F.col("px1")) * (F.col("py2") - F.col("py1"))
              - inter)
-    matched = (j.filter(inter / union >= 0.5)
-               .select("t_id", "gt_id", "pred_id", "gt_text", "pred_text",
-                       "ignore"))
+    matched = _cached(
+        spark, sf_dir, "e2e_metric_matched",
+        lambda: j.filter(inter / union >= 0.5)
+                 .select("t_id", "gt_id", "pred_id", "gt_text",
+                         "pred_text", "ignore"))
     un_gt = gt.join(matched.select("gt_id"), "gt_id", "left_anti")
     un_dt = pred.join(matched.select("pred_id"), "pred_id", "left_anti")
     mstats = matched.filter(~F.col("ignore")).agg(
