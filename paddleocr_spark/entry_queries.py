@@ -2044,6 +2044,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": T.token_count,
         "spin_decode": q_spin_decode,
         "can_decode": q_can_decode,
+        "neardup_survivors": SIM.neardup_survivors,
         # -- group 3: driver-green in round 3, expensive-first ---------
         "neardup_components": SIM.neardup_components,
         "e2e_metric": q_e2e_metric,
@@ -3963,6 +3964,29 @@ reach(v, u) AS (
     SELECT r.v, e.d FROM reach r JOIN cedges e ON r.u = e.s
 )
 SELECT v AS vec_id, min(u) AS component FROM reach GROUP BY v"""
+
+    sqls["neardup_survivors"] = f"""
+WITH RECURSIVE nd AS ({sqls['embedding_neardup']}),
+cedges AS (
+    SELECT vec_a AS s, vec_b AS d FROM nd
+    UNION ALL
+    SELECT vec_b AS s, vec_a AS d FROM nd
+),
+reach(v, u) AS (
+    SELECT s AS v, s AS u FROM cedges
+    UNION
+    SELECT r.v, e.d FROM reach r JOIN cedges e ON r.u = e.s
+),
+comp AS (SELECT v AS vec_id, min(u) AS component FROM reach GROUP BY v),
+base AS (
+    SELECT vec_id FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 FROM embeddings WHERE vec_id % 10 = 0
+)
+SELECT b.vec_id,
+       (c.vec_id IS NOT NULL) AS kept_group_representative
+FROM base b LEFT JOIN comp c ON b.vec_id = c.vec_id
+WHERE c.vec_id IS NULL OR c.component = b.vec_id"""
 
     # --- R5 train-side label encoders (labelenc.py twins) ---
     from .functions.labelenc import ENC_CHARSET, MAX_TEXT_LEN

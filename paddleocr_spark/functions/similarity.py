@@ -455,3 +455,28 @@ def neardup_components(spark: SparkSession, sf_dir: str,
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
     labels, _ = connected_components_star(pairs, max_iters)
     return labels
+
+
+def neardup_survivors(spark: SparkSession, sf_dir: str,
+                      max_iters: int = 30) -> DataFrame:
+    """The dedup ACTION: the corpus minus non-representative members.
+
+    pairs → components → keeper-per-component is only the decision; this
+    applies it: survivors = vectors never in a near-dup pair (component
+    label NULL) plus each component's min member. One left join of the
+    corpus ids against the (small) label table — at scale the label side
+    broadcasts, so the corpus is filtered in a single pass with no
+    shuffle of the wide rows (ids only travel here; downstream keeps the
+    full rows by semi-joining on the survivor ids).
+
+    Output: (vec_id, kept_group_representative) — true iff the vector
+    survived AS a component keeper (false = it was never near-duplicated).
+    """
+    labels = neardup_components(spark, sf_dir, max_iters)
+    ids = neardup_corpus(spark, sf_dir).select("vec_id")
+    return (ids.join(F.broadcast(labels), "vec_id", "left")
+            .filter(F.col("component").isNull()
+                    | (F.col("component") == F.col("vec_id")))
+            .select("vec_id",
+                    F.col("component").isNotNull()
+                    .alias("kept_group_representative")))

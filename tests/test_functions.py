@@ -242,6 +242,26 @@ def test_neardup_components_chain_closure(spark):
         assert c == min(members)
 
 
+def test_neardup_survivors_partition_the_corpus(spark):
+    """Survivors = corpus minus non-keeper component members: every
+    component contributes EXACTLY its min member, every unpaired vector
+    survives with kept_group_representative=false, nothing else."""
+    from paddleocr_spark.functions.similarity import (neardup_components,
+                                                      neardup_corpus,
+                                                      neardup_survivors)
+    labels = {r["vec_id"]: r["component"]
+              for r in neardup_components(spark, SF).collect()}
+    corpus = {r["vec_id"]
+              for r in neardup_corpus(spark, SF).select("vec_id").collect()}
+    surv = {r["vec_id"]: r["kept_group_representative"]
+            for r in neardup_survivors(spark, SF).collect()}
+    expected = {v: False for v in corpus - set(labels)}
+    expected.update({c: True for c in set(labels.values())})
+    assert surv == expected
+    # the dropped set is exactly the non-min members
+    assert corpus - set(surv) == {v for v, c in labels.items() if v != c}
+
+
 def test_star_cc_path_graph_converges_in_log_rounds(spark):
     """Large-star/small-star must shortcut long chains: a 100-node path
     graph (diameter 99 — the min-label loop's worst case, needing ~99
