@@ -1,0 +1,54 @@
+"""Partition invariance: representative registry queries must produce
+IDENTICAL canonical results under different spark.sql.shuffle.partitions.
+
+This is the distributed-correctness property the DuckDB gate cannot see
+(the oracle never shuffles): any order-dependence smuggled into an
+aggregate, window frame, Arrow kernel batch boundary, or coalesce shows
+up as a hash drift between exchange layouts. Representative set: one
+query per execution shape — the flagship mapInArrow carry, a grouped
+Arrow walk, a min_by tie-break aggregate, an iterative CC, a band-join
+dedup, the LMDB fan-out, a gt-map raster, and the survivor anti-join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+REPRESENTATIVE = [
+    "flagship_extract",        # mapInArrow reading-order carry
+    "table_html_master",       # grouped-Arrow token walk
+    "cell_match",              # min_by (1-IoU, dis, cell_id) tie-break
+    "neardup_components",      # iterative large/small-star CC
+    "neardup_survivors",       # broadcast label anti-join form
+    "dedup_minhash_pairs",     # persisted band self-join
+    "lmdb_scan",               # mapInPandas per-env fan-out
+    "shrink_map",              # grouped raster kernel
+    "rec_ensemble",            # window + struct max aggregation
+]
+
+
+def _canon_hash(df) -> str:
+    cols = sorted(df.columns)
+    rows = sorted(repr(tuple(r[c] for c in cols))
+                  for r in df.collect())
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_query_is_shuffle_partition_invariant(spark, name):
+    from paddleocr_spark.entry_queries import queries
+    fn = queries()[name]
+    key = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "3")
+        h3 = _canon_hash(fn(spark, SF))
+        spark.conf.set(key, "64")
+        h64 = _canon_hash(fn(spark, SF))
+    finally:
+        spark.conf.set(key, orig)
+    assert h3 == h64, f"{name} drifts across shuffle layouts"
