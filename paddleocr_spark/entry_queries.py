@@ -1430,6 +1430,38 @@ def q_layout_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _media_refs(spark, sf_dir).mapInPandas(go, schema=schema)
 
 
+def q_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2's PDF branch, text-side (round 4): media refs → deterministic
+    REAL PDF bytes (xref table, pages tree, FlateDecode content streams
+    of scrambled BT/Td/Tj|TJ text objects) → pure-Python container parse
+    (paddleocr_spark/pdfcodec.py) → per-page positioned spans in reading
+    order. The reference rasterizes PDF pages via fitz
+    (ppocr/utils/utility.py:108-127 check_and_read) and detects on
+    pixels; the north star maps PDFs to TEXT spans, so the container
+    work here is the text-extraction path — and, like the PNG/GIF/LMDB
+    codecs, the DuckDB twin predicts every span from the closed-form
+    plan WITHOUT touching PDF bytes, so the encode→inflate→parse
+    roundtrip is what the gate hashes."""
+    import pandas as pd
+
+    from .pdfcodec import decode_pdf, render_ref_pdf
+
+    cols = ["media_ref", "page_idx", "span_idx", "x", "y", "text"]
+    schema = ("media_ref string, page_idx long, span_idx long, "
+              "x double, y double, text string")
+
+    def go(it):
+        for pdf in it:
+            rows = []
+            for ref in pdf["media_ref"]:
+                for k, spans in enumerate(decode_pdf(render_ref_pdf(ref))):
+                    rows.extend((ref, k, j, x, y, t)
+                                for j, (x, y, t) in enumerate(spans))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return _media_refs(spark, sf_dir).mapInPandas(go, schema=schema)
+
+
 def q_rotate_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1 get_rotate_crop_image + C2 get_minarea_rect_crop over real
     decoded pixels (round 4): md5-derived rotated quad → homography →
@@ -2045,6 +2077,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spin_decode": q_spin_decode,
         "can_decode": q_can_decode,
         "neardup_survivors": SIM.neardup_survivors,
+        "pdf_pages": q_pdf_pages,
         # -- group 3: driver-green in round 3, expensive-first ---------
         "neardup_components": SIM.neardup_components,
         "e2e_metric": q_e2e_metric,
@@ -3837,6 +3870,44 @@ SELECT rgba.media_ref,
        CAST(255 - r_flat AS BIGINT) AS r_inv,
        CAST(otsu_bin AS BIGINT) AS otsu_bin
 FROM rgba JOIN otsu USING (media_ref)"""
+
+    # --- S2 PDF branch: closed-form twin of pdfcodec._ref_plan ---
+    # (reading order is j-ascending by construction: y = 700 - 40j is
+    # strictly decreasing, so span_idx == j; the scrambled content-stream
+    # order is what the Spark-side parser has to undo)
+    sqls["pdf_pages"] = f"""
+WITH {SYNTH_CTE.lstrip()},
+refs AS (SELECT DISTINCT media_ref FROM synth_spans WHERE kind = 'media'),
+hxs AS (SELECT media_ref, md5(media_ref) AS hx FROM refs),
+hb AS (
+    SELECT media_ref, {_byte(0)} AS h0, {_byte(3)} AS h3, {_byte(4)} AS h4,
+           {_byte(5)} AS h5, {_byte(6)} AS h6, {_byte(7)} AS h7
+    FROM hxs
+),
+pg AS (
+    SELECT media_ref, h0, h4, h5, h6, h7,
+           unnest(generate_series(0, h3 % 3)) AS k
+    FROM hb
+),
+pk AS (
+    SELECT media_ref, h0, k,
+           CASE k WHEN 0 THEN h4 WHEN 1 THEN h5 ELSE h6 END AS hm,
+           CASE k WHEN 0 THEN h5 WHEN 1 THEN h6 ELSE h7 END AS hxj
+    FROM pg
+),
+sp AS (
+    SELECT media_ref, k, h0, hxj,
+           unnest(generate_series(0, 1 + hm % 4)) AS j
+    FROM pk
+)
+SELECT media_ref,
+       CAST(k AS BIGINT) AS page_idx,
+       CAST(j AS BIGINT) AS span_idx,
+       CAST(50 + ((hxj + 17 * j) % 10) * 45 AS DOUBLE) AS x,
+       CAST(700 - 40 * j AS DOUBLE) AS y,
+       's' || k || '_' || j || '_' ||
+           CAST((h0 + 31 * j + 7 * k) % 997 AS VARCHAR) AS text
+FROM sp"""
 
     # --- D7/J2/A7 table-structure family (builders in operators/table.py) ---
     t_cte = "t AS (SELECT DISTINCT l_orderkey % 50 AS t_id FROM lineitem)"
