@@ -20,7 +20,7 @@ from .metrics import char_prf, det_eval, lcs_string
 from .teds import teds, teds_batch_avg, teds_score
 from .similarity import (ann_cosine_topk, ann_ivf_topk, ann_lsh_buckets,
                          embedding_neardup, ivf_assign,
-                         neardup_components)
+                         neardup_components, neardup_survivors)
 from .textfns import (fingerprint, gopher_rules, lang_id,
                       quality_score, strq2b, token_count)
 
@@ -56,6 +56,9 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 tail: grapheme layer representatives
         "grapheme_compose": _entry("q_grapheme_compose"),
         "utf8_compose": _entry("q_utf8_compose"),
+        # round-4 closing: PDF container parse + applied dedup action
+        "pdf_pages": _entry("q_pdf_pages"),
+        "neardup_survivors": neardup_survivors,
     }
 
 
