@@ -2078,6 +2078,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "can_decode": q_can_decode,
         "neardup_survivors": SIM.neardup_survivors,
         "pdf_pages": q_pdf_pages,
+        "ann_ivf2_assign": SIM.ivf2_assign,
         # -- group 3: driver-green in round 3, expensive-first ---------
         "neardup_components": SIM.neardup_components,
         "e2e_metric": q_e2e_metric,
@@ -2941,6 +2942,57 @@ FROM (
                               ORDER BY cos DESC, vec_id) AS rank
     FROM cand
 ) WHERE rank <= {SIM.IVF_K}"""
+
+    # Two-level IVF twin (similarity.ivf2_assign): coarse = every
+    # fstride-th FINE centroid by rank; fine -> nearest coarse; vector ->
+    # top-IVF2_COARSE_PROBE coarse cells -> argmin over their fine sets.
+    sqls["ann_ivf2_assign"] = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+{cents_cte},
+franked AS (
+    SELECT centroid_id, c,
+           row_number() OVER (ORDER BY centroid_id) AS rn
+    FROM c
+),
+fstride AS (
+    SELECT CASE WHEN count(*) <= 1 THEN 1 ELSE greatest(1,
+        count(*) // CAST(ceil(sqrt(count(*))) AS BIGINT)) END AS s
+    FROM c
+),
+coarse AS (
+    SELECT centroid_id AS coarse_id, c AS cc FROM franked
+    WHERE rn % (SELECT s FROM fstride) = 1
+),
+fassign AS (
+    SELECT centroid_id, c, coarse_id FROM (
+        SELECT f.centroid_id, f.c, co.coarse_id,
+               row_number() OVER (PARTITION BY f.centroid_id ORDER BY
+                   {_COS_RAW.format(a='f.c', b='co.cc')} DESC,
+                   co.coarse_id) AS crn
+        FROM franked f CROSS JOIN coarse co
+    ) WHERE crn = 1
+),
+probes AS (
+    SELECT vec_id, embedding, coarse_id FROM (
+        SELECT v.vec_id, v.embedding, co.coarse_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   {_COS_RAW.format(a='v.embedding', b='co.cc')} DESC,
+                   co.coarse_id) AS rn
+        FROM v CROSS JOIN coarse co
+    ) WHERE rn <= {SIM.IVF2_COARSE_PROBE}
+),
+cand AS (
+    SELECT p.vec_id, f.coarse_id, f.centroid_id,
+           {_COS_RAW.format(a='p.embedding', b='f.c')} AS cos
+    FROM probes p JOIN fassign f USING (coarse_id)
+)
+SELECT vec_id, coarse_id, centroid_id, round(cos, 4) + 0 AS cosine
+FROM (
+    SELECT vec_id, coarse_id, centroid_id, cos,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, centroid_id) AS frn
+    FROM cand
+) WHERE frn = 1"""
 
     cos_ab = _COS.format(a="ea.embedding", b="eb.embedding")
     sqls["embedding_neardup"] = f"""

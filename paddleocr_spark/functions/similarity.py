@@ -282,8 +282,9 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle checks. Deterministic selection keeps Spark and DuckDB equal.
     At 10^12 vectors √N centroids make the brute-force assign itself the
     bottleneck — the production path assigns hierarchically (quantize the
-    centroid set again); the broadcast-assign shape below is the leaf step
-    of that hierarchy and is what we demonstrate.
+    centroid set again): implemented as :func:`ivf2_assign` (the
+    `ann_ivf2_assign` gate query), which composes this same broadcast-
+    assign shape at two levels.
     """
     vecs = _vecs(spark, sf_dir)
     every = ivf_centroid_every(embeddings_meta(sf_dir)[0])
@@ -308,6 +309,100 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("vec_id", "centroid_id",
+                    F.round("cos", 4).alias("cosine")))
+
+
+#: Coarse cells probed during the hierarchical assign (tolerates the
+#: true nearest FINE centroid living one coarse cell over).
+IVF2_COARSE_PROBE = 2
+
+
+def ivf_coarse_stride(n_fine: int) -> int:
+    """Second quantization level: ~√n_fine coarse cells over the FINE
+    centroid set (so ~N^(1/4) coarse cells over an N-vector corpus).
+    Same balance rule as :func:`ivf_centroid_every`; MUST stay
+    formula-identical to the DuckDB twin."""
+    if n_fine <= 1:
+        return 1
+    cells = math.ceil(math.sqrt(n_fine))
+    return max(1, n_fine // cells)
+
+
+def ivf2_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fine centroids + their coarse assignment (the two-level codebook).
+
+    Coarse centroids are every stride-th FINE centroid by centroid_id
+    rank (deterministic, like the first level); every fine centroid then
+    assigns to its nearest coarse one by cosine (tie → smaller coarse_id).
+    Output: (centroid_id, coarse_id, is_coarse, c). ``is_coarse`` marks
+    coarse membership by RANK, not by self-assignment — two identical
+    embeddings can cosine-tie, so a coarse centroid is not guaranteed to
+    assign to itself. Session-cached (the √N-row codebook is rebuilt by
+    every action otherwise)."""
+    from .dedup import _cached
+
+    def build() -> DataFrame:
+        fine = ivf_centroids(spark, sf_dir)
+        n_fine = fine.count()   # ~√N rows: the codebook, not the corpus
+        stride = ivf_coarse_stride(n_fine)
+        wr = Window.orderBy("centroid_id")
+        ranked = fine.withColumn("rn", F.row_number().over(wr))
+        coarse = (ranked.filter((F.col("rn") % stride) == 1)
+                  .select(F.col("centroid_id").alias("coarse_id"),
+                          F.col("c").alias("cc")))
+        wf = Window.partitionBy("centroid_id").orderBy(
+            F.col("ccos").desc(), F.col("coarse_id"))
+        return (ranked.crossJoin(F.broadcast(coarse))
+                .select("centroid_id", "c", "rn", "coarse_id",
+                        cosine_col("c", "cc").alias("ccos"))
+                .withColumn("crn", F.row_number().over(wf))
+                .filter(F.col("crn") == 1)
+                .select("centroid_id", "coarse_id",
+                        ((F.col("rn") % stride) == 1).alias("is_coarse"),
+                        "c"))
+
+    return _cached(spark, sf_dir, "ivf2_codebook", build)
+
+
+def ivf2_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (two-level) IVF assign — the 10^12-scale path the
+    flat assign's docstring promises.
+
+    Flat assign scores every vector against all ~√N fine centroids
+    (O(N·√N) — the bottleneck the ivf_centroids docstring documents).
+    Here each vector scores only the ~N^(1/4) COARSE centroids, keeps
+    its IVF2_COARSE_PROBE nearest coarse cells, and exact-ranks just the
+    fine centroids quantized into those cells: O(N·N^(1/4)) +
+    O(N·probe·N^(1/4)) — the standard coarse-quantizer composition
+    (IVF-on-IVF; same shape as FAISS's IVF_HNSW coarse assign). The
+    probed union may miss a fine centroid in a non-probed coarse cell —
+    inherent to hierarchical quantization; the DuckDB twin runs the SAME
+    procedure, so the gate pins the mechanics exactly.
+
+    Output: (vec_id, coarse_id, centroid_id, cosine) — fine cell id and
+    its coarse parent, cosine rounded like ivf_assign.
+    """
+    vecs = _vecs(spark, sf_dir)
+    book = ivf2_centroids(spark, sf_dir)
+    coarse = (book.filter("is_coarse")
+              .select(F.col("centroid_id").alias("coarse_id"),
+                      F.col("c").alias("cc")))
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.col("qcos").desc(), F.col("coarse_id"))
+    probed = (vecs.crossJoin(F.broadcast(coarse))
+              .select("vec_id", "embedding", "coarse_id",
+                      cosine_col("embedding", "cc").alias("qcos"))
+              .withColumn("rn", F.row_number().over(wq))
+              .filter(F.col("rn") <= IVF2_COARSE_PROBE)
+              .select("vec_id", "embedding", "coarse_id"))
+    wf = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("centroid_id"))
+    return (probed.join(F.broadcast(book), "coarse_id")
+            .select("vec_id", "coarse_id", "centroid_id",
+                    cosine_col("embedding", "c").alias("cos"))
+            .withColumn("frn", F.row_number().over(wf))
+            .filter(F.col("frn") == 1)
+            .select("vec_id", "coarse_id", "centroid_id",
                     F.round("cos", 4).alias("cosine")))
 
 

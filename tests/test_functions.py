@@ -262,6 +262,47 @@ def test_neardup_survivors_partition_the_corpus(spark):
     assert corpus - set(surv) == {v for v, c in labels.items() if v != c}
 
 
+def test_ivf2_hierarchical_assign_structure_and_recall(spark):
+    """Two-level codebook invariants + agreement with the flat assign.
+
+    Structure: coarse count ≈ √(fine count) (the stride rule); every fine
+    centroid maps to an existing coarse id; coarse flags come from RANK
+    (count matches the stride formula even under cosine ties). Recall:
+    the hierarchical assign differs from flat only when the true nearest
+    fine centroid sits in a non-probed coarse cell. The synthetic
+    embeddings are near-uniform random (hostile to IVF — no cluster
+    structure), so the bar is BEATING THE NO-LOCALITY BASELINE
+    (probe/n_coarse: the agreement a random partition of the fine set
+    would give), not an absolute recall number; real corpora cluster and
+    a k-means refinement step raises this, but the gate pins mechanics."""
+    from paddleocr_spark.functions.similarity import (IVF2_COARSE_PROBE,
+                                                      ivf2_assign,
+                                                      ivf2_centroids,
+                                                      ivf_assign,
+                                                      ivf_coarse_stride)
+    book = ivf2_centroids(spark, SF).collect()
+    n_fine = len(book)
+    stride = ivf_coarse_stride(n_fine)
+    coarse_ids = {r["centroid_id"] for r in book if r["is_coarse"]}
+    assert len(coarse_ids) == len(range(1, n_fine + 1, stride))
+    assert {r["coarse_id"] for r in book} <= coarse_ids
+    two = {r["vec_id"]: r["centroid_id"]
+           for r in ivf2_assign(spark, SF).collect()}
+    flat = {r["vec_id"]: r["centroid_id"]
+            for r in ivf_assign(spark, SF).collect()}
+    assert set(two) == set(flat)
+    agree = sum(two[v] == flat[v] for v in two) / len(two)
+    baseline = IVF2_COARSE_PROBE / len(coarse_ids)
+    assert agree >= baseline + 0.15, (
+        f"agreement {agree:.2f} does not beat the no-locality baseline "
+        f"{baseline:.2f} — coarse quantization is not localizing")
+    # and the chosen fine cell is always consistent with the codebook
+    fine_to_coarse = {r["centroid_id"]: r["coarse_id"] for r in book}
+    coarse_of = {r["vec_id"]: r["coarse_id"]
+                 for r in ivf2_assign(spark, SF).collect()}
+    assert all(fine_to_coarse[c] == coarse_of[v] for v, c in two.items())
+
+
 def test_star_cc_path_graph_converges_in_log_rounds(spark):
     """Large-star/small-star must shortcut long chains: a 100-node path
     graph (diameter 99 — the min-label loop's worst case, needing ~99
