@@ -2079,6 +2079,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_survivors": SIM.neardup_survivors,
         "pdf_pages": q_pdf_pages,
         "ann_ivf2_assign": SIM.ivf2_assign,
+        "ngram_topk": T.ngram_topk,
         # -- group 3: driver-green in round 3, expensive-first ---------
         "neardup_components": SIM.neardup_components,
         "e2e_metric": q_e2e_metric,
@@ -2646,6 +2647,21 @@ SELECT doc_id, span_idx,
        CASE WHEN substring(md5(doc_id || ':0'), 1, 1) = '0'
             THEN '180' ELSE '0' END AS cls_label
 FROM dec"""
+
+    sqls["ngram_topk"] = f"""
+WITH w AS (
+    SELECT list_filter(string_split(lower(text), ' '), x -> x != '') AS w
+    FROM documents
+),
+bi AS (
+    SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i + 1])) AS ngram
+    FROM w WHERE len(w) >= 2
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+FROM bi GROUP BY ngram
+ORDER BY cnt DESC, ngram
+LIMIT {T.NGRAM_TOPK_K}"""
 
     sqls["token_count"] = f"""
 SELECT doc_id,

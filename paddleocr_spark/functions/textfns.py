@@ -63,6 +63,37 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Heavy-hitter cut for ngram_topk (fixed so the DuckDB twin matches).
+NGRAM_TOPK_K = 20
+
+
+def ngram_topk(spark: SparkSession, sf_dir: str,
+               k: int = NGRAM_TOPK_K) -> DataFrame:
+    """Corpus-level heavy hitters: the k most frequent word bigrams.
+
+    The classic boilerplate-detection statistic (repeated navigation/
+    footer bigrams dominate a crawl; Gopher-style filters consume the
+    list). Shape at scale: one hash aggregation with map-side partial
+    combine over the exploded bigrams, then a top-k that Spark plans as
+    TakeOrderedAndProject (per-partition heap + driver merge of k rows —
+    no global sort). Ties break on the bigram itself, so the cut at rank
+    k is a total order and the result is deterministic.
+
+    Guard: ``sequence(1, size-1)`` on a <2-word doc would step DOWN to
+    [1, 0] (the documented Spark trap — see grapheme_compose_label), so
+    short docs are filtered before the transform.
+    """
+    w = docs_table(spark, sf_dir).select(words_col().alias("w"))
+    bi = (w.filter(F.expr("size(w) >= 2"))
+          .select(F.explode(F.expr(
+              "transform(sequence(1, size(w) - 1), "
+              "i -> concat(w[i - 1], ' ', w[i]))")).alias("ngram")))
+    return (bi.groupBy("ngram")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "ngram")
+            .limit(k))
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language identification.
 

@@ -262,6 +262,30 @@ def test_neardup_survivors_partition_the_corpus(spark):
     assert corpus - set(surv) == {v for v, c in labels.items() if v != c}
 
 
+def test_ngram_topk_counts_and_tie_break_at_the_cut(spark, tmp_path):
+    """Exact bigram counts on a hand-built corpus, alphabetical
+    tie-break at the rank-k boundary, and short/null docs dropped."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from paddleocr_spark.functions.textfns import ngram_topk
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y"),          # 'x y' x3, 'y x' x2
+         (2, "b b"), (3, "a a"),      # tied singletons, 'a a' < 'b b'
+         (4, "solo"), (5, None), (6, "")],
+        "doc_id long, text string")
+    d = str(tmp_path / "docs")
+    (docs.withColumn("lang", F.lit("en")).withColumn("source", F.lit("s"))
+         .withColumn("n_chars", F.length("text"))
+         .write.parquet(os.path.join(d, "documents.parquet")))
+    got = [(r["ngram"], r["cnt"]) for r in ngram_topk(spark, d, k=3).collect()]
+    assert got == [("x y", 3), ("y x", 2), ("a a", 1)]
+    got2 = [(r["ngram"], r["cnt"])
+            for r in ngram_topk(spark, d, k=4).collect()]
+    assert got2 == [("x y", 3), ("y x", 2), ("a a", 1), ("b b", 1)]
+
+
 def test_ivf2_hierarchical_assign_structure_and_recall(spark):
     """Two-level codebook invariants + agreement with the flat assign.
 
