@@ -162,11 +162,27 @@ def _xref_offsets(buf: bytes) -> dict[int, int]:
 
 
 def _object_at(buf: bytes, off: int) -> bytes:
+    """Object body at an xref offset.
+
+    For stream objects the body is cut by /Length, NOT by searching for
+    ``endobj`` — compressed stream bytes can legally contain that
+    6-byte sequence, and a search would truncate the stream there.
+    """
     m = re.match(rb"(\d+)\s+\d+\s+obj", buf[off:off + 32])
     if not m:
         raise PdfError(f"no object at offset {off}")
-    end = buf.index(b"endobj", off)
-    return buf[off + m.end():end]
+    start = off + m.end()
+    sm = re.compile(rb"stream\r?\n").search(buf, start)
+    em = buf.find(b"endobj", start)
+    if em == -1:
+        raise PdfError(f"unterminated object at offset {off}")
+    if sm is None or sm.start() > em:      # plain (non-stream) object
+        return buf[start:em]
+    head = buf[start:sm.start()]
+    length = _dict_int(head, b"/Length")
+    if length is None:
+        raise PdfError("stream object without /Length")
+    return buf[start:sm.end() + length]
 
 
 def _dict_int(body: bytes, key: bytes) -> int | None:

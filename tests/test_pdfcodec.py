@@ -100,6 +100,31 @@ def test_tj_arrays_concatenate_and_escapes_unescape():
     assert pages == [[(50.0, 700.0, "a(bc\\d"), (50.0, 660.0, "e)f")]]
 
 
+def test_stream_containing_endobj_bytes_is_not_truncated():
+    """Stream data can legally contain the 6-byte sequence ``endobj``
+    (compressed bytes are arbitrary); the object cut must come from
+    /Length, not a text search. Uncompressed stream with the literal."""
+    data = b"BT /F1 12 Tf 50 700 Td (endobj) Tj ET"
+    objs = {1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"}
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    for n in (1, 2, 3):
+        offs[n] = len(out)
+        out += b"%d 0 obj\n" % n + objs[n] + b"\nendobj\n"
+    offs[4] = len(out)
+    out += (b"4 0 obj\n<< /Length %d >>\nstream\n" % len(data)
+            + data + b"\nendstream\nendobj\n")
+    xat = len(out)
+    out += b"xref\n0 5\n0000000000 65535 f \n"
+    for n in (1, 2, 3, 4):
+        out += b"%010d 00000 n \n" % offs[n]
+    out += (b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % xat)
+    assert decode_pdf(bytes(out)) == [[(50.0, 700.0, "endobj")]]
+
+
 def test_malformed_inputs_raise_pdferror():
     with pytest.raises(PdfError):
         decode_pdf(b"not a pdf at all")
