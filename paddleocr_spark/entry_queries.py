@@ -45,7 +45,9 @@ from pyspark.sql.window import Window
 
 from . import geometry as G
 from . import synth as S
+from .functions import clustering as CL
 from .functions import dedup as D
+from .functions import retrieval as R
 from .functions import similarity as SIM
 from .functions import textfns as T
 from .operators import kie as KIE
@@ -2031,6 +2033,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_kind_counts": q_flagship_kind_counts,
         "flagship_extract": q_flagship_extract,        # fixture oracle
         # -- group 2: new since CORRECTNESS_r03, expensive-first -------
+        "kmeans_assign": CL.kmeans_assign,
+        "dup_span_docs": R.dup_span_docs,
+        "bm25_topk": R.bm25_topk,
+        "tfidf_terms": R.tfidf_terms,
         "layout_preprocess": q_layout_preprocess,      # fixture oracle
         "grapheme_compose_label": q_grapheme_compose_label,
         "grapheme_compose": q_grapheme_compose,
@@ -4513,5 +4519,122 @@ SELECT doc_id, CAST(box_no AS BIGINT) AS box_no, txt,
            list_transform(generate_series(1, maxpts - len(pts)),
                           x -> pts[-1]))), ',') AS poly
 FROM m"""
+
+    # -- retrieval + duplicated-span + clustering twins ------------------
+    _terms = ", ".join(f"'{t}'" for t in R.BM25_QUERY)
+    sqls["bm25_topk"] = f"""
+WITH d AS (
+    SELECT doc_id, {_WORDS} AS w FROM documents
+), dd AS (
+    SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, w FROM d
+), s AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dd
+), tf AS (
+    SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT doc_id, dl, unnest(w) AS term FROM dd)
+    WHERE term IN ({_terms})
+    GROUP BY doc_id, dl, term
+), dfreq AS (
+    SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+    FROM tf GROUP BY term
+)
+SELECT doc_id,
+       round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf * ({R.BM25_K1} + 1.0)
+                 / (tf + {R.BM25_K1} * (1.0 - {R.BM25_B}
+                                        + {R.BM25_B} * dl / avgdl))),
+             4) + 0 AS bm25
+FROM tf JOIN dfreq USING (term) CROSS JOIN s
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {R.BM25_TOPK}"""
+
+    sqls["tfidf_terms"] = f"""
+WITH d AS (
+    SELECT doc_id, {_WORDS} AS w FROM documents
+), t AS (
+    SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT doc_id, unnest(w) AS term FROM d)
+    GROUP BY doc_id, term
+), nd AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM d
+), dfreq AS (
+    SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+    FROM t GROUP BY term
+), scored AS (
+    SELECT doc_id, term, round(tf * ln(n_docs / df), 4) + 0 AS tfidf
+    FROM t JOIN dfreq USING (term) CROSS JOIN nd
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf
+FROM (SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+WHERE rank <= {R.TFIDF_TOPK}"""
+
+    _dn = R.DUP_SPAN_N
+    sqls["dup_span_docs"] = f"""
+WITH d AS (
+    SELECT doc_id, {_WORDS} AS w FROM documents
+), g AS (
+    SELECT doc_id, md5(array_to_string(w[i:i + {_dn - 1}], ' ')) AS gkey
+    FROM (SELECT doc_id, w,
+                 unnest(generate_series(1, len(w) - {_dn - 1})) AS i
+          FROM d WHERE len(w) >= {_dn})
+), multi AS (
+    SELECT gkey FROM g GROUP BY gkey HAVING count(DISTINCT doc_id) >= 2
+), dc AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
+    FROM g WHERE gkey IN (SELECT gkey FROM multi)
+    GROUP BY doc_id
+), tot AS (
+    SELECT doc_id,
+           CAST(greatest(len(w) - {_dn - 1}, 0) AS BIGINT) AS n_grams
+    FROM d
+)
+SELECT t.doc_id, t.n_grams,
+       CAST(coalesce(dc.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       round(CASE WHEN t.n_grams > 0
+                  THEN coalesce(dc.n_dup_grams, 0)
+                       / CAST(t.n_grams AS DOUBLE)
+                  ELSE 0.0 END, 4) + 0 AS dup_frac,
+       (CASE WHEN t.n_grams > 0
+             THEN coalesce(dc.n_dup_grams, 0) / CAST(t.n_grams AS DOUBLE)
+             ELSE 0.0 END) >= {R.DUP_SPAN_FLAG_FRAC} AS flagged
+FROM tot t LEFT JOIN dc USING (doc_id)"""
+
+    # Two Lloyd passes, replayed exactly: fixed-id init, argmin with
+    # (dist, cid) tie order, per-dimension means re-assembled in order.
+    sqls["kmeans_assign"] = f"""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+           e AS c
+    FROM v ORDER BY vec_id LIMIT {CL.KMEANS_K}
+), d1 AS (
+    SELECT v.vec_id, c0.cid, v.e,
+           list_sum(list_transform(list_zip(v.e, c0.c),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+    FROM v CROSS JOIN c0
+), a1 AS (
+    SELECT vec_id, cid, e FROM d1
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+), c1 AS (
+    SELECT cid, pos, avg(x) AS m
+    FROM (SELECT cid, unnest(e) AS x, generate_subscripts(e, 1) AS pos
+          FROM a1)
+    GROUP BY cid, pos
+), c1l AS (
+    SELECT cid, list(m ORDER BY pos) AS c FROM c1 GROUP BY cid
+), d2 AS (
+    SELECT v.vec_id, c1l.cid,
+           list_sum(list_transform(list_zip(v.e, c1l.c),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+    FROM v CROSS JOIN c1l
+)
+SELECT vec_id, cid AS cluster FROM d2
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+ORDER BY vec_id"""
 
     return sqls

@@ -1,0 +1,178 @@
+"""Ranked retrieval + cross-document duplicated-span detection.
+
+Three corpus-curation operators a training-data pipeline runs constantly:
+
+* :func:`bm25_topk` — Okapi BM25 ranking of the corpus against a fixed
+  query term set (the "find documents like this filter seed" primitive).
+* :func:`tfidf_terms` — per-document top-k terms by tf-idf (document
+  keywording; the feature side of cluster labeling / topic triage).
+* :func:`dup_span_docs` — per-document duplicated word-n-gram statistics
+  across the corpus (the groupBy-shingle form of substring-level dedup
+  from Lee et al., "Deduplicating Training Data Makes Language Models
+  Better" — a doc whose n-grams mostly occur in other docs is a
+  boilerplate/near-copy candidate even when whole-doc MinHash misses it).
+
+All pure JVM expressions (split / HOFs / hash aggregations) — no Python
+UDFs — so every op whole-stage-codegens. Scale shapes:
+
+* bm25: one exploded-token pass filtered to |Q| terms BEFORE the
+  aggregation (the filter is sargable on the exploded value, so the
+  shuffle carries only query-term hits), document-frequency side is ≤|Q|
+  rows (broadcast), corpus stats ride a 1-row broadcast, and the final
+  top-k plans as TakeOrderedAndProject (per-partition heap, no global
+  sort).
+* tfidf: token explode → (doc, term) hash agg with map-side combine →
+  broadcast the vocabulary-sized df table → per-doc top-k window. The
+  window shuffles by doc_id once; rank ties break on the term string so
+  the cut is a total order.
+* dup spans: shingle → md5 shingle key (at 100 TB the join key is the
+  128-bit digest, never the raw gram text) → one hash agg for
+  multi-document grams → left-semi join back → per-doc counts. Both
+  aggregations are map-side-combinable; the semi join carries only the
+  16-byte key.
+
+DuckDB twins live in ``entry_queries.py``; column names and 4dp rounding
+are part of the contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .textfns import docs_table, words_col
+
+#: BM25 free parameters (Robertson/Sparck Jones defaults) + the fixed
+#: demo query. The terms are corpus-vocabulary words so the ranking is
+#: non-degenerate at every SF.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ["table", "scan", "join"]
+BM25_TOPK = 20
+
+#: tf-idf: top terms kept per document.
+TFIDF_TOPK = 3
+
+#: Duplicated-span shingle width (words) and the flagging threshold on
+#: the duplicated fraction.
+DUP_SPAN_N = 8
+DUP_SPAN_FLAG_FRAC = 0.2
+
+
+def _doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return docs_table(spark, sf_dir).select(
+        "doc_id", words_col().alias("w"))
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str,
+              k: int = BM25_TOPK) -> DataFrame:
+    """Okapi BM25 top-k documents for the fixed query ``BM25_QUERY``.
+
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)) (the non-negative
+    Lucene variant); score(d) = Σ_t idf(t) · tf·(k1+1) /
+    (tf + k1·(1 - b + b·dl/avgdl)). Scores round to 4dp BEFORE the
+    ordering so the rank cut is engine-portable; ties break on doc_id.
+    """
+    d = _doc_words(spark, sf_dir).select(
+        "doc_id", "w", F.size("w").cast("double").alias("dl"))
+    stats = d.agg(F.count("*").cast("double").alias("n_docs"),
+                  F.avg("dl").alias("avgdl"))
+    tf = (d.select("doc_id", "dl", F.explode("w").alias("term"))
+          .where(F.col("term").isin(BM25_QUERY))
+          .groupBy("doc_id", "dl", "term")
+          .agg(F.count("*").cast("double").alias("tf")))
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df"))
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    denom = (F.col("tf")
+             + BM25_K1 * (1.0 - BM25_B
+                          + BM25_B * F.col("dl") / F.col("avgdl")))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .join(F.broadcast(stats))
+              .select("doc_id",
+                      (idf * F.col("tf") * (BM25_K1 + 1.0)
+                       / denom).alias("s")))
+    return (scored.groupBy("doc_id")
+            .agg(F.round(F.sum("s"), 4).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), "doc_id")
+            .limit(k))
+
+
+def tfidf_terms(spark: SparkSession, sf_dir: str,
+                k: int = TFIDF_TOPK) -> DataFrame:
+    """Per-document top-k terms by tf-idf.
+
+    tf = raw in-document count; idf = ln(N / df) (df ≥ 1 for every term
+    that appears, so no smoothing constant is needed). The rank orders by
+    the 4dp-rounded score then the term string — a total order, so the
+    per-doc cut is deterministic and engine-portable.
+    """
+    t = (_doc_words(spark, sf_dir)
+         .select("doc_id", F.explode("w").alias("term"))
+         .groupBy("doc_id", "term")
+         .agg(F.count("*").cast("double").alias("tf")))
+    n_docs = (_doc_words(spark, sf_dir)
+              .agg(F.count("*").cast("double").alias("n_docs")))
+    dfreq = t.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df"))
+    scored = (t.join(F.broadcast(dfreq), "term")
+              .join(F.broadcast(n_docs))
+              .select("doc_id", "term",
+                      F.round(F.col("tf")
+                              * F.log(F.col("n_docs") / F.col("df")),
+                              4).alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "rank", "term", "tfidf"))
+
+
+def dup_span_docs(spark: SparkSession, sf_dir: str,
+                  n: int = DUP_SPAN_N) -> DataFrame:
+    """Cross-document duplicated word-n-gram statistics per document.
+
+    A gram position is *duplicated* when its n-gram occurs in ≥2 distinct
+    documents. Emits every document with its gram count, duplicated-gram
+    count, 4dp duplicated fraction, and a boolean flag at
+    ``DUP_SPAN_FLAG_FRAC`` — the decision column a span-level dedup pass
+    (or a boilerplate filter) consumes downstream.
+
+    Shingles travel as md5 digests of the gram text: at corpus scale the
+    multi-doc-gram aggregation and the semi join back never carry the
+    raw 8-word strings, only 16-byte keys (collision odds at 2^-128 are
+    the standard content-addressing bet). The ``sequence`` is guarded for
+    docs shorter than n words (sequence(1, size-n+1) would step DOWN —
+    the documented Spark trap, see textfns.ngram_topk).
+    """
+    d = _doc_words(spark, sf_dir)
+    grams = (d.where(F.expr(f"size(w) >= {n}"))
+             .select("doc_id", F.explode(F.expr(
+                 f"transform(sequence(1, size(w) - {n - 1}), "
+                 f"i -> md5(concat_ws(' ', slice(w, i, {n}))))"
+             )).alias("gkey")))
+    multi = (grams.groupBy("gkey")
+             .agg(F.countDistinct("doc_id").alias("nd"))
+             .where(F.col("nd") >= 2)
+             .select("gkey"))
+    dup_counts = (grams.join(multi, "gkey", "left_semi")
+                  .groupBy("doc_id")
+                  .agg(F.count("*").cast("long").alias("n_dup_grams")))
+    totals = (d.select(
+        "doc_id",
+        F.greatest(F.expr(f"size(w) - {n - 1}"), F.lit(0))
+        .cast("long").alias("n_grams")))
+    out = (totals.join(dup_counts, "doc_id", "left")
+           .select("doc_id", "n_grams",
+                   F.coalesce("n_dup_grams", F.lit(0))
+                   .cast("long").alias("n_dup_grams")))
+    frac = F.when(F.col("n_grams") > 0,
+                  F.col("n_dup_grams").cast("double")
+                  / F.col("n_grams").cast("double")).otherwise(0.0)
+    return out.select(
+        "doc_id", "n_grams", "n_dup_grams",
+        F.round(frac, 4).alias("dup_frac"),
+        (frac >= DUP_SPAN_FLAG_FRAC).alias("flagged"))

@@ -1,0 +1,156 @@
+"""Tests for retrieval (BM25 / tf-idf), duplicated spans, and k-means.
+
+Every op is re-derived here in plain Python/NumPy from the raw parquet —
+an in-process ground truth independent of both Spark and the DuckDB
+oracle twins.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from paddleocr_spark.functions.clustering import (KMEANS_ITERS, KMEANS_K,
+                                                  kmeans_assign)
+from paddleocr_spark.functions.retrieval import (BM25_B, BM25_K1, BM25_QUERY,
+                                                 BM25_TOPK, DUP_SPAN_FLAG_FRAC,
+                                                 DUP_SPAN_N, TFIDF_TOPK,
+                                                 bm25_topk, dup_span_docs,
+                                                 tfidf_terms)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs() -> dict[int, list[str]]:
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    return {int(d): [w for w in str(x).lower().split(" ") if w]
+            for d, x in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist())}
+
+
+def test_bm25_matches_plain_python(spark):
+    docs = _docs()
+    n = float(len(docs))
+    avgdl = sum(len(w) for w in docs.values()) / n
+    dfreq = {t: float(sum(t in w for w in docs.values()))
+             for t in BM25_QUERY}
+    scores = {}
+    for d, w in docs.items():
+        s = 0.0
+        for t in BM25_QUERY:
+            tf = float(w.count(t))
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (BM25_K1 + 1.0) / (
+                tf + BM25_K1 * (1 - BM25_B + BM25_B * len(w) / avgdl))
+        if s > 0:
+            scores[d] = round(s, 4)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:BM25_TOPK]
+    got = [(r["doc_id"], r["bm25"]) for r in bm25_topk(spark, SF).collect()]
+    assert got == want
+
+
+def test_bm25_plans_a_topk_not_a_global_sort(spark):
+    plan = bm25_topk(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_topk_matches_plain_python(spark):
+    docs = _docs()
+    n = float(len(docs))
+    df: dict[str, float] = {}
+    for w in docs.values():
+        for t in set(w):
+            df[t] = df.get(t, 0.0) + 1.0
+    want = {}
+    for d, w in docs.items():
+        sc = [(round(w.count(t) * math.log(n / df[t]), 4), t)
+              for t in set(w)]
+        sc.sort(key=lambda p: (-p[0], p[1]))
+        want[d] = [(i + 1, t, s) for i, (s, t) in enumerate(sc[:TFIDF_TOPK])]
+    got: dict[int, list] = {}
+    for r in tfidf_terms(spark, SF).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["term"], r["tfidf"]))
+    for d in got:
+        got[d].sort()
+    assert got == {d: v for d, v in want.items() if v}
+
+
+def test_dup_spans_match_plain_python(spark):
+    docs = _docs()
+    gram_docs: dict[tuple, set] = {}
+    for d, w in docs.items():
+        for i in range(len(w) - DUP_SPAN_N + 1):
+            gram_docs.setdefault(tuple(w[i:i + DUP_SPAN_N]), set()).add(d)
+    rows = {r["doc_id"]: r for r in dup_span_docs(spark, SF).collect()}
+    assert set(rows) == set(docs)
+    for d, w in docs.items():
+        n_grams = max(len(w) - DUP_SPAN_N + 1, 0)
+        n_dup = sum(len(gram_docs[tuple(w[i:i + DUP_SPAN_N])]) >= 2
+                    for i in range(n_grams))
+        r = rows[d]
+        assert r["n_grams"] == n_grams and r["n_dup_grams"] == n_dup
+        frac = n_dup / n_grams if n_grams else 0.0
+        assert r["dup_frac"] == round(frac, 4)
+        assert r["flagged"] == (frac >= DUP_SPAN_FLAG_FRAC)
+
+
+def test_dup_spans_flag_a_copy_and_spare_the_unique(spark, tmp_path):
+    # a whole-document copy shares every 8-gram with its original → both
+    # flagged at 1.0; a doc of unique words shares none → 0.0, unflagged;
+    # a 7-word doc has no 8-gram → n_grams 0, frac 0.0
+    base = " ".join(f"w{i % 6}" for i in range(40))
+    uniq = " ".join(f"u{i}" for i in range(40))
+    rows = [(0, base), (1, base), (2, uniq), (3, "a b c d e f g")]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.mode("overwrite") \
+        .parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r
+           for r in dup_span_docs(spark, str(tmp_path)).collect()}
+    assert got[0]["flagged"] and got[0]["dup_frac"] == 1.0
+    assert got[1]["flagged"] and got[1]["dup_frac"] == 1.0
+    assert not got[2]["flagged"] and got[2]["n_dup_grams"] == 0
+    assert got[3]["n_grams"] == 0 and got[3]["dup_frac"] == 0.0 \
+        and not got[3]["flagged"]
+
+
+def _kmeans_numpy(e: np.ndarray, ids: np.ndarray,
+                  k: int, iters: int) -> np.ndarray:
+    order = np.argsort(ids)
+    cents = e[order[:k]].copy()
+    for it in range(iters):
+        d = ((e[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        if it < iters - 1:
+            cents = np.stack([e[assign == c].mean(axis=0)
+                              for c in range(k)])
+    return assign
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.array(t.column("vec_id").to_pylist())
+    e = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    want = _kmeans_numpy(e, ids, KMEANS_K, KMEANS_ITERS)
+    got = {r["vec_id"]: r["cluster"]
+           for r in kmeans_assign(spark, SF).collect()}
+    assert len(got) == len(ids)
+    mismatch = sum(got[int(i)] != int(c) for i, c in zip(ids, want))
+    # float summation order may flip a genuine near-tie; none expected
+    # on uniform-random embeddings
+    assert mismatch == 0
+    assert len(set(got.values())) == KMEANS_K
+
+
+def test_kmeans_assign_argmin_is_an_aggregate_not_a_window(spark):
+    plan = kmeans_assign(spark, SF)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # corpus-side argmin must be the min_by hash aggregate; the only
+    # window allowed is the k-row centroid numbering
+    assert plan.count("Window") <= 2
+    assert "min_by" in plan or "minby" in plan.lower()
