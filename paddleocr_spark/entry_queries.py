@@ -220,6 +220,18 @@ def q_span_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y2").cast("long").alias("y2"))
 
 
+def q_east_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 random-family seeded crop (EastRandomCropData,
+    random_crop_data.py:29-180): per-doc RandomState(doc number) replays
+    the reference's global np.random stream; ignore tags are the P9/P10
+    drop flags. Committed-fixture oracle (the RNG walk is iterative)."""
+    from .augments import east_random_crop
+    from .pipeline import det_keep_predicate, score_keep_predicate
+    s = with_geometry(_spans_exploded(spark, sf_dir)).withColumn(
+        "ignored", ~(det_keep_predicate() & score_keep_predicate()))
+    return east_random_crop(s)
+
+
 def q_det_drop_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9 min-side filter + P10 drop_score filter, fused."""
     return _spans_kept(spark, sf_dir).select(
@@ -2033,6 +2045,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_kind_counts": q_flagship_kind_counts,
         "flagship_extract": q_flagship_extract,        # fixture oracle
         # -- group 2: new since CORRECTNESS_r03, expensive-first -------
+        "east_crop": q_east_crop,                      # fixture oracle
         "kmeans_assign": CL.kmeans_assign,
         "dup_span_docs": R.dup_span_docs,
         "bm25_topk": R.bm25_topk,
@@ -2326,6 +2339,12 @@ FROM synth_final GROUP BY doc_id, kind"""
         "precision, recall, hmean, CAST(n_images AS BIGINT) AS n_images")
     sqls["teds_metric"] = _fixture_sql(
         "teds_metric", "CAST(pair_id AS BIGINT) AS pair_id, teds")
+    sqls["east_crop"] = _fixture_sql(
+        "east_crop",
+        "doc_id, CAST(span_idx AS BIGINT) AS span_idx, ignored, "
+        "CAST(crop_x AS BIGINT) AS crop_x, CAST(crop_y AS BIGINT) AS crop_y, "
+        "CAST(crop_w AS BIGINT) AS crop_w, CAST(crop_h AS BIGINT) AS crop_h, "
+        "scale, nx1, ny1, nx2, ny2")
     sqls["pse_detect"] = _fixture_sql(
         "pse_detect",
         "CAST(doc_id AS BIGINT) AS doc_id, "

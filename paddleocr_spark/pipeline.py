@@ -85,11 +85,15 @@ def with_geometry(spans: DataFrame) -> DataFrame:
     ).drop("w", "h")
 
 
+def det_keep_predicate():
+    """P9 keep condition: every side > 3 px (predict_det.py:209-223)."""
+    return (((F.col("x2") - F.col("x1")) > G.MIN_SIDE)
+            & ((F.col("y2") - F.col("y1")) > G.MIN_SIDE))
+
+
 def det_filter(spans: DataFrame) -> DataFrame:
     """P9: drop boxes with any side ≤ 3 px (predict_det.py:209-223)."""
-    return spans.filter(
-        ((F.col("x2") - F.col("x1")) > G.MIN_SIDE)
-        & ((F.col("y2") - F.col("y1")) > G.MIN_SIDE))
+    return spans.filter(det_keep_predicate())
 
 
 def drop_score_filter(spans: DataFrame,
@@ -104,12 +108,17 @@ def drop_score_filter(spans: DataFrame,
     confidence that in production arrives as its own column — this
     expression is the fixture, not a general doc_id contract.
     """
+    return spans.filter(score_keep_predicate(drop_score))
+
+
+def score_keep_predicate(drop_score: float = G.DROP_SCORE):
+    """P10 keep condition as a reusable Column (see drop_score_filter)."""
     did = F.expr("CAST(substring(doc_id, 5) AS LONG)")
     smod = (did * 7 + F.col("span_idx") * 173) % G.SCORE_MOD
     milli = G.SCORE_BASE_MILLI + F.floor(
         smod * G.SCORE_SPREAD_NUM / G.SCORE_SPREAD_DEN).cast("long")
     thresh = int(round(drop_score * G.SCORE_MOD))
-    return spans.filter((F.col("kind") != "text") | (milli >= thresh))
+    return (F.col("kind") != "text") | (milli >= thresh)
 
 
 def strip_styles(spans: DataFrame) -> DataFrame:

@@ -1,0 +1,90 @@
+"""Quirk pins + distributed checks for the seeded random augments."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from paddleocr_spark.augments import (EAST_CROP_MAX_TRIES, crop_area,
+                                      east_crop_doc, east_random_crop,
+                                      split_regions)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_crop_area_occupancy_is_maxx_exclusive():
+    # a box spanning x∈[10,20] leaves column 20 itself "free" (the
+    # reference's w_array[minx:maxx] = 1 quirk) — with every other
+    # column of a 21-wide canvas occupied, both free axes collapse to
+    # {20} and the crop degenerates deterministically around it
+    poly = np.array([[10.0, 10.0], [20.0, 10.0],
+                     [20.0, 20.0], [10.0, 20.0]])
+    rng = np.random.RandomState(0)
+    h_arr = np.zeros(25, dtype=np.int32)
+    w_arr = np.zeros(25, dtype=np.int32)
+    pts = np.round(poly).astype(np.int32)
+    w_arr[pts[:, 0].min():pts[:, 0].max()] = 1
+    h_arr[pts[:, 1].min():pts[:, 1].max()] = 1
+    assert w_arr[19] == 1 and w_arr[20] == 0  # exclusive right edge
+    assert h_arr[19] == 1 and h_arr[20] == 0
+
+
+def test_crop_area_returns_whole_canvas_after_max_tries():
+    # no care polys → every candidate fails the contains-a-poly check →
+    # fallback (0, 0, w, h); the RNG must still be consumed per try
+    rng = np.random.RandomState(7)
+    before = rng.randint(0, 2 ** 31)
+    rng = np.random.RandomState(7)
+    assert crop_area(100, 200, [], 0.1, EAST_CROP_MAX_TRIES, rng) \
+        == (0, 0, 200, 100)
+    # 10 tries × 2 axes × 2 draws consumed ⇒ stream advanced
+    assert rng.randint(0, 2 ** 31) != before
+
+
+def test_split_regions_drops_the_trailing_run():
+    # reference quirk: the final run is never appended
+    axis = np.array([0, 1, 2, 5, 6, 9])
+    regions = split_regions(axis)
+    assert [list(r) for r in regions] == [[0, 1, 2], [5, 6]]
+
+
+def test_east_crop_doc_is_deterministic_per_seed():
+    boxes = np.array([[10.0, 10.0, 200.0, 30.0],
+                      [300.0, 40.0, 500.0, 55.0]])
+    tags = np.array([False, False])
+    a = east_crop_doc(42, boxes, tags)
+    b = east_crop_doc(42, boxes, tags)
+    assert a == b
+    c = east_crop_doc(43, boxes, tags)
+    assert a != c  # a different seed draws a different crop (here)
+
+
+def test_east_random_crop_distributed_matches_single_node(spark):
+    from paddleocr_spark.entry_queries import q_east_crop
+    got = {(r["doc_id"], r["span_idx"]):
+           (r["crop_x"], r["crop_y"], r["crop_w"], r["crop_h"],
+            r["scale"], r["nx1"], r["ny1"], r["nx2"], r["ny2"],
+            r["ignored"])
+           for r in q_east_crop(spark, SF).collect()}
+    # single-node replay over the same geometry frame
+    from paddleocr_spark.pipeline import (det_keep_predicate,
+                                          score_keep_predicate,
+                                          with_geometry)
+    from paddleocr_spark.entry_queries import _spans_exploded
+    pdf = (with_geometry(_spans_exploded(spark, SF))
+           .withColumn("ignored",
+                       ~(det_keep_predicate() & score_keep_predicate()))
+           .select("doc_id", "span_idx", "x1", "y1", "x2", "y2",
+                   "ignored").toPandas()
+           .sort_values(["doc_id", "span_idx"]))
+    want = {}
+    for doc_id, g in pdf.groupby("doc_id", sort=True):
+        boxes = g[["x1", "y1", "x2", "y2"]].to_numpy(dtype=np.float64)
+        ign = g["ignored"].to_numpy()
+        sidx = g["span_idx"].to_numpy()
+        cx, cy, cw, ch, sc, kept = east_crop_doc(
+            int(str(doc_id)[4:]), boxes, ign)
+        for pos, nx1, ny1, nx2, ny2 in kept:
+            want[(doc_id, int(sidx[pos]))] = (
+                cx, cy, cw, ch, sc, nx1, ny1, nx2, ny2, bool(ign[pos]))
+    assert got == want and len(got) > 100

@@ -1862,3 +1862,77 @@ def test_e2e_label_encode_matches_executed_reference():
         assert [m[1] for m in mine] == [
             [float(v) for v in p.reshape(-1)] for p in r["polys"]], lbl
         assert [m[4] for m in mine] == [t for t in r["texts"].tolist()], lbl
+
+
+def test_east_random_crop_matches_executed_reference():
+    """Executes the reference's ENTIRE random_crop_data.py
+    (crop_area + helpers + EastRandomCropData, :29-180) with a
+    shape-only cv2.resize shim, seeding the GLOBAL np.random stream per
+    trial; augments.east_crop_doc with RandomState(seed) must reproduce
+    the kept-poly set bit-for-bit (same MT19937 walk, same clip/round/
+    int-truncation quirks), and the reference's padded image must come
+    out at the fixed output size."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from paddleocr_spark import geometry as G
+    from paddleocr_spark.augments import (EAST_CROP_CANVAS_MARGIN,
+                                          EAST_CROP_SIZE, east_crop_doc)
+
+    cv2_stub = types.ModuleType("cv2")
+    cv2_stub.resize = lambda img, sz: np.zeros(
+        (sz[1], sz[0]) + img.shape[2:], img.dtype)
+    saved = sys.modules.get("cv2")
+    sys.modules["cv2"] = cv2_stub
+    try:
+        ns: dict = {}
+        src = open("/root/reference/ppocr/data/imaug/"
+                   "random_crop_data.py").read()
+        exec(src[src.index("from __future__"):], ns)
+        east = ns["EastRandomCropData"]()
+        rng = random.Random(77)
+        for trial in range(200):
+            seed = rng.randint(0, 2 ** 31 - 1)
+            n = rng.randint(0, 8)
+            boxes = []
+            for _ in range(n):
+                x1 = rng.uniform(0, G.PAGE_WIDTH - 30)
+                y1 = rng.uniform(0, 150)
+                boxes.append([x1, y1, x1 + rng.uniform(4, 300),
+                              y1 + rng.uniform(4, 60)])
+            boxes = np.array(boxes, dtype=np.float64).reshape(n, 4)
+            ignored = np.array([rng.random() < 0.3 for _ in range(n)])
+
+            h = (int(boxes[:, 3].max()) if n else 0) \
+                + EAST_CROP_CANVAS_MARGIN
+            polys = np.array([[[b[0], b[1]], [b[2], b[1]],
+                               [b[2], b[3]], [b[0], b[3]]]
+                              for b in boxes]).reshape(n, 4, 2)
+            data = {"image": np.zeros((h, G.PAGE_WIDTH, 3), np.uint8),
+                    "polys": polys.copy(),
+                    "ignore_tags": list(ignored),
+                    "texts": [f"t{i}" for i in range(n)]}
+            np.random.seed(seed)
+            want = east(data)
+
+            cx, cy, cw, ch, sc, kept = east_crop_doc(
+                seed, boxes, ignored)
+            assert want["image"].shape == (EAST_CROP_SIZE[1],
+                                           EAST_CROP_SIZE[0], 3)
+            assert len(kept) == len(want["polys"]), (trial, seed)
+            for (pos, nx1, ny1, nx2, ny2), wp, wt in zip(
+                    kept, want["polys"], want["texts"]):
+                assert wt == f"t{pos}", (trial, seed)
+                wp = np.asarray(wp)
+                assert (nx1, ny1, nx2, ny2) == (
+                    wp[:, 0].min(), wp[:, 1].min(),
+                    wp[:, 0].max(), wp[:, 1].max()), (trial, seed)
+            assert [bool(ignored[p]) for p, *_ in kept] \
+                == list(want["ignore_tags"]), (trial, seed)
+    finally:
+        if saved is None:
+            sys.modules.pop("cv2", None)
+        else:
+            sys.modules["cv2"] = saved

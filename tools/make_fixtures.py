@@ -547,6 +547,44 @@ def fx_border_map(con, sf_dir: str) -> pd.DataFrame:
         "doc_id", "thr_sum", "thr_max", "thr_px", "mask_px"])
 
 
+def fx_east_crop(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_east_crop single-node: span geometry + P9/P10 drop
+    flags from the DuckDB oracle twins, the seeded crop itself via the
+    shared kernel (augments.east_crop_doc — the RNG walk is the contract
+    and cannot be re-derived two ways; its reference parity is pinned by
+    the exec-ref differential instead)."""
+    from paddleocr_spark.augments import east_crop_doc
+    from paddleocr_spark.entry_queries import oracle_sql
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE OR REPLACE VIEW {t} AS "
+                    f"SELECT * FROM read_parquet('{p}')")
+    sqls = oracle_sql()
+    geom = con.sql(sqls["span_geometry"]).df().sort_values(
+        ["doc_id", "span_idx"])
+    kept = con.sql(sqls["det_drop_filters"]).df()
+    kept_set = set(zip(kept["doc_id"], kept["span_idx"]))
+    rows = []
+    for doc_id, g in geom.groupby("doc_id", sort=True):
+        boxes = g[["x1", "y1", "x2", "y2"]].to_numpy(dtype=np.float64)
+        ignored = np.array([(d, s) not in kept_set
+                            for d, s in zip(g["doc_id"], g["span_idx"])])
+        span_idx = g["span_idx"].to_numpy()
+        cx, cy, cw, ch, sc, keep = east_crop_doc(
+            int(str(doc_id)[4:]), boxes, ignored)
+        for pos, nx1, ny1, nx2, ny2 in keep:
+            rows.append((str(doc_id), int(span_idx[pos]),
+                         bool(ignored[pos]), cx, cy, cw, ch,
+                         sc, nx1, ny1, nx2, ny2))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "span_idx", "ignored", "crop_x", "crop_y", "crop_w",
+        "crop_h", "scale", "nx1", "ny1", "nx2", "ny2"]).astype(
+        {"span_idx": "int64", "crop_x": "int64", "crop_y": "int64",
+         "crop_w": "int64", "crop_h": "int64"})
+
+
 FIXTURES = {
     "tensor_ops": fx_tensor_ops,
     "border_map": fx_border_map,
@@ -567,6 +605,7 @@ FIXTURES = {
     "db_detect": fx_db_detect,
     "table_html_master": fx_table_html_master,
     "east_detect": fx_east_detect,
+    "east_crop": fx_east_crop,
 }
 
 
