@@ -2050,6 +2050,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_docs": R.dup_span_docs,
         "bm25_topk": R.bm25_topk,
         "tfidf_terms": R.tfidf_terms,
+        "inverted_index": R.inverted_index,
+        "sample_stratified": R.sample_stratified,
         "layout_preprocess": q_layout_preprocess,      # fixture oracle
         "grapheme_compose_label": q_grapheme_compose_label,
         "grapheme_compose": q_grapheme_compose,
@@ -4590,6 +4592,33 @@ FROM (SELECT doc_id, term, tfidf,
                                 ORDER BY tfidf DESC, term) AS rank
       FROM scored)
 WHERE rank <= {R.TFIDF_TOPK}"""
+
+    sqls["sample_stratified"] = f"""
+WITH h AS (
+    SELECT doc_id, lang,
+           substring(md5(lang || ':' || CAST(doc_id AS VARCHAR)),
+                     1, 8) AS hkey
+    FROM documents
+)
+SELECT doc_id, lang, hkey FROM h
+WHERE hkey < '{R.SAMPLE_THRESHOLD_HEX}'"""
+
+    sqls["inverted_index"] = f"""
+WITH p AS (
+    SELECT DISTINCT term, doc_id
+    FROM (SELECT unnest({_WORDS}) AS term, doc_id FROM documents)
+), f AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term
+), h AS (
+    SELECT term, doc_id,
+           row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+    FROM p
+), g AS (
+    SELECT term,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+    FROM h WHERE rn <= {R.INDEX_POSTINGS_CAP} GROUP BY term
+)
+SELECT f.term, f.df, g.postings FROM f JOIN g USING (term)"""
 
     _dn = R.DUP_SPAN_N
     sqls["dup_span_docs"] = f"""

@@ -59,7 +59,24 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 closing: PDF container parse + applied dedup action
         "pdf_pages": _entry("q_pdf_pages"),
         "neardup_survivors": neardup_survivors,
+        # round-4 continuation: retrieval / clustering / seeded augment
+        "bm25_topk": _retrieval("bm25_topk"),
+        "dup_span_docs": _retrieval("dup_span_docs"),
+        "kmeans_assign": _clustering_kmeans,
+        "east_crop": _entry("q_east_crop"),
     }
+
+
+def _retrieval(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from . import retrieval
+        return getattr(retrieval, name)(spark, sf_dir)
+    return run
+
+
+def _clustering_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .clustering import kmeans_assign
+    return kmeans_assign(spark, sf_dir)
 
 
 def _entry(name: str) -> Callable[[SparkSession, str], DataFrame]:

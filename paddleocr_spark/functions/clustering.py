@@ -23,9 +23,13 @@ collects these to the driver; we keep them as a broadcast subplan), so
 each iteration is ONE corpus scan with a k-way fan-out of narrow rows,
 one map-side-combinable aggregation for the argmin, and one for the
 update. No driver collect, no window over the corpus. At 10^12 rows
-you'd persist the assignment frame between iterations (localCheckpoint,
-as neardup_components does per star-round); at 2 iterations the plan
-stays shallow enough to skip it.
+you'd persist the vector frame once (MLlib's KMeans caches its input —
+each Lloyd pass re-scans it; here that's 3 parquet scans: init + one per
+assignment) and localCheckpoint the assignment between iterations, as
+neardup_components does per star-round; at 2 iterations the plan stays
+shallow enough to skip both. Plan audit (sf0.01, recorded): 2
+BroadcastNestedLoopJoins (the k-row centroid sides), 0 SortMergeJoins,
+1 Window (the k-row centroid numbering only).
 
 Float caveat (documented, not hidden): partial-aggregation order makes
 the update means engine-divergent at ~1e-16 relative; an assignment

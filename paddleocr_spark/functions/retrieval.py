@@ -58,6 +58,13 @@ TFIDF_TOPK = 3
 DUP_SPAN_N = 8
 DUP_SPAN_FLAG_FRAC = 0.2
 
+#: Hash-threshold sampling rate: an 8-hex-digit prefix below this keeps
+#: the row. '40000000' = 0x40000000 / 2^32 = exactly 25%.
+SAMPLE_THRESHOLD_HEX = "40000000"
+
+#: Inverted index: posting lists are capped at this many doc ids.
+INDEX_POSTINGS_CAP = 20
+
 
 def _doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs_table(spark, sf_dir).select(
@@ -129,6 +136,57 @@ def tfidf_terms(spark: SparkSession, sf_dir: str,
                               F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= k)
             .select("doc_id", "rank", "term", "tfidf"))
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold sample, stratified by language.
+
+    Keeps a document iff the first 8 hex digits of md5('<lang>:<doc_id>')
+    fall below ``SAMPLE_THRESHOLD_HEX`` — the standard web-scale sampling
+    move: no shuffle, no window, no RNG state; embarrassingly parallel,
+    replayable on any engine, and per-stratum because the stratum is part
+    of the hash key (changing one language's corpus never disturbs
+    another's sample). Fixed-width lowercase hex compares lexicographically
+    == numerically, so the predicate is a plain string comparison that
+    whole-stage-codegens and pushes into the scan. Expected rate is exactly
+    0x40000000/2^32 = 25% per stratum; the realized count is binomial
+    (that's the contract — quota-exact sampling needs a global rank, which
+    at 10^12 rows is a sort you don't want).
+    """
+    d = docs_table(spark, sf_dir)
+    hkey = F.substring(
+        F.md5(F.concat_ws(":", "lang", F.col("doc_id").cast("string"))),
+        1, 8)
+    return (d.select("doc_id", "lang", hkey.alias("hkey"))
+            .where(F.col("hkey") < SAMPLE_THRESHOLD_HEX))
+
+
+def inverted_index(spark: SparkSession, sf_dir: str,
+                   cap: int = INDEX_POSTINGS_CAP) -> DataFrame:
+    """Term → document-frequency + capped posting list.
+
+    The retrieval-side inverse of tokenization. df is one map-side-
+    combinable hash aggregation over distinct (term, doc) pairs — the
+    FULL count, never distorted by the cap. Postings are the first
+    ``cap`` doc ids per term (champion-list truncation; at corpus scale
+    full postings live in their own term-bucketed table): the rank≤cap
+    window filter runs BEFORE any collect_list, so no aggregation ever
+    holds more than ``cap`` ids for a term in memory — a stopword with
+    10^11 postings costs the window sort, not an OOM. Lists emit as a
+    comma-joined string (engine-portable canon).
+    """
+    t = (_doc_words(spark, sf_dir)
+         .select(F.explode("w").alias("term"), "doc_id")
+         .distinct())
+    dfreq = t.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    heads = (t.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") <= cap))
+    postings = (heads.groupBy("term")
+                .agg(F.expr(
+                    "array_join(transform(array_sort(collect_list(doc_id)),"
+                    " x -> CAST(x AS STRING)), ',')").alias("postings")))
+    return dfreq.join(postings, "term")
 
 
 def dup_span_docs(spark: SparkSession, sf_dir: str,

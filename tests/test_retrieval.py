@@ -154,3 +154,46 @@ def test_kmeans_assign_argmin_is_an_aggregate_not_a_window(spark):
     # window allowed is the k-row centroid numbering
     assert plan.count("Window") <= 2
     assert "min_by" in plan or "minby" in plan.lower()
+
+
+def test_sample_stratified_is_the_md5_threshold_set(spark):
+    import hashlib
+    import pyarrow.parquet as _pq
+    from paddleocr_spark.functions.retrieval import (SAMPLE_THRESHOLD_HEX,
+                                                     sample_stratified)
+    t = _pq.read_table(f"{SF}/documents.parquet",
+                       columns=["doc_id", "lang"])
+    want = {}
+    for d, lg in zip(t.column("doc_id").to_pylist(),
+                     t.column("lang").to_pylist()):
+        hk = hashlib.md5(f"{lg}:{d}".encode()).hexdigest()[:8]
+        if hk < SAMPLE_THRESHOLD_HEX:
+            want[int(d)] = (lg, hk)
+    got = {r["doc_id"]: (r["lang"], r["hkey"])
+           for r in sample_stratified(spark, SF).collect()}
+    assert got == want
+    # realized rate in the binomial neighbourhood of 25%
+    assert 0.15 < len(got) / t.num_rows < 0.35
+
+
+def test_sample_predicate_reaches_the_scan(spark):
+    from paddleocr_spark.functions.retrieval import sample_stratified
+    plan = sample_stratified(spark, SF)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle at all
+
+
+def test_inverted_index_matches_plain_python(spark):
+    from paddleocr_spark.functions.retrieval import (INDEX_POSTINGS_CAP,
+                                                     inverted_index)
+    docs = _docs()
+    post: dict[str, list] = {}
+    for d in sorted(docs):
+        for t in set(docs[d]):
+            post.setdefault(t, []).append(d)
+    got = {r["term"]: (r["df"], r["postings"])
+           for r in inverted_index(spark, SF).collect()}
+    want = {t: (len(ds),
+                ",".join(str(x) for x in sorted(ds)[:INDEX_POSTINGS_CAP]))
+            for t, ds in post.items()}
+    assert got == want
