@@ -177,6 +177,74 @@ def east_crop_doc(did: int, boxes: np.ndarray, ignored: np.ndarray,
     return int(crop_x), int(crop_y), int(crop_w), int(crop_h), scale, kept
 
 
+#: RandomCropImgMask defaults: PSE's 3/8 background-crop probability
+#: (random_crop_data.py:184) and this engine's demo crop size (strictly
+#: inside the 68×120 shrink-map canvas so the non-trivial path runs).
+PSE_CROP_P = 3 / 8
+PSE_CROP_SIZE = (32, 56)
+
+
+def random_crop_img_mask(seed: int, data: dict, main_key: str,
+                         crop_keys, size: tuple,
+                         p: float = PSE_CROP_P):
+    """RandomCropImgMask (random_crop_data.py:183-234) — the PSE training
+    crop, the reference's OTHER RNG dialect (stdlib ``random``, not
+    np.random). ``random.Random(seed)`` replays the reference's global
+    stream after ``random.seed(seed)``.
+
+    Returns (i, j, forced, data') where (i, j) is the crop origin and
+    ``forced`` marks the text-region branch. Quirks preserved:
+
+    * ``random.random()`` is consumed ONLY when the main mask has any
+      positive pixel (the ``and`` short-circuit, :199);
+    * tl/br are the mask extrema minus (th, tw), negatives clamped to 0,
+      br additionally clamped to the valid origin range — so a text
+      region near the top-left yields tl == br == 0 and the origin is
+      forced to (0, 0) (the ``if tl < br else 0`` arms, :201-210);
+    * ``random.randint`` bounds are INCLUSIVE;
+    * 3-dim arrays crop channel-first or channel-last by ``argmin`` of
+      the shape; a 3-dim array whose smallest axis is 1 is returned
+      UNCROPPED (the fall-through arm, :227-228 — dead in the shipped
+      configs, transcribed anyway);
+    * equal-size inputs return untouched BEFORE any draw (:195-196).
+    """
+    import random as _random
+
+    rng = _random.Random(seed)
+    image = data["image"]
+    h, w = image.shape[0:2]
+    th, tw = size
+    if w == tw and h == th:
+        return None, None, False, data
+    mask = data[main_key]
+    forced = False
+    if np.max(mask) > 0 and rng.random() > p:
+        forced = True
+        tl = np.min(np.where(mask > 0), axis=1) - (th, tw)
+        tl[tl < 0] = 0
+        br = np.max(np.where(mask > 0), axis=1) - (th, tw)
+        br[br < 0] = 0
+        br[0] = min(br[0], h - th)
+        br[1] = min(br[1], w - tw)
+        i = rng.randint(tl[0], br[0]) if tl[0] < br[0] else 0
+        j = rng.randint(tl[1], br[1]) if tl[1] < br[1] else 0
+    else:
+        i = rng.randint(0, h - th) if h - th > 0 else 0
+        j = rng.randint(0, w - tw) if w - tw > 0 else 0
+    out = dict(data)
+    for k in data:
+        if k in crop_keys:
+            if len(data[k].shape) == 3:
+                if np.argmin(data[k].shape) == 0:
+                    out[k] = data[k][:, i:i + th, j:j + tw]
+                elif np.argmin(data[k].shape) == 2:
+                    out[k] = data[k][i:i + th, j:j + tw, :]
+                # else: left uncropped (reference fall-through)
+            else:
+                out[k] = data[k][i:i + th, j:j + tw]
+    return i, j, forced, out
+
+
 EAST_CROP_SCHEMA = ("doc_id string, span_idx long, ignored boolean, "
                     "crop_x long, crop_y long, crop_w long, crop_h long, "
                     "scale double, nx1 double, ny1 double, "

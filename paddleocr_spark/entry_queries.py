@@ -1705,6 +1705,78 @@ def q_det_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHRINK_W, _SHRINK_H = 120, 68
 
 
+def _shrink_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-doc rect layouts shared by q_shrink_map and
+    q_pse_crop (lineitem-derived; may underflow left/top by up to 5 px —
+    exercises validate_polygons clipping)."""
+    li = _lineitem(spark, sf_dir).filter(
+        (F.col("l_linenumber") <= 4) & (F.col("l_orderkey") % 11 == 0))
+    return li.select(
+        F.format_string("doc_%04d", F.col("l_orderkey") % 200)
+        .alias("doc_id"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("box_id"),
+        ((F.col("l_partkey") % 12) * 10 - 5).cast("double").alias("x0"),
+        ((F.col("l_suppkey") % 8) * 9 - 4).cast("double").alias("y0"),
+        (F.col("l_orderkey") % 30).cast("double").alias("bw"),
+        ((F.col("l_suppkey") + F.col("l_linenumber")) % 24)
+        .cast("double").alias("bh"),
+        (F.col("l_orderkey") % 23 == 0).alias("tag"),
+    ).select("doc_id", "box_id", "x0", "y0",
+             (F.col("x0") + F.col("bw")).alias("x1"),
+             (F.col("y0") + F.col("bh")).alias("y1"), "tag")
+
+
+def q_pse_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 RandomCropImgMask (random_crop_data.py:183-234) — the stdlib-
+    ``random`` RNG dialect — chained over the MakeShrinkMap rasters:
+    per doc, build (gt, mask) on the 68×120 canvas, then the seeded crop
+    to 32×56 with main_key gt. Emits the crop origin, branch flag, and
+    cropped-raster pixel counts; committed-fixture oracle (RNG + raster
+    fills are iterative)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .augments import PSE_CROP_SIZE, random_crop_img_mask
+    from .kernels import make_shrink_map
+    from .operators.grouped import grouped_map_arrow
+
+    boxes = _shrink_boxes(spark, sf_dir)
+    h, w = _SHRINK_H, _SHRINK_W
+    out_schema = ("doc_id string, crop_i long, crop_j long, "
+                  "forced boolean, gt_sum long, mask_sum long")
+
+    def emit(tbl: "pa.Table") -> "pa.RecordBatch":
+        from .operators.grouped import group_starts, string_codes
+
+        doc = string_codes(tbl.column("doc_id"))
+        cols = {c: tbl.column(c).to_numpy(zero_copy_only=False)
+                for c in ("x0", "y0", "x1", "y1", "tag")}
+        docs_str = tbl.column("doc_id").to_pylist()
+        starts = group_starts(doc)
+        ends = np.r_[starts[1:], len(doc)]
+        rows = []
+        for s, e in zip(starts, ends):
+            rect = np.stack([cols["x0"][s:e], cols["y0"][s:e],
+                             cols["x1"][s:e], cols["y1"][s:e]], axis=1)
+            _, gt, mask = make_shrink_map(
+                rect, cols["tag"][s:e].astype(bool), h, w)
+            data = {"image": np.zeros((h, w, 3), np.uint8),
+                    "gt_text": gt, "mask": mask}
+            i, j, forced, out = random_crop_img_mask(
+                int(docs_str[s][4:]), data, "gt_text",
+                {"image", "gt_text", "mask"}, PSE_CROP_SIZE)
+            rows.append((docs_str[s], int(i), int(j), forced,
+                         int(out["gt_text"].sum()),
+                         int(out["mask"].sum())))
+        names = ["doc_id", "crop_i", "crop_j", "forced",
+                 "gt_sum", "mask_sum"]
+        return pa.record_batch([pa.array(c) for c in zip(*rows)],
+                               names=names)
+
+    return grouped_map_arrow(boxes, ["doc_id"], ["box_id"], emit,
+                             out_schema)
+
+
 def q_shrink_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R6 MakeShrinkMap (make_shrink_map.py:32-124): DBNet training gt
     generation over deterministic per-doc rect layouts.  Per-box rows
@@ -1722,22 +1794,7 @@ def q_shrink_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .kernels import make_shrink_map
     from .operators.grouped import grouped_map_arrow
 
-    li = _lineitem(spark, sf_dir).filter(
-        (F.col("l_linenumber") <= 4) & (F.col("l_orderkey") % 11 == 0))
-    boxes = li.select(
-        F.format_string("doc_%04d", F.col("l_orderkey") % 200)
-        .alias("doc_id"),
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("box_id"),
-        ((F.col("l_partkey") % 12) * 10 - 5).cast("double").alias("x0"),
-        ((F.col("l_suppkey") % 8) * 9 - 4).cast("double").alias("y0"),
-        (F.col("l_orderkey") % 30).cast("double").alias("bw"),
-        ((F.col("l_suppkey") + F.col("l_linenumber")) % 24)
-        .cast("double").alias("bh"),
-        (F.col("l_orderkey") % 23 == 0).alias("tag"),
-    ).select("doc_id", "box_id", "x0", "y0",
-             (F.col("x0") + F.col("bw")).alias("x1"),
-             (F.col("y0") + F.col("bh")).alias("y1"), "tag")
-
+    boxes = _shrink_boxes(spark, sf_dir)
     h, w = _SHRINK_H, _SHRINK_W
     out_schema = ("doc_id string, box_id long, status string, "
                   "ratio double, sx0 int, sy0 int, sx1 int, sy1 int, "
@@ -2046,6 +2103,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_extract": q_flagship_extract,        # fixture oracle
         # -- group 2: new since CORRECTNESS_r03, expensive-first -------
         "east_crop": q_east_crop,                      # fixture oracle
+        "pse_crop": q_pse_crop,                        # fixture oracle
         "kmeans_assign": CL.kmeans_assign,
         "dup_span_docs": R.dup_span_docs,
         "bm25_topk": R.bm25_topk,
@@ -2341,6 +2399,12 @@ FROM synth_final GROUP BY doc_id, kind"""
         "precision, recall, hmean, CAST(n_images AS BIGINT) AS n_images")
     sqls["teds_metric"] = _fixture_sql(
         "teds_metric", "CAST(pair_id AS BIGINT) AS pair_id, teds")
+    sqls["pse_crop"] = _fixture_sql(
+        "pse_crop",
+        "doc_id, CAST(crop_i AS BIGINT) AS crop_i, "
+        "CAST(crop_j AS BIGINT) AS crop_j, forced, "
+        "CAST(gt_sum AS BIGINT) AS gt_sum, "
+        "CAST(mask_sum AS BIGINT) AS mask_sum")
     sqls["east_crop"] = _fixture_sql(
         "east_crop",
         "doc_id, CAST(span_idx AS BIGINT) AS span_idx, ignored, "

@@ -88,3 +88,33 @@ def test_east_random_crop_distributed_matches_single_node(spark):
             want[(doc_id, int(sidx[pos]))] = (
                 cx, cy, cw, ch, sc, nx1, ny1, nx2, ny2, bool(ign[pos]))
     assert got == want and len(got) > 100
+
+
+def test_random_crop_img_mask_quirks():
+    from paddleocr_spark.augments import random_crop_img_mask
+    # equal-size input returns before any draw: two different seeds give
+    # identical (untouched) results
+    import numpy as np
+    data = {"image": np.zeros((8, 8, 3), np.uint8),
+            "gt": np.ones((8, 8), np.float32)}
+    a = random_crop_img_mask(1, data, "gt", {"gt"}, (8, 8))
+    b = random_crop_img_mask(2, data, "gt", {"gt"}, (8, 8))
+    assert a[0] is None and b[0] is None
+    assert np.array_equal(a[3]["gt"], data["gt"])
+    # a 3-dim array whose smallest axis is the middle one is returned
+    # UNCROPPED (reference fall-through)
+    weird = {"image": np.zeros((16, 16, 3), np.uint8),
+             "gt": np.ones((16, 16), np.float32),
+             "odd": np.zeros((16, 2, 16), np.float32)}
+    i, j, forced, out = random_crop_img_mask(
+        7, weird, "gt", {"gt", "odd"}, (4, 4))
+    assert out["odd"].shape == (16, 2, 16)
+    assert out["gt"].shape == (4, 4)
+    # all-zero mask never consumes random(): the else-branch draw
+    # sequence equals a fresh randint pair
+    import random as _r
+    z = {"image": np.zeros((16, 16, 3), np.uint8),
+         "gt": np.zeros((16, 16), np.float32)}
+    i, j, forced, _ = random_crop_img_mask(123, z, "gt", {"gt"}, (4, 4))
+    r = _r.Random(123)
+    assert not forced and (i, j) == (r.randint(0, 12), r.randint(0, 12))

@@ -1936,3 +1936,64 @@ def test_east_random_crop_matches_executed_reference():
             sys.modules.pop("cv2", None)
         else:
             sys.modules["cv2"] = saved
+
+
+def test_random_crop_img_mask_matches_executed_reference():
+    """Executes the reference's RandomCropImgMask (random_crop_data.py
+    :183-234) — the stdlib-random dialect — on fuzzed mask/image stacks,
+    seeding the GLOBAL random stream per trial; our transcription with
+    random.Random(seed) must reproduce the branch, origin, and every
+    cropped array exactly (incl. the channel-first/channel-last argmin
+    arms and the untouched non-crop keys)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from paddleocr_spark.augments import random_crop_img_mask
+
+    cv2_stub = types.ModuleType("cv2")
+    saved = sys.modules.get("cv2")
+    sys.modules["cv2"] = cv2_stub
+    try:
+        ns: dict = {}
+        src = open("/root/reference/ppocr/data/imaug/"
+                   "random_crop_data.py").read()
+        exec(src[src.index("from __future__"):], ns)
+        rng = random.Random(99)
+        for trial in range(300):
+            seed = rng.randint(0, 2 ** 31 - 1)
+            h, w = rng.randint(12, 50), rng.randint(12, 50)
+            th, tw = rng.randint(4, h), rng.randint(4, w)
+            mask = (np.random.RandomState(trial)
+                    .rand(h, w) > rng.uniform(0.5, 1.02)).astype(
+                        np.float32)
+            data = {
+                "image": np.random.RandomState(trial + 1)
+                .randint(0, 255, (h, w, 3)).astype(np.uint8),
+                "gt_text": mask,
+                "chfirst": np.random.RandomState(trial + 2)
+                .rand(2, h, w).astype(np.float32),
+                "notcropped": np.arange(h * w, dtype=np.int64)
+                .reshape(h, w),
+            }
+            keys = {"image", "gt_text", "chfirst"}
+            op = ns["RandomCropImgMask"](size=(th, tw),
+                                         main_key="gt_text",
+                                         crop_keys=keys)
+            import random as _r
+            _r.seed(seed)
+            want = op({k: v.copy() for k, v in data.items()})
+            i, j, forced, got = random_crop_img_mask(
+                seed, {k: v.copy() for k, v in data.items()},
+                "gt_text", keys, (th, tw))
+            for k in data:
+                assert np.array_equal(got[k], want[k]), (trial, k)
+            if not (h == th and w == tw):
+                assert got["gt_text"].shape == (
+                    min(th, h - i), min(tw, w - j)), trial
+    finally:
+        if saved is None:
+            sys.modules.pop("cv2", None)
+        else:
+            sys.modules["cv2"] = saved

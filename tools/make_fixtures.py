@@ -585,6 +585,48 @@ def fx_east_crop(con, sf_dir: str) -> pd.DataFrame:
          "crop_w": "int64", "crop_h": "int64"})
 
 
+def fx_pse_crop(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_pse_crop single-node: box layouts from DuckDB,
+    shrink-map rasters + the seeded stdlib-random crop via the shared
+    kernels (RNG-walk bit-parity is the contract; reference parity is
+    pinned by the exec-ref differential)."""
+    from paddleocr_spark.augments import (PSE_CROP_SIZE,
+                                          random_crop_img_mask)
+    from paddleocr_spark.entry_queries import _SHRINK_H, _SHRINK_W
+    from paddleocr_spark.kernels import make_shrink_map
+    li = con.sql(f"""
+        SELECT format('doc_{{:04d}}', l_orderkey % 200) AS doc_id,
+               l_orderkey * 10 + l_linenumber AS box_id,
+               CAST((l_partkey % 12) * 10 - 5 AS DOUBLE) AS x0,
+               CAST((l_suppkey % 8) * 9 - 4 AS DOUBLE) AS y0,
+               CAST((l_partkey % 12) * 10 - 5 + l_orderkey % 30
+                    AS DOUBLE) AS x1,
+               CAST((l_suppkey % 8) * 9 - 4
+                    + (l_suppkey + l_linenumber) % 24 AS DOUBLE) AS y1,
+               l_orderkey % 23 = 0 AS tag
+        FROM read_parquet('{os.path.join(sf_dir, "lineitem.parquet")}')
+        WHERE l_linenumber <= 4 AND l_orderkey % 11 = 0
+        ORDER BY doc_id, box_id
+    """).df()
+    rows = []
+    for doc_id, g in li.groupby("doc_id", sort=True):
+        rect = g[["x0", "y0", "x1", "y1"]].to_numpy(dtype=np.float64)
+        _, gt, mask = make_shrink_map(
+            rect, g["tag"].to_numpy(dtype=bool), _SHRINK_H, _SHRINK_W)
+        data = {"image": np.zeros((_SHRINK_H, _SHRINK_W, 3), np.uint8),
+                "gt_text": gt, "mask": mask}
+        i, j, forced, out = random_crop_img_mask(
+            int(str(doc_id)[4:]), data, "gt_text",
+            {"image", "gt_text", "mask"}, PSE_CROP_SIZE)
+        rows.append((str(doc_id), int(i), int(j), bool(forced),
+                     int(out["gt_text"].sum()), int(out["mask"].sum())))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "crop_i", "crop_j", "forced", "gt_sum",
+        "mask_sum"]).astype(
+        {"crop_i": "int64", "crop_j": "int64",
+         "gt_sum": "int64", "mask_sum": "int64"})
+
+
 FIXTURES = {
     "tensor_ops": fx_tensor_ops,
     "border_map": fx_border_map,
@@ -606,6 +648,7 @@ FIXTURES = {
     "table_html_master": fx_table_html_master,
     "east_detect": fx_east_detect,
     "east_crop": fx_east_crop,
+    "pse_crop": fx_pse_crop,
 }
 
 
