@@ -2109,6 +2109,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": R.bm25_topk,
         "tfidf_terms": R.tfidf_terms,
         "inverted_index": R.inverted_index,
+        "lm_score": R.lm_score,
         "sample_stratified": R.sample_stratified,
         "layout_preprocess": q_layout_preprocess,      # fixture oracle
         "grapheme_compose_label": q_grapheme_compose_label,
@@ -4656,6 +4657,32 @@ FROM (SELECT doc_id, term, tfidf,
                                 ORDER BY tfidf DESC, term) AS rank
       FROM scored)
 WHERE rank <= {R.TFIDF_TOPK}"""
+
+    sqls["lm_score"] = f"""
+WITH d AS (
+    SELECT doc_id, {_WORDS} AS w FROM documents
+), uni AS (
+    SELECT v, CAST(count(*) AS DOUBLE) AS cv
+    FROM (SELECT unnest(w) AS v FROM d) GROUP BY v
+), vocab AS (
+    SELECT CAST(count(*) AS DOUBLE) AS vsize FROM uni
+), bi AS (
+    SELECT doc_id, w[i] AS v, w[i + 1] AS u
+    FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+          FROM d WHERE len(w) >= 2)
+), big AS (
+    SELECT v, u, CAST(count(*) AS DOUBLE) AS cvu FROM bi GROUP BY v, u
+), sc AS (
+    SELECT doc_id, -ln((cvu + 1.0) / (cv + vsize)) AS nll
+    FROM bi JOIN big USING (v, u) JOIN uni USING (v) CROSS JOIN vocab
+), pd AS (
+    SELECT doc_id, round(avg(nll), 4) + 0 AS lm_nll,
+           CAST(count(*) AS BIGINT) AS n_bigrams
+    FROM sc GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(pd.lm_nll, 0.0) AS lm_nll,
+       CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams
+FROM d LEFT JOIN pd USING (doc_id)"""
 
     sqls["sample_stratified"] = f"""
 WITH h AS (

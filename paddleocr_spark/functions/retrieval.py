@@ -138,6 +138,55 @@ def tfidf_terms(spark: SparkSession, sf_dir: str,
             .select("doc_id", "rank", "term", "tfidf"))
 
 
+def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-one bigram LM score per document — the
+    perplexity-bucketing move of CCNet-style quality filtering, with the
+    corpus itself as the training set (no external model, so the whole
+    op is closed-form and engine-replayable).
+
+    P(w|v) = (c(v w) + 1) / (c(v·) + V) with V = |vocabulary|;
+    score = −mean ln P over the document's bigram positions (lower =
+    more predictable = more fluent/boilerplate; the filter consumes the
+    distribution's tails). Docs with <2 words carry score 0.0 and
+    n_bigrams 0.
+
+    Scale shape: the LM "model" is two aggregates over one exploded
+    pass (map-side combinable); scoring joins each bigram position
+    against the bigram-count table on its key — at web scale that table
+    is its own artifact (like the dedup band table) bucketed by bigram,
+    and the join co-locates; V and the unigram table ride broadcasts.
+    No Python, no windows; the per-doc mean is one hash agg.
+    """
+    d = _doc_words(spark, sf_dir)
+    uni = (d.select(F.explode("w").alias("v"))
+           .groupBy("v").agg(F.count("*").cast("double").alias("cv")))
+    vocab = uni.agg(F.count("*").cast("double").alias("vsize"))
+    bi = (d.where(F.expr("size(w) >= 2"))
+          .select("doc_id", F.explode(F.expr(
+              "transform(sequence(1, size(w) - 1), "
+              "i -> struct(w[i - 1] AS v, w[i] AS u))")).alias("p"))
+          .select("doc_id", F.col("p.v").alias("v"),
+                  F.col("p.u").alias("u")))
+    big = bi.groupBy("v", "u").agg(
+        F.count("*").cast("double").alias("cvu"))
+    scored = (bi.join(big, ["v", "u"])
+              .join(F.broadcast(uni), "v")
+              .join(F.broadcast(vocab))
+              .select("doc_id",
+                      (-F.log((F.col("cvu") + 1.0)
+                              / (F.col("cv") + F.col("vsize"))))
+                      .alias("nll")))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.round(F.avg("nll"), 4).alias("lm_nll"),
+        F.count("*").cast("long").alias("n_bigrams"))
+    all_docs = d.select("doc_id")
+    return (all_docs.join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("lm_nll", F.lit(0.0)).alias("lm_nll"),
+                    F.coalesce("n_bigrams", F.lit(0))
+                    .cast("long").alias("n_bigrams")))
+
+
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-threshold sample, stratified by language.
 
