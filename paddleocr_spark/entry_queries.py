@@ -46,6 +46,7 @@ from pyspark.sql.window import Window
 from . import geometry as G
 from . import synth as S
 from .functions import clustering as CL
+from .functions import curation as CU
 from .functions import dedup as D
 from .functions import retrieval as R
 from .functions import similarity as SIM
@@ -2111,6 +2112,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": R.inverted_index,
         "lm_score": R.lm_score,
         "sample_stratified": R.sample_stratified,
+        "decontaminate": CU.decontaminate,
+        "dsir_weights": CU.dsir_weights,
+        "pack_shards": CU.pack_shards,
         "layout_preprocess": q_layout_preprocess,      # fixture oracle
         "grapheme_compose_label": q_grapheme_compose_label,
         "grapheme_compose": q_grapheme_compose,
@@ -4693,6 +4697,88 @@ WITH h AS (
 )
 SELECT doc_id, lang, hkey FROM h
 WHERE hkey < '{R.SAMPLE_THRESHOLD_HEX}'"""
+
+    _cn = CU.DECON_N
+    sqls["decontaminate"] = f"""
+WITH d AS (
+    SELECT doc_id, {_WORDS} AS w,
+           substr(md5('decon|' || CAST(doc_id AS VARCHAR)), 1, 8)
+               < '{CU.DECON_SPLIT_HEX}' AS is_eval
+    FROM documents
+), g AS (
+    SELECT doc_id, is_eval,
+           md5(array_to_string(w[i:i + {_cn - 1}], ' ')) AS gkey
+    FROM (SELECT doc_id, is_eval, w,
+                 unnest(generate_series(1, len(w) - {_cn - 1})) AS i
+          FROM d WHERE len(w) >= {_cn})
+), ev AS (
+    SELECT DISTINCT gkey FROM g WHERE is_eval
+), co AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contam
+    FROM g WHERE NOT is_eval AND gkey IN (SELECT gkey FROM ev)
+    GROUP BY doc_id
+), tot AS (
+    SELECT doc_id,
+           CAST(greatest(len(w) - {_cn - 1}, 0) AS BIGINT) AS n_grams
+    FROM d WHERE NOT is_eval
+)
+SELECT t.doc_id, t.n_grams,
+       CAST(coalesce(co.n_contam, 0) AS BIGINT) AS n_contam,
+       round(CASE WHEN t.n_grams > 0
+                  THEN coalesce(co.n_contam, 0)
+                       / CAST(t.n_grams AS DOUBLE)
+                  ELSE 0.0 END, 4) + 0 AS contam_frac,
+       (CASE WHEN t.n_grams > 0
+             THEN coalesce(co.n_contam, 0) / CAST(t.n_grams AS DOUBLE)
+             ELSE 0.0 END) >= {CU.DECON_FLAG_FRAC} AS flagged
+FROM tot t LEFT JOIN co USING (doc_id)"""
+
+    sqls["dsir_weights"] = f"""
+WITH d AS (
+    SELECT doc_id, lang, {_WORDS} AS w FROM documents
+), tok AS (
+    SELECT doc_id, lang, unnest(w) AS v FROM d
+), raw AS (
+    SELECT v, CAST(count(*) AS DOUBLE) AS cr FROM tok GROUP BY v
+), tgt AS (
+    SELECT v, CAST(count(*) AS DOUBLE) AS ct
+    FROM tok WHERE lang = '{CU.DSIR_TARGET_LANG}' GROUP BY v
+), stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS vsize, sum(cr) AS nr FROM raw
+), tstats AS (
+    SELECT coalesce(sum(ct), 0.0) AS nt FROM tgt
+), ratios AS (
+    SELECT v, ln((coalesce(ct, 0.0) + 1.0) / (nt + vsize))
+              - ln((cr + 1.0) / (nr + vsize)) AS lr
+    FROM raw LEFT JOIN tgt USING (v)
+    CROSS JOIN stats CROSS JOIN tstats
+), pd AS (
+    SELECT doc_id, round(avg(lr), 4) + 0 AS dsir_logratio,
+           CAST(count(*) AS BIGINT) AS n_words
+    FROM tok JOIN ratios USING (v) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(pd.dsir_logratio, 0.0) AS dsir_logratio,
+       CAST(coalesce(pd.n_words, 0) AS BIGINT) AS n_words
+FROM d LEFT JOIN pd USING (doc_id)"""
+
+    sqls["pack_shards"] = f"""
+WITH d AS (
+    SELECT doc_id, source,
+           CAST(len({_WORDS}) AS BIGINT) AS n_words
+    FROM documents
+), c AS (
+    SELECT doc_id, source, n_words,
+           sum(n_words) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+    FROM d
+)
+SELECT doc_id, source, n_words,
+       CAST((cum - n_words) // {CU.SHARD_BUDGET_WORDS} AS BIGINT)
+           AS shard_id,
+       CAST((cum - n_words) % {CU.SHARD_BUDGET_WORDS} AS BIGINT)
+           AS shard_offset
+FROM c"""
 
     sqls["inverted_index"] = f"""
 WITH p AS (
