@@ -64,7 +64,17 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_docs": _retrieval("dup_span_docs"),
         "kmeans_assign": _clustering_kmeans,
         "east_crop": _entry("q_east_crop"),
+        # round-4 curation wave: LM scoring + decontamination
+        "lm_score": _retrieval("lm_score"),
+        "decontaminate": _curation("decontaminate"),
     }
+
+
+def _curation(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from . import curation
+        return getattr(curation, name)(spark, sf_dir)
+    return run
 
 
 def _retrieval(name: str) -> Callable[[SparkSession, str], DataFrame]:

@@ -28,6 +28,8 @@ REPRESENTATIVE = [
     "lmdb_scan",               # mapInPandas per-env fan-out
     "shrink_map",              # grouped raster kernel
     "rec_ensemble",            # window + struct max aggregation
+    "pack_shards",             # running-sum window shard cut
+    "lm_score",                # self-join on the bigram count table
 ]
 
 
