@@ -2115,6 +2115,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": CU.decontaminate,
         "dsir_weights": CU.dsir_weights,
         "pack_shards": CU.pack_shards,
+        "adaptive_quality_filter": CU.adaptive_quality_filter,
         "layout_preprocess": q_layout_preprocess,      # fixture oracle
         "grapheme_compose_label": q_grapheme_compose_label,
         "grapheme_compose": q_grapheme_compose,
@@ -2813,6 +2814,24 @@ SELECT doc_id, round(mean_wl, 4) + 0 AS mean_word_len,
              + 0.2 * (1.0 - least(pr * 5.0, 1.0))
              + 0.2 * least(sr * 10.0, 1.0), 4) + 0 AS quality
 FROM r"""
+
+    sqls["adaptive_quality_filter"] = f"""
+WITH q AS ({sqls["quality_score"]}
+), j AS (
+    SELECT d.doc_id, d.lang, q.quality
+    FROM documents d JOIN q USING (doc_id)
+), rk AS (
+    SELECT *, row_number() OVER (PARTITION BY lang
+                                 ORDER BY quality, doc_id) AS rk,
+           count(*) OVER (PARTITION BY lang) AS n_docs
+    FROM j
+), thr AS (
+    SELECT lang, quality AS lang_p10 FROM rk
+    WHERE rk = (n_docs + 9) // 10
+)
+SELECT j.doc_id, j.lang, j.quality, thr.lang_p10,
+       j.quality >= thr.lang_p10 AS kept
+FROM j JOIN thr USING (lang)"""
 
     sqls["fingerprint"] = f"""
 WITH w AS (SELECT doc_id, text, {_WORDS} AS w FROM documents)

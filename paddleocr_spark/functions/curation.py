@@ -157,6 +157,45 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("long").alias("n_words")))
 
 
+def adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive quality filtering (decile-threshold form).
+
+    A fixed global quality cutoff over-filters whichever language the
+    heuristics are worst calibrated for, so curation pipelines set the
+    cutoff PER FACET: here each language keeps documents scoring at or
+    above its own 10th-percentile quality. The threshold is an exact
+    order statistic — the value at integer rank ceil(n/10) under the
+    total order (quality, doc_id) — computed with pure integer
+    arithmetic (``(n + 9) DIV 10``), so there are no interpolation
+    semantics to disagree about across engines.
+
+    Emits every document with its language, 4dp quality, the language's
+    threshold, and the keep decision.
+
+    Scale shape: one row_number window partitioned by lang (the natural
+    facet partition; an exact per-facet order statistic requires a
+    per-facet sort — at 10^12 docs you'd swap in a mergeable quantile
+    sketch and accept approximation, which this exact form degrades to
+    gracefully since only the threshold row changes); the per-lang
+    threshold table is facet-sized and broadcasts back into the
+    per-doc decision join.
+    """
+    from .textfns import quality_score
+
+    qs = quality_score(spark, sf_dir).select("doc_id", "quality")
+    d = (docs_table(spark, sf_dir).select("doc_id", "lang")
+         .join(qs, "doc_id"))
+    win = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    ranked = (d.withColumn("rk", F.row_number().over(win))
+              .withColumn("n_docs",
+                          F.count("*").over(Window.partitionBy("lang"))))
+    thr = (ranked.where(F.expr("rk = (n_docs + 9) DIV 10"))
+           .select("lang", F.col("quality").alias("lang_p10")))
+    return (d.join(F.broadcast(thr), "lang")
+            .select("doc_id", "lang", "quality", "lang_p10",
+                    (F.col("quality") >= F.col("lang_p10")).alias("kept")))
+
+
 def pack_shards(spark: SparkSession, sf_dir: str,
                 budget: int = SHARD_BUDGET_WORDS) -> DataFrame:
     """Deterministic per-source token-budget shard assignment.

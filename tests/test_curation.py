@@ -96,6 +96,35 @@ def test_dsir_weights_match_plain_python(spark):
     assert sum(t) / len(t) > sum(o) / len(o)
 
 
+def test_adaptive_quality_filter_matches_plain_python(spark):
+    from paddleocr_spark.functions.curation import adaptive_quality_filter
+    from paddleocr_spark.functions.textfns import quality_score
+
+    quality = {r["doc_id"]: r["quality"]
+               for r in quality_score(spark, SF).collect()}
+    rows = _rows()
+    by_lang: dict[str, list[int]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    thr = {}
+    for lang, ids in by_lang.items():
+        ordered = sorted(ids, key=lambda d: (quality[d], d))
+        thr[lang] = quality[ordered[(len(ordered) + 9) // 10 - 1]]
+    want = {r["doc_id"]: (r["lang"], quality[r["doc_id"]], thr[r["lang"]],
+                          quality[r["doc_id"]] >= thr[r["lang"]])
+            for r in rows}
+    got = {r["doc_id"]: (r["lang"], r["quality"], r["lang_p10"], r["kept"])
+           for r in adaptive_quality_filter(spark, SF).collect()}
+    assert got == want
+    # the filter must actually cut overall, and every language must keep
+    # at least ~85% (a p10 cut can drop slightly more than 10% only via
+    # threshold ties)
+    for lang, ids in by_lang.items():
+        kept = sum(want[d][3] for d in ids)
+        assert kept >= int(0.85 * len(ids))
+    assert any(not v[3] for v in want.values())
+
+
 def test_pack_shards_matches_plain_python(spark):
     rows = _rows()
     by_src: dict[str, list[dict]] = {}
