@@ -2116,6 +2116,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": CU.dsir_weights,
         "pack_shards": CU.pack_shards,
         "adaptive_quality_filter": CU.adaptive_quality_filter,
+        "line_dedup": CU.line_dedup,
+        "blocklist_filter": CU.blocklist_filter,
+        "pii_redact": CU.pii_redact,
+        "sampling_temperature": CU.sampling_temperature,
+        "ccnet_buckets": CU.ccnet_buckets,
         "layout_preprocess": q_layout_preprocess,      # fixture oracle
         "grapheme_compose_label": q_grapheme_compose_label,
         "grapheme_compose": q_grapheme_compose,
@@ -2832,6 +2837,88 @@ WITH q AS ({sqls["quality_score"]}
 SELECT j.doc_id, j.lang, j.quality, thr.lang_p10,
        j.quality >= thr.lang_p10 AS kept
 FROM j JOIN thr USING (lang)"""
+
+    _lw = CU.LINE_WIDTH_WORDS
+    sqls["line_dedup"] = f"""
+WITH d AS (SELECT doc_id, {_WORDS} AS w FROM documents
+), c AS (
+    SELECT doc_id,
+           md5(array_to_string(w[(i - 1) * {_lw} + 1:i * {_lw}], ' ')) AS ck
+    FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) // {_lw})) AS i
+          FROM d WHERE len(w) >= {_lw})
+), fr AS (
+    SELECT ck, count(DISTINCT doc_id) AS ndocs FROM c GROUP BY ck
+), pd AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_lines
+    FROM c JOIN fr USING (ck) GROUP BY doc_id
+), j AS (
+    SELECT d.doc_id,
+           CAST(coalesce(pd.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(pd.n_dup_lines, 0) AS BIGINT) AS n_dup_lines,
+           coalesce(round(pd.n_dup_lines / CAST(pd.n_lines AS DOUBLE), 4),
+                    0.0) + 0 AS dup_frac
+    FROM d LEFT JOIN pd USING (doc_id)
+)
+SELECT doc_id, n_lines, n_dup_lines, dup_frac,
+       dup_frac < {CU.LINE_DUP_DROP_FRAC} AS kept
+FROM j"""
+
+    _bl = " OR ".join(f"x = '{b}'" for b in CU.BLOCKLIST)
+    sqls["blocklist_filter"] = f"""
+WITH d AS (SELECT doc_id, {_WORDS} AS w FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(w, x -> {_bl})) AS BIGINT) AS n_blocked,
+       len(list_filter(w, x -> {_bl})) = 0 AS kept
+FROM d"""
+
+    sqls["pii_redact"] = f"""
+WITH p0 AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN text
+                    || ' contact doc' || CAST(doc_id AS VARCHAR)
+                    || '@example.com'
+                    || ' +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' 10.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                WHEN doc_id % 3 = 1 THEN text
+                    || ' mail doc' || CAST(doc_id AS VARCHAR)
+                    || '@example.com'
+                ELSE text END AS t0
+    FROM documents
+), p1 AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t0, '{CU.PII_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           regexp_replace(t0, '{CU.PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+    FROM p0
+), p2 AS (
+    SELECT doc_id, n_emails,
+           CAST(len(regexp_extract_all(t1, '{CU.PII_PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+           regexp_replace(t1, '{CU.PII_PHONE_RE}', '<PHONE>', 'g') AS t2
+    FROM p1
+)
+SELECT doc_id, n_emails, n_phones,
+       CAST(len(regexp_extract_all(t2, '{CU.PII_IP_RE}')) AS BIGINT) AS n_ips,
+       regexp_replace(t2, '{CU.PII_IP_RE}', '<IP>', 'g') AS redacted
+FROM p2"""
+
+    sqls["sampling_temperature"] = f"""
+WITH pl AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({_WORDS})) AS BIGINT) AS n_words
+    FROM documents GROUP BY lang
+), t AS (SELECT CAST(sum(n_words) AS DOUBLE) AS tw FROM pl
+), p AS (SELECT pl.*, n_words / tw AS p_raw FROM pl CROSS JOIN t
+), z AS (SELECT sum(power(p_raw, {CU.SAMPLING_ALPHA})) AS z FROM p)
+SELECT lang, n_docs, n_words,
+       round(p_raw, 4) + 0 AS share_raw,
+       round(power(p_raw, {CU.SAMPLING_ALPHA}) / z, 4) + 0 AS share_alpha,
+       round(power(p_raw, {CU.SAMPLING_ALPHA}) / z / p_raw, 4) + 0 AS boost
+FROM p CROSS JOIN z"""
 
     sqls["fingerprint"] = f"""
 WITH w AS (SELECT doc_id, text, {_WORDS} AS w FROM documents)
@@ -4706,6 +4793,22 @@ WITH d AS (
 SELECT d.doc_id, coalesce(pd.lm_nll, 0.0) AS lm_nll,
        CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams
 FROM d LEFT JOIN pd USING (doc_id)"""
+
+    sqls["ccnet_buckets"] = f"""
+WITH lm AS ({sqls["lm_score"]}
+), rk AS (
+    SELECT *, row_number() OVER (ORDER BY lm_nll, doc_id) AS rk,
+           count(*) OVER () AS n
+    FROM lm
+), thr AS (
+    SELECT min(lm_nll) AS t1, max(lm_nll) AS t2 FROM rk
+    WHERE rk = (n + 2) // 3 OR rk = (2 * n + 2) // 3
+)
+SELECT lm.doc_id, lm.lm_nll,
+       CASE WHEN lm.lm_nll <= thr.t1 THEN 'head'
+            WHEN lm.lm_nll <= thr.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM lm CROSS JOIN thr"""
 
     sqls["sample_stratified"] = f"""
 WITH h AS (

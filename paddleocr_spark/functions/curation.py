@@ -64,6 +64,28 @@ DSIR_TARGET_LANG = "zh"
 #: Shard packing budget in whitespace words.
 SHARD_BUDGET_WORDS = 256
 
+#: Line-dedup "line" width in words (the corpus carries no newlines, so
+#: non-overlapping word chunks stand in for lines), and the duplicated-
+#: line fraction at which a document is dropped (RefinedWeb uses 0.3 on
+#: duplicate-line character share; we use the position share).
+LINE_WIDTH_WORDS = 8
+LINE_DUP_DROP_FRAC = 0.3
+
+#: Blocklist for the C4-style badword filter. ``dup`` is the corpus's
+#: planted near-duplicate marker token; the other two never occur (the
+#: realistic regime — a blocklist mostly doesn't fire).
+BLOCKLIST = ("dup", "unsafe", "explicit")
+
+#: Multilingual sampling temperature (XLM-R's alpha = 0.3).
+SAMPLING_ALPHA = 0.3
+
+#: PII masking patterns — kept Java-regex / RE2 portable (no
+#: lookarounds, no \b, no unicode classes) so the Spark query and the
+#: DuckDB oracle compile the same automaton.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\+1-[0-9]{3}-[0-9]{4}"
+PII_IP_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
 
 def _with_eval_split(d: DataFrame) -> DataFrame:
     """Tag each doc with its deterministic train/eval split membership."""
@@ -218,3 +240,193 @@ def pack_shards(spark: SparkSession, sf_dir: str,
         "doc_id", "source", "n_words",
         F.floor(start / budget).cast("long").alias("shard_id"),
         (start % budget).cast("long").alias("shard_offset"))
+
+
+def line_dedup(spark: SparkSession, sf_dir: str,
+               width: int = LINE_WIDTH_WORDS) -> DataFrame:
+    """Corpus-wide duplicated-line removal stats (RefinedWeb-style).
+
+    Web curation pipelines drop documents dominated by lines that repeat
+    across the corpus (navigation chrome, boilerplate footers). The
+    corpus text carries no newlines, so a "line" is a non-overlapping
+    ``width``-word chunk starting at word 1; a line is *duplicated* when
+    its md5 digest occurs in >= 2 distinct documents. Every document is
+    emitted with its full-chunk count, duplicated-chunk count, the
+    duplicated fraction (4dp), and the keep decision
+    (dup_frac < ``LINE_DUP_DROP_FRAC``). Docs shorter than one chunk
+    carry 0/0/0.0/kept.
+
+    On this corpus the dropped set is exactly the planted near-duplicate
+    families (their shared runs are chunk-aligned), which is the leak
+    class the filter exists for.
+
+    Scale shape: chunks travel as 16-byte digests, never text; the
+    line-frequency table is one map-side-combinable distinct-count
+    aggregate on the digest, and the per-doc score joins chunk positions
+    back on the same digest key (co-partitioning equi-join — the digest
+    table is the build-once boilerplate index at 10^12 docs, same
+    artifact pattern as the dedup band table). No windows, no Python,
+    no driver actions.
+    """
+    d = _doc_words(spark, sf_dir)
+    chunks = (d.where(F.expr(f"size(w) >= {width}"))
+              .select("doc_id", F.explode(F.expr(
+                  f"transform(sequence(1, size(w) DIV {width}), "
+                  f"i -> md5(array_join(slice(w, (i - 1) * {width} + 1, "
+                  f"{width}), ' ')))")).alias("ck")))
+    freq = chunks.groupBy("ck").agg(
+        F.count_distinct("doc_id").alias("ndocs"))
+    per_doc = (chunks.join(freq, "ck")
+               .groupBy("doc_id")
+               .agg(F.count("*").cast("long").alias("n_lines"),
+                    F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+                    .cast("long").alias("n_dup_lines")))
+    frac = F.round(F.col("n_dup_lines") / F.col("n_lines"), 4)
+    return (d.select("doc_id").join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_lines", F.lit(0)).cast("long")
+                    .alias("n_lines"),
+                    F.coalesce("n_dup_lines", F.lit(0)).cast("long")
+                    .alias("n_dup_lines"),
+                    F.coalesce(frac, F.lit(0.0)).alias("dup_frac"))
+            .withColumn("kept", F.col("dup_frac") < LINE_DUP_DROP_FRAC))
+
+
+def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style word-blocklist filter.
+
+    A document is dropped when any whitespace token equals a blocklist
+    entry (C4's "bad words" pass; list in ``BLOCKLIST``). Emits every
+    document with the blocked-position count and the keep decision.
+
+    Scale shape: a pure higher-order-function scan predicate — no
+    explode, no join, no shuffle beyond the scan itself; at 10^12 docs
+    this is the canonical embarrassingly-parallel filter and the
+    blocklist (real ones are ~10^3 entries) compiles into the row
+    predicate or rides a broadcast.
+    """
+    pred = " OR ".join(f"x = '{b}'" for b in BLOCKLIST)
+    return (docs_table(spark, sf_dir)
+            .select("doc_id",
+                    F.expr(
+                        f"size(filter(filter(split(lower(text), ' '), "
+                        f"w -> w != ''), x -> {pred}))")
+                    .cast("long").alias("n_blocked"))
+            .withColumn("kept", F.col("n_blocked") == 0))
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking pass (emails / phone numbers / IPv4 literals).
+
+    The synthetic corpus carries no PII, so the op first plants a
+    deterministic doc_id-derived contact line — all three kinds when
+    doc_id % 3 == 0, email only when % 3 == 1, none when % 3 == 2 (the
+    realistic regime: most documents are clean) — then counts and masks
+    each kind with the portable patterns in ``PII_*_RE``, in the order
+    email -> phone -> IPv4 (emails are masked before the IPv4 pass so a
+    dotted domain can never be half-eaten by the address rule). Emits
+    per-kind counts and the redacted text.
+
+    Scale shape: stateless per-row regexp_replace chain — whole-stage
+    codegen, no shuffle, no Python; the regexes are the C4/CCNet
+    redaction shapes and RE2-safe (linear-time scan, no backtracking
+    blowup on adversarial rows).
+    """
+    planted = F.expr(
+        "CASE WHEN doc_id % 3 = 0 THEN concat(text, "
+        "  ' contact doc', cast(doc_id AS string), '@example.com', "
+        "  ' +1-555-', lpad(cast(doc_id % 10000 AS string), 4, '0'), "
+        "  ' 10.', cast(doc_id % 256 AS string), '.0.', "
+        "  cast((doc_id * 7) % 256 AS string)) "
+        "WHEN doc_id % 3 = 1 THEN concat(text, "
+        "  ' mail doc', cast(doc_id AS string), '@example.com') "
+        "ELSE text END")
+    d = docs_table(spark, sf_dir).select("doc_id",
+                                         planted.alias("t0"))
+    n = lambda c, p: F.size(F.regexp_extract_all(c, F.lit(p), F.lit(0))) \
+        .cast("long")
+    masked = (d
+              .withColumn("n_emails", n(F.col("t0"), PII_EMAIL_RE))
+              .withColumn("t1", F.regexp_replace(
+                  "t0", PII_EMAIL_RE, "<EMAIL>"))
+              .withColumn("n_phones", n(F.col("t1"), PII_PHONE_RE))
+              .withColumn("t2", F.regexp_replace(
+                  "t1", PII_PHONE_RE, "<PHONE>"))
+              .withColumn("n_ips", n(F.col("t2"), PII_IP_RE))
+              .withColumn("redacted", F.regexp_replace(
+                  "t2", PII_IP_RE, "<IP>")))
+    return masked.select("doc_id", "n_emails", "n_phones", "n_ips",
+                         "redacted")
+
+
+def sampling_temperature(spark: SparkSession, sf_dir: str,
+                         alpha: float = SAMPLING_ALPHA) -> DataFrame:
+    """Per-language temperature-resampled corpus shares (XLM-R alpha).
+
+    Multilingual pretraining reweights languages by
+    q_l = p_l^alpha / sum_m p_m^alpha over raw word shares p_l, which
+    up-samples the tail languages (alpha = 0.3 in XLM-R / mBERT-style
+    recipes). Emits one row per language: doc and word counts, the raw
+    share, the resampled share, and the boost factor q/p a sampler
+    applies to that language's documents (all 4dp).
+
+    Scale shape: one map-side-combinable groupBy(lang) over the scan;
+    the language table is facet-sized, so the normalization is a
+    1-row-broadcast aggregate over it — nothing here grows with the
+    corpus except the first aggregate's input.
+    """
+    per_lang = (docs_table(spark, sf_dir)
+                .select("lang", F.expr(
+                    "size(filter(split(lower(text), ' '), w -> w != ''))")
+                    .cast("long").alias("nw"))
+                .groupBy("lang")
+                .agg(F.count("*").cast("long").alias("n_docs"),
+                     F.sum("nw").cast("long").alias("n_words")))
+    tot = per_lang.agg(F.sum("n_words").cast("double").alias("tw"))
+    p = per_lang.join(F.broadcast(tot)).withColumn(
+        "p_raw", F.col("n_words") / F.col("tw"))
+    z = p.agg(F.sum(F.pow("p_raw", F.lit(alpha))).alias("z"))
+    return (p.join(F.broadcast(z))
+            .select("lang", "n_docs", "n_words",
+                    F.round("p_raw", 4).alias("share_raw"),
+                    F.round(F.pow("p_raw", F.lit(alpha)) / F.col("z"), 4)
+                    .alias("share_alpha"),
+                    F.round(F.pow("p_raw", F.lit(alpha)) / F.col("z")
+                            / F.col("p_raw"), 4).alias("boost")))
+
+
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing of the bigram LM score.
+
+    CCNet splits each language's corpus into head / middle / tail
+    terciles by LM perplexity and trains preferentially on the head.
+    Buckets here come from two exact order statistics over the
+    (lm_nll, doc_id) total order — the values at integer ranks
+    ceil(n/3) and ceil(2n/3) — and a document's bucket is a plain
+    comparison of its (4dp) score against those two thresholds, so ties
+    at a threshold all land in the lower bucket and the cut is
+    engine-portable (no ntile remainder semantics to match).
+
+    Scale shape: the per-doc score is :func:`lm_score` (no windows);
+    only the two threshold VALUES need a rank, computed here with one
+    global row_number — the honest seam at 10^12 docs, where you'd swap
+    in a mergeable quantile sketch (t-digest / percentile_approx) for
+    the two cutpoints and keep everything else identical. The bucketing
+    join is a 1-row broadcast.
+    """
+    from .retrieval import lm_score
+
+    lm = lm_score(spark, sf_dir)
+    ranked = (lm.withColumn("rk", F.row_number().over(
+                  Window.orderBy("lm_nll", "doc_id")))
+              .withColumn("n", F.count("*").over(
+                  Window.partitionBy())))
+    thr = (ranked.where(F.expr("rk = (n + 2) DIV 3 "
+                               "OR rk = (2 * n + 2) DIV 3"))
+           .agg(F.min("lm_nll").alias("t1"),
+                F.max("lm_nll").alias("t2")))
+    return (lm.join(F.broadcast(thr))
+            .select("doc_id", "lm_nll",
+                    F.when(F.col("lm_nll") <= F.col("t1"), "head")
+                    .when(F.col("lm_nll") <= F.col("t2"), "middle")
+                    .otherwise("tail").alias("bucket")))

@@ -146,3 +146,133 @@ def test_pack_shards_matches_plain_python(spark):
     # shard STARTS past its budget (overhang is bounded by one doc)
     assert max(s for _, _, s, _ in want.values()) >= 1
     assert all(off < SHARD_BUDGET_WORDS for *_, off in want.values())
+
+
+def test_line_dedup_matches_plain_python(spark):
+    from paddleocr_spark.functions.curation import (LINE_DUP_DROP_FRAC,
+                                                    LINE_WIDTH_WORDS,
+                                                    line_dedup)
+    W = LINE_WIDTH_WORDS
+    rows = _rows()
+    chunk_docs: dict[str, set[int]] = {}
+    per_doc: dict[int, list[str]] = {}
+    for r in rows:
+        cks = [hashlib.md5(" ".join(r["w"][i * W:(i + 1) * W]).encode())
+               .hexdigest() for i in range(len(r["w"]) // W)]
+        per_doc[r["doc_id"]] = cks
+        for c in cks:
+            chunk_docs.setdefault(c, set()).add(r["doc_id"])
+    want = {}
+    for d, cks in per_doc.items():
+        dup = sum(1 for c in cks if len(chunk_docs[c]) >= 2)
+        frac = round(dup / len(cks), 4) if cks else 0.0
+        want[d] = (len(cks), dup, frac, frac < LINE_DUP_DROP_FRAC)
+    got = {r["doc_id"]: (r["n_lines"], r["n_dup_lines"], r["dup_frac"],
+                         r["kept"])
+           for r in line_dedup(spark, SF).collect()}
+    assert got == want
+    dropped = [d for d, v in want.items() if not v[3]]
+    assert dropped, "the planted near-dup families must trip the filter"
+    assert len(dropped) < len(rows) // 2
+
+
+def test_blocklist_filter_matches_plain_python(spark):
+    from paddleocr_spark.functions.curation import (BLOCKLIST,
+                                                    blocklist_filter)
+    rows = _rows()
+    want = {r["doc_id"]:
+            (sum(1 for w in r["w"] if w in BLOCKLIST),)
+            for r in rows}
+    got = {r["doc_id"]: (r["n_blocked"],)
+           for r in blocklist_filter(spark, SF).collect()}
+    assert got == want
+    flagged = sum(1 for v in want.values() if v[0] > 0)
+    assert 0 < flagged < len(rows) // 2
+
+
+def test_pii_redact_plants_and_masks(spark):
+    import re
+    from paddleocr_spark.functions.curation import (PII_EMAIL_RE,
+                                                    PII_IP_RE, PII_PHONE_RE,
+                                                    pii_redact)
+    got = {r["doc_id"]: r for r in pii_redact(spark, SF).collect()}
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    for d, x in zip(t.column("doc_id").to_pylist(),
+                    t.column("text").to_pylist()):
+        d = int(d)
+        if d % 3 == 0:
+            t0 = (f"{x} contact doc{d}@example.com +1-555-{d % 10000:04d}"
+                  f" 10.{d % 256}.0.{(d * 7) % 256}")
+        elif d % 3 == 1:
+            t0 = f"{x} mail doc{d}@example.com"
+        else:
+            t0 = str(x)
+        n_em = len(re.findall(PII_EMAIL_RE, t0))
+        t1 = re.sub(PII_EMAIL_RE, "<EMAIL>", t0)
+        n_ph = len(re.findall(PII_PHONE_RE, t1))
+        t2 = re.sub(PII_PHONE_RE, "<PHONE>", t1)
+        n_ip = len(re.findall(PII_IP_RE, t2))
+        red = re.sub(PII_IP_RE, "<IP>", t2)
+        g = got[d]
+        assert (g["n_emails"], g["n_phones"], g["n_ips"]) == (
+            n_em, n_ph, n_ip), d
+        assert g["redacted"] == red, d
+        if d % 3 == 0:
+            assert n_em >= 1 and n_ph >= 1 and n_ip >= 1
+            for tok in ("<EMAIL>", "<PHONE>", "<IP>"):
+                assert tok in g["redacted"]
+        elif d % 3 == 1:
+            assert n_em >= 1 and "<EMAIL>" in g["redacted"]
+        else:
+            assert (n_em, n_ph, n_ip) == (0, 0, 0)
+            assert g["redacted"] == t0
+
+
+def test_sampling_temperature_matches_plain_python(spark):
+    from paddleocr_spark.functions.curation import (SAMPLING_ALPHA,
+                                                    sampling_temperature)
+    rows = _rows()
+    nd: dict[str, int] = {}
+    nw: dict[str, int] = {}
+    for r in rows:
+        nd[r["lang"]] = nd.get(r["lang"], 0) + 1
+        nw[r["lang"]] = nw.get(r["lang"], 0) + len(r["w"])
+    tw = float(sum(nw.values()))
+    p = {la: n / tw for la, n in nw.items()}
+    z = sum(v ** SAMPLING_ALPHA for v in p.values())
+    want = {la: (nd[la], nw[la], round(p[la], 4),
+                 round(p[la] ** SAMPLING_ALPHA / z, 4),
+                 round(p[la] ** SAMPLING_ALPHA / z / p[la], 4))
+            for la in nw}
+    got = {r["lang"]: (r["n_docs"], r["n_words"], r["share_raw"],
+                       r["share_alpha"], r["boost"])
+           for r in sampling_temperature(spark, SF).collect()}
+    assert got == want
+    # alpha < 1 compresses shares: the biggest language is down-weighted,
+    # the smallest is up-weighted
+    big = max(p, key=lambda la: p[la])
+    small = min(p, key=lambda la: p[la])
+    assert got[big][4] < 1.0 < got[small][4]
+
+
+def test_ccnet_buckets_matches_plain_python(spark):
+    from paddleocr_spark.functions.curation import ccnet_buckets
+    from paddleocr_spark.functions.retrieval import lm_score
+
+    lm = {r["doc_id"]: r["lm_nll"] for r in lm_score(spark, SF).collect()}
+    order = sorted(lm, key=lambda d: (lm[d], d))
+    n = len(order)
+    t1 = lm[order[(n + 2) // 3 - 1]]
+    t2 = lm[order[(2 * n + 2) // 3 - 1]]
+    want = {d: (lm[d], "head" if lm[d] <= t1
+                else "middle" if lm[d] <= t2 else "tail")
+            for d in lm}
+    got = {r["doc_id"]: (r["lm_nll"], r["bucket"])
+           for r in ccnet_buckets(spark, SF).collect()}
+    assert got == want
+    counts = {b: sum(1 for v in want.values() if v[1] == b)
+              for b in ("head", "middle", "tail")}
+    assert all(c > 0 for c in counts.values())
+    # tercile cuts can only drift from n/3 via score ties at a threshold
+    assert counts["head"] >= n // 4 and counts["tail"] >= n // 5
