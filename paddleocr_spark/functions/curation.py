@@ -382,17 +382,22 @@ def sampling_temperature(spark: SparkSession, sf_dir: str,
                 .groupBy("lang")
                 .agg(F.count("*").cast("long").alias("n_docs"),
                      F.sum("nw").cast("long").alias("n_words")))
-    tot = per_lang.agg(F.sum("n_words").cast("double").alias("tw"))
-    p = per_lang.join(F.broadcast(tot)).withColumn(
-        "p_raw", F.col("n_words") / F.col("tw"))
-    z = p.agg(F.sum(F.pow("p_raw", F.lit(alpha))).alias("z"))
-    return (p.join(F.broadcast(z))
-            .select("lang", "n_docs", "n_words",
-                    F.round("p_raw", 4).alias("share_raw"),
-                    F.round(F.pow("p_raw", F.lit(alpha)) / F.col("z"), 4)
-                    .alias("share_alpha"),
-                    F.round(F.pow("p_raw", F.lit(alpha)) / F.col("z")
-                            / F.col("p_raw"), 4).alias("boost")))
+    # The normalizers are whole-table aggregates over the FACET-sized
+    # result, so they ride two unbounded windows on the (tiny) single
+    # partition instead of separate agg branches — one corpus scan
+    # total, not four (a re-used DataFrame re-executes its subtree).
+    whole = Window.partitionBy()
+    p = (per_lang
+         .withColumn("p_raw", F.col("n_words")
+                     / F.sum(F.col("n_words").cast("double")).over(whole))
+         .withColumn("z", F.sum(F.pow("p_raw", F.lit(alpha))).over(whole)))
+    return p.select(
+        "lang", "n_docs", "n_words",
+        F.round("p_raw", 4).alias("share_raw"),
+        F.round(F.pow("p_raw", F.lit(alpha)) / F.col("z"), 4)
+        .alias("share_alpha"),
+        F.round(F.pow("p_raw", F.lit(alpha)) / F.col("z")
+                / F.col("p_raw"), 4).alias("boost"))
 
 
 def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,17 +421,24 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .retrieval import lm_score
 
-    lm = lm_score(spark, sf_dir)
-    ranked = (lm.withColumn("rk", F.row_number().over(
+    # rk/n and the two threshold values all live on the same global
+    # single-partition window, so deriving t1/t2 as window aggregates
+    # (instead of a separate agg branch joined back) keeps lm_score's
+    # subtree computed ONCE — a re-used DataFrame re-executes its whole
+    # lineage, which at corpus scale would double the LM training pass.
+    whole = Window.partitionBy()
+    ranked = (lm_score(spark, sf_dir)
+              .withColumn("rk", F.row_number().over(
                   Window.orderBy("lm_nll", "doc_id")))
-              .withColumn("n", F.count("*").over(
-                  Window.partitionBy())))
-    thr = (ranked.where(F.expr("rk = (n + 2) DIV 3 "
-                               "OR rk = (2 * n + 2) DIV 3"))
-           .agg(F.min("lm_nll").alias("t1"),
-                F.max("lm_nll").alias("t2")))
-    return (lm.join(F.broadcast(thr))
-            .select("doc_id", "lm_nll",
-                    F.when(F.col("lm_nll") <= F.col("t1"), "head")
-                    .when(F.col("lm_nll") <= F.col("t2"), "middle")
-                    .otherwise("tail").alias("bucket")))
+              .withColumn("n", F.count("*").over(whole))
+              .withColumn("t1", F.max(F.when(
+                  F.expr("rk = (n + 2) DIV 3"), F.col("lm_nll")))
+                  .over(whole))
+              .withColumn("t2", F.max(F.when(
+                  F.expr("rk = (2 * n + 2) DIV 3"), F.col("lm_nll")))
+                  .over(whole)))
+    return ranked.select(
+        "doc_id", "lm_nll",
+        F.when(F.col("lm_nll") <= F.col("t1"), "head")
+        .when(F.col("lm_nll") <= F.col("t2"), "middle")
+        .otherwise("tail").alias("bucket"))

@@ -30,6 +30,9 @@ REPRESENTATIVE = [
     "rec_ensemble",            # window + struct max aggregation
     "pack_shards",             # running-sum window shard cut
     "lm_score",                # self-join on the bigram count table
+    "line_dedup",              # digest distinct-count + join-back
+    "ccnet_buckets",           # global rank thresholds on one window
+    "adaptive_quality_filter",  # per-facet order statistic + broadcast
 ]
 
 
