@@ -2117,6 +2117,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": CU.pack_shards,
         "adaptive_quality_filter": CU.adaptive_quality_filter,
         "line_dedup": CU.line_dedup,
+        "dedup_trim": D.dedup_trim,
         "blocklist_filter": CU.blocklist_filter,
         "pii_redact": CU.pii_redact,
         "sampling_temperature": CU.sampling_temperature,
@@ -2995,6 +2996,54 @@ SELECT md5(coalesce(text, '')) AS content_hash,
        CAST(count(*) AS BIGINT) AS copies,
        min(doc_id) AS keeper_doc_id
 FROM corpus GROUP BY 1 HAVING count(*) > 1"""
+
+    _tn = D.TRIM_N
+    sqls["dedup_trim"] = f"""
+WITH {_CORPUS_CTE.lstrip()},
+d AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), w -> w != '') AS w
+    FROM corpus
+), g AS (
+    SELECT doc_id, s,
+           md5(array_to_string(w[s:s + {_tn - 1}], ' ')) AS gkey,
+           doc_id * {D.TRIM_OKEY_STRIDE} + s AS okey
+    FROM (SELECT doc_id, w,
+                 unnest(generate_series(1, len(w) - {_tn - 1})) AS s
+          FROM d WHERE len(w) >= {_tn})
+), st AS (
+    SELECT gkey, min(okey) AS mokey, count(*) AS cnt FROM g GROUP BY gkey
+), du AS (
+    SELECT doc_id, s FROM g JOIN st USING (gkey)
+    WHERE cnt >= 2 AND okey <> mokey
+), cv AS (
+    SELECT DISTINCT doc_id, pos
+    FROM (SELECT doc_id, unnest(generate_series(s, s + {_tn - 1})) AS pos
+          FROM du)
+), pp AS (
+    SELECT doc_id, i AS pos, w[i] AS word
+    FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM d)
+), mk AS (
+    SELECT pp.doc_id, pp.pos, pp.word, cv.pos IS NOT NULL AS cut
+    FROM pp LEFT JOIN cv ON pp.doc_id = cv.doc_id AND pp.pos = cv.pos
+), r AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_trimmed,
+           coalesce(array_to_string(
+               list(word ORDER BY pos) FILTER (WHERE NOT cut), ' '), '')
+               AS trimmed
+    FROM mk GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(r.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(r.n_trimmed, 0) AS BIGINT) AS n_trimmed,
+       coalesce(r.trimmed, '') AS trimmed,
+       CASE WHEN coalesce(r.n_words, 0) = 0 THEN 1.0
+            ELSE round((r.n_words - r.n_trimmed)
+                       / CAST(r.n_words AS DOUBLE), 4) + 0
+       END AS kept_frac
+FROM d LEFT JOIN r USING (doc_id)"""
 
     sqls["dedup_minhash_pairs"] = f"""
 WITH {_CORPUS_CTE.lstrip()}, {_SHINGLE_CTE.lstrip()}, {_BANDS_CTE.lstrip()}

@@ -261,3 +261,73 @@ def simhash_pairs(spark: SparkSession, sf_dir: str,
         "THEN 1L ELSE 0L END)")
     return (cand.select("doc_a", "doc_b", ham.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+#: ExactSubstr trim window (words) and the okey packing stride (doc word
+#: counts are << this, so doc_id * STRIDE + start is collision-free and
+#: orders occurrences by (doc_id, start) as a single BIGINT).
+TRIM_N = 8
+TRIM_OKEY_STRIDE = 100_000
+
+
+def dedup_trim(spark: SparkSession, sf_dir: str,
+               n: int = TRIM_N) -> DataFrame:
+    """ExactSubstr-style duplicated-run trimming (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better").
+
+    Doc-level dedup keeps near-copies whose OVERLAP is the problem;
+    ExactSubstr instead removes every later occurrence of any duplicated
+    substring, keeping exactly the first. Here the unit is the word
+    ``n``-gram over :func:`noisy_corpus`: an occurrence (doc, start) of
+    a gram is a *duplicate* when the same gram occurs anywhere else in
+    the corpus with a smaller (doc_id, start) key — so the first
+    occurrence always survives and a document equal to an earlier one
+    trims to nothing. A word position is cut when ANY duplicate
+    occurrence covers it. Emits every corpus doc with its word count,
+    cut-position count, the trimmed text (surviving words joined by a
+    single space), and the 4dp kept fraction.
+
+    Scale shape: grams travel as md5 digests with a packed BIGINT
+    occurrence key; the min-occurrence/count table is one map-side-
+    combinable aggregate on the digest (the build-once suffix-index
+    artifact at 10^12 docs — the real system's suffix array plays this
+    role), and duplicate occurrences rejoin on the digest
+    (co-partitioning equi-join). The position fan-out explodes ONLY
+    duplicate occurrences (n× the duplicated-gram count, not the
+    corpus), and the rebuild is a per-doc HOF filter — no windows, no
+    Python, no driver actions.
+    """
+    d = noisy_corpus(spark, sf_dir).select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), w -> w != '')").alias("w"))
+    grams = (d.where(F.expr(f"size(w) >= {n}"))
+             .select("doc_id", F.explode(F.expr(
+                 f"transform(sequence(1, size(w) - {n - 1}), "
+                 f"s -> struct(s AS s, md5(concat_ws(' ', slice(w, s, {n})))"
+                 f" AS gkey))")).alias("g"))
+             .select("doc_id", F.col("g.s").alias("s"),
+                     F.col("g.gkey").alias("gkey"),
+                     (F.col("doc_id") * TRIM_OKEY_STRIDE + F.col("g.s"))
+                     .alias("okey")))
+    gstats = grams.groupBy("gkey").agg(
+        F.min("okey").alias("mokey"),
+        F.count("*").alias("cnt"))
+    dup_occ = (grams.join(gstats, "gkey")
+               .where((F.col("cnt") >= 2) & (F.col("okey") != F.col("mokey"))))
+    cov = (dup_occ
+           .select("doc_id",
+                   F.explode(F.expr(f"sequence(s, s + {n - 1})")).alias("pos"))
+           .groupBy("doc_id")
+           .agg(F.collect_set("pos").alias("cov")))
+    out = d.join(cov, "doc_id", "left")
+    n_words = F.size("w").cast("long")
+    n_trimmed = F.coalesce(F.size("cov"), F.lit(0)).cast("long")
+    return out.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_trimmed.alias("n_trimmed"),
+        F.expr("array_join(filter(w, (x, i) -> cov IS NULL "
+               "OR NOT array_contains(cov, i + 1)), ' ')").alias("trimmed"),
+        F.when(n_words == 0, F.lit(1.0))
+        .otherwise(F.round((n_words - n_trimmed) / n_words.cast("double"),
+                           4)).alias("kept_frac"))

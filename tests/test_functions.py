@@ -535,3 +535,71 @@ def test_table_label_encode_spark_matches_twin(spark):
              m, ",".join(map(str, padded)))
             for i, c, b, m in tds)
         assert sorted(got.get(t_id, [])) == want, s
+
+
+def test_dedup_trim_matches_plain_python(spark):
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from paddleocr_spark.functions.dedup import (DUP_EVERY, DUP_OFFSET,
+                                                 NEAR_EVERY, TRIM_N,
+                                                 TRIM_OKEY_STRIDE,
+                                                 dedup_trim)
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    base = {int(d): str(x) for d, x in zip(t.column("doc_id").to_pylist(),
+                                           t.column("text").to_pylist())}
+    corpus = dict(base)
+    for d, x in base.items():
+        if d % DUP_EVERY == 0:
+            corpus[d + DUP_OFFSET] = x
+        if d % NEAR_EVERY == 0:
+            corpus[d + 2 * DUP_OFFSET] = "dup " + " ".join(
+                x.split(" ")[1:])
+    words = {d: [w for w in x.lower().split(" ") if w]
+             for d, x in corpus.items()}
+    stats: dict[str, list] = {}
+    for d, w in words.items():
+        for s in range(1, len(w) - TRIM_N + 2):
+            k = hashlib.md5(
+                " ".join(w[s - 1:s - 1 + TRIM_N]).encode()).hexdigest()
+            okey = d * TRIM_OKEY_STRIDE + s
+            st = stats.setdefault(k, [okey, 0])
+            st[0] = min(st[0], okey)
+            st[1] += 1
+    want = {}
+    for d, w in words.items():
+        cov: set[int] = set()
+        for s in range(1, len(w) - TRIM_N + 2):
+            k = hashlib.md5(
+                " ".join(w[s - 1:s - 1 + TRIM_N]).encode()).hexdigest()
+            mokey, cnt = stats[k]
+            if cnt >= 2 and d * TRIM_OKEY_STRIDE + s != mokey:
+                cov.update(range(s, s + TRIM_N))
+        # Spark round() goes through java BigDecimal(double) HALF_UP on
+        # the exact binary value; python round() is half-even (1/32
+        # rounds 0.0312 vs Spark's 0.0313), so mirror HALF_UP here.
+        from decimal import ROUND_HALF_UP, Decimal
+        kept = [x for i, x in enumerate(w) if (i + 1) not in cov]
+        frac = 1.0 if not w else float(
+            Decimal((len(w) - len(cov)) / len(w)).quantize(
+                Decimal("0.0001"), ROUND_HALF_UP))
+        want[d] = (len(w), len(cov), " ".join(kept), frac)
+    got = {r["doc_id"]: (r["n_words"], r["n_trimmed"], r["trimmed"],
+                         r["kept_frac"])
+           for r in dedup_trim(spark, SF).collect()}
+    assert got == want
+    # injected exact copies must trim to nothing; their originals (the
+    # first occurrences) must survive untouched
+    gone = [d for d in want
+            if DUP_OFFSET <= d < 2 * DUP_OFFSET]
+    assert gone and all(want[d][2] == "" for d in gone
+                        if want[d][0] >= TRIM_N)
+    # originals are first occurrences of their copies, so they survive
+    # except where a base-corpus planted near-dup family overlaps them
+    originals = [d for d in base if d % DUP_EVERY == 0
+                 and len(words[d]) >= TRIM_N]
+    untouched = sum(want[d][1] == 0 for d in originals)
+    assert originals and untouched >= 0.6 * len(originals)

@@ -31,6 +31,7 @@ REPRESENTATIVE = [
     "pack_shards",             # running-sum window shard cut
     "lm_score",                # self-join on the bigram count table
     "line_dedup",              # digest distinct-count + join-back
+    "dedup_trim",              # min-okey digest agg + collect_set rebuild
     "ccnet_buckets",           # global rank thresholds on one window
     "adaptive_quality_filter",  # per-facet order statistic + broadcast
 ]
