@@ -2118,6 +2118,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_quality_filter": CU.adaptive_quality_filter,
         "line_dedup": CU.line_dedup,
         "dedup_trim": D.dedup_trim,
+        "bloom_dedup": D.bloom_dedup,
         "blocklist_filter": CU.blocklist_filter,
         "pii_redact": CU.pii_redact,
         "sampling_temperature": CU.sampling_temperature,
@@ -2996,6 +2997,36 @@ SELECT md5(coalesce(text, '')) AS content_hash,
        CAST(count(*) AS BIGINT) AS copies,
        min(doc_id) AS keeper_doc_id
 FROM corpus GROUP BY 1 HAVING count(*) > 1"""
+
+    def _bloom_bit_sql(i: int) -> str:
+        terms = " + ".join(
+            f"(strpos('0123456789abcdef', "
+            f"substring(dg, {i * 6 + 1 + p}, 1)) - 1) * {16 ** (5 - p)}"
+            for p in range(6))
+        return f"CAST(({terms}) % {D.BLOOM_M} AS BIGINT)"
+
+    _bloom_arr = "[" + ", ".join(_bloom_bit_sql(i)
+                                 for i in range(D.BLOOM_K)) + "]"
+    sqls["bloom_dedup"] = f"""
+WITH {_CORPUS_CTE.lstrip()},
+seen AS (
+    SELECT DISTINCT unnest({_bloom_arr}) AS bit
+    FROM (SELECT md5(text) AS dg FROM documents)
+), probe AS (
+    SELECT doc_id, md5(text) AS dg FROM corpus
+    WHERE doc_id >= {D.DUP_OFFSET}
+), pb AS (
+    SELECT doc_id, unnest({_bloom_arr}) AS bit FROM probe
+), h AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM pb WHERE bit IN (SELECT bit FROM seen) GROUP BY doc_id
+)
+SELECT probe.doc_id,
+       CASE WHEN probe.doc_id < {2 * D.DUP_OFFSET} THEN 'exact'
+            ELSE 'near' END AS kind,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) = {D.BLOOM_K} AS maybe_dup
+FROM probe LEFT JOIN h USING (doc_id)"""
 
     _tn = D.TRIM_N
     sqls["dedup_trim"] = f"""

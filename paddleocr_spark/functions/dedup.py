@@ -331,3 +331,69 @@ def dedup_trim(spark: SparkSession, sf_dir: str,
         F.when(n_words == 0, F.lit(1.0))
         .otherwise(F.round((n_words - n_trimmed) / n_words.cast("double"),
                            4)).alias("kept_frac"))
+
+
+#: Bloom membership filter: M bits, K positions per key, each position a
+#: disjoint 6-hex-digit slice of the content md5 (Kirsch–Mitzenmacher-
+#: style independent hashes without a second digest pass).
+BLOOM_M = 1 << 18
+BLOOM_K = 4
+
+
+def _bloom_bit_exprs(dg_col: str) -> list[str]:
+    """K portable bit-position expressions over a 32-hex md5 column.
+
+    Pure nibble arithmetic (string position in '0123456789abcdef'), so
+    the DuckDB twin can spell the identical computation with strpos —
+    no engine-specific hex parsing in the contract.
+    """
+    exprs = []
+    for i in range(BLOOM_K):
+        terms = " + ".join(
+            f"(instr('0123456789abcdef', "
+            f"substring({dg_col}, {i * 6 + 1 + p}, 1)) - 1) * {16 ** (5 - p)}"
+            for p in range(6))
+        exprs.append(f"CAST(({terms}) % {BLOOM_M} AS BIGINT)")
+    return exprs
+
+
+def bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership dedup probe (the Dolma-deduper shape).
+
+    At 10^12 documents the practical exact-dedup index is a Bloom
+    filter over content digests: build once from the seen corpus, probe
+    every incoming document, drop on "all K bits set". Here the filter
+    is built from the base ``documents`` table and probed with the
+    injected docs of :func:`noisy_corpus` (ids >= ``DUP_OFFSET``):
+    exact copies hit K/K bits, near copies (different content hash)
+    miss, modulo the filter's deterministic false-positive set. Emits
+    (doc_id, kind, n_hits, maybe_dup).
+
+    Scale shape: the bit set is a DISTINCT aggregate over K explode
+    rows per seen doc, bounded above by M = 2^18 distinct values — a
+    fixed-size artifact independent of corpus size (the real system
+    packs it into an in-memory bitmap and broadcasts; the relational
+    distinct + left-semi form here is the engine-checkable twin, and
+    the probe join stays a co-partitioned equi-join on the bit). The
+    probe side never shuffles more than K rows per document.
+    """
+    bits = _bloom_bit_exprs("dg")
+    arr = "array(" + ", ".join(bits) + ")"
+    seen = (_docs(spark, sf_dir)
+            .select(F.md5("text").alias("dg"))
+            .select(F.explode(F.expr(arr)).alias("bit"))
+            .distinct())
+    probe = (noisy_corpus(spark, sf_dir)
+             .where(F.col("doc_id") >= DUP_OFFSET)
+             .select("doc_id", F.md5("text").alias("dg")))
+    hits = (probe.select("doc_id", F.explode(F.expr(arr)).alias("bit"))
+            .join(seen, "bit", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_hits")))
+    return (probe.join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.when(F.col("doc_id") < 2 * DUP_OFFSET, "exact")
+                    .otherwise("near").alias("kind"),
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"))
+            .withColumn("maybe_dup", F.col("n_hits") == BLOOM_K))

@@ -603,3 +603,44 @@ def test_dedup_trim_matches_plain_python(spark):
                  and len(words[d]) >= TRIM_N]
     untouched = sum(want[d][1] == 0 for d in originals)
     assert originals and untouched >= 0.6 * len(originals)
+
+
+def test_bloom_dedup_matches_plain_python(spark):
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from paddleocr_spark.functions.dedup import (BLOOM_K, BLOOM_M,
+                                                 DUP_EVERY, DUP_OFFSET,
+                                                 NEAR_EVERY, bloom_dedup)
+
+    def bloom_bits(text: str) -> list[int]:
+        dg = hashlib.md5(text.encode()).hexdigest()
+        return [int(dg[i * 6:i * 6 + 6], 16) % BLOOM_M
+                for i in range(BLOOM_K)]
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    base = {int(d): str(x) for d, x in zip(t.column("doc_id").to_pylist(),
+                                           t.column("text").to_pylist())}
+    seen: set[int] = set()
+    for x in base.values():
+        seen.update(bloom_bits(x))
+    want = {}
+    for d, x in base.items():
+        if d % DUP_EVERY == 0:
+            hits = sum(b in seen for b in bloom_bits(x))
+            want[d + DUP_OFFSET] = ("exact", hits, hits == BLOOM_K)
+        if d % NEAR_EVERY == 0:
+            nx = "dup " + " ".join(x.split(" ")[1:])
+            hits = sum(b in seen for b in bloom_bits(nx))
+            want[d + 2 * DUP_OFFSET] = ("near", hits, hits == BLOOM_K)
+    got = {r["doc_id"]: (r["kind"], r["n_hits"], r["maybe_dup"])
+           for r in bloom_dedup(spark, SF).collect()}
+    assert got == want
+    # every exact copy must be caught; the near copies are the
+    # false-positive budget — deterministic, and far below 100%
+    exact = [v for v in want.values() if v[0] == "exact"]
+    near = [v for v in want.values() if v[0] == "near"]
+    assert exact and all(v[2] for v in exact)
+    assert near and sum(v[2] for v in near) <= len(near) * 0.2

@@ -32,6 +32,7 @@ REPRESENTATIVE = [
     "lm_score",                # self-join on the bigram count table
     "line_dedup",              # digest distinct-count + join-back
     "dedup_trim",              # min-okey digest agg + collect_set rebuild
+    "bloom_dedup",             # distinct bit set + left-semi probe
     "ccnet_buckets",           # global rank thresholds on one window
     "adaptive_quality_filter",  # per-facet order statistic + broadcast
 ]
