@@ -67,6 +67,11 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 curation wave: LM scoring + decontamination
         "lm_score": _retrieval("lm_score"),
         "decontaminate": _curation("decontaminate"),
+        # round-4 web-curation wave: substring trim, line dedup, bloom
+        "dedup_trim": _dedup("dedup_trim"),
+        "line_dedup": _curation("line_dedup"),
+        "bloom_dedup": _dedup("bloom_dedup"),
+        "ccnet_buckets": _curation("ccnet_buckets"),
     }
 
 
@@ -74,6 +79,13 @@ def _curation(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from . import curation
         return getattr(curation, name)(spark, sf_dir)
+    return run
+
+
+def _dedup(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from . import dedup
+        return getattr(dedup, name)(spark, sf_dir)
     return run
 
 
