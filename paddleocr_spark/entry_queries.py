@@ -2106,6 +2106,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "east_crop": q_east_crop,                      # fixture oracle
         "pse_crop": q_pse_crop,                        # fixture oracle
         "kmeans_assign": CL.kmeans_assign,
+        "semdedup": CL.semdedup,
         "dup_span_docs": R.dup_span_docs,
         "bm25_topk": R.bm25_topk,
         "tfidf_terms": R.tfidf_terms,
@@ -5032,9 +5033,11 @@ FROM tot t LEFT JOIN dc USING (doc_id)"""
 
     # Two Lloyd passes, replayed exactly: fixed-id init, argmin with
     # (dist, cid) tie order, per-dimension means re-assembled in order.
-    sqls["kmeans_assign"] = f"""
-WITH v AS (
-    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    # The CTE chain is shared with semdedup (which runs the same Lloyd
+    # replay over the dup-injected corpus): a2 = final assignment WITH the
+    # vector, c1l = the centroids that assignment used.
+    def _lloyd_ctes(base: str) -> str:
+        return f"""v AS ({base}
 ), c0 AS (
     SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
            e AS c
@@ -5054,14 +5057,54 @@ WITH v AS (
     GROUP BY cid, pos
 ), c1l AS (
     SELECT cid, list(m ORDER BY pos) AS c FROM c1 GROUP BY cid
-), d2 AS (
-    SELECT v.vec_id, c1l.cid,
-           list_sum(list_transform(list_zip(v.e, c1l.c),
-                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
-    FROM v CROSS JOIN c1l
-)
-SELECT vec_id, cid AS cluster FROM d2
-QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+), a2 AS (
+    SELECT vec_id, cid, e FROM (
+        SELECT v.vec_id, c1l.cid, v.e,
+               list_sum(list_transform(list_zip(v.e, c1l.c),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+        FROM v CROSS JOIN c1l)
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+)"""
+
+    sqls["kmeans_assign"] = f"""
+WITH {_lloyd_ctes(
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings")}
+SELECT vec_id, cid AS cluster FROM a2
 ORDER BY vec_id"""
+
+    # SemDeDup: Lloyd over the dup-injected corpus, ascending rounded
+    # cosine-to-centroid rank (ties -> vec_id), upper-triangular max of
+    # rounded pairwise cosines, keep iff that max < eps.
+    def _cosl(a: str, b: str) -> str:
+        return (f"(round(list_sum(list_transform(list_zip({a}, {b}), "
+                f"p -> p[1] * p[2])) "
+                f"/ (sqrt(list_sum(list_transform({a}, x -> x * x))) "
+                f"* sqrt(list_sum(list_transform({b}, x -> x * x)))), 4) "
+                f"+ 0)")
+
+    sqls["semdedup"] = f"""
+WITH {_lloyd_ctes(f'''
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    UNION ALL
+    SELECT vec_id + {SIM.VEC_DUP_OFFSET}, CAST(embedding AS DOUBLE[])
+    FROM embeddings WHERE vec_id % {SIM.VEC_DUP_EVERY} = 0''')},
+srt AS (
+    SELECT a2.vec_id, a2.cid, a2.e,
+           CAST(row_number() OVER (
+               PARTITION BY a2.cid
+               ORDER BY {_cosl('a2.e', 'c1l.c')}, a2.vec_id)
+            AS BIGINT) AS rnk
+    FROM a2 JOIN c1l USING (cid)
+), pmax AS (
+    SELECT ra.vec_id, max({_cosl('ra.e', 'rb.e')}) AS ms
+    FROM srt ra JOIN srt rb
+      ON ra.cid = rb.cid AND rb.rnk < ra.rnk
+    GROUP BY ra.vec_id
+)
+SELECT srt.vec_id, srt.cid AS cluster, srt.rnk,
+       coalesce(pmax.ms, -1.0) AS max_prior_sim,
+       coalesce(pmax.ms, -1.0) < {CL.SEMDEDUP_EPS} AS keep
+FROM srt LEFT JOIN pmax USING (vec_id)
+ORDER BY srt.vec_id"""
 
     return sqls

@@ -72,6 +72,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _curation("line_dedup"),
         "bloom_dedup": _dedup("bloom_dedup"),
         "ccnet_buckets": _curation("ccnet_buckets"),
+        "semdedup": _clustering("semdedup"),
     }
 
 
@@ -93,6 +94,13 @@ def _retrieval(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from . import retrieval
         return getattr(retrieval, name)(spark, sf_dir)
+    return run
+
+
+def _clustering(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from . import clustering
+        return getattr(clustering, name)(spark, sf_dir)
     return run
 
 

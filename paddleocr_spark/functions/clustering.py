@@ -92,15 +92,98 @@ def _update(assigned: DataFrame) -> DataFrame:
                     F.expr("transform(sm, s -> s.m)").alias("c")))
 
 
+def _lloyd(vecs: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataFrame]:
+    """(final assignment, final centroids) after ``iters`` Lloyd passes —
+    the centroids returned are exactly the ones the last assignment used."""
+    cents = _init_centroids(vecs, k)
+    assigned = _assign(vecs, cents)
+    for _ in range(iters - 1):
+        cents = _update(assigned)
+        assigned = _assign(vecs, cents)
+    return assigned, cents
+
+
 def kmeans_assign(spark: SparkSession, sf_dir: str,
                   k: int = KMEANS_K,
                   iters: int = KMEANS_ITERS) -> DataFrame:
     """Final (vec_id, cluster) assignment after ``iters`` Lloyd passes."""
-    vecs = _doubled(spark, sf_dir)
-    cents = _init_centroids(vecs, k)
-    assigned = _assign(vecs, cents)
-    for _ in range(iters - 1):
-        assigned = _assign(vecs, _update(assigned))
+    assigned, _ = _lloyd(_doubled(spark, sf_dir), k, iters)
     return (assigned.select("vec_id",
                             F.col("cid").alias("cluster"))
+            .orderBy("vec_id"))
+
+
+#: SemDeDup prune threshold — same bar as embedding_neardup's pair cut.
+SEMDEDUP_EPS = 0.9
+
+
+def semdedup(spark: SparkSession, sf_dir: str,
+             eps: float = SEMDEDUP_EPS,
+             k: int = KMEANS_K,
+             iters: int = KMEANS_ITERS) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup inside k-means cells.
+
+    The published pipeline: k-means the embedding space, then *within each
+    cluster* compute pairwise cosine similarities and keep, from every
+    group of semantic duplicates, the example *least* similar to its
+    cluster centroid. The deterministic replay here:
+
+    * clustering: the same Lloyd passes as :func:`kmeans_assign`, run over
+      the dup-injected corpus (:func:`~.similarity.neardup_corpus`) so the
+      planted duplicates exercise the prune;
+    * within-cluster order: ascending cosine-to-centroid (the paper's
+      low-centroid-similarity-first keep rule), rounded to 4 decimals like
+      every cross-engine cosine in this repo, ties → ``vec_id``;
+    * prune rule: a row is dropped iff any *earlier-ordered* row in its
+      cluster has pairwise cosine ≥ ``eps`` (the paper's upper-triangular
+      max over the per-cluster similarity matrix).
+
+    Output: one row per vector — (vec_id, cluster, rnk, max_prior_sim,
+    keep); ``max_prior_sim`` is −1.0 for each cluster's first-ranked row.
+
+    Scale shape: the within-cluster self-join is SemDeDup's real cost
+    profile — the paper bounds it by scaling K with N (50k clusters for
+    LAION) so per-cluster work stays ~constant; here K is the demo-sized
+    :data:`KMEANS_K`. The join is an equi-join on ``cluster`` (hash
+    co-partitioned, map-side-combinable ``max`` aggregate, no driver
+    collect); for skewed clusters the LSH-bucketed
+    :func:`~.similarity.embedding_neardup` path is the fallback. Per-pair
+    rows carry the two 64-dim vectors — at production scale you'd dedup
+    to PCA'd/quantized codes first, exactly as the paper does.
+    """
+    from .similarity import _dot, _norm, neardup_corpus
+
+    vecs = neardup_corpus(spark, sf_dir).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"))
+    assigned, cents = _lloyd(vecs, k, iters)
+
+    sim = (assigned.join(F.broadcast(cents), "cid")
+           .select("vec_id", F.col("cid").alias("cluster"), "e",
+                   F.round(_dot("e", "c") / (_norm("e") * _norm("c")), 4)
+                   .alias("csim")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("cluster").orderBy("csim", "vec_id")
+    # the ranked frame feeds both self-join sides AND the final output —
+    # checkpoint it so the Lloyd chain runs once, not three times (same
+    # plan-reuse pattern as neardup_components' per-round checkpoint)
+    r = sim.select("vec_id", "cluster", "e",
+                   F.row_number().over(w).cast("long").alias("rnk")) \
+        .localCheckpoint(eager=False)
+
+    lhs = r.select("vec_id", "cluster", "rnk", F.col("e").alias("ei"))
+    rhs = r.select(F.col("cluster").alias("cluster"),
+                   F.col("rnk").alias("rnk_j"), F.col("e").alias("ej"))
+    prior_max = (lhs.join(rhs, "cluster")
+                 .filter(F.col("rnk_j") < F.col("rnk"))
+                 .groupBy("vec_id")
+                 .agg(F.max(F.round(_dot("ei", "ej")
+                                    / (_norm("ei") * _norm("ej")), 4))
+                      .alias("ms")))
+
+    return (r.join(prior_max, "vec_id", "left")
+            .select("vec_id", "cluster", "rnk",
+                    F.coalesce("ms", F.lit(-1.0)).alias("max_prior_sim"),
+                    (F.coalesce("ms", F.lit(-1.0)) < F.lit(eps))
+                    .alias("keep"))
             .orderBy("vec_id"))

@@ -35,6 +35,7 @@ REPRESENTATIVE = [
     "bloom_dedup",             # distinct bit set + left-semi probe
     "ccnet_buckets",           # global rank thresholds on one window
     "adaptive_quality_filter",  # per-facet order statistic + broadcast
+    "semdedup",                # Lloyd replay + in-cluster triangular max
 ]
 
 

@@ -222,3 +222,57 @@ def test_lm_score_matches_plain_python(spark):
     # a predictable doc (repeated common bigrams) scores lower than a
     # rare-bigram one — ordering sanity over the realized corpus
     assert min(s for s, n in want.values() if n) > 0
+
+
+def _semdedup_numpy(eps: float):
+    from paddleocr_spark.functions.similarity import (VEC_DUP_EVERY,
+                                                      VEC_DUP_OFFSET)
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.array(t.column("vec_id").to_pylist())
+    e = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    dup = ids % VEC_DUP_EVERY == 0
+    ids = np.concatenate([ids, ids[dup] + VEC_DUP_OFFSET])
+    e = np.concatenate([e, e[dup]])
+    order = np.argsort(ids)
+    cents = e[order[:KMEANS_K]].copy()
+    for it in range(KMEANS_ITERS):
+        d = ((e[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        if it < KMEANS_ITERS - 1:
+            cents = np.stack([e[assign == c].mean(axis=0)
+                              for c in range(KMEANS_K)])
+    norms = np.sqrt((e * e).sum(axis=1))
+    want = {}
+    for c in range(KMEANS_K):
+        m = np.flatnonzero(assign == c)
+        csim = np.round((e[m] * cents[c]).sum(axis=1)
+                        / (norms[m] * np.linalg.norm(cents[c])), 4)
+        m = m[np.lexsort((ids[m], csim))]
+        for rnk, row in enumerate(m):
+            prior = m[:rnk]
+            ms = (np.round((e[prior] @ e[row])
+                           / (norms[prior] * norms[row]), 4).max()
+                  if rnk else -1.0)
+            want[int(ids[row])] = (c, rnk + 1, float(ms), bool(ms < eps))
+    return want
+
+
+def test_semdedup_matches_numpy_replay(spark):
+    from paddleocr_spark.functions.clustering import SEMDEDUP_EPS, semdedup
+    want = _semdedup_numpy(SEMDEDUP_EPS)
+    got = {r["vec_id"]: (r["cluster"], r["rnk"], r["max_prior_sim"],
+                         r["keep"])
+           for r in semdedup(spark, SF).collect()}
+    assert set(got) == set(want)
+    for vid, (c, rnk, ms, keep) in want.items():
+        gc, grnk, gms, gkeep = got[vid]
+        assert (gc, grnk, gkeep) == (c, rnk, keep), vid
+        assert abs(gms - ms) < 1e-9, vid
+    # the planted exact duplicates are exactly the pruned set: each has a
+    # same-cluster twin with pairwise cosine 1.0 ranked earlier (tie on
+    # centroid-sim broken by the smaller original vec_id)
+    dropped = {v for v, (_, _, _, k) in got.items() if not k}
+    assert dropped == {v for v in got if v >= 1_000_000}
+    for v in dropped:
+        assert got[v][2] == 1.0
