@@ -2117,6 +2117,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": CU.dsir_weights,
         "pack_shards": CU.pack_shards,
         "adaptive_quality_filter": CU.adaptive_quality_filter,
+        "quality_classifier": CU.quality_classifier,
         "line_dedup": CU.line_dedup,
         "dedup_trim": D.dedup_trim,
         "bloom_dedup": D.bloom_dedup,
@@ -5106,5 +5107,45 @@ SELECT srt.vec_id, srt.cid AS cluster, srt.rnk,
        coalesce(pmax.ms, -1.0) < {CL.SEMDEDUP_EPS} AS keep
 FROM srt LEFT JOIN pmax USING (vec_id)
 ORDER BY srt.vec_id"""
+
+    # GPT-3-style classifier filtering: NB log-odds trained on the
+    # gopher_rules labels (the gopher twin is embedded as a CTE), md5-
+    # uniform Pareto keep rule. The exponent literal is shared with the
+    # Spark side so both engines pow() the same double.
+    _U32 = ("(list_sum(list_transform(generate_series(1, 8), "
+            "i -> CAST(strpos('0123456789abcdef', "
+            "substr(md5(CAST(d.doc_id AS VARCHAR)), i, 1)) - 1 AS DOUBLE) "
+            "* power(16.0, 8 - i))) + 1.0) / 4294967296.0")
+    _QS = "coalesce(per_doc.s, 0.0)"
+    _QCUT = f"(2.0 - power({_U32}, {CU.QC_PARETO_EXP!r}))"
+    sqls["quality_classifier"] = f"""
+WITH gr AS ({sqls['gopher_rules']}),
+d AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+tok AS (
+    SELECT d.doc_id, unnest(d.w) AS v, gr.gopher_pass
+    FROM d JOIN gr USING (doc_id)
+), counts AS (
+    SELECT v,
+           sum(CASE WHEN gopher_pass THEN 1.0 ELSE 0.0 END) AS cp,
+           sum(CASE WHEN gopher_pass THEN 0.0 ELSE 1.0 END) AS cn
+    FROM tok GROUP BY v
+), stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS vsize, sum(cp) AS np, sum(cn) AS nn
+    FROM counts
+), lo AS (
+    SELECT v, ln((cp + 1.0) / (np + vsize))
+            - ln((cn + 1.0) / (nn + vsize)) AS lo
+    FROM counts CROSS JOIN stats
+), per_doc AS (
+    SELECT tok.doc_id, avg(lo.lo) AS s, CAST(count(*) AS BIGINT) AS n_words
+    FROM tok JOIN lo USING (v) GROUP BY tok.doc_id
+)
+SELECT d.doc_id,
+       coalesce(per_doc.n_words, 0) AS n_words,
+       round({_QS}, 4) + 0 AS qc_logodds,
+       round(1.0 / (1.0 + exp(-{_QS})), 4) + 0 AS qc_prob,
+       round({_QCUT}, 4) + 0 AS pareto_cut,
+       (1.0 / (1.0 + exp(-{_QS}))) > {_QCUT} AS kept
+FROM d LEFT JOIN per_doc USING (doc_id)"""
 
     return sqls

@@ -73,6 +73,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": _dedup("bloom_dedup"),
         "ccnet_buckets": _curation("ccnet_buckets"),
         "semdedup": _clustering("semdedup"),
+        "quality_classifier": _curation("quality_classifier"),
     }
 
 

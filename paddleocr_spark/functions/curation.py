@@ -442,3 +442,79 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("lm_nll") <= F.col("t1"), "head")
         .when(F.col("lm_nll") <= F.col("t2"), "middle")
         .otherwise("tail").alias("bucket"))
+
+
+#: GPT-3-style classifier filtering: Pareto shape for the stochastic
+#: keep rule (Brown et al. 2020 use alpha = 9) and its exact exponent
+#: literal, shared with the DuckDB twin so both engines pow() the same
+#: double.
+QC_PARETO_ALPHA = 9.0
+QC_PARETO_EXP = -1.0 / QC_PARETO_ALPHA
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the GPT-3 classifier tier).
+
+    The canon tier above heuristic rules and LM perplexity: train a
+    classifier to recognize a curated subset, score every document, and
+    keep stochastically in favor of high scores — GPT-3's rule is
+    ``keep iff score > 1 - pareto_draw`` (Brown et al. 2020, App. A).
+    Everything here is a deterministic closed form so the whole
+    train+score+keep pipeline is oracle-checkable:
+
+    * labels: positive = documents passing the Gopher heuristic rules
+      (:func:`~.textfns.gopher_rules` — the curated stand-in), negative
+      = the rest;
+    * model: multinomial Naive Bayes over unigrams with add-one
+      smoothing over the corpus vocabulary — training is ONE counting
+      pass (no iterations), the closed-form stand-in for the logistic
+      classifier;
+    * score: mean per-token log-odds, squashed to a probability
+      ``qc_prob = sigmoid(mean_logodds)`` (empty docs score 0 → 0.5);
+    * keep: ``qc_prob > 1 - (u^(-1/alpha) - 1)`` with
+      ``u = (uint32(md5(doc_id)[0:8]) + 1) / 2^32`` — the md5-uniform
+      replay of ``np.random.pareto(9)``, the same deterministic-draw
+      move as sample_stratified.
+
+    Scale shape: training is one exploded token pass with a conditional
+    two-class count (map-side combinable); the log-odds table is
+    vocabulary-sized and broadcasts into the scoring join (the dsir
+    pattern); the keep rule is pure per-row codegen arithmetic. No
+    windows, no driver actions.
+    """
+    from .textfns import gopher_rules
+
+    labels = gopher_rules(spark, sf_dir).select("doc_id", "gopher_pass")
+    d = docs_table(spark, sf_dir).select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), w -> w != '')").alias("w"))
+    tok = (d.select("doc_id", F.explode("w").alias("v"))
+           .join(labels, "doc_id"))
+    counts = tok.groupBy("v").agg(
+        F.sum(F.when(F.col("gopher_pass"), 1.0).otherwise(0.0)).alias("cp"),
+        F.sum(F.when(F.col("gopher_pass"), 0.0).otherwise(1.0)).alias("cn"))
+    stats = counts.agg(F.count("*").cast("double").alias("vsize"),
+                       F.sum("cp").alias("np"),
+                       F.sum("cn").alias("nn"))
+    logodds = (counts.join(F.broadcast(stats))
+               .select("v", (
+                   F.log((F.col("cp") + 1.0) / (F.col("np") + F.col("vsize")))
+                   - F.log((F.col("cn") + 1.0)
+                           / (F.col("nn") + F.col("vsize")))).alias("lo")))
+    per_doc = (tok.join(F.broadcast(logodds), "v")
+               .groupBy("doc_id")
+               .agg(F.avg("lo").alias("s"),
+                    F.count("*").cast("long").alias("n_words")))
+    u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                 16, 10).cast("double") + 1.0) / F.lit(4294967296.0))
+    s = F.coalesce("s", F.lit(0.0))
+    prob = 1.0 / (1.0 + F.exp(-s))
+    cut = 2.0 - F.pow(u, F.lit(QC_PARETO_EXP))
+    return (d.select("doc_id").join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_words", F.lit(0))
+                    .cast("long").alias("n_words"),
+                    F.round(s, 4).alias("qc_logodds"),
+                    F.round(prob, 4).alias("qc_prob"),
+                    F.round(cut, 4).alias("pareto_cut"),
+                    (prob > cut).alias("kept")))

@@ -276,3 +276,47 @@ def test_ccnet_buckets_matches_plain_python(spark):
     assert all(c > 0 for c in counts.values())
     # tercile cuts can only drift from n/3 via score ties at a threshold
     assert counts["head"] >= n // 4 and counts["tail"] >= n // 5
+
+
+def test_quality_classifier_matches_plain_python(spark):
+    """NB training + Pareto keep replayed in plain Python. Labels come
+    from the Spark gopher_rules output (itself differentialed in
+    test_functions) — the replay covers everything downstream: the
+    two-class token counts, add-one log-odds, per-doc mean, sigmoid,
+    md5-uniform Pareto draw, and the keep decision."""
+    from paddleocr_spark.functions.curation import (QC_PARETO_EXP,
+                                                    quality_classifier)
+    from paddleocr_spark.functions.textfns import gopher_rules
+
+    labels = {r["doc_id"]: r["gopher_pass"]
+              for r in gopher_rules(spark, SF).collect()}
+    docs = {r["doc_id"]: r["w"] for r in _rows()}
+    cp: dict[str, float] = {}
+    cn: dict[str, float] = {}
+    for d, w in docs.items():
+        tgt = cp if labels[d] else cn
+        for v in w:
+            tgt[v] = tgt.get(v, 0.0) + 1.0
+    vocab = set(cp) | set(cn)
+    vs, np_, nn = float(len(vocab)), sum(cp.values()), sum(cn.values())
+    lo = {v: (math.log((cp.get(v, 0.0) + 1.0) / (np_ + vs))
+              - math.log((cn.get(v, 0.0) + 1.0) / (nn + vs)))
+          for v in vocab}
+    got = {r["doc_id"]: r for r in quality_classifier(spark, SF).collect()}
+    assert set(got) == set(docs)
+    n_kept = 0
+    for d, w in docs.items():
+        s = sum(lo[v] for v in w) / len(w) if w else 0.0
+        prob = 1.0 / (1.0 + math.exp(-s))
+        u = (int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+             + 1.0) / 2 ** 32
+        cut = 2.0 - u ** QC_PARETO_EXP
+        g = got[d]
+        assert g["n_words"] == len(w), d
+        assert abs(g["qc_logodds"] - s) < 1e-4 + 1e-12, d
+        assert abs(g["qc_prob"] - prob) < 1e-4 + 1e-12, d
+        assert abs(g["pareto_cut"] - cut) < 1e-4 + 1e-12, d
+        assert g["kept"] == (prob > cut), d
+        n_kept += g["kept"]
+    # the stochastic rule keeps a small non-degenerate slice
+    assert 0 < n_kept < len(docs)

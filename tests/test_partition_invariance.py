@@ -36,6 +36,7 @@ REPRESENTATIVE = [
     "ccnet_buckets",           # global rank thresholds on one window
     "adaptive_quality_filter",  # per-facet order statistic + broadcast
     "semdedup",                # Lloyd replay + in-cluster triangular max
+    "quality_classifier",      # two-class NB counts + broadcast scoring
 ]
 
 
