@@ -51,6 +51,7 @@ from .functions import dedup as D
 from .functions import retrieval as R
 from .functions import similarity as SIM
 from .functions import textfns as T
+from .functions import tokenizer as TK
 from .operators import kie as KIE
 from .operators import table as TBL
 from .pipeline import (det_filter, drop_score_filter, explode_spans, extract,
@@ -2121,6 +2122,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": CU.line_dedup,
         "dedup_trim": D.dedup_trim,
         "bloom_dedup": D.bloom_dedup,
+        "minhash_survivors": D.minhash_survivors,
+        "bpe_merges": TK.bpe_merges,
+        "bpe_token_counts": TK.bpe_token_counts,
         "blocklist_filter": CU.blocklist_filter,
         "pii_redact": CU.pii_redact,
         "sampling_temperature": CU.sampling_temperature,
@@ -3094,6 +3098,28 @@ j AS (
     JOIN shing sb ON sb.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5"""
+
+    # Lexical fuzzy-dedup action: min-label closure over the verified-
+    # Jaccard pair graph (the neardup_survivors pattern on the MinHash
+    # tier), survivors = never-duplicated ids + component keepers.
+    sqls["minhash_survivors"] = f"""
+WITH RECURSIVE vp AS ({sqls['dedup_ngram_jaccard']}),
+cedges AS (
+    SELECT doc_a AS s, doc_b AS d FROM vp
+    UNION ALL
+    SELECT doc_b AS s, doc_a AS d FROM vp
+),
+reach(v, u) AS (
+    SELECT s AS v, s AS u FROM cedges
+    UNION
+    SELECT r.v, e.d FROM reach r JOIN cedges e ON r.u = e.s
+),
+comp AS (SELECT v AS doc_id, min(u) AS component FROM reach GROUP BY v),
+{_CORPUS_CTE.lstrip()}
+SELECT c0.doc_id,
+       (cm.doc_id IS NOT NULL) AS kept_group_representative
+FROM corpus c0 LEFT JOIN comp cm ON c0.doc_id = cm.doc_id
+WHERE cm.doc_id IS NULL OR cm.component = c0.doc_id"""
 
     simhash_cte = f"""
 w AS (
@@ -5147,5 +5173,60 @@ SELECT d.doc_id,
        round({_QCUT}, 4) + 0 AS pareto_cut,
        (1.0 / (1.0 + exp(-{_QS}))) > {_QCUT} AS kept
 FROM d LEFT JOIN per_doc USING (doc_id)"""
+
+    # BPE merge-training twins: K chained CTE rounds, each = weighted
+    # pair stats over the previous tokenization, a deterministic 1-row
+    # argmax (count DESC, pair ASC), and the identical greedy
+    # left-to-right string-fold rewrite via list_reduce.
+    from .functions.tokenizer import BPE_MERGES
+
+    def _bpe_fold(b: str) -> str:
+        return (f"CASE WHEN {b}.left_tok IS NULL THEN t ELSE "
+                f"string_split(list_reduce(list_prepend('', t), "
+                f"(acc, x) -> CASE "
+                f"WHEN x = {b}.right_tok AND (acc = {b}.left_tok OR "
+                f"ends_with(acc, chr(1) || {b}.left_tok)) THEN acc || x "
+                f"WHEN acc = '' THEN x "
+                f"ELSE acc || chr(1) || x END), chr(1)) END")
+
+    bpe_parts = [f"""
+t0 AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS n,
+           list_transform(generate_series(1, len(word)),
+                          i -> substr(word, i, 1)) AS t
+    FROM (SELECT unnest({_WORDS}) AS word FROM documents)
+    GROUP BY word
+)"""]
+    for r in range(1, BPE_MERGES + 1):
+        bpe_parts.append(f"""
+p{r} AS (
+    SELECT pr.l AS left_tok, pr.r AS right_tok,
+           CAST(sum(n) AS BIGINT) AS pair_count
+    FROM (SELECT n, unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> {{'l': t[i], 'r': t[i + 1]}})) AS pr
+          FROM t{r - 1} WHERE len(t) >= 2)
+    GROUP BY pr.l, pr.r
+),
+b{r} AS (
+    SELECT left_tok, right_tok, pair_count FROM p{r}
+    ORDER BY pair_count DESC, left_tok, right_tok LIMIT 1
+),
+t{r} AS (
+    SELECT word, n, {_bpe_fold(f'b{r}')} AS t
+    FROM t{r - 1} LEFT JOIN b{r} ON TRUE
+)""")
+    _bpe_ctes = "WITH " + ",".join(bpe_parts)
+    _merge_rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, left_tok, right_tok, "
+        f"left_tok || right_tok AS merged, pair_count FROM b{r}"
+        for r in range(1, BPE_MERGES + 1))
+    sqls["bpe_merges"] = f"""{_bpe_ctes}
+{_merge_rows}
+ORDER BY merge_round"""
+    sqls["bpe_token_counts"] = f"""{_bpe_ctes}
+SELECT word, n, CAST(len(t) AS BIGINT) AS n_tokens,
+       array_to_string(t, '|') AS tokens
+FROM t{BPE_MERGES}
+ORDER BY word"""
 
     return sqls

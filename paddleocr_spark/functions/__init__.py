@@ -74,6 +74,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": _curation("ccnet_buckets"),
         "semdedup": _clustering("semdedup"),
         "quality_classifier": _curation("quality_classifier"),
+        "bpe_merges": _tokenizer("bpe_merges"),
     }
 
 
@@ -95,6 +96,13 @@ def _retrieval(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from . import retrieval
         return getattr(retrieval, name)(spark, sf_dir)
+    return run
+
+
+def _tokenizer(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from . import tokenizer
+        return getattr(tokenizer, name)(spark, sf_dir)
     return run
 
 

@@ -397,3 +397,39 @@ def bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("n_hits", F.lit(0)).cast("long")
                     .alias("n_hits"))
             .withColumn("maybe_dup", F.col("n_hits") == BLOOM_K))
+
+
+def minhash_survivors(spark: SparkSession, sf_dir: str,
+                      threshold: float = 0.5,
+                      max_iters: int = 30) -> DataFrame:
+    """The lexical fuzzy-dedup ACTION (the MinHash mirror of
+    :func:`~.similarity.neardup_survivors`).
+
+    The full published pipeline end-to-end: LSH candidate pairs
+    (:func:`dedup_minhash_pairs`) → exact-Jaccard verification
+    (:func:`dedup_ngram_jaccard`, precision pass) → connected components
+    over the VERIFIED pair graph (alternating large/small-star — fuzzy
+    dups chain, so the keeper is per component, not per pair) → keep
+    each component's min doc_id plus every never-duplicated document.
+
+    Output: (doc_id, kept_group_representative) — true iff the doc
+    survived AS a component keeper.
+
+    Scale shape: everything upstream is the band-table equi-join and the
+    O(log n)-round star CC; the final decision is one broadcast left
+    join of the corpus ids against the (duplicate-sized) label table —
+    ids only travel, full rows are semi-joined downstream.
+    """
+    from .similarity import connected_components_star
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir, threshold).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels, _ = connected_components_star(pairs, max_iters)
+    labels = labels.select(F.col("vec_id").alias("doc_id"), "component")
+    ids = noisy_corpus(spark, sf_dir).select("doc_id")
+    return (ids.join(F.broadcast(labels), "doc_id", "left")
+            .filter(F.col("component").isNull()
+                    | (F.col("component") == F.col("doc_id")))
+            .select("doc_id",
+                    F.col("component").isNotNull()
+                    .alias("kept_group_representative")))

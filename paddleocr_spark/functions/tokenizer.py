@@ -1,0 +1,132 @@
+"""Deterministic BPE merge training over the corpus.
+
+The tokenizer-training step of a data pipeline (Sennrich et al. 2016):
+collect word types with frequencies, start from character tokens, and
+repeatedly merge the most frequent adjacent token pair. Everything is a
+closed deterministic form so the DuckDB twin replays it exactly:
+
+* word types: the corpus word-split convention (lowercase, space-split,
+  empties dropped) with BIGINT frequencies;
+* pair statistics: all adjacent token pairs per word (overlaps counted,
+  as in the reference implementation's ``get_stats``), weighted by the
+  word-type frequency — one explode + hash aggregation per round;
+* merge choice: max count, ties → lexicographically smallest (left,
+  right) pair — a deterministic total order both engines share;
+* merge application: greedy left-to-right non-overlapping rewrite,
+  expressed as a string left-fold — tokens joined on ``chr(1)``, the
+  accumulator merges a trailing ``left`` with an incoming ``right``
+  (suffix check against the separator, so a trailing token merely
+  *ending* in ``left`` never false-positives), then split back. Spark's
+  ``aggregate`` HOF and DuckDB's ``list_reduce`` run the identical
+  lambda.
+
+Simplifications vs a production tokenizer, stated: no end-of-word
+marker, no byte fallback, merges over the raw word-split vocabulary.
+The *dataflow* is the real thing: per round, one vocabulary-sized
+aggregation, a 1-row argmax, and a broadcast of that row into the
+rewrite — never a driver-side loop over words.
+
+Scale shape: the working table is WORD TYPES (vocabulary-sized, not
+corpus-sized — the one aggregation over the corpus happens once,
+up front), so K merge rounds cost K tiny shuffles regardless of corpus
+size; each round's result is ``localCheckpoint``-ed so the logical plan
+stays constant-size (the neardup_components lesson). At 10^12 docs the
+word-type table is the standard frequency-table artifact you'd persist
+once and re-train tokenizers from.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .textfns import docs_table
+
+#: Number of BPE merge rounds the query trains.
+BPE_MERGES = 8
+
+#: The token-join separator inside the fold accumulator (never occurs in
+#: corpus-derived tokens, which are built from word characters only).
+_SEP = "chr(1)"
+
+#: Greedy left-to-right merge of the (left, right) pair, as a string
+#: left-fold over the token list. ``left``/``right`` are column
+#: references supplied by the broadcast best-pair row.
+_MERGE_FOLD = (
+    "CASE WHEN left_tok IS NULL THEN t ELSE "
+    "split(aggregate(t, '', (acc, x) -> CASE "
+    f"WHEN x = right_tok AND (acc = left_tok OR endswith(acc, "
+    f"concat({_SEP}, left_tok))) THEN concat(acc, x) "
+    "WHEN acc = '' THEN x "
+    f"ELSE concat(acc, {_SEP}, x) END), {_SEP}) END")
+
+
+def word_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, n, t): distinct corpus words, frequencies, char tokens."""
+    w = docs_table(spark, sf_dir).select(F.explode(
+        F.expr("filter(split(lower(text), ' '), x -> x != '')"))
+        .alias("word"))
+    return (w.groupBy("word")
+            .agg(F.count("*").cast("long").alias("n"))
+            .select("word", "n", F.expr(
+                "transform(sequence(1, length(word)), "
+                "i -> substring(word, i, 1))").alias("t")))
+
+
+def _train(spark: SparkSession, sf_dir: str,
+           k: int) -> tuple[list[DataFrame], DataFrame]:
+    """(per-round 1-row merge frames, final tokenization) after ``k``
+    rounds. A round whose pair table is empty contributes an empty frame
+    and leaves the tokenization unchanged (the left-join-on-true
+    guard)."""
+    toks = word_types(spark, sf_dir).localCheckpoint(eager=False)
+    rounds = []
+    for r in range(1, k + 1):
+        pairs = (toks.filter(F.expr("size(t) >= 2"))
+                 .select("n", F.explode(F.expr(
+                     "transform(sequence(1, size(t) - 1), "
+                     "i -> struct(element_at(t, i) AS l, "
+                     "element_at(t, i + 1) AS r))")).alias("p")))
+        cnt = (pairs.groupBy(F.col("p.l").alias("left_tok"),
+                             F.col("p.r").alias("right_tok"))
+               .agg(F.sum("n").alias("pair_count")))
+        best = (cnt.orderBy(F.desc("pair_count"), "left_tok", "right_tok")
+                .limit(1))
+        rounds.append(best.select(
+            F.lit(r).cast("long").alias("merge_round"),
+            "left_tok", "right_tok",
+            F.concat("left_tok", "right_tok").alias("merged"),
+            "pair_count"))
+        toks = (toks.join(F.broadcast(best), F.lit(True), "left")
+                .select("word", "n", F.expr(_MERGE_FOLD).alias("t"))
+                .localCheckpoint(eager=False))
+    return rounds, toks
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str,
+               k: int = BPE_MERGES) -> DataFrame:
+    """The learned merge table after ``k`` rounds.
+
+    Output: (merge_round, left_tok, right_tok, merged, pair_count), one
+    row per round that still had an adjacent pair to merge.
+    """
+    rounds, _ = _train(spark, sf_dir, k)
+    out = rounds[0]
+    for nxt in rounds[1:]:
+        out = out.unionByName(nxt)
+    return out.orderBy("merge_round")
+
+
+def bpe_token_counts(spark: SparkSession, sf_dir: str,
+                     k: int = BPE_MERGES) -> DataFrame:
+    """Per-word tokenization after the ``k`` learned merges.
+
+    Output: (word, n, n_tokens, tokens) with tokens joined by '|' (an
+    engine-portable canon, like inverted_index's posting lists) — the
+    applied artifact downstream shard packing would consume.
+    """
+    _, toks = _train(spark, sf_dir, k)
+    return (toks.select("word", "n",
+                        F.size("t").cast("long").alias("n_tokens"),
+                        F.array_join("t", "|").alias("tokens"))
+            .orderBy("word"))

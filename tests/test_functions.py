@@ -644,3 +644,46 @@ def test_bloom_dedup_matches_plain_python(spark):
     near = [v for v in want.values() if v[0] == "near"]
     assert exact and all(v[2] for v in exact)
     assert near and sum(v[2] for v in near) <= len(near) * 0.2
+
+
+def test_minhash_survivors_drop_exactly_the_verified_components(spark):
+    """Union-find replay over the Spark-verified pair graph (the pair
+    table itself is differentialed above + oracle-checked): survivors
+    must be exactly {never-paired ids} ∪ {component min ids}."""
+    from paddleocr_spark.functions.dedup import (DUP_EVERY, DUP_OFFSET,
+                                                 minhash_survivors,
+                                                 noisy_corpus)
+
+    pairs = [(r["doc_a"], r["doc_b"])
+             for r in dedup_ngram_jaccard(spark, SF).collect()]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members: dict[int, set] = {}
+    for x in list(parent):
+        members.setdefault(find(x), set()).add(x)
+    all_ids = {r["doc_id"]
+               for r in noisy_corpus(spark, SF).select("doc_id").collect()}
+    want_kept = (all_ids - set(parent)) | set(members)
+    got = {r["doc_id"]: r["kept_group_representative"]
+           for r in minhash_survivors(spark, SF).collect()}
+    assert set(got) == want_kept
+    assert {d for d, rep in got.items() if rep} == set(members) & want_kept
+    # every injected exact copy is dropped (it shares a component with
+    # its strictly smaller original, so it can never be the keeper);
+    # whether the ORIGINAL survives depends on its full component (the
+    # corpus has genuine ≥0.5-Jaccard neighbors), which the exact set
+    # equality above already pins
+    originals = {d for d in all_ids
+                 if d < DUP_OFFSET and d % DUP_EVERY == 0}
+    for d in originals:
+        assert d + DUP_OFFSET not in got

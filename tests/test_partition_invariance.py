@@ -37,6 +37,8 @@ REPRESENTATIVE = [
     "adaptive_quality_filter",  # per-facet order statistic + broadcast
     "semdedup",                # Lloyd replay + in-cluster triangular max
     "quality_classifier",      # two-class NB counts + broadcast scoring
+    "minhash_survivors",       # verified-pair CC + broadcast anti-join
+    "bpe_merges",              # iterative argmax + broadcast fold rewrite
 ]
 
 

@@ -1,0 +1,87 @@
+"""BPE merge training: plain-Python replay vs the Spark implementation.
+
+The replay is the textbook algorithm (Sennrich et al. 2016 get_stats /
+merge_vocab shape) — ground truth independent of both Spark and the
+DuckDB twin.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+from paddleocr_spark.functions.tokenizer import (BPE_MERGES, bpe_merges,
+                                                 bpe_token_counts)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _bpe_python(word_counts: dict[str, int], k: int):
+    toks = {w: [c for c in w] for w in word_counts}
+    merges = []
+    for r in range(1, k + 1):
+        stats: dict[tuple[str, str], int] = {}
+        for w, t in toks.items():
+            for a, b in zip(t, t[1:]):
+                stats[(a, b)] = stats.get((a, b), 0) + word_counts[w]
+        if not stats:
+            continue
+        (a, b), cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, a, b, a + b, cnt))
+        for w, t in toks.items():
+            out, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            toks[w] = out
+    return merges, toks
+
+
+def _corpus_counts(path: str) -> dict[str, int]:
+    t = pq.read_table(f"{path}/documents.parquet", columns=["text"])
+    counts: dict[str, int] = {}
+    for x in t.column("text").to_pylist():
+        for w in str(x).lower().split(" "):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    return counts
+
+
+def test_bpe_matches_textbook_replay_on_corpus(spark):
+    counts = _corpus_counts(SF)
+    want_merges, want_toks = _bpe_python(counts, BPE_MERGES)
+    got = [(r["merge_round"], r["left_tok"], r["right_tok"], r["merged"],
+            r["pair_count"]) for r in bpe_merges(spark, SF).collect()]
+    assert got == want_merges
+    gtoks = {r["word"]: (r["n"], r["n_tokens"], r["tokens"])
+             for r in bpe_token_counts(spark, SF).collect()}
+    assert set(gtoks) == set(want_toks)
+    for w, t in want_toks.items():
+        assert gtoks[w] == (counts[w], len(t), "|".join(t)), w
+    # the learned merges are real multi-round structure, not ties on 0
+    assert len(got) == BPE_MERGES and got[0][4] > 1
+
+
+def test_bpe_greedy_overlap_and_cascade(spark, tmp_path):
+    """The adversarial shapes: overlapping pairs ('aaaa' → greedy
+    left-to-right gives [aa, aa]), cascading merges onto earlier merged
+    tokens, and a token that merely ENDS with the left element (the
+    suffix guard: 'xa' must never merge with a following 'a' pair)."""
+    rows = [(0, " ".join(["aaaa", "aaa", "xa", "a", "baba", "ab",
+                          "aab"] * 2)),
+            (1, "aaaaaaaa xaa abab")]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.mode("overwrite") \
+        .parquet(str(tmp_path / "documents.parquet"))
+    counts = _corpus_counts(str(tmp_path))
+    want_merges, want_toks = _bpe_python(counts, BPE_MERGES)
+    got = [(r["merge_round"], r["left_tok"], r["right_tok"], r["merged"],
+            r["pair_count"])
+           for r in bpe_merges(spark, str(tmp_path)).collect()]
+    assert got == want_merges
+    gtoks = {r["word"]: r["tokens"]
+             for r in bpe_token_counts(spark, str(tmp_path)).collect()}
+    assert gtoks == {w: "|".join(t) for w, t in want_toks.items()}
