@@ -476,11 +476,16 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
       replay of ``np.random.pareto(9)``, the same deterministic-draw
       move as sample_stratified.
 
-    Scale shape: training is one exploded token pass with a conditional
-    two-class count (map-side combinable); the log-odds table is
-    vocabulary-sized and broadcasts into the scoring join (the dsir
-    pattern); the keep rule is pure per-row codegen arithmetic. No
-    windows, no driver actions.
+    Scale shape: the classic two-pass classifier — one TRAIN pass (the
+    exploded tokens join the gopher labels, one map-side-combinable
+    two-class count) and one SCORE pass (the label-free tokens join the
+    broadcast log-odds table — scoring needs no labels, so the gopher
+    subtree executes exactly once). The smoothing normalizers ride an
+    unbounded window over the VOCABULARY-sized count table (the
+    ccnet_buckets move: no second aggregation branch re-executing the
+    training subtree); the keep rule is pure per-row codegen
+    arithmetic. Plan audit: gopher's window runs once, corpus scans =
+    train + score + the id frame.
     """
     from .textfns import gopher_rules
 
@@ -488,15 +493,19 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs_table(spark, sf_dir).select(
         "doc_id",
         F.expr("filter(split(lower(text), ' '), w -> w != '')").alias("w"))
-    tok = (d.select("doc_id", F.explode("w").alias("v"))
-           .join(labels, "doc_id"))
-    counts = tok.groupBy("v").agg(
-        F.sum(F.when(F.col("gopher_pass"), 1.0).otherwise(0.0)).alias("cp"),
-        F.sum(F.when(F.col("gopher_pass"), 0.0).otherwise(1.0)).alias("cn"))
-    stats = counts.agg(F.count("*").cast("double").alias("vsize"),
-                       F.sum("cp").alias("np"),
-                       F.sum("cn").alias("nn"))
-    logodds = (counts.join(F.broadcast(stats))
+    tok = d.select("doc_id", F.explode("w").alias("v"))
+    whole = Window.partitionBy()
+    counts = (tok.join(labels, "doc_id")
+              .groupBy("v").agg(
+                  F.sum(F.when(F.col("gopher_pass"), 1.0)
+                        .otherwise(0.0)).alias("cp"),
+                  F.sum(F.when(F.col("gopher_pass"), 0.0)
+                        .otherwise(1.0)).alias("cn")))
+    logodds = (counts
+               .withColumn("vsize",
+                           F.count("*").over(whole).cast("double"))
+               .withColumn("np", F.sum("cp").over(whole))
+               .withColumn("nn", F.sum("cn").over(whole))
                .select("v", (
                    F.log((F.col("cp") + 1.0) / (F.col("np") + F.col("vsize")))
                    - F.log((F.col("cn") + 1.0)
