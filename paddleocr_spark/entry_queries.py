@@ -2125,6 +2125,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_survivors": D.minhash_survivors,
         "bpe_merges": TK.bpe_merges,
         "bpe_token_counts": TK.bpe_token_counts,
+        "corpus_stats": CU.corpus_stats,
         "blocklist_filter": CU.blocklist_filter,
         "pii_redact": CU.pii_redact,
         "sampling_temperature": CU.sampling_temperature,
@@ -5228,5 +5229,22 @@ SELECT word, n, CAST(len(t) AS BIGINT) AS n_tokens,
        array_to_string(t, '|') AS tokens
 FROM t{BPE_MERGES}
 ORDER BY word"""
+
+    # Corpus-card rollup: one GROUP BY ROLLUP pass; subtotal rows carry
+    # NULL in the rolled-up column. Sums are integer-exact, so avg is
+    # the same IEEE division on both engines.
+    sqls["corpus_stats"] = f"""
+WITH d AS (
+    SELECT lang, source, n_chars,
+           CAST(len({_WORDS}) AS BIGINT) AS nw
+    FROM documents
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS n_words,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       round(avg(nw), 4) + 0 AS avg_words
+FROM d GROUP BY ROLLUP (lang, source)
+ORDER BY lang NULLS FIRST, source NULLS FIRST"""
 
     return sqls

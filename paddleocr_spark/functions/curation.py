@@ -527,3 +527,29 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(prob, 4).alias("qc_prob"),
                     F.round(cut, 4).alias("pareto_cut"),
                     (prob > cut).alias("kept")))
+
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-card reporting pass: one ROLLUP over (lang, source).
+
+    Every curation pipeline publishes per-facet corpus statistics (the
+    "datasheet" rollup: docs, tokens, chars per language, per source,
+    and overall). Expressed as a single ``ROLLUP`` aggregation so
+    Catalyst expands the grouping sets into ONE pass with map-side
+    partial aggregation — never one job per facet level. Subtotal rows
+    carry NULL in the rolled-up column (the corpus columns themselves
+    are never NULL, so the marker is unambiguous).
+
+    Output: (lang, source, n_docs, n_words, n_chars, avg_words 4dp),
+    ordered by (lang, source) with NULLs first within each level.
+    """
+    d = docs_table(spark, sf_dir).select(
+        "lang", "source", "n_chars",
+        F.size(F.expr("filter(split(lower(text), ' '), w -> w != '')"))
+        .cast("long").alias("nw"))
+    return (d.rollup("lang", "source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("nw").alias("n_words"),
+                 F.sum("n_chars").alias("n_chars"),
+                 F.round(F.avg("nw"), 4).alias("avg_words"))
+            .orderBy(F.asc_nulls_first("lang"), F.asc_nulls_first("source")))

@@ -320,3 +320,29 @@ def test_quality_classifier_matches_plain_python(spark):
         n_kept += g["kept"]
     # the stochastic rule keeps a small non-degenerate slice
     assert 0 < n_kept < len(docs)
+
+
+def test_corpus_stats_rollup_levels_are_consistent(spark):
+    """Plain-python recompute of all three grouping levels + internal
+    consistency (facet rows sum to subtotals sum to the grand total)."""
+    from paddleocr_spark.functions.curation import corpus_stats
+
+    want: dict[tuple, list] = {}
+    for r in _rows():
+        nw = len(r["w"])
+        for key in [(r["lang"], r["source"]), (r["lang"], None),
+                    (None, None)]:
+            e = want.setdefault(key, [0, 0])
+            e[0] += 1
+            e[1] += nw
+    got = {(r["lang"], r["source"]): r
+           for r in corpus_stats(spark, SF).collect()}
+    assert set(got) == set(want)
+    for key, (nd, nw) in want.items():
+        g = got[key]
+        assert (g["n_docs"], g["n_words"]) == (nd, nw), key
+        assert abs(g["avg_words"] - round(nw / nd, 4)) < 1e-9, key
+    total = got[(None, None)]
+    leaf = [g for k, g in got.items() if k[0] and k[1]]
+    assert sum(g["n_docs"] for g in leaf) == total["n_docs"]
+    assert sum(g["n_words"] for g in leaf) == total["n_words"]

@@ -39,6 +39,7 @@ REPRESENTATIVE = [
     "quality_classifier",      # two-class NB counts + broadcast scoring
     "minhash_survivors",       # verified-pair CC + broadcast anti-join
     "bpe_merges",              # iterative argmax + broadcast fold rewrite
+    "corpus_stats",            # ROLLUP grouping-set expansion
 ]
 
 
