@@ -2126,6 +2126,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": TK.bpe_merges,
         "bpe_token_counts": TK.bpe_token_counts,
         "corpus_stats": CU.corpus_stats,
+        "bpe_encode": TK.bpe_encode,
         "blocklist_filter": CU.blocklist_filter,
         "pii_redact": CU.pii_redact,
         "sampling_temperature": CU.sampling_temperature,
@@ -5229,6 +5230,23 @@ SELECT word, n, CAST(len(t) AS BIGINT) AS n_tokens,
        array_to_string(t, '|') AS tokens
 FROM t{BPE_MERGES}
 ORDER BY word"""
+
+    # Apply step: per-doc token totals under the learned tokenization.
+    sqls["bpe_encode"] = f"""{_bpe_ctes},
+dw AS (SELECT doc_id, unnest({_WORDS}) AS word FROM documents),
+pd AS (
+    SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(tv.t)) AS BIGINT) AS n_tokens
+    FROM dw JOIN t{BPE_MERGES} tv USING (word)
+    GROUP BY dw.doc_id
+)
+SELECT d.doc_id,
+       coalesce(pd.n_words, 0) AS n_words,
+       coalesce(pd.n_tokens, 0) AS n_tokens,
+       round(CASE WHEN coalesce(pd.n_words, 0) > 0
+                  THEN pd.n_tokens / CAST(pd.n_words AS DOUBLE)
+                  ELSE 0.0 END, 4) + 0 AS fertility
+FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)"""
 
     # Corpus-card rollup: one GROUP BY ROLLUP pass; subtotal rows carry
     # NULL in the rolled-up column. Sums are integer-exact, so avg is

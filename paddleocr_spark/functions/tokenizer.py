@@ -130,3 +130,41 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str,
                         F.size("t").cast("long").alias("n_tokens"),
                         F.array_join("t", "|").alias("tokens"))
             .orderBy("word"))
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str,
+               k: int = BPE_MERGES) -> DataFrame:
+    """Per-document token counts under the trained tokenizer.
+
+    The apply step: documents join the word→tokenization table learned
+    by :func:`bpe_token_counts` (vocabulary-sized, broadcast — by
+    construction it covers every corpus word), and per-doc totals are
+    one hash aggregation. Emits (doc_id, n_words, n_tokens, fertility)
+    — fertility = tokens/words 4dp (the metric a tokenizer-training
+    pipeline actually monitors; 0.0 sentinel for empty docs).
+
+    Scale shape: the score pass is the dsir pattern — the exploded
+    token stream never shuffles on the word key (broadcast join), and
+    the per-doc rollup is map-side combinable. Empty docs emit 0/0/0.
+    """
+    _, toks = _train(spark, sf_dir, k)
+    vocab = toks.select("word", F.size("t").cast("long").alias("wt"))
+    d = docs_table(spark, sf_dir).select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> x != '')").alias("w"))
+    per_doc = (d.select("doc_id", F.explode("w").alias("word"))
+               .join(F.broadcast(vocab), "word")
+               .groupBy("doc_id")
+               .agg(F.count("*").cast("long").alias("n_words"),
+                    F.sum("wt").alias("n_tokens")))
+    out = (d.select("doc_id").join(per_doc, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("n_words", F.lit(0)).cast("long")
+                   .alias("n_words"),
+                   F.coalesce("n_tokens", F.lit(0)).cast("long")
+                   .alias("n_tokens")))
+    fert = F.when(F.col("n_words") > 0,
+                  F.col("n_tokens").cast("double")
+                  / F.col("n_words").cast("double")).otherwise(0.0)
+    return out.select("doc_id", "n_words", "n_tokens",
+                      F.round(fert, 4).alias("fertility"))

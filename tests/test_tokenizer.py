@@ -63,6 +63,24 @@ def test_bpe_matches_textbook_replay_on_corpus(spark):
         assert gtoks[w] == (counts[w], len(t), "|".join(t)), w
     # the learned merges are real multi-round structure, not ties on 0
     assert len(got) == BPE_MERGES and got[0][4] > 1
+    # apply step: per-doc totals under the learned tokenization
+    from paddleocr_spark.functions.tokenizer import bpe_encode
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    genc = {r["doc_id"]: r for r in bpe_encode(spark, SF).collect()}
+    for d, x in zip(t.column("doc_id").to_pylist(),
+                    t.column("text").to_pylist()):
+        words = [w for w in str(x).lower().split(" ") if w]
+        ntok = sum(len(want_toks[w]) for w in words)
+        g = genc[int(d)]
+        assert (g["n_words"], g["n_tokens"]) == (len(words), ntok), d
+        # Spark/DuckDB round half AWAY from zero; python's round() is
+        # banker's, and small-integer ratios DO hit exact .00005
+        # boundaries (3.53125 here) — replicate half-up explicitly
+        import math
+        fert = (math.floor(ntok / len(words) * 10000 + 0.5) / 10000
+                if words else 0.0)
+        assert abs(g["fertility"] - fert) < 1e-9, d
 
 
 def test_bpe_greedy_overlap_and_cascade(spark, tmp_path):
