@@ -345,6 +345,48 @@ def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "event_id", F.round("value", 4).alias("value")))
 
 
+#: Sessionization inactivity gap: 30 minutes, the standard
+#: web-analytics default.
+SESSION_GAP_MIN = 30
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events table.
+
+    The canonical event-analytics rollup a training-data pipeline's
+    telemetry side runs: per user, events more than ``SESSION_GAP_US``
+    apart start a new session (lag + conditional flag + running sum —
+    all timestamp/interval arithmetic, so the session ids are
+    bit-deterministic), then one hash aggregation per (user, session).
+    Ties on ts break by event_id; the gap compares TIMESTAMP_NTZ
+    differences against an interval literal at full microsecond
+    precision (an epoch-seconds cast would truncate; `unix_micros`
+    rejects NTZ outright).
+
+    Scale shape: ONE exchange on user_id feeds both the lag window and
+    the running sum (same partition-and-order spec), and the final
+    group-by is co-partitioned with it — the plan is scan → one hash
+    repartition → in-partition sort → window → partial+final agg.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (_events(spark, sf_dir)
+         .select("user_id", "ts", "event_id", "value")
+         .withColumn("prev_ts", F.lag("ts").over(w))
+         .withColumn("ns", F.when(
+             F.col("prev_ts").isNull()
+             | F.expr(f"ts - prev_ts > INTERVAL '{SESSION_GAP_MIN}' "
+                      "MINUTE"), 1).otherwise(0)))
+    t = e.withColumn(
+        "session_idx",
+        F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"))
+    return (t.groupBy("user_id", "session_idx")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count("*").cast("long").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value")))
+
+
 #: Spatial-hash tile edge for the cell_match candidate join (px). Chosen
 #: near the synthetic cell size (199x249); any positive value is CORRECT —
 #: tiling only prunes candidates, and tables it cannot serve (a box wider
@@ -2127,6 +2169,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": TK.bpe_token_counts,
         "corpus_stats": CU.corpus_stats,
         "bpe_encode": TK.bpe_encode,
+        "sessionize": q_sessionize,
         "blocklist_filter": CU.blocklist_filter,
         "pii_redact": CU.pii_redact,
         "sampling_temperature": CU.sampling_temperature,
@@ -5230,6 +5273,28 @@ SELECT word, n, CAST(len(t) AS BIGINT) AS n_tokens,
        array_to_string(t, '|') AS tokens
 FROM t{BPE_MERGES}
 ORDER BY word"""
+
+    # Gap sessionization: lag + flag + running sum, all integer-exact.
+    sqls["sessionize"] = f"""
+WITH e AS (
+    SELECT user_id, ts, event_id, value,
+           lag(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_ts
+    FROM events
+), t AS (
+    SELECT user_id, ts, value,
+           CAST(sum(CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL {SESSION_GAP_MIN} MINUTE
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+    FROM e
+)
+SELECT user_id, session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) + 0 AS total_value
+FROM t GROUP BY user_id, session_idx"""
 
     # Apply step: per-doc token totals under the learned tokenization.
     sqls["bpe_encode"] = f"""{_bpe_ctes},

@@ -346,3 +346,49 @@ def test_corpus_stats_rollup_levels_are_consistent(spark):
     leaf = [g for k, g in got.items() if k[0] and k[1]]
     assert sum(g["n_docs"] for g in leaf) == total["n_docs"]
     assert sum(g["n_words"] for g in leaf) == total["n_words"]
+
+
+def test_sessionize_matches_plain_python(spark):
+    """Gap sessionization replayed in plain Python at full microsecond
+    precision; also pins that the plan needs exactly ONE exchange (the
+    lag window, the running sum, and the final group-by all share the
+    user_id partitioning)."""
+    import datetime as dt
+
+    from paddleocr_spark.entry_queries import (SESSION_GAP_MIN,
+                                               q_sessionize)
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_id", "ts", "user_id", "value"])
+    by_user: dict[int, list] = {}
+    for e, ts, u, v in zip(t.column("event_id").to_pylist(),
+                           t.column("ts").to_pylist(),
+                           t.column("user_id").to_pylist(),
+                           t.column("value").to_pylist()):
+        by_user.setdefault(int(u), []).append((ts, int(e), float(v)))
+    gap = dt.timedelta(minutes=SESSION_GAP_MIN)
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        sid, prev = 0, None
+        for ts, _, v in evs:
+            if prev is None or ts - prev > gap:
+                sid += 1
+                want[(u, sid)] = [ts, ts, 0, 0.0]
+            s = want[(u, sid)]
+            s[1] = ts
+            s[2] += 1
+            s[3] += v
+            prev = ts
+    got = {(r["user_id"], r["session_idx"]): r
+           for r in q_sessionize(spark, SF).collect()}
+    assert set(got) == set(want)
+    for key, (st, en, n, tot) in want.items():
+        g = got[key]
+        assert (g["session_start"], g["session_end"], g["n_events"]) \
+            == (st, en, n), key
+        assert abs(g["total_value"] - tot) < 1e-3, key
+    # sessions really split: more sessions than users, fewer than events
+    assert len(by_user) < len(want) < sum(len(v) for v in by_user.values())
+    plan = q_sessionize(spark, SF)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1

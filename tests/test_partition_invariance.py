@@ -40,6 +40,7 @@ REPRESENTATIVE = [
     "minhash_survivors",       # verified-pair CC + broadcast anti-join
     "bpe_merges",              # iterative argmax + broadcast fold rewrite
     "corpus_stats",            # ROLLUP grouping-set expansion
+    "sessionize",              # lag + running-sum session split
 ]
 
 
