@@ -387,6 +387,44 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 4).alias("total_value")))
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join: each purchase ↔ the same user's most
+    recent click at or before it.
+
+    The canonical operator Spark lacks natively, composed the standard
+    way: union the two tagged sides, sort per user by (ts, side) with
+    the build side first at equal timestamps (so a same-instant click
+    qualifies as "at or before"), and carry the last click forward with
+    ``last(..., ignorenulls=True)`` over a running frame. ONE shuffle on
+    user_id and linear per-row state — never the range-join's quadratic
+    candidate blow-up (and the same dataflow as Flink's temporal join).
+    Purchases before any click carry NULLs (left semantics).
+
+    The DuckDB twin runs the engine's NATIVE ``ASOF LEFT JOIN`` — our
+    composition is checked against a first-class implementation of the
+    operator, not a restatement of our own window trick. (The events
+    table has no (user_id, ts) duplicates at any SF, so tie-order
+    between engines cannot differ.)
+    """
+    e = (_events(spark, sf_dir)
+         .filter(F.col("event_type").isin("click", "purchase"))
+         .select("event_id", "user_id", "ts", "value",
+                 F.when(F.col("event_type") == "click", 0)
+                 .otherwise(1).alias("side")))
+    w = (Window.partitionBy("user_id").orderBy("ts", "side", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = e.withColumn(
+        "last_click",
+        F.last(F.when(F.col("side") == 0, F.struct("ts", "value")),
+               ignorenulls=True).over(w))
+    return (carried.filter(F.col("side") == 1)
+            .select("event_id", "user_id", "ts",
+                    F.round("value", 4).alias("value"),
+                    F.col("last_click.ts").alias("click_ts"),
+                    F.round(F.col("last_click.value"), 4)
+                    .alias("click_value")))
+
+
 #: Spatial-hash tile edge for the cell_match candidate join (px). Chosen
 #: near the synthetic cell size (199x249); any positive value is CORRECT —
 #: tiling only prunes candidates, and tables it cannot serve (a box wider
@@ -2170,6 +2208,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": CU.corpus_stats,
         "bpe_encode": TK.bpe_encode,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "blocklist_filter": CU.blocklist_filter,
         "pii_redact": CU.pii_redact,
         "sampling_temperature": CU.sampling_temperature,
@@ -5295,6 +5334,22 @@ SELECT user_id, session_idx,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 4) + 0 AS total_value
 FROM t GROUP BY user_id, session_idx"""
+
+    # As-of twin: DuckDB's NATIVE ASOF JOIN checks our window
+    # composition against a first-class implementation.
+    sqls["asof_join"] = """
+WITH p AS (
+    SELECT event_id, user_id, ts, value FROM events
+    WHERE event_type = 'purchase'
+), c AS (
+    SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       round(p.value, 4) + 0 AS value,
+       c.ts AS click_ts,
+       round(c.value, 4) + 0 AS click_value
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.ts"""
 
     # Apply step: per-doc token totals under the learned tokenization.
     sqls["bpe_encode"] = f"""{_bpe_ctes},

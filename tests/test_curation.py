@@ -392,3 +392,36 @@ def test_sessionize_matches_plain_python(spark):
     plan = q_sessionize(spark, SF)._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_asof_join_matches_plain_python(spark):
+    """Point-in-time join replayed with a per-user sweep; purchases
+    before any click carry NULLs (left semantics)."""
+    from paddleocr_spark.entry_queries import q_asof_join
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_id", "ts", "user_id", "event_type",
+                               "value"])
+    rows = sorted(zip(t.column("user_id").to_pylist(),
+                      t.column("ts").to_pylist(),
+                      t.column("event_type").to_pylist(),
+                      t.column("event_id").to_pylist(),
+                      t.column("value").to_pylist()))
+    want, last_click = {}, {}
+    for u, ts, et, e, v in rows:
+        if et == "click":
+            last_click[u] = (ts, v)
+        elif et == "purchase":
+            want[int(e)] = last_click.get(u)
+    got = {r["event_id"]: r for r in q_asof_join(spark, SF).collect()}
+    assert set(got) == set(want)
+    n_null = 0
+    for e, lc in want.items():
+        g = got[e]
+        if lc is None:
+            assert g["click_ts"] is None and g["click_value"] is None, e
+            n_null += 1
+        else:
+            assert g["click_ts"] == lc[0], e
+            assert abs(g["click_value"] - lc[1]) < 1e-3, e
+    # both branches exercised: some purchases precede any click
+    assert 0 < n_null < len(want)

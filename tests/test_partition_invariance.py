@@ -41,6 +41,7 @@ REPRESENTATIVE = [
     "bpe_merges",              # iterative argmax + broadcast fold rewrite
     "corpus_stats",            # ROLLUP grouping-set expansion
     "sessionize",              # lag + running-sum session split
+    "asof_join",               # union + last-ignorenulls carry-forward
 ]
 
 
