@@ -75,6 +75,8 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _clustering("semdedup"),
         "quality_classifier": _curation("quality_classifier"),
         "bpe_merges": _tokenizer("bpe_merges"),
+        "sessionize": _entry("q_sessionize"),
+        "asof_join": _entry("q_asof_join"),
     }
 
 
