@@ -425,6 +425,46 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("click_value")))
 
 
+#: Z-order layout: bits per coordinate (span coords fit 13 bits at every
+#: SF) and the key shift that groups ~2^(26-18)=256 max file buckets.
+ZORDER_BITS = 13
+ZORDER_BUCKET_SHIFT = 18
+
+#: Morton interleave of (cx, cy), bit-exact integer arithmetic.
+_ZORDER_KEY = (
+    f"aggregate(sequence(0, {ZORDER_BITS - 1}), 0L, (acc, i) -> "
+    "acc + shiftleft((cx DIV shiftleft(1L, i)) % 2, 2 * i) "
+    "+ shiftleft((cy DIV shiftleft(1L, i)) % 2, 2 * i + 1))")
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) data-layout buckets with per-bucket min/max stats.
+
+    The table-layout move a 100 TB Iceberg deployment makes so that
+    min/max column statistics actually PRUNE files: interleave the bits
+    of the span centroid (cx, cy) into a Morton key and cut the key
+    space into file buckets — spatially close spans land in the same
+    file, so each file's (cx, cy) range is tight and a range predicate
+    skips most files (hash layout gives every file the full value range
+    and skips nothing; the pytest quantifies the gap). Emits exactly
+    the stats an Iceberg manifest would carry per file: row count and
+    the min/max of both clustering columns.
+
+    All integer arithmetic (shiftleft / DIV / %), so the keys are
+    bit-identical on every engine — no float rounding anywhere.
+    """
+    g = with_geometry(_spans_exploded(spark, sf_dir)).select(
+        F.expr("CAST((x1 + x2) DIV 2 AS BIGINT)").alias("cx"),
+        F.expr("CAST((y1 + y2) DIV 2 AS BIGINT)").alias("cy"))
+    keyed = g.select("cx", "cy", F.expr(_ZORDER_KEY).alias("zkey"))
+    return (keyed.groupBy(
+        F.expr(f"zkey DIV shiftleft(1L, {ZORDER_BUCKET_SHIFT})")
+        .cast("long").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n_spans"),
+             F.min("cx").alias("min_cx"), F.max("cx").alias("max_cx"),
+             F.min("cy").alias("min_cy"), F.max("cy").alias("max_cy")))
+
+
 #: Spatial-hash tile edge for the cell_match candidate join (px). Chosen
 #: near the synthetic cell size (199x249); any positive value is CORRECT —
 #: tiling only prunes candidates, and tables it cannot serve (a box wider
@@ -2209,6 +2249,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": TK.bpe_encode,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "zorder_layout": q_zorder_layout,
         "blocklist_filter": CU.blocklist_filter,
         "pii_redact": CU.pii_redact,
         "sampling_temperature": CU.sampling_temperature,
@@ -5334,6 +5375,28 @@ SELECT user_id, session_idx,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 4) + 0 AS total_value
 FROM t GROUP BY user_id, session_idx"""
+
+    # Z-order layout twin: the same integer Morton interleave via
+    # DuckDB's native bit shifts.
+    _zk = (f"CAST(list_sum(list_transform(generate_series(0, "
+           f"{ZORDER_BITS - 1}), i -> "
+           "(((cx // (CAST(1 AS BIGINT) << i)) % 2) << (2 * i)) + "
+           "(((cy // (CAST(1 AS BIGINT) << i)) % 2) << (2 * i + 1)))) "
+           "AS BIGINT)")
+    sqls["zorder_layout"] = f"""
+WITH {SYNTH_CTE.lstrip()}, {GEOM_CTE.lstrip()},
+cent AS (
+    SELECT CAST((2 * x1 + w) // 2 AS BIGINT) AS cx,
+           CAST((2 * y1 + h) // 2 AS BIGINT) AS cy
+    FROM synth_geom
+),
+keyed AS (SELECT cx, cy, {_zk} AS zkey FROM cent)
+SELECT CAST(zkey // (CAST(1 AS BIGINT) << {ZORDER_BUCKET_SHIFT})
+            AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       min(cx) AS min_cx, max(cx) AS max_cx,
+       min(cy) AS min_cy, max(cy) AS max_cy
+FROM keyed GROUP BY 1"""
 
     # As-of twin: DuckDB's NATIVE ASOF JOIN checks our window
     # composition against a first-class implementation.

@@ -425,3 +425,49 @@ def test_asof_join_matches_plain_python(spark):
             assert abs(g["click_value"] - lc[1]) < 1e-3, e
     # both branches exercised: some purchases precede any click
     assert 0 < n_null < len(want)
+
+
+def test_zorder_layout_buckets_are_tight(spark):
+    """Morton keys replayed in plain Python (bit-exact), and the layout
+    CLAIM quantified: z-order file buckets carry far tighter (cx, cy)
+    min/max ranges than a doc-hash layout with the same bucket count —
+    tight ranges are what make manifest min/max stats prune files."""
+    from paddleocr_spark.entry_queries import (ZORDER_BITS,
+                                               ZORDER_BUCKET_SHIFT,
+                                               q_span_geometry,
+                                               q_zorder_layout)
+
+    spans = q_span_geometry(spark, SF).collect()
+
+    def morton(cx: int, cy: int) -> int:
+        k = 0
+        for i in range(ZORDER_BITS):
+            k += ((cx >> i) & 1) << (2 * i)
+            k += ((cy >> i) & 1) << (2 * i + 1)
+        return k
+
+    want: dict[int, list] = {}
+    hash_layout: dict[int, list] = {}
+    for r in spans:
+        cx = (r["x1"] + r["x2"]) // 2
+        cy = (r["y1"] + r["y2"]) // 2
+        b = morton(cx, cy) >> ZORDER_BUCKET_SHIFT
+        doc_bucket = int(hashlib.md5(
+            str(r["doc_id"]).encode()).hexdigest()[:8], 16) % 16
+        for layout, key in ((want, b), (hash_layout, doc_bucket)):
+            e = layout.setdefault(key, [0, cx, cx, cy, cy])
+            e[0] += 1
+            e[1], e[2] = min(e[1], cx), max(e[2], cx)
+            e[3], e[4] = min(e[3], cy), max(e[4], cy)
+    got = {r["bucket"]: [r["n_spans"], r["min_cx"], r["max_cx"],
+                         r["min_cy"], r["max_cy"]]
+           for r in q_zorder_layout(spark, SF).collect()}
+    assert got == want
+
+    def mean_area(layout) -> float:
+        return sum((e[2] - e[1] + 1) * (e[4] - e[3] + 1)
+                   for e in layout.values()) / len(layout)
+
+    # the point of the op: z-buckets are spatially tight, hash buckets
+    # each span the whole coordinate space
+    assert mean_area(want) * 3 < mean_area(hash_layout)

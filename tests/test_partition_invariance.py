@@ -42,6 +42,7 @@ REPRESENTATIVE = [
     "corpus_stats",            # ROLLUP grouping-set expansion
     "sessionize",              # lag + running-sum session split
     "asof_join",               # union + last-ignorenulls carry-forward
+    "zorder_layout",           # integer Morton keys + min/max rollup
 ]
 
 
