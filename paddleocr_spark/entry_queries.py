@@ -2855,7 +2855,7 @@ SELECT doc_id,
        translate(substring('ＡＢＣＤＥ', CAST(doc_id % 5 AS INT) + 1, 1)
                  || '　'
                  || substring('０１２３４', CAST(doc_id % 5 AS INT) + 1, 1)
-                 || text, '{T.FW}', '{T.HW}') AS folded
+                 || text, '{T.FW}', '{T.HW.replace("'", "''")}') AS folded
 FROM documents"""
 
     from .operators.recognize import CHARSET

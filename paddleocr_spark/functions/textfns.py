@@ -35,10 +35,12 @@ QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
 #: Kept RE2/Java-portable (no lookarounds, no unicode classes).
 BPE_TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
-#: Full-width → half-width fold (strQ2B analog): the full-width codepoints we
-#: inject in fixtures, mapped to their ASCII halves; U+3000 → space.
-FW = "　ＡＢＣＤＥ０１２３４，．！？"
-HW = " ABCDE01234,.!?"
+#: Full-width → half-width fold: the COMPLETE strQ2B mapping
+#: (eval_end2end.py:26-35) — U+3000 → space and the whole
+#: U+FF01..U+FF5E run shifted by −0xFEE0 — as a translate() table
+#: (exec-reference differential pins table == reference fold).
+FW = "　" + "".join(chr(c) for c in range(0xFF01, 0xFF5F))
+HW = " " + "".join(chr(c - 0xFEE0) for c in range(0xFF01, 0xFF5F))
 
 
 def docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:

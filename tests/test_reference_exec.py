@@ -1997,3 +1997,25 @@ def test_random_crop_img_mask_matches_executed_reference():
             sys.modules.pop("cv2", None)
         else:
             sys.modules["cv2"] = saved
+
+
+def test_strq2b_matches_executed_reference():
+    """The reference's full-width→half-width fold (eval_end2end.py:26-35)
+    vs our translate() table (textfns.FW/HW) applied in plain Python —
+    the same mapping the Spark query and the DuckDB twin interpolate."""
+    from paddleocr_spark.functions.textfns import FW, HW
+    ns = _exec_slice("tools/end2end/eval_end2end.py",
+                     "def strQ2B", "def polygon_from_str")
+    table = str.maketrans(FW, HW)
+    rng = random.Random(11)
+    pool = ([chr(c) for c in range(0x20, 0x7F)]          # ascii
+            + [chr(c) for c in range(0xFF01, 0xFF5F)]    # full-width run
+            + ["　", "｟", "｠", "漢", "字"])  # edges + CJK
+    for _ in range(300):
+        s = "".join(rng.choice(pool) for _ in range(rng.randint(0, 40)))
+        assert s.translate(table) == ns["strQ2B"](s), repr(s)
+    # boundary pins: U+3000 folds to space; U+FF5F (one past the run)
+    # and real CJK are untouched
+    assert "　".translate(table) == " "
+    assert "｟".translate(table) == "｟"
+    assert "漢".translate(table) == "漢"
