@@ -2019,3 +2019,91 @@ def test_strq2b_matches_executed_reference():
     assert "　".translate(table) == " "
     assert "｟".translate(table) == "｟"
     assert "漢".translate(table) == "漢"
+
+
+def test_det_iou_evaluator_matches_executed_reference():
+    """Executes the reference's ENTIRE DetectionIoUEvaluator
+    (ppocr/metrics/eval_det_iou.py:13-228) — don't-care exclusion by
+    area-precision over det area, the greedy (gt, det)-index-ordered
+    one-to-one IoU>0.5 match, per-sample counts, and combine_results —
+    with only shapely's Polygon swapped for closed-form axis-aligned
+    rectangle geometry (area; intersection; union = a+b-inter), which
+    for the non-degenerate rect quads fuzzed here is exactly what
+    shapely computes. Per-image (gtCare, detCare, detMatched) must
+    equal metrics.det_match_counts (the kernel under det_eval's
+    grouped-Arrow emit), and combine_results must equal the det_eval
+    aggregate's precision/recall/hmean formulas on the summed counts."""
+    from paddleocr_spark.functions.metrics import det_match_counts
+
+    class _Area:
+        def __init__(self, a):
+            self.area = a
+
+    class _Rect:
+        is_valid = True
+
+        def __init__(self, pts):
+            xs = [p[0] for p in pts]
+            ys = [p[1] for p in pts]
+            self.x1, self.x2 = min(xs), max(xs)
+            self.y1, self.y2 = min(ys), max(ys)
+
+        @property
+        def area(self):
+            return (self.x2 - self.x1) * (self.y2 - self.y1)
+
+        def _inter(self, o):
+            w = min(self.x2, o.x2) - max(self.x1, o.x1)
+            h = min(self.y2, o.y2) - max(self.y1, o.y1)
+            return w * h if w > 0 and h > 0 else 0.0
+
+        def intersection(self, o):
+            return _Area(self._inter(o))
+
+        def union(self, o):
+            return _Area(self.area + o.area - self._inter(o))
+
+    src = open(os.path.join(
+        REF_ROOT, "ppocr/metrics/eval_det_iou.py")).read()
+    ns = {"Polygon": _Rect}
+    exec(src[src.index("from collections"):src.index("if __name__")]
+         .replace("from shapely.geometry import Polygon", ""), ns)
+    ev = ns["DetectionIoUEvaluator"]()
+
+    def rect(rng):
+        x1 = rng.randint(0, 60)
+        y1 = rng.randint(0, 60)
+        return [x1, y1, x1 + rng.randint(1, 40), y1 + rng.randint(1, 30)]
+
+    def quad(b):
+        return [(b[0], b[1]), (b[2], b[1]), (b[2], b[3]), (b[0], b[3])]
+
+    import numpy as np
+    rng = random.Random(38)
+    results, g_sum, d_sum, m_sum = [], 0, 0, 0
+    for trial in range(400):
+        n_gt = rng.randint(0, 8)
+        n_det = rng.randint(0, 8)
+        gt = [rect(rng) for _ in range(n_gt)]
+        ignore = [rng.random() < 0.3 for _ in range(n_gt)]
+        det = [rect(rng) for _ in range(n_det)]
+        res = ev.evaluate_image(
+            [{"points": quad(b), "text": "", "ignore": ig}
+             for b, ig in zip(gt, ignore)],
+            [{"points": quad(b), "text": ""} for b in det])
+        got = det_match_counts(
+            np.asarray(gt, dtype=float).reshape(-1, 4),
+            np.asarray(ignore, dtype=bool),
+            np.asarray(det, dtype=float).reshape(-1, 4))
+        assert got == (res["gtCare"], res["detCare"],
+                       res["detMatched"]), (trial, gt, ignore, det)
+        results.append(res)
+        g_sum += got[0]
+        d_sum += got[1]
+        m_sum += got[2]
+
+    combined = ev.combine_results(results)
+    p = 0.0 if d_sum == 0 else m_sum / d_sum
+    r = 0.0 if g_sum == 0 else m_sum / g_sum
+    h = 0.0 if p + r == 0 else 2 * p * r / (p + r)
+    assert combined == {"precision": p, "recall": r, "hmean": h}
