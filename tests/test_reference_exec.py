@@ -2107,3 +2107,97 @@ def test_det_iou_evaluator_matches_executed_reference():
     r = 0.0 if g_sum == 0 else m_sum / g_sum
     h = 0.0 if p + r == 0 else 2 * p * r / (p + r)
     assert combined == {"precision": p, "recall": r, "hmean": h}
+
+
+def test_rec_metric_eval_full_matches_spark_char_prf(spark):
+    """Executes the reference RecMetric.eval_full char-set report walk
+    (rec_metric.py:135-248) - per-char recall/precision appended only
+    where the char occurs in some target/pred, f1 where in either, all
+    denominators eps'd (1e-5), overall_* total-count ratios, including
+    the 'overall_recall{name}' missing-underscore key quirk - against
+    our PRODUCTION Spark operator char_prf() on the same pairs.
+    Substitutions only where the container lacks the package: rapidfuzz
+    Levenshtein by a textbook DP (independent of our kernels) and
+    grapheme_edit_dis by the REAL reference function exec'd from
+    korean_grapheme_label.py; the class is instantiated via __new__
+    because __init__ reads a hardcoded /home char-set path. char_set is
+    all observed chars plus an unseen extra (exercising the skip path -
+    unseen chars contribute to no sum, count, or total), which makes
+    the walk coincide with char_prf's observed-char aggregation."""
+    import math
+    import string as _string
+
+    import numpy as np
+
+    from paddleocr_spark.functions.metrics import char_prf
+
+    ns_k = _exec_korean_module("korean_grapheme_label.py")
+
+    def _lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    class _Lev:
+        @staticmethod
+        def normalized_distance(a, b):
+            m = max(len(a), len(b))
+            return _lev(a, b) / m if m else 0.0
+
+    src = open(os.path.join(
+        REF_ROOT, "ppocr/metrics/rec_metric.py")).read()
+    ns = {"np": np, "string": _string, "Levenshtein": _Lev,
+          "grapheme_edit_dis": ns_k["grapheme_edit_dis"]}
+    exec(src[src.index("def hirschberg_lcs"):
+             src.index("class RecMetric_GraphemeLabel_All")], ns)
+
+    rng = random.Random(39)
+    pairs = []
+    for _ in range(60):
+        t = _random_korean(rng, rng.randint(0, 12))
+        r = rng.random()
+        if r < 0.15:
+            p = ""
+        elif r < 0.4:
+            p = t
+        else:
+            p = _random_korean(rng, rng.randint(0, 12))
+        if rng.random() < 0.1:
+            t = ""
+        pairs.append((p, t))
+
+    rm = ns["RecMetric"].__new__(ns["RecMetric"])
+    rm.is_filter = False
+    rm.ignore_space = True
+    rm.eps = 1e-5
+    rm.test_print = False
+    rm.is_training = False
+    stripped = [(p.replace(" ", ""), t.replace(" ", ""))
+                for p, t in pairs]
+    observed = sorted({c for p, t in stripped for c in p + t})
+    rm.char_set_dict = {"t": observed + [chr(0xC5), chr(0x2603)]}
+    rm.label_char, rm.pred_char, rm.answer_char = {}, {}, {}
+    rm.correct_num = rm.all_num = 0
+    rm.norm_edit_dis = rm.grapheme_norm_edit_dis = 0
+    report = rm.eval_full([(p, 0.9) for p, _ in pairs],
+                          [(t, None) for _, t in pairs])
+
+    got = char_prf(spark.createDataFrame(
+        stripped, "pred string, target string")).first()
+
+    def r4(x):
+        return math.floor(x * 1e4 + 0.5) / 1e4  # Spark HALF_UP, x >= 0
+
+    for col, key in [("mean_precision", "mean_precision_t"),
+                     ("mean_recall", "mean_recall_t"),
+                     ("mean_f1", "mean_f1_score_t"),
+                     ("overall_precision", "overall_precision_t"),
+                     ("overall_recall", "overall_recallt"),
+                     ("overall_f1", "overall_f1_scoret")]:
+        assert abs(got[col] - r4(report[key])) < 2e-9, (
+            col, got[col], report[key])
