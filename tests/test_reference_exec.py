@@ -2201,3 +2201,101 @@ def test_rec_metric_eval_full_matches_spark_char_prf(spark):
                      ("overall_f1", "overall_f1_scoret")]:
         assert abs(got[col] - r4(report[key])) < 2e-9, (
             col, got[col], report[key])
+
+
+def test_cls_metric_matches_executed_reference(spark):
+    """Executes the reference's whole ClsMetric class
+    (ppocr/metrics/cls_metric.py:16-46, zero third-party imports)
+    on the SAME (pred, target) pairs the production q_cls_metric
+    derives at sf0.001, and checks the class's running-counter
+    get_metric() (acc = correct / (all + 1e-5), then reset) against
+    the query's acc/n_correct/n columns."""
+    import math
+    import os as _os
+
+    from paddleocr_spark.entry_queries import q_cls_metric
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not _os.path.isdir(sf_dir):
+        pytest.skip("sf0.001 testdata absent")
+
+    src = open(os.path.join(
+        REF_ROOT, "ppocr/metrics/cls_metric.py")).read()
+    ns: dict = {}
+    exec(src, ns)
+    ev = ns["ClsMetric"]()
+
+    from pyspark.sql import functions as F
+    angle_true = F.expr(
+        "(instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)),"
+        " 1, 1)) - 1) % 4")
+    noisy = F.expr("substring(md5(CAST(doc_id AS STRING)), 2, 1) = '0'")
+    pairs = (spark.read.parquet(_os.path.join(sf_dir,
+                                              "documents.parquet"))
+             .select(angle_true.alias("t"),
+                     F.when(noisy, (angle_true + 1) % 4)
+                     .otherwise(angle_true).alias("p"))
+             .collect())
+    # two batches through the running counters, then one get_metric
+    half = len(pairs) // 2
+    for chunk in (pairs[:half], pairs[half:]):
+        ev([[(r["p"], 0.9) for r in chunk],
+            [(r["t"], None) for r in chunk]])
+    want = ev.get_metric()["acc"]
+    assert ev.all_num == 0  # get_metric resets
+
+    got = q_cls_metric(spark, sf_dir).first()
+    assert got["n"] == len(pairs)
+    assert got["n_correct"] == sum(r["p"] == r["t"] for r in pairs)
+    assert abs(got["acc"] - math.floor(want * 1e4 + 0.5) / 1e4) < 2e-9
+
+
+def test_table_structure_metric_matches_executed_reference(spark):
+    """Executes the reference's whole TableStructureMetric
+    (ppocr/metrics/table_metric.py:18-66, numpy-only once the unused
+    DetMetric import is cut) on the SAME decoded pred/gt token lists
+    the production q_table_token_acc compares at sf0.001, and checks
+    get_metric() (acc = 1.0*correct/(all + 1e-6), then reset) against
+    the query's token_acc/n_correct/n_tables columns. The
+    del_thead_tbody=True branch is exercised too: stripping the
+    thead/tbody literals from both sides cannot lower the match count."""
+    import math
+    import os as _os
+
+    import numpy as np
+
+    from paddleocr_spark.operators.table import (_decoded, _tables,
+                                                 table_token_acc)
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not _os.path.isdir(sf_dir):
+        pytest.skip("sf0.001 testdata absent")
+
+    src = open(os.path.join(
+        REF_ROOT, "ppocr/metrics/table_metric.py")).read()
+    ns = {"np": np}
+    exec(src[src.index("class TableStructureMetric"):
+             src.index("class TableMetric")], ns)
+
+    rows = _decoded(_decoded(_tables(spark, sf_dir),
+                             "t_id % 11 = 3", "pred_toks"),
+                    "FALSE", "gt_toks").select(
+        "t_id", "pred_toks", "gt_toks").collect()
+    ev = ns["TableStructureMetric"]()
+    ev(({"structure_batch_list":
+         [(list(r["pred_toks"]), 0.9) for r in rows]},
+        {"structure_batch_list": [list(r["gt_toks"]) for r in rows]}))
+    n_correct_ref = ev.correct_num
+    want = ev.get_metric()["acc"]
+
+    got = table_token_acc(spark, sf_dir).first()
+    assert got["n_tables"] == len(rows)
+    assert got["n_correct"] == n_correct_ref
+    assert abs(got["token_acc"]
+               - math.floor(want * 1e4 + 0.5) / 1e4) < 2e-9
+
+    ev2 = ns["TableStructureMetric"](del_thead_tbody=True)
+    ev2(({"structure_batch_list":
+          [(list(r["pred_toks"]), 0.9) for r in rows]},
+         {"structure_batch_list": [list(r["gt_toks"]) for r in rows]}))
+    assert ev2.correct_num >= n_correct_ref
