@@ -2299,3 +2299,142 @@ def test_table_structure_metric_matches_executed_reference(spark):
           [(list(r["pred_toks"]), 0.9) for r in rows]},
          {"structure_batch_list": [list(r["gt_toks"]) for r in rows]}))
     assert ev2.correct_num >= n_correct_ref
+
+
+def test_e2e_eval_matches_spark_e2e_metric(spark, tmp_path):
+    """Executes the reference's ENTIRE file-based evaluator e2e_eval
+    (tools/end2end/eval_end2end.py:71-180) — gt/dt file parsing, the
+    IoU>=0.5 candidate set, the greedy IoU-descending one-to-one match,
+    matched/unmatched edit-distance contributions, the '0'-means-care
+    ignore-mask convention, and the eps=1e-9 report — against our
+    production q_e2e_metric at sf0.001 on the SAME universe. The
+    universe (a row_number grid over lineitem with gid%13 don't-cares,
+    gid%3 exact-text hits, ln=4 preds shifted out of reach) is
+    re-derived here via DuckDB and written as the tab-separated files
+    the reference consumes. Substitutions: shapely Polygon by exact
+    axis-aligned rect geometry (convex_hull = identity for the rect
+    quads written), editdistance by a textbook DP; the print block is
+    cut and replaced by a return of the same locals, values untouched."""
+    import math
+    import os as _os
+    from collections import defaultdict
+
+    import duckdb
+    import numpy as np
+
+    from paddleocr_spark.entry_queries import q_e2e_metric
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not _os.path.isdir(sf_dir):
+        pytest.skip("sf0.001 testdata absent")
+
+    rows = duckdb.sql(f"""
+        SELECT t_id, gid, ln,
+               (r % 37) * 40.0 AS x1, floor(r / 37) * 35.0 AS y1,
+               'text' || CAST(gid % 97 AS VARCHAR) AS gtxt,
+               CASE WHEN gid % 3 = 0 THEN 'text' || CAST(gid % 97 AS VARCHAR)
+                    ELSE 'text' || CAST((gid + 1) % 97 AS VARCHAR) END AS ptxt,
+               gid % 13 = 0 AS ignore,
+               CAST(CASE WHEN ln <= 3 THEN 2.0 ELSE 9000.0 END AS DOUBLE) AS shift
+        FROM (
+          SELECT l_orderkey % 50 AS t_id,
+                 l_orderkey * 10 + l_linenumber AS gid,
+                 l_linenumber AS ln,
+                 row_number() OVER (PARTITION BY l_orderkey % 50
+                                    ORDER BY l_orderkey * 10 + l_linenumber)
+                   - 1 AS r
+          FROM read_parquet('{sf_dir}/lineitem.parquet')
+          WHERE l_linenumber <= 4)
+        ORDER BY t_id, gid
+    """).fetchall()
+
+    gt_dir = tmp_path / "gt"
+    dt_dir = tmp_path / "dt"
+    gt_dir.mkdir()
+    dt_dir.mkdir()
+    per = defaultdict(lambda: ([], []))
+    for t_id, gid, ln, x1, y1, gtxt, ptxt, ign, shift in rows:
+        x1, y1, shift = float(x1), float(y1), float(shift)
+        g, d = per[t_id]
+        quad = [x1, y1, x1 + 25, y1, x1 + 25, y1 + 18, x1, y1 + 18]
+        g.append("\t".join([repr(c) for c in quad]
+                           + ["1" if ign else "0", gtxt]))
+        px, py = x1 + shift, y1 + shift
+        pq = [px, py, px + 25, py, px + 25, py + 18, px, py + 18]
+        d.append("\t".join([repr(c) for c in pq] + [ptxt]))
+    for t_id, (g, d) in per.items():
+        (gt_dir / f"t{t_id:03d}.txt").write_text("\n".join(g) + "\n")
+        (dt_dir / f"t{t_id:03d}.txt").write_text("\n".join(d) + "\n")
+
+    class _Area:
+        def __init__(self, a):
+            self.area = a
+
+    class _Rect:
+        def __init__(self, pts):
+            pts = np.asarray(pts, dtype=float)
+            self.x1, self.y1 = pts[:, 0].min(), pts[:, 1].min()
+            self.x2, self.y2 = pts[:, 0].max(), pts[:, 1].max()
+
+        @property
+        def convex_hull(self):
+            return self
+
+        @property
+        def area(self):
+            return (self.x2 - self.x1) * (self.y2 - self.y1)
+
+        def _inter(self, o):
+            w = min(self.x2, o.x2) - max(self.x1, o.x1)
+            h = min(self.y2, o.y2) - max(self.y1, o.y1)
+            return w * h if w > 0 and h > 0 else 0.0
+
+        def intersects(self, o):
+            return self._inter(o) > 0.0
+
+        def intersection(self, o):
+            return _Area(self._inter(o))
+
+    def _lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    import types
+    ed_mod = types.SimpleNamespace(eval=_lev)
+    geos = types.SimpleNamespace(TopologicalError=ArithmeticError)
+    shp = types.SimpleNamespace(geos=geos)
+
+    src = open(os.path.join(
+        REF_ROOT, "tools/end2end/eval_end2end.py")).read()
+    body = src[src.index("def strQ2B"):src.index("    print('character_acc")]
+    body += ("    return dict(hit=hit, dt_count=dt_count,"
+             " gt_count=gt_count,\n"
+             "        n_img=len(val_names), precision=precision,\n"
+             "        recall=recall, fmeasure=fmeasure,\n"
+             "        avg_edit_dist_img=avg_edit_dist_img,\n"
+             "        avg_edit_dist_field=avg_edit_dist_field,\n"
+             "        character_acc=character_acc)\n")
+    ns = {"np": np, "os": _os, "operator": __import__("operator"),
+          "defaultdict": defaultdict, "editdistance": ed_mod,
+          "shapely": shp, "Polygon": _Rect, "print": lambda *a: None}
+    exec(body, ns)
+    want = ns["e2e_eval"](str(gt_dir), str(dt_dir))
+
+    got = q_e2e_metric(spark, sf_dir).first()
+
+    def r4(x):
+        s = 1 if x >= 0 else -1
+        return s * math.floor(abs(x) * 1e4 + 0.5) / 1e4
+
+    assert (got["hit"], got["gt_count"], got["dt_count"]) == (
+        want["hit"], want["gt_count"], want["dt_count"])
+    for col in ("precision", "recall", "fmeasure", "character_acc",
+                "avg_edit_dist_field", "avg_edit_dist_img"):
+        assert abs(got[col] - r4(want[col])) < 2e-9, (
+            col, got[col], want[col])
