@@ -245,6 +245,336 @@ def random_crop_img_mask(seed: int, data: dict, main_key: str,
     return i, j, forced, out
 
 
+# ---------------------------------------------------------------------------
+# CopyPaste (ppocr/data/imaug/copy_paste.py:26-128) — seeded transcription
+# ---------------------------------------------------------------------------
+#
+# The reference pastes rotated crops of another sample's text instances
+# onto the current image. Its OBSERVABLE effect on the label stream
+# (polys / texts / ignore_tags — the extraction semantics) is pure
+# geometry: which ext instances are selected (stdlib shuffle), each crop's
+# size (get_rotate_crop_image dims — poly edge norms only), the rotation
+# angle (np.random), the rotated bbox (cv2.getRotationMatrix2D algebra),
+# the expanded paste footprint (PIL rotate(expand=1) size arithmetic), the
+# 50-attempt text-safe placement (stdlib randint + is_poly_outside_rect
+# over the GROWING poly list), and the final clip. The pixel compositing
+# (PIL alpha paste) never feeds back into the labels, so — like
+# EastRandomCropData's cv2.resize above — the operator emits geometry.
+#
+# RNG contract: the reference draws from BOTH global streams (stdlib
+# ``random`` for shuffle/placement, ``np.random`` for the angle). This
+# transcription threads ``random.Random(seed)`` + ``RandomState(seed)``,
+# matching the globals after ``random.seed(seed); np.random.seed(seed)``
+# draw-for-draw (pinned by the exec-ref differential).
+#
+# PIL note: Pillow is not in this container; ``pil_rotate_expand_size``
+# transcribes the public Pillow ``Image.rotate(expand=1)`` output-size
+# arithmetic (matrix rounded to 15 decimals, ceil(max)-floor(min) of the
+# transformed corners, the 0/90/180/270 transpose fast paths). The
+# exec-ref differential shims PIL with this same arithmetic, so — like
+# pyclipper's unclip — this one sub-step is pinned by transcription
+# review rather than execution; everything around it is executed.
+
+#: CopyPaste defaults (copy_paste.py:27).
+COPY_PASTE_RATIO = 0.2
+COPY_PASTE_LIMIT = True
+COPY_PASTE_TRIES = 50
+
+
+def rotate_crop_dims(poly: np.ndarray):
+    """Output (h, w) of ``get_rotate_crop_image`` (tools/infer/utility.py
+    :660-692) without touching pixels: int-truncated max edge norms, then
+    the ``height/width >= 1.5`` np.rot90 shape swap. Norms run in the
+    poly's own dtype (float32 in the reference pipelines). A zero-width
+    crop raises ZeroDivisionError exactly where the reference's float
+    division does, and a non-quad poly trips the reference's own assert
+    (utility.py:671) — which also makes copy_paste_doc's pad-to-point_num
+    loop unreachable for point_num > 4 through this path, exactly as in
+    the reference (transcribed anyway)."""
+    assert len(poly) == 4, "shape of points must be 4*2"
+    w = int(max(np.linalg.norm(poly[0] - poly[1]),
+                np.linalg.norm(poly[2] - poly[3])))
+    h = int(max(np.linalg.norm(poly[0] - poly[3]),
+                np.linalg.norm(poly[1] - poly[2])))
+    if h * 1.0 / w >= 1.5:
+        h, w = w, h
+    return h, w
+
+
+def pil_rotate_expand_size(w: int, h: int, angle: float):
+    """Pillow ``Image.rotate(angle, expand=1)`` output size (public
+    Pillow Image.rotate source): right-angle transpose fast paths, else
+    the inverse-rotation affine (entries rounded to 15 decimals, centre
+    pre/post translation folded in) applied to the four corners, sized
+    ceil(max) - floor(min) per axis."""
+    import math
+
+    angle = angle % 360.0
+    if angle == 0 or angle == 180:
+        return w, h
+    if angle == 90 or angle == 270:
+        return h, w
+    rad = -math.radians(angle)
+    matrix = [round(math.cos(rad), 15), round(math.sin(rad), 15), 0.0,
+              round(-math.sin(rad), 15), round(math.cos(rad), 15), 0.0]
+
+    def tf(x, y):
+        a, b, c, d, e, f = matrix
+        return a * x + b * y + c, d * x + e * y + f
+
+    cx, cy = w / 2.0, h / 2.0
+    matrix[2], matrix[5] = tf(-cx, -cy)
+    matrix[2] += cx
+    matrix[5] += cy
+    xx, yy = [], []
+    for x, y in ((0, 0), (w, 0), (w, h), (0, h)):
+        x, y = tf(x, y)
+        xx.append(x)
+        yy.append(y)
+    nw = math.ceil(max(xx)) - math.floor(min(xx))
+    nh = math.ceil(max(yy)) - math.floor(min(yy))
+    return nw, nh
+
+
+def rotation_matrix_2d(center, angle: float, scale: float) -> np.ndarray:
+    """cv2.getRotationMatrix2D's documented closed form:
+    [[a, b, (1-a)·cx - b·cy], [-b, a, b·cx + (1-a)·cy]] with
+    a = scale·cos(angle°), b = scale·sin(angle°)."""
+    import math
+
+    a = scale * math.cos(math.radians(angle))
+    b = scale * math.sin(math.radians(angle))
+    cx, cy = center
+    return np.array([[a, b, (1 - a) * cx - b * cy],
+                     [-b, a, b * cx + (1 - a) * cy]])
+
+
+def rotate_bbox(w: int, h: int, text_polys: np.ndarray, angle: float,
+                scale: float = 1) -> np.ndarray:
+    """copy_paste.py:146-177 verbatim (image replaced by its (w, h)):
+    expanded-canvas rotation matrix, centre-shift correction via
+    rot_mat·[(nw-w)/2, (nh-h)/2, 0], per-corner np.dot, float32 result."""
+    rangle = np.deg2rad(angle)
+    nw = (abs(np.sin(rangle) * h) + abs(np.cos(rangle) * w))
+    nh = (abs(np.cos(rangle) * h) + abs(np.sin(rangle) * w))
+    rot_mat = rotation_matrix_2d((nw * 0.5, nh * 0.5), angle, scale)
+    rot_move = np.dot(rot_mat, np.array([(nw - w) * 0.5, (nh - h) * 0.5, 0]))
+    rot_mat[0, 2] += rot_move[0]
+    rot_mat[1, 2] += rot_move[1]
+    rot_text_polys = list()
+    for bbox in text_polys:
+        point1 = np.dot(rot_mat, np.array([bbox[0, 0], bbox[0, 1], 1]))
+        point2 = np.dot(rot_mat, np.array([bbox[1, 0], bbox[1, 1], 1]))
+        point3 = np.dot(rot_mat, np.array([bbox[2, 0], bbox[2, 1], 1]))
+        point4 = np.dot(rot_mat, np.array([bbox[3, 0], bbox[3, 1], 1]))
+        rot_text_polys.append([point1, point2, point3, point4])
+    return np.array(rot_text_polys, dtype=np.float32)
+
+
+def copy_paste_select_coord(rng, src_polys: list, box: np.ndarray,
+                            endx: int, endy: int, limit_paste: bool,
+                            max_tries: int = COPY_PASTE_TRIES):
+    """CopyPaste.select_coord (:108-128): up to 50 stdlib-randint
+    (INCLUSIVE bounds) placements, accepted when no existing poly
+    intersects the shifted footprint — the scan breaks on the FIRST
+    intersecting poly, and ``src_polys`` includes boxes pasted earlier
+    in the same call."""
+    if limit_paste:
+        xmin, ymin, xmax, ymax = (box[:, 0].min(), box[:, 1].min(),
+                                  box[:, 0].max(), box[:, 1].max())
+        for _ in range(max_tries):
+            paste_x = rng.randint(0, endx)
+            paste_y = rng.randint(0, endy)
+            xmin1 = xmin + paste_x
+            xmax1 = xmax + paste_x
+            ymin1 = ymin + paste_y
+            ymax1 = ymax + paste_y
+            num_poly_in_rect = 0
+            for poly in src_polys:
+                if not is_poly_outside_rect(poly, xmin1, ymin1,
+                                            xmax1 - xmin1, ymax1 - ymin1):
+                    num_poly_in_rect += 1
+                    break
+            if num_poly_in_rect == 0:
+                return paste_x, paste_y
+        return None, None
+    else:
+        return rng.randint(0, endx), rng.randint(0, endy)
+
+
+def copy_paste_doc(seed: int,
+                   src_polys: np.ndarray, src_texts, src_ignores,
+                   src_h: int, src_w: int,
+                   ext_polys: np.ndarray, ext_texts, ext_ignores,
+                   objects_paste_ratio: float = COPY_PASTE_RATIO,
+                   limit_paste: bool = COPY_PASTE_LIMIT):
+    """CopyPaste.__call__ + paste_img for one (src, ext) sample pair
+    (copy_paste.py:33-106), labels only.
+
+    ``src_polys``/``ext_polys`` are (n, point_num, 2) float32 (the
+    reference pipelines' poly dtype). Quirks preserved:
+
+    * only non-ignored ext instances are candidates, but ``select_num``
+      counts ALL of ``ext_polys`` (:46-48);
+    * select_num clamps to [1, 30] BEFORE the shuffle truncation, so an
+      all-ignored ext sample pastes nothing even though select_num >= 1;
+    * the angle draw (np.random) is consumed even when the rotated crop
+      is then rejected for exceeding the canvas (:89-94);
+    * appended boxes pad to ``point_num`` by REPEATING the last corner
+      (:63-65);
+    * placement tests run against the growing src_polys list, so earlier
+      pastes exclude later ones (:60, :118);
+    * the final clip is to [0, w] / [0, h] INCLUSIVE (np.clip, :72-74) —
+      one past the last valid pixel column/row;
+    * ``self.aug = IaaAugment([Resize])`` (:31-32) is constructed but
+      never invoked in ``__call__`` — dead code, not transcribed.
+
+    Returns (polys float64 (k, point_num, 2), texts, ignores bool array,
+    pasted_src list — the ext row position each appended box came from).
+    """
+    import random as _random
+
+    rng_py = _random.Random(seed)
+    rng_np = np.random.RandomState(seed)
+    point_num = src_polys.shape[1]
+    src_polys = src_polys.tolist()
+    src_texts = list(src_texts)
+    src_ignores = list(src_ignores)
+    indexs = [i for i in range(len(ext_ignores)) if not ext_ignores[i]]
+    select_num = max(
+        1, min(int(objects_paste_ratio * len(ext_polys)), 30))
+    rng_py.shuffle(indexs)
+    select_idxs = indexs[:select_num]
+    select_polys = ext_polys[select_idxs]
+    select_ignores = np.asarray(ext_ignores)[select_idxs]
+    pasted_src = []
+    for idx, poly, tag in zip(select_idxs, select_polys, select_ignores):
+        box_h, box_w = rotate_crop_dims(poly)
+        angle = rng_np.randint(0, 360)
+        box = np.array([[[0, 0], [box_w, 0], [box_w, box_h], [0, box_h]]])
+        box = rotate_bbox(box_w, box_h, box, angle)[0]
+        new_w, new_h = pil_rotate_expand_size(box_w, box_h, angle)
+        if src_w - new_w < 0 or src_h - new_h < 0:
+            continue
+        paste_x, paste_y = copy_paste_select_coord(
+            rng_py, src_polys, box, src_w - new_w, src_h - new_h,
+            limit_paste)
+        if paste_x is None:
+            continue
+        box[:, 0] += paste_x
+        box[:, 1] += paste_y
+        box = box.tolist()
+        for _ in range(len(box), point_num):
+            box.append(box[-1])
+        src_polys.append(box)
+        src_texts.append(ext_texts[idx])
+        src_ignores.append(tag)
+        pasted_src.append(idx)
+    src_polys = np.array(src_polys)
+    if len(src_polys):
+        src_polys[:, :, 0] = np.clip(src_polys[:, :, 0], 0, src_w)
+        src_polys[:, :, 1] = np.clip(src_polys[:, :, 1], 0, src_h)
+    return src_polys, src_texts, np.array(src_ignores), pasted_src
+
+
+COPY_PASTE_SCHEMA = ("doc_id string, pos long, pasted boolean, "
+                     "src_span long, text string, ignored boolean, "
+                     "x1 double, y1 double, x2 double, y2 double, "
+                     "x3 double, y3 double, x4 double, y4 double")
+
+
+def copy_paste(spans_geom: DataFrame) -> DataFrame:
+    """Distributed seeded CopyPaste over the span-geometry frame.
+
+    Each document is its own training sample; its ``ext_data`` partner is
+    the XOR-1 document (doc_0 <-> doc_1, doc_2 <-> doc_3, ...) — a pure
+    function of doc_id, so the pairing is ONE hash shuffle (src rows key
+    on their own doc, ext rows on the partner) with no driver-side state
+    and no join; a missing partner is an empty ext sample, which the
+    reference walk itself handles (empty candidate list -> no pastes).
+    One output row per final label: originals keep their span_idx in
+    ``src_span``; pasted rows carry the ext span they were copied from.
+
+    Input columns: doc_id ('doc_<n>'), span_idx, text, ignored,
+    x1 y1 x2 y2. Scale shape: identical to east_random_crop — one
+    grouped_map_arrow pass, kernel O(polys + tries·polys) per doc.
+    """
+    from .operators.grouped import group_starts, grouped_map_arrow
+
+    did = F.substring("doc_id", 5, 18).cast("int")
+    partner = F.format_string("doc_%07d", did.bitwiseXOR(F.lit(1)))
+    # ONE corpus scan: each span row fans out to its two roles via a
+    # 2-element generator (a unionByName of two projections would scan
+    # the 10^12-doc table twice).
+    both = spans_geom.select(
+        F.explode(F.array(
+            F.struct(F.col("doc_id").alias("pair"),
+                     F.lit(0).alias("role")),
+            F.struct(partner.alias("pair"),
+                     F.lit(1).alias("role")))).alias("pr"),
+        "span_idx", "text", "ignored", "x1", "y1", "x2", "y2",
+    ).select("pr.pair", "pr.role",
+             "span_idx", "text", "ignored", "x1", "y1", "x2", "y2")
+
+    def emit(tbl):
+        import pyarrow as pa
+
+        pair = tbl.column("pair").to_numpy(zero_copy_only=False)
+        role = tbl.column("role").to_numpy(zero_copy_only=False)
+        span = tbl.column("span_idx").to_numpy(zero_copy_only=False)
+        text = tbl.column("text").to_numpy(zero_copy_only=False)
+        ign = tbl.column("ignored").to_numpy(zero_copy_only=False)
+        xs = np.stack([tbl.column(c).to_numpy(zero_copy_only=False)
+                       for c in ("x1", "y1", "x2", "y2")], axis=1)
+        starts = group_starts(np.unique(pair, return_inverse=True)[1])
+        bounds = list(starts) + [len(pair)]
+        rows = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            is_src = role[s:e] == 0
+            if not is_src.any():
+                continue  # partner-only group: no training sample here
+            did_i = int(str(pair[s])[4:])
+            sx = xs[s:e][is_src]
+            quads = np.stack(
+                [sx[:, [0, 1]], sx[:, [2, 1]], sx[:, [2, 3]],
+                 sx[:, [0, 3]]], axis=1).astype(np.float32)
+            ex = xs[s:e][~is_src]
+            equads = np.stack(
+                [ex[:, [0, 1]], ex[:, [2, 1]], ex[:, [2, 3]],
+                 ex[:, [0, 3]]], axis=1).astype(np.float32) \
+                if len(ex) else np.zeros((0, 4, 2), np.float32)
+            src_h = (int(sx[:, 3].max()) if len(sx) else 0) \
+                + EAST_CROP_CANVAS_MARGIN
+            polys, texts, ignores, pasted_src = copy_paste_doc(
+                did_i, quads, text[s:e][is_src], ign[s:e][is_src],
+                src_h, G.PAGE_WIDTH,
+                equads, text[s:e][~is_src], ign[s:e][~is_src])
+            n_src = int(is_src.sum())
+            src_spans = span[s:e][is_src]
+            ext_spans = span[s:e][~is_src]
+            for pos in range(len(polys)):
+                p = polys[pos]
+                sp = (int(src_spans[pos]) if pos < n_src
+                      else int(ext_spans[pasted_src[pos - n_src]]))
+                t = texts[pos]
+                rows.append((str(pair[s]), pos, pos >= n_src, sp,
+                             None if t is None else str(t),
+                             bool(ignores[pos]),
+                             float(p[0, 0]), float(p[0, 1]),
+                             float(p[1, 0]), float(p[1, 1]),
+                             float(p[2, 0]), float(p[2, 1]),
+                             float(p[3, 0]), float(p[3, 1])))
+        if not rows:
+            return None
+        cols = list(zip(*rows))
+        names = ["doc_id", "pos", "pasted", "src_span", "text", "ignored",
+                 "x1", "y1", "x2", "y2", "x3", "y3", "x4", "y4"]
+        return pa.record_batch([pa.array(c) for c in cols], names=names)
+
+    return grouped_map_arrow(
+        both, ["pair"], ["role", "span_idx"], emit, COPY_PASTE_SCHEMA)
+
+
 EAST_CROP_SCHEMA = ("doc_id string, span_idx long, ignored boolean, "
                     "crop_x long, crop_y long, crop_w long, crop_h long, "
                     "scale double, nx1 double, ny1 double, "

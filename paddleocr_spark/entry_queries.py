@@ -234,6 +234,19 @@ def q_east_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return east_random_crop(s)
 
 
+def q_copy_paste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 random-family seeded CopyPaste (copy_paste.py:26-128): each doc
+    pastes rotated crops of its XOR-1 partner doc's non-ignored spans;
+    random.Random(doc)/RandomState(doc) replay the reference's global
+    streams (exec-ref differential #43). Committed-fixture oracle (the
+    RNG walk is iterative)."""
+    from .augments import copy_paste
+    from .pipeline import det_keep_predicate, score_keep_predicate
+    s = with_geometry(_spans_exploded(spark, sf_dir)).withColumn(
+        "ignored", ~(det_keep_predicate() & score_keep_predicate()))
+    return copy_paste(s)
+
+
 def q_det_drop_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9 min-side filter + P10 drop_score filter, fused."""
     return _spans_kept(spark, sf_dir).select(
@@ -2225,6 +2238,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_extract": q_flagship_extract,        # fixture oracle
         # -- group 2: new since CORRECTNESS_r03, expensive-first -------
         "east_crop": q_east_crop,                      # fixture oracle
+        "copy_paste": q_copy_paste,                    # fixture oracle
         "pse_crop": q_pse_crop,                        # fixture oracle
         "kmeans_assign": CL.kmeans_assign,
         "semdedup": CL.semdedup,
@@ -2555,6 +2569,11 @@ FROM synth_final GROUP BY doc_id, kind"""
         "CAST(crop_x AS BIGINT) AS crop_x, CAST(crop_y AS BIGINT) AS crop_y, "
         "CAST(crop_w AS BIGINT) AS crop_w, CAST(crop_h AS BIGINT) AS crop_h, "
         "scale, nx1, ny1, nx2, ny2")
+    sqls["copy_paste"] = _fixture_sql(
+        "copy_paste",
+        "doc_id, CAST(pos AS BIGINT) AS pos, pasted, "
+        "CAST(src_span AS BIGINT) AS src_span, text, ignored, "
+        "x1, y1, x2, y2, x3, y3, x4, y4")
     sqls["pse_detect"] = _fixture_sql(
         "pse_detect",
         "CAST(doc_id AS BIGINT) AS doc_id, "

@@ -118,3 +118,139 @@ def test_random_crop_img_mask_quirks():
     i, j, forced, _ = random_crop_img_mask(123, z, "gt", {"gt"}, (4, 4))
     r = _r.Random(123)
     assert not forced and (i, j) == (r.randint(0, 12), r.randint(0, 12))
+
+
+# ---------------------------------------------------------------------------
+# CopyPaste
+# ---------------------------------------------------------------------------
+
+def _quad(x1, y1, x2, y2):
+    return [[x1, y1], [x2, y1], [x2, y2], [x1, y2]]
+
+
+def test_copy_paste_all_ignored_ext_pastes_nothing():
+    """select_num clamps to >= 1, but the candidate list filters ignored
+    ext instances FIRST — an all-ignored ext sample pastes nothing."""
+    from paddleocr_spark.augments import copy_paste_doc
+    src = np.array([_quad(10, 10, 100, 40)], np.float32)
+    ext = np.array([_quad(5, 5, 80, 25), _quad(50, 50, 90, 80)],
+                   np.float32)
+    polys, texts, ign, pasted = copy_paste_doc(
+        3, src, ["a"], [False], 800, 640,
+        ext, ["x", "y"], np.array([True, True]))
+    assert pasted == [] and len(polys) == 1 and texts == ["a"]
+
+
+def test_copy_paste_limit_false_places_without_scanning():
+    """limit_paste=False draws one randint pair and places regardless of
+    overlap with existing polys."""
+    import random as _r
+
+    from paddleocr_spark.augments import copy_paste_doc
+
+    # src poly covering most of the canvas: limit_paste=True would
+    # struggle; =False must still paste
+    src = np.array([_quad(0, 0, 600, 700)], np.float32)
+    ext = np.array([_quad(0, 0, 50, 20)], np.float32)
+    polys, texts, ign, pasted = copy_paste_doc(
+        11, src, ["a"], [False], 800, 640,
+        ext, ["x"], np.array([False]), limit_paste=False)
+    assert pasted == [0] and len(polys) == 2 and texts == ["a", "x"]
+
+
+def test_copy_paste_clip_is_inclusive_of_canvas_extent():
+    """The final np.clip bounds are [0, w] / [0, h] — one past the last
+    pixel index, exactly as the reference writes it."""
+    from paddleocr_spark.augments import copy_paste_doc
+    src = np.array([_quad(-5, -5, 700, 900)], np.float32)
+    polys, *_ = copy_paste_doc(
+        1, src, ["a"], [False], 800, 640,
+        np.zeros((0, 4, 2), np.float32), [], np.zeros(0, bool))
+    assert polys[0].min() == 0.0
+    assert polys[0][:, 0].max() == 640.0  # == w, not w - 1
+    assert polys[0][:, 1].max() == 800.0
+
+
+def test_copy_paste_non_quad_poly_trips_reference_assert():
+    """get_rotate_crop_image's 4-point assert fires for point_num > 4
+    ext polys (crash preserved), making the pad-to-point_num loop
+    unreachable through this path — as in the reference."""
+    import pytest
+
+    from paddleocr_spark.augments import copy_paste_doc
+    src = np.zeros((1, 6, 2), np.float32)
+    src[0] = [[0, 0], [50, 0], [50, 0], [50, 20], [0, 20], [0, 20]]
+    ext = src.copy() + 100
+    with pytest.raises(AssertionError):
+        copy_paste_doc(5, src, ["a"], [False], 800, 640,
+                       ext, ["x"], np.array([False]))
+
+
+def test_pil_rotate_expand_size_right_angles_and_diagonal():
+    from paddleocr_spark.augments import pil_rotate_expand_size
+    assert pil_rotate_expand_size(100, 50, 0) == (100, 50)
+    assert pil_rotate_expand_size(100, 50, 180) == (100, 50)
+    assert pil_rotate_expand_size(100, 50, 90) == (50, 100)
+    assert pil_rotate_expand_size(100, 50, 270) == (50, 100)
+    nw, nh = pil_rotate_expand_size(100, 100, 45)
+    assert 141 <= nw <= 143 and 141 <= nh <= 143
+
+
+def test_copy_paste_distributed_matches_single_node(spark):
+    """The union-pairing plan (src keyed on own doc, ext on XOR-1
+    partner) against a driver-side replay at sf0.001."""
+    from paddleocr_spark import geometry as G
+    from paddleocr_spark.augments import (EAST_CROP_CANVAS_MARGIN,
+                                          copy_paste_doc)
+    from paddleocr_spark.entry_queries import _spans_exploded, q_copy_paste
+    from paddleocr_spark.pipeline import (det_keep_predicate,
+                                          score_keep_predicate,
+                                          with_geometry)
+
+    got = {(r["doc_id"], r["pos"]):
+           (r["pasted"], r["src_span"], r["text"], r["ignored"],
+            r["x1"], r["y1"], r["x2"], r["y2"],
+            r["x3"], r["y3"], r["x4"], r["y4"])
+           for r in q_copy_paste(spark, SF).collect()}
+
+    pdf = (with_geometry(_spans_exploded(spark, SF))
+           .withColumn("ignored",
+                       ~(det_keep_predicate() & score_keep_predicate()))
+           .select("doc_id", "span_idx", "text", "ignored",
+                   "x1", "y1", "x2", "y2").toPandas()
+           .sort_values(["doc_id", "span_idx"]))
+    groups = {d: g for d, g in pdf.groupby("doc_id", sort=True)}
+
+    def arrays(g):
+        xs = g[["x1", "y1", "x2", "y2"]].to_numpy(dtype=np.float64)
+        quads = np.stack([xs[:, [0, 1]], xs[:, [2, 1]], xs[:, [2, 3]],
+                          xs[:, [0, 3]]], axis=1).astype(np.float32)
+        texts = [None if t is None else str(t) for t in g["text"]]
+        return (quads, texts, g["ignored"].to_numpy(),
+                g["span_idx"].to_numpy(), xs)
+
+    want = {}
+    n_pasted = 0
+    for doc_id in sorted(groups):
+        did = int(str(doc_id)[4:])
+        sq, st, si, sspan, sxs = arrays(groups[doc_id])
+        partner = f"doc_{did ^ 1:07d}"
+        if partner in groups:
+            eq, et, ei, espan, _ = arrays(groups[partner])
+        else:
+            eq, et, ei, espan = (np.zeros((0, 4, 2), np.float32), [],
+                                 np.zeros(0, bool), np.zeros(0, np.int64))
+        src_h = int(sxs[:, 3].max()) + EAST_CROP_CANVAS_MARGIN
+        polys, texts, ignores, pasted = copy_paste_doc(
+            did, sq, st, si, src_h, G.PAGE_WIDTH, eq, et, ei)
+        n_src = len(sq)
+        n_pasted += len(pasted)
+        for pos in range(len(polys)):
+            p = polys[pos]
+            sp = (int(sspan[pos]) if pos < n_src
+                  else int(espan[pasted[pos - n_src]]))
+            want[(doc_id, pos)] = (
+                pos >= n_src, sp, texts[pos], bool(ignores[pos]),
+                p[0, 0], p[0, 1], p[1, 0], p[1, 1],
+                p[2, 0], p[2, 1], p[3, 0], p[3, 1])
+    assert got == want and len(got) > 50 and n_pasted > 0

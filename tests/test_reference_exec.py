@@ -2438,3 +2438,183 @@ def test_e2e_eval_matches_spark_e2e_metric(spark, tmp_path):
                 "avg_edit_dist_field", "avg_edit_dist_img"):
         assert abs(got[col] - r4(want[col])) < 2e-9, (
             col, got[col], want[col])
+
+
+def test_copy_paste_matches_executed_reference():
+    """Executes the reference's ENTIRE copy_paste.py (CopyPaste +
+    rotate_bbox, copy_paste.py:26-177) with import stubs: cv2's
+    getRotationMatrix2D shimmed by its documented closed form
+    (augments.rotation_matrix_2d — same substitution precedent as the
+    other cv2 shims), tools.infer.utility.get_rotate_crop_image by our
+    exec-differentialed pixelops transcription, PIL by a shim whose
+    rotate(expand=1) size uses augments.pil_rotate_expand_size (Pillow is
+    absent from the container, so that one sub-step is transcription-
+    pinned, like pyclipper's unclip — raster contents never feed the
+    compared label outputs), and shapely/IaaAugment by inert stubs (the
+    former's helpers and the latter's instance are dead code on this
+    path). Seeds the GLOBAL random + np.random streams per trial;
+    augments.copy_paste_doc with the same seed must reproduce polys,
+    texts, ignore_tags, and paste provenance bit-for-bit."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from paddleocr_spark.augments import (copy_paste_doc,
+                                          pil_rotate_expand_size,
+                                          rotation_matrix_2d)
+    from paddleocr_spark.pixelops import get_rotate_crop_image
+
+    class ShimImage:
+        def __init__(self, arr):
+            self._a = np.asarray(arr)
+
+        @property
+        def size(self):
+            return (self._a.shape[1], self._a.shape[0])
+
+        @property
+        def width(self):
+            return self._a.shape[1]
+
+        @property
+        def height(self):
+            return self._a.shape[0]
+
+        def convert(self, mode):
+            assert mode == "RGBA"
+            a = self._a
+            if a.shape[2] == 3:
+                a = np.concatenate(
+                    [a, np.full(a.shape[:2] + (1,), 255, a.dtype)], axis=2)
+            return ShimImage(a)
+
+        def rotate(self, angle, expand=0):
+            assert expand == 1
+            nw, nh = pil_rotate_expand_size(self.width, self.height, angle)
+            return ShimImage(np.zeros((nh, nw, self._a.shape[2]),
+                                      self._a.dtype))
+
+        def split(self):
+            return tuple(ShimImage(self._a[:, :, i:i + 1])
+                         for i in range(self._a.shape[2]))
+
+        def paste(self, im, xy, mask=None):
+            pass  # raster unobserved by the compared outputs
+
+        def __array__(self, dtype=None, copy=None):
+            return self._a if dtype is None else self._a.astype(dtype)
+
+    cv2_stub = types.ModuleType("cv2")
+    cv2_stub.COLOR_BGR2RGB = 4
+    cv2_stub.COLOR_RGB2BGR = 4
+    cv2_stub.cvtColor = lambda img, code: np.ascontiguousarray(
+        img[..., :3][..., ::-1])
+    cv2_stub.getRotationMatrix2D = lambda c, a, s: rotation_matrix_2d(
+        c, a, s)
+
+    pil_image = types.ModuleType("PIL.Image")
+    pil_image.fromarray = lambda arr: ShimImage(arr)
+    pil_pkg = types.ModuleType("PIL")
+    pil_pkg.Image = pil_image
+
+    shapely_geom = types.ModuleType("shapely.geometry")
+    shapely_geom.Polygon = object  # module-level helpers are dead code
+    shapely_pkg = types.ModuleType("shapely")
+    shapely_pkg.geometry = shapely_geom
+
+    iaa_mod = types.ModuleType("ppocr.data.imaug.iaa_augment")
+
+    class _IaaAugment:  # constructed in __init__, never invoked
+        def __init__(self, *a, **k):
+            pass
+
+    iaa_mod.IaaAugment = _IaaAugment
+    rcd_mod = types.ModuleType("ppocr.data.imaug.random_crop_data")
+    from paddleocr_spark.augments import is_poly_outside_rect
+    rcd_mod.is_poly_outside_rect = is_poly_outside_rect
+    util_mod = types.ModuleType("tools.infer.utility")
+    util_mod.get_rotate_crop_image = get_rotate_crop_image
+
+    mods = {
+        "cv2": cv2_stub, "PIL": pil_pkg, "PIL.Image": pil_image,
+        "shapely": shapely_pkg, "shapely.geometry": shapely_geom,
+        "ppocr": types.ModuleType("ppocr"),
+        "ppocr.data": types.ModuleType("ppocr.data"),
+        "ppocr.data.imaug": types.ModuleType("ppocr.data.imaug"),
+        "ppocr.data.imaug.iaa_augment": iaa_mod,
+        "ppocr.data.imaug.random_crop_data": rcd_mod,
+        "tools": types.ModuleType("tools"),
+        "tools.infer": types.ModuleType("tools.infer"),
+        "tools.infer.utility": util_mod,
+    }
+    saved = {m: sys.modules.get(m) for m in mods}
+    sys.modules.update(mods)
+    try:
+        ns: dict = {}
+        src = open("/root/reference/ppocr/data/imaug/copy_paste.py").read()
+        exec(src[src.index("import copy"):], ns)
+        cp = ns["CopyPaste"]()
+
+        rng = random.Random(4242)
+        pastes_seen = rejects_seen = 0
+        for trial in range(250):
+            seed = rng.randint(0, 2 ** 31 - 1)
+            n_src = rng.randint(1, 6)
+            n_ext = rng.randint(0, 8)
+            src_w, src_h = 640, rng.randint(200, 900)
+
+            def mk(n, big_ok):
+                out = []
+                for _ in range(n):
+                    x1 = rng.uniform(0, 500)
+                    y1 = rng.uniform(0, 150)
+                    w = rng.uniform(5, 900 if big_ok else 300)
+                    h = rng.uniform(5, 60)
+                    out.append([[x1, y1], [x1 + w, y1],
+                                [x1 + w, y1 + h], [x1, y1 + h]])
+                return np.array(out, np.float32).reshape(n, 4, 2)
+
+            src_q = mk(n_src, False)
+            ext_q = mk(n_ext, True)  # big crops exercise the reject arm
+            src_t = [f"s{i}" for i in range(n_src)]
+            ext_t = [f"e{i}" for i in range(n_ext)]
+            src_i = np.array([rng.random() < 0.3 for _ in range(n_src)])
+            ext_i = np.array([rng.random() < 0.3 for _ in range(n_ext)])
+
+            data = {
+                "image": np.zeros((src_h, src_w, 3), np.uint8),
+                "polys": src_q.copy(), "texts": list(src_t),
+                "ignore_tags": src_i.copy(),
+                "ext_data": [{
+                    "image": np.zeros((300, 700, 3), np.uint8),
+                    "polys": ext_q.copy(), "texts": list(ext_t),
+                    "ignore_tags": ext_i.copy()}],
+            }
+            random.seed(seed)
+            np.random.seed(seed)
+            want = cp(data)
+
+            polys, texts, ignores, pasted = copy_paste_doc(
+                seed, src_q, src_t, src_i, src_h, src_w,
+                ext_q, ext_t, ext_i)
+            n_want = len(want["polys"])
+            assert len(polys) == n_want, (trial, seed)
+            assert np.array_equal(np.asarray(want["polys"]), polys), (
+                trial, seed)
+            assert want["texts"] == texts, (trial, seed)
+            assert want["ignore_tags"].tolist() == ignores.tolist(), (
+                trial, seed)
+            # provenance: each appended row's text names its ext source
+            for k, src_pos in enumerate(pasted):
+                assert texts[n_src + k] == f"e{src_pos}"
+            pastes_seen += len(pasted)
+            rejects_seen += (len(ext_q) > 0 and not pasted)
+        assert pastes_seen > 100  # both arms genuinely exercised
+        assert rejects_seen > 5
+    finally:
+        for m, v in saved.items():
+            if v is None:
+                sys.modules.pop(m, None)
+            else:
+                sys.modules[m] = v

@@ -627,6 +627,74 @@ def fx_pse_crop(con, sf_dir: str) -> pd.DataFrame:
          "gt_sum": "int64", "mask_sum": "int64"})
 
 
+def fx_copy_paste(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_copy_paste single-node: span geometry + texts +
+    P9/P10 drop flags from the DuckDB oracle twins, the seeded paste walk
+    via the shared kernel (augments.copy_paste_doc — the dual-stream RNG
+    walk is the contract; reference parity is pinned by exec-ref
+    differential #43). Pairing mirrors the operator: ext = XOR-1 doc,
+    missing partner = empty ext sample."""
+    from paddleocr_spark import geometry as G
+    from paddleocr_spark.augments import (EAST_CROP_CANVAS_MARGIN,
+                                          copy_paste_doc)
+    from paddleocr_spark.entry_queries import oracle_sql
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE OR REPLACE VIEW {t} AS "
+                    f"SELECT * FROM read_parquet('{p}')")
+    sqls = oracle_sql()
+    geom = con.sql(sqls["span_geometry"]).df()
+    txt = con.sql(sqls["explode_spans"]).df()[["doc_id", "span_idx", "text"]]
+    geom = geom.merge(txt, on=["doc_id", "span_idx"],
+                      how="left").sort_values(["doc_id", "span_idx"])
+    kept = con.sql(sqls["det_drop_filters"]).df()
+    kept_set = set(zip(kept["doc_id"], kept["span_idx"]))
+    groups = {d: g for d, g in geom.groupby("doc_id", sort=True)}
+
+    def arrays(g):
+        xs = g[["x1", "y1", "x2", "y2"]].to_numpy(dtype=np.float64)
+        quads = np.stack([xs[:, [0, 1]], xs[:, [2, 1]], xs[:, [2, 3]],
+                          xs[:, [0, 3]]], axis=1).astype(np.float32)
+        texts = [None if pd.isna(t) else str(t) for t in g["text"]]
+        ign = np.array([(d, s) not in kept_set
+                        for d, s in zip(g["doc_id"], g["span_idx"])])
+        return quads, texts, ign, g["span_idx"].to_numpy(), xs
+
+    rows = []
+    for doc_id in sorted(groups):
+        did = int(str(doc_id)[4:])
+        sq, st, si, sspan, sxs = arrays(groups[doc_id])
+        partner = f"doc_{did ^ 1:07d}"
+        if partner in groups:
+            eq, et, ei, espan, _ = arrays(groups[partner])
+        else:
+            eq, et, ei, espan = (np.zeros((0, 4, 2), np.float32), [],
+                                 np.zeros(0, bool), np.zeros(0, np.int64))
+        src_h = (int(sxs[:, 3].max()) if len(sxs) else 0) \
+            + EAST_CROP_CANVAS_MARGIN
+        polys, texts, ignores, pasted = copy_paste_doc(
+            did, sq, st, si, src_h, G.PAGE_WIDTH, eq, et, ei)
+        n_src = len(sq)
+        for pos in range(len(polys)):
+            p = polys[pos]
+            sp = (int(sspan[pos]) if pos < n_src
+                  else int(espan[pasted[pos - n_src]]))
+            t = texts[pos]
+            rows.append((str(doc_id), pos, pos >= n_src, sp,
+                         None if t is None else str(t),
+                         bool(ignores[pos]),
+                         float(p[0, 0]), float(p[0, 1]),
+                         float(p[1, 0]), float(p[1, 1]),
+                         float(p[2, 0]), float(p[2, 1]),
+                         float(p[3, 0]), float(p[3, 1])))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "pos", "pasted", "src_span", "text", "ignored",
+        "x1", "y1", "x2", "y2", "x3", "y3", "x4", "y4"]).astype(
+        {"pos": "int64", "src_span": "int64"})
+
+
 FIXTURES = {
     "tensor_ops": fx_tensor_ops,
     "border_map": fx_border_map,
@@ -648,6 +716,7 @@ FIXTURES = {
     "table_html_master": fx_table_html_master,
     "east_detect": fx_east_detect,
     "east_crop": fx_east_crop,
+    "copy_paste": fx_copy_paste,
     "pse_crop": fx_pse_crop,
 }
 
