@@ -1912,6 +1912,69 @@ def q_pse_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
                              out_schema)
 
 
+#: q_pse_gt's MakePseGt size parameter: small enough to keep demo rasters
+#: cheap, and the 60..99 per-doc canvas-height domain splits 20/20 across
+#: the < size (upscale) and >= size branches. On that FIXED finite domain
+#: no dim·scale value lands on an exact .5, so cvRound (half-even), the
+#: twin's floor(x+0.5), and half-away all agree — verified exhaustively,
+#: a property of the query's own layout generator, not of the corpus.
+_PSE_GT_SIZE = 80
+
+
+def q_pse_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 MakePseGt (make_pse_gt.py:28-119): the PSENet multi-scale
+    kernel ladder over the MakeShrinkMap rect layouts, with a per-doc
+    canvas height so the short-edge upscale branch (fractional poly
+    coords -> live Clipper input rounding) runs on half the docs.
+    Per (doc, scale) rows carry the verbatim-float rate, painted count,
+    and the binarized union fill's REAL raster pixel count; doc-level
+    columns carry the resize decision, final-tag count, and mask pixels.
+    The DuckDB twin recomputes everything closed-form (inset-rect union
+    sweeps). Tag escalation is monotone in scale (distance grows as rate
+    falls), which the twin exploits; the escalation arm itself is pinned
+    by exec-ref differential #44."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .kernels import make_pse_gt
+    from .operators.grouped import grouped_map_arrow
+
+    boxes = _shrink_boxes(spark, sf_dir)
+    out_schema = ("doc_id string, k long, rate double, n_painted long, "
+                  "kernel_px long, scaled boolean, new_h long, "
+                  "new_w long, n_ignored long, mask_px long")
+
+    def emit(tbl: "pa.Table") -> "pa.RecordBatch":
+        from .operators.grouped import group_starts, string_codes
+
+        doc = string_codes(tbl.column("doc_id"))
+        cols = {c: tbl.column(c).to_numpy(zero_copy_only=False)
+                for c in ("x0", "y0", "x1", "y1", "tag")}
+        docs_str = tbl.column("doc_id").to_pylist()
+        starts = group_starts(doc)
+        ends = np.r_[starts[1:], len(doc)]
+        rows = []
+        for s, e in zip(starts, ends):
+            rect = np.stack([cols["x0"][s:e], cols["y0"][s:e],
+                             cols["x1"][s:e], cols["y1"][s:e]], axis=1)
+            dn = int(docs_str[s][4:])
+            h = 60 + dn % 40
+            scaled, nh, nw, per_scale, ftags, mask_px = make_pse_gt(
+                rect, cols["tag"][s:e].astype(bool), h, _SHRINK_W,
+                size=_PSE_GT_SIZE)
+            n_ign = int(sum(ftags))
+            for k, (rate, painted, px) in enumerate(per_scale, start=1):
+                rows.append((docs_str[s], k, float(rate), painted, px,
+                             bool(scaled), nh, nw, n_ign, mask_px))
+        names = ["doc_id", "k", "rate", "n_painted", "kernel_px",
+                 "scaled", "new_h", "new_w", "n_ignored", "mask_px"]
+        return pa.record_batch([pa.array(c) for c in zip(*rows)],
+                               names=names)
+
+    return grouped_map_arrow(boxes, ["doc_id"], ["box_id"], emit,
+                             out_schema)
+
+
 def q_shrink_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R6 MakeShrinkMap (make_shrink_map.py:32-124): DBNet training gt
     generation over deterministic per-doc rect layouts.  Per-box rows
@@ -2239,6 +2302,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- group 2: new since CORRECTNESS_r03, expensive-first -------
         "east_crop": q_east_crop,                      # fixture oracle
         "copy_paste": q_copy_paste,                    # fixture oracle
+        "pse_gt": q_pse_gt,
         "pse_crop": q_pse_crop,                        # fixture oracle
         "kmeans_assign": CL.kmeans_assign,
         "semdedup": CL.semdedup,
@@ -4742,6 +4806,135 @@ SELECT e.doc_id, e.box_id,
        CAST({sw * sh} - coalesce(m.mask_zeroed, 0) AS BIGINT) AS mask_count
 FROM e LEFT JOIN g ON e.doc_id = g.doc_id
        LEFT JOIN m ON e.doc_id = m.doc_id"""
+
+    # --- R6 MakePseGt: 7-scale inset ladder + union-of-rects sweeps ---
+    # Conventions mirrored from the kernel exactly: Clipper INPUT
+    # rounding is half away from zero (trunc(x ± 0.5) — live only on the
+    # upscaled fractional coords), inset OUTPUT rounding is floor(x+0.5)
+    # (kernels._clipper_round), resize dims floor(x+0.5) (== cvRound on
+    # this layout's exhaustively-verified no-half-way domain), mask fill
+    # truncates toward zero. Tag escalation is monotone in k, so the
+    # final tag set is orig OR collapsed-at-k=7.
+    sqls["pse_gt"] = """
+WITH b AS (
+    SELECT printf('doc_%04d', l_orderkey % 200) AS doc_id,
+           CAST(l_orderkey % 200 AS INT) AS dn,
+           CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS box_id,
+           CAST((l_partkey % 12) * 10 - 5 AS DOUBLE) AS x0,
+           CAST((l_suppkey % 8) * 9 - 4 AS DOUBLE) AS y0,
+           CAST(l_orderkey % 30 AS DOUBLE) AS bw0,
+           CAST((l_suppkey + l_linenumber) % 24 AS DOUBLE) AS bh0,
+           (l_orderkey % 23 = 0) AS tag
+    FROM lineitem WHERE l_linenumber <= 4 AND l_orderkey % 11 = 0
+),
+d0 AS (
+    SELECT doc_id, 60 + dn % 40 AS h0,
+           (60 + dn % 40) < 80 AS scaled,
+           CASE WHEN (60 + dn % 40) < 80
+                THEN CAST(80 AS DOUBLE) / (60 + dn % 40)
+                ELSE CAST(1 AS DOUBLE) END AS scale
+    FROM (SELECT DISTINCT doc_id, dn FROM b)
+),
+d1 AS (
+    SELECT *,
+           CASE WHEN scaled THEN CAST(floor(h0 * scale + 0.5) AS BIGINT)
+                ELSE h0 END AS nh,
+           CASE WHEN scaled THEN CAST(floor(120 * scale + 0.5) AS BIGINT)
+                ELSE 120 END AS nw
+    FROM d0
+),
+sb AS (
+    SELECT b.doc_id, box_id, tag, nh, nw, scaled,
+           x0 * scale AS px0, y0 * scale AS py0,
+           (x0 + bw0) * scale AS px1, (y0 + bh0) * scale AS py1
+    FROM b JOIN d1 USING (doc_id)
+),
+r AS (
+    SELECT *,
+           CAST(trunc(px0 + CASE WHEN px0 < 0 THEN -0.5 ELSE 0.5 END)
+                AS BIGINT) AS rx0,
+           CAST(trunc(py0 + CASE WHEN py0 < 0 THEN -0.5 ELSE 0.5 END)
+                AS BIGINT) AS ry0,
+           CAST(trunc(px1 + CASE WHEN px1 < 0 THEN -0.5 ELSE 0.5 END)
+                AS BIGINT) AS rx1,
+           CAST(trunc(py1 + CASE WHEN py1 < 0 THEN -0.5 ELSE 0.5 END)
+                AS BIGINT) AS ry1,
+           px1 - px0 AS bw, py1 - py0 AS bh
+    FROM sb
+),
+ks AS (
+    SELECT r.*, g.k,
+           1.0 - (1.0 - 0.4) / (7 - 1) * g.k AS rate
+    FROM r, UNNEST(generate_series(1, 7)) g(k)
+),
+kd AS (
+    SELECT *,
+           ((rx1 - rx0) <= 2 * ((bw * bh) * (1 - rate * rate)
+                                / (2 * (bw + bh) + 1e-6))
+            OR (ry1 - ry0) <= 2 * ((bw * bh) * (1 - rate * rate)
+                                   / (2 * (bw + bh) + 1e-6)))
+               AS collapsed,
+           CAST(floor((rx0 + (bw * bh) * (1 - rate * rate)
+                       / (2 * (bw + bh) + 1e-6)) + 0.5) AS BIGINT) AS ix0,
+           CAST(floor((ry0 + (bw * bh) * (1 - rate * rate)
+                       / (2 * (bw + bh) + 1e-6)) + 0.5) AS BIGINT) AS iy0,
+           CAST(floor((rx1 - (bw * bh) * (1 - rate * rate)
+                       / (2 * (bw + bh) + 1e-6)) + 0.5) AS BIGINT) AS ix1,
+           CAST(floor((ry1 - (bw * bh) * (1 - rate * rate)
+                       / (2 * (bw + bh) + 1e-6)) + 0.5) AS BIGINT) AS iy1
+    FROM ks
+),
+kp AS (
+    SELECT doc_id, k, count(*) AS n_painted
+    FROM kd WHERE NOT collapsed GROUP BY doc_id, k
+),
+px AS (
+    SELECT doc_id, k, count(*) AS kernel_px FROM (
+        SELECT DISTINCT doc_id, k, gx.x, gy.y
+        FROM kd,
+             UNNEST(generate_series(greatest(ix0, 0),
+                                    least(ix1, nw - 1))) gx(x),
+             UNNEST(generate_series(greatest(iy0, 0),
+                                    least(iy1, nh - 1))) gy(y)
+        WHERE NOT collapsed
+    ) GROUP BY doc_id, k
+),
+ft AS (
+    -- final tag inline per ROW (box_id is NOT unique in the synthetic
+    -- lineitem — a join on it would fan out); escalation is monotone in
+    -- k, so orig OR collapsed-at-k=7 is the final tag
+    SELECT *, (tag OR collapsed) AS ftag
+    FROM kd WHERE k = 7
+),
+ni AS (
+    SELECT doc_id, sum(CASE WHEN ftag THEN 1 ELSE 0 END) AS n_ignored
+    FROM ft GROUP BY doc_id
+),
+mz AS (
+    SELECT doc_id, count(*) AS zeroed FROM (
+        SELECT DISTINCT doc_id, gx.x, gy.y
+        FROM ft,
+             UNNEST(generate_series(greatest(CAST(trunc(px0) AS BIGINT), 0),
+                                    least(CAST(trunc(px1) AS BIGINT),
+                                          nw - 1))) gx(x),
+             UNNEST(generate_series(greatest(CAST(trunc(py0) AS BIGINT), 0),
+                                    least(CAST(trunc(py1) AS BIGINT),
+                                          nh - 1))) gy(y)
+        WHERE ftag
+    ) GROUP BY doc_id
+)
+SELECT base.doc_id, CAST(base.k AS BIGINT) AS k, base.rate,
+       CAST(coalesce(kp.n_painted, 0) AS BIGINT) AS n_painted,
+       CAST(coalesce(px.kernel_px, 0) AS BIGINT) AS kernel_px,
+       base.scaled,
+       CAST(base.nh AS BIGINT) AS new_h, CAST(base.nw AS BIGINT) AS new_w,
+       CAST(coalesce(ni.n_ignored, 0) AS BIGINT) AS n_ignored,
+       CAST(base.nh * base.nw - coalesce(mz.zeroed, 0) AS BIGINT) AS mask_px
+FROM (SELECT DISTINCT doc_id, k, rate, nh, nw, scaled FROM kd) base
+LEFT JOIN kp USING (doc_id, k)
+LEFT JOIN px USING (doc_id, k)
+LEFT JOIN ni USING (doc_id)
+LEFT JOIN mz USING (doc_id)"""
 
     # --- R5 TableLabelEncode: closed-form grammar reconstruction ---
     sqls["table_label_encode"] = """

@@ -2604,7 +2604,12 @@ def fill_rect(img: "np.ndarray", x0: int, y0: int, x1: int, y1: int,
     """cv2.fillPoly for an integer axis-aligned rectangle polygon: fills
     [y0..y1] x [x0..x1] INCLUSIVE (cv2 polygon fill includes the
     right/bottom boundary; a degenerate zero-area polygon fills its
-    boundary line), clipped to the canvas."""
+    boundary line), clipped to the canvas.  A rect lying entirely
+    above/left of the canvas (upper bound < 0) paints NOTHING, as cv2
+    clips — without the guard the ``min(y1, h-1)+1`` end index goes
+    negative and the Python slice wraps around the canvas."""
+    if x1 < 0 or y1 < 0:
+        return
     h, w = img.shape
     img[max(y0, 0):min(y1, h - 1) + 1, max(x0, 0):min(x1, w - 1) + 1] = val
 
@@ -2784,3 +2789,96 @@ def make_border_map(boxes: "np.ndarray", tags: "np.ndarray", h: int, w: int,
                        xmin_valid:xmax_valid + 1])
     canvas = canvas * (thresh_max - thresh_min) + thresh_min
     return canvas, mask
+
+
+# ---------------------------------------------------------------------------
+# R6 MakePseGt (PSENet training multi-scale kernel generation)
+# ---------------------------------------------------------------------------
+
+PSE_GT_KERNEL_NUM = 7        #: make_pse_gt.py:30 default
+PSE_GT_MIN_RATIO = 0.4       #: make_pse_gt.py:30 default
+PSE_GT_SIZE = 640            #: make_pse_gt.py:30 default (demo uses 80)
+
+
+def _clipper_round_signed(x: float) -> int:
+    """Clipper's Round for possibly-negative coords (half away from
+    zero): trunc(x ± 0.5). pyclipper converts float input paths to the
+    integer grid with the same C round()."""
+    return int(x - 0.5) if x < 0 else int(x + 0.5)
+
+
+def make_pse_gt(boxes: "np.ndarray", tags: "np.ndarray", h: int, w: int,
+                kernel_num: int = PSE_GT_KERNEL_NUM,
+                size: int = PSE_GT_SIZE,
+                min_shrink_ratio: float = PSE_GT_MIN_RATIO):
+    """MakePseGt (ppocr/data/imaug/make_pse_gt.py:28-119) over
+    axis-aligned rects — the PSENet training gt: a ladder of
+    ``kernel_num`` shrink scales, biggest first.
+
+    Faithful points, in reference order:
+
+    * the short-edge upscale branch (:41-46): scale = size/short_edge,
+      cv2.resize(dsize=None, fx=fy=scale) → new dims =
+      cvRound(dim·scale) (round half to even), and ``text_polys *=
+      scale`` — polys go FRACTIONAL, so pyclipper's input-grid rounding
+      (half away from zero, :94-96 via AddPath) becomes live;
+    * rate_i = 1.0 - (1.0 - min_shrink_ratio)/(kernel_num - 1)·i for
+      i = 1..kernel_num (:49-52) — the expression is transcribed
+      verbatim so its float walk (0.6/6 ≠ 0.1 exactly) is preserved;
+    * NO validate_polygons and NO clipping — unlike MakeShrinkMap,
+      polys shrink as-is (off-canvas parts just clip at fill time);
+    * distance = area·(1 − rate²)/(perimeter + 1e-6) (:90-92, the
+      mmocr formula — note the +1e-6 that MakeShrinkMap lacks);
+    * a collapsed offset sets ignore_tags[i] = True (:98-105) but
+      painting never READS the tags — ignored boxes still paint every
+      scale they survive; the escalation is monotone (distance grows as
+      rate falls) so the final tag set is orig ∨ collapsed-at-scale-
+      kernel_num;
+    * kernels fill label i+1 (later boxes OVERWRITE earlier, :107) and
+      are binarized afterwards (:66-67), so the observable count is the
+      union of surviving inset rects;
+    * training_mask zeroes the int32-truncated ORIGINAL (scaled) polys
+      of finally-ignored boxes (:58-63).
+
+    Returns (scaled, new_h, new_w, per_scale, final_tags, mask_count)
+    where per_scale is [(rate, n_painted, kernel_px), ...] biggest rate
+    first and kernel_px counts the binarized union fill.
+    """
+    boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4).copy()
+    tags = list(np.asarray(tags, dtype=bool))
+    short_edge = min(h, w)
+    scaled = short_edge < size
+    if scaled:
+        scale = size / short_edge
+        new_h = round(h * scale)          # cvRound: half to even
+        new_w = round(w * scale)
+        boxes *= scale
+    else:
+        new_h, new_w = h, w
+    per_scale = []
+    gt_text_px = None
+    for i in range(1, kernel_num + 1):
+        rate = 1.0 - (1.0 - min_shrink_ratio) / (kernel_num - 1) * i
+        canvas = np.zeros((new_h, new_w), dtype=np.float32)
+        painted = 0
+        for bi, (x0, y0, x1, y1) in enumerate(boxes):
+            bw, bh = x1 - x0, y1 - y0
+            area = bw * bh                       # shapely-as-rect axiom
+            length = 2 * (bw + bh)
+            distance = area * (1 - rate * rate) / (length + 1e-6)
+            shrunk = shrink_rect(
+                _clipper_round_signed(x0), _clipper_round_signed(y0),
+                _clipper_round_signed(x1), _clipper_round_signed(y1),
+                distance)
+            if shrunk is None:
+                tags[bi] = True
+                continue
+            fill_rect(canvas, shrunk[0], shrunk[1], shrunk[2], shrunk[3],
+                      bi + 1)
+            painted += 1
+        per_scale.append((rate, painted, int((canvas > 0).sum())))
+    mask = np.ones((new_h, new_w), dtype=np.float32)
+    for bi, (x0, y0, x1, y1) in enumerate(boxes):
+        if tags[bi]:
+            fill_rect(mask, int(x0), int(y0), int(x1), int(y1), 0)
+    return scaled, new_h, new_w, per_scale, tags, int(mask.sum())

@@ -624,3 +624,67 @@ def test_east_detect_distributed_matches_kernel(spark):
         want = [(i, *b) for i, b in enumerate(east_detect_boxes(
             score, geo, (EAST_SRC, EAST_SRC, EAST_RATIO, EAST_RATIO)))]
         assert sorted(got.get(d, [])) == want, d
+
+
+# ---------------------------------------------------------------------------
+# MakePseGt
+# ---------------------------------------------------------------------------
+
+def test_fill_rect_fully_off_canvas_paints_nothing():
+    """A rect entirely above/left of the canvas must be a no-op like
+    cv2.fillPoly — without the upper-bound guard the negative end index
+    wrapped the Python slice and painted almost the whole canvas."""
+    import numpy as np
+
+    from paddleocr_spark.kernels import fill_rect
+    img = np.zeros((10, 20), np.float32)
+    fill_rect(img, 3, -5, 8, -2, 1)   # fully above
+    fill_rect(img, -7, 2, -3, 5, 1)   # fully left
+    assert img.sum() == 0
+    fill_rect(img, -2, -2, 1, 1, 1)   # corner overlap still fills
+    assert img.sum() == 4
+
+
+def test_make_pse_gt_collapse_needs_degenerate_or_rounding_gap():
+    """For a true a x b rect the inset NEVER collapses at any rate < 1
+    (b <= 2·dist reduces to b <= -a·r², impossible) — so in the integer-
+    coord branch only degenerate sides escalate, while in the upscale
+    branch Clipper's input rounding can shave a fractional thin box's
+    side below 2·dist (the distance uses the UNROUNDED geometry)."""
+    import numpy as np
+
+    from paddleocr_spark.kernels import make_pse_gt
+    # unscaled: zero-height box escalates at EVERY scale; rect never does
+    boxes = np.array([[10, 10, 90, 10], [20, 30, 80, 60]], float)
+    scaled, nh, nw, per_scale, ftags, mask_px = make_pse_gt(
+        boxes, [False, False], 100, 120, size=80)
+    assert not scaled and (nh, nw) == (100, 120)
+    assert [p for _, p, _ in per_scale] == [1] * 7
+    assert ftags == [True, False]
+    # mask zeroes the degenerate box's 1-px boundary line (cv2 fills it)
+    assert mask_px == 100 * 120 - (90 - 10 + 1)
+
+    # upscale branch: a thin long box whose SCALED height rounds to a
+    # 1-px side while the unrounded dist exceeds 0.5 -> rounding-gap
+    # collapse at the smallest rates only (monotone tail)
+    boxes2 = np.array([[5, 10.15, 85, 11.05], [20, 30, 80, 60]], float)
+    scaled2, nh2, nw2, ps2, ftags2, _ = make_pse_gt(
+        boxes2, [False, False], 61, 120, size=80)
+    assert scaled2
+    painted2 = [p for _, p, _ in ps2]
+    assert painted2 == sorted(painted2, reverse=True)  # drop-out is sticky
+    assert painted2[0] == 2 and painted2[-1] == 1 and ftags2 == [True, False]
+
+
+def test_make_pse_gt_upscale_branch_rounds_dims_and_scales_polys():
+    import numpy as np
+
+    from paddleocr_spark.kernels import make_pse_gt
+    boxes = np.array([[30, 30, 60, 50]], float)
+    scaled, nh, nw, per_scale, ftags, _ = make_pse_gt(
+        boxes, [False], 61, 120, size=80)
+    assert scaled and nh == round(61 * (80 / 61)) == 80
+    assert nw == round(120 * (80 / 61)) == 157
+    # the inset rect lives at scaled coordinates
+    rate, painted, px = per_scale[0]
+    assert painted == 1 and px > (60 - 30) * (50 - 30)  # bigger than unscaled

@@ -2618,3 +2618,131 @@ def test_copy_paste_matches_executed_reference():
                 sys.modules.pop(m, None)
             else:
                 sys.modules[m] = v
+
+
+def test_make_pse_gt_matches_executed_reference():
+    """Executes the reference's ENTIRE MakePseGt (make_pse_gt.py:28-119)
+    with the established rect axioms substituted: pyclipper →
+    input-grid signed Clipper rounding + shrink_rect, shapely.Polygon →
+    rect area/perimeter, cv2.fillPoly → fill_rect on the poly bbox
+    (exact for axis-aligned quads), cv2.resize → shape-only cvRound
+    dims. The scale branch, the verbatim rate-ladder float walk, the
+    +1e-6 mmocr distance, tag escalation on collapse, the i+1 label
+    fill + binarize, and the final-tag training mask all run as the
+    reference wrote them; kernels.make_pse_gt must reproduce per-scale
+    union pixel counts, dims, final tags, and the mask sum exactly on
+    fuzzed rect sets covering both branches."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from paddleocr_spark.kernels import (_clipper_round_signed, fill_rect,
+                                         make_pse_gt, shrink_rect)
+
+    class _PCO:
+        def __init__(self):
+            self._path = None
+
+        def AddPath(self, path, jt, et):
+            self._path = [(_clipper_round_signed(float(x)),
+                           _clipper_round_signed(float(y)))
+                          for x, y in path]
+
+        def Execute(self, delta):
+            xs = [p[0] for p in self._path]
+            ys = [p[1] for p in self._path]
+            r = shrink_rect(min(xs), min(ys), max(xs), max(ys), -delta)
+            if r is None:
+                return []
+            x0, y0, x1, y1 = r
+            return [[[x0, y0], [x1, y0], [x1, y1], [x0, y1]]]
+
+    pyclipper_stub = types.ModuleType("pyclipper")
+    pyclipper_stub.PyclipperOffset = _PCO
+    pyclipper_stub.JT_ROUND = 1
+    pyclipper_stub.ET_CLOSEDPOLYGON = 2
+
+    class _RectPoly:
+        def __init__(self, poly):
+            xs = [float(p[0]) for p in poly]
+            ys = [float(p[1]) for p in poly]
+            bw = max(xs) - min(xs)
+            bh = max(ys) - min(ys)
+            self.area = bw * bh
+            self.length = 2 * (bw + bh)
+
+    shapely_geom = types.ModuleType("shapely.geometry")
+    shapely_geom.Polygon = _RectPoly
+    shapely_pkg = types.ModuleType("shapely")
+    shapely_pkg.geometry = shapely_geom
+
+    cv2_stub = types.ModuleType("cv2")
+
+    def _resize(img, dsize=None, fx=None, fy=None):
+        assert dsize is None
+        return np.zeros((round(img.shape[0] * fy),
+                         round(img.shape[1] * fx)) + img.shape[2:],
+                        img.dtype)
+
+    def _fillpoly(img, pts, val):
+        for q in pts:
+            q = np.asarray(q)
+            fill_rect(img, int(q[:, 0].min()), int(q[:, 1].min()),
+                      int(q[:, 0].max()), int(q[:, 1].max()), val)
+
+    cv2_stub.resize = _resize
+    cv2_stub.fillPoly = _fillpoly
+    mods = {"cv2": cv2_stub, "pyclipper": pyclipper_stub,
+            "shapely": shapely_pkg, "shapely.geometry": shapely_geom}
+    saved = {m: sys.modules.get(m) for m in mods}
+    sys.modules.update(mods)
+    try:
+        ns: dict = {}
+        src = open("/root/reference/ppocr/data/imaug/make_pse_gt.py").read()
+        exec(src[src.index("from __future__"):], ns)
+        pse = ns["MakePseGt"](kernel_num=7, size=80, min_shrink_ratio=0.4)
+
+        rng = random.Random(909)
+        branch = {True: 0, False: 0}
+        escal = 0
+        for trial in range(200):
+            n = rng.randint(0, 8)
+            h = rng.randint(40, 140)
+            w = 120
+            boxes = []
+            for _ in range(n):
+                x0 = rng.uniform(-8, 110)
+                y0 = rng.uniform(-8, h - 5)
+                boxes.append([x0, y0, x0 + rng.uniform(0, 60),
+                              y0 + rng.uniform(0, 30)])
+            boxes = np.array(boxes, np.float64).reshape(n, 4)
+            tags = [rng.random() < 0.25 for _ in range(n)]
+            polys = np.array([[[b[0], b[1]], [b[2], b[1]],
+                               [b[2], b[3]], [b[0], b[3]]]
+                              for b in boxes]).reshape(n, 4, 2)
+            data = {"image": np.zeros((h, w, 3), np.uint8),
+                    "polys": polys.copy(),
+                    "ignore_tags": list(tags)}
+            want = pse(data)
+
+            scaled, nh, nw, per_scale, ftags, mask_px = make_pse_gt(
+                boxes, tags, h, w, kernel_num=7, size=80,
+                min_shrink_ratio=0.4)
+            branch[scaled] += 1
+            assert want["image"].shape == (nh, nw, 3), (trial, h)
+            assert want["gt_kernels"].shape == (7, nh, nw)
+            for k, (rate, painted, px) in enumerate(per_scale):
+                assert int(want["gt_kernels"][k].sum()) == px, (trial, k)
+            assert np.array_equal(want["gt_text"], want["gt_kernels"][0])
+            assert want["ignore_tags"] == ftags, (trial,)
+            escal += sum(ftags) - sum(tags)
+            assert int(want["mask"].sum()) == mask_px, (trial,)
+        assert branch[True] > 40 and branch[False] > 40
+        assert escal > 20  # collapse escalation genuinely exercised
+    finally:
+        for m, v in saved.items():
+            if v is None:
+                sys.modules.pop(m, None)
+            else:
+                sys.modules[m] = v
