@@ -620,3 +620,379 @@ def east_random_crop(spans_geom: DataFrame) -> DataFrame:
         spans_geom.select("doc_id", "span_idx", "x1", "y1", "x2", "y2",
                           "ignored"),
         ["doc_id"], ["span_idx"], emit, EAST_CROP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# EASTProcessTrain (ppocr/data/imaug/east_process.py:28-436) — seeded
+# ---------------------------------------------------------------------------
+#
+# The EAST training-target generator: random right-angle rotate, polygon
+# validation (with the wrong-direction flip-and-ignore quirk), random
+# scale, a background/foreground branch, the padded-text-free random
+# crop, the 1/max resize, and generate_quad's score/geo/training-mask
+# rasters subsampled ::4. RNG contract as everywhere in this module:
+# ``RandomState(seed)`` replays the reference's global np.random stream.
+#
+# Image buffers are never materialized until generate_quad: every pixel
+# op before it (np.rot90, cv2.resize, the crop slice, preprocess's
+# normalize+pad) only feeds SHAPES forward, so the transcription tracks
+# (h, w) symbolically — at 10^12 docs the kernel allocates only the
+# final <=512x512 target rasters per document.
+#
+# fillPoly axiom: quads here are axis-aligned up to ~1e-16 (right-angle
+# rotations and the shrink walk's arctan2 of epsilon-skewed edges), so
+# the int32-truncated quad is filled as its corner bbox — the same bbox
+# axiom the MakeShrinkMap/MakePseGt differentials document. cv2's exact
+# scanline walk is out of scope for these inputs.
+
+EAST_PROC_INPUT_SIZE = 512          #: east_process.py:30 image_shape
+EAST_PROC_BG_RATIO = 0.125          #: :31 background_ratio
+EAST_PROC_MIN_CROP_RATIO = 0.1      #: :32 min_crop_side_ratio
+EAST_PROC_MIN_TEXT = 10             #: :33 min_text_size
+EAST_PROC_SCALES = (0.5, 1, 2.0, 3.0)   #: :36 random_scale
+
+
+def _cv_round(x: float) -> int:
+    """cvRound: round half to even (== Python 3 round)."""
+    return round(x)
+
+
+def east_polygon_area(poly) -> float:
+    """east_process.py:95-105 verbatim signed shoelace (half sum of the
+    four cross edges)."""
+    edge = [(poly[1][0] - poly[0][0]) * (poly[1][1] + poly[0][1]),
+            (poly[2][0] - poly[1][0]) * (poly[2][1] + poly[1][1]),
+            (poly[3][0] - poly[2][0]) * (poly[3][1] + poly[2][1]),
+            (poly[0][0] - poly[3][0]) * (poly[0][1] + poly[3][1])]
+    return np.sum(edge) / 2.
+
+
+def east_validate_polys(polys: np.ndarray, tags: np.ndarray,
+                        h: int, w: int):
+    """check_and_validate_polys (:107-135): clip to [0, dim-1], drop
+    |area| < 1, and the wrong-direction quirk — POSITIVE area means the
+    poly is reversed, so it is re-ordered (0,3,2,1) AND force-ignored
+    (tag=True) even if it was a care poly."""
+    if polys.shape[0] == 0:
+        return polys, tags
+    polys[:, :, 0] = np.clip(polys[:, :, 0], 0, w - 1)
+    polys[:, :, 1] = np.clip(polys[:, :, 1], 0, h - 1)
+    validated_polys = []
+    validated_tags = []
+    for poly, tag in zip(polys, tags):
+        p_area = east_polygon_area(poly)
+        if abs(p_area) < 1:
+            continue
+        if p_area > 0:
+            if not tag:
+                tag = True
+            poly = poly[(0, 3, 2, 1), :]
+        validated_polys.append(poly)
+        validated_tags.append(tag)
+    return np.array(validated_polys), np.array(validated_tags)
+
+
+def east_shrink_poly(poly: np.ndarray, r) -> np.ndarray:
+    """shrink_poly (:155-231) verbatim — the in-place arctan2 corner
+    walk (longer-pair first; the reference's own comment says 'maybe
+    bugs here...', preserved as-is)."""
+    R = 0.3
+    dist0 = np.linalg.norm(poly[0] - poly[1])
+    dist1 = np.linalg.norm(poly[2] - poly[3])
+    dist2 = np.linalg.norm(poly[0] - poly[3])
+    dist3 = np.linalg.norm(poly[1] - poly[2])
+    if dist0 + dist1 > dist2 + dist3:
+        theta = np.arctan2((poly[1][1] - poly[0][1]),
+                           (poly[1][0] - poly[0][0]))
+        poly[0][0] += R * r[0] * np.cos(theta)
+        poly[0][1] += R * r[0] * np.sin(theta)
+        poly[1][0] -= R * r[1] * np.cos(theta)
+        poly[1][1] -= R * r[1] * np.sin(theta)
+        theta = np.arctan2((poly[2][1] - poly[3][1]),
+                           (poly[2][0] - poly[3][0]))
+        poly[3][0] += R * r[3] * np.cos(theta)
+        poly[3][1] += R * r[3] * np.sin(theta)
+        poly[2][0] -= R * r[2] * np.cos(theta)
+        poly[2][1] -= R * r[2] * np.sin(theta)
+        theta = np.arctan2((poly[3][0] - poly[0][0]),
+                           (poly[3][1] - poly[0][1]))
+        poly[0][0] += R * r[0] * np.sin(theta)
+        poly[0][1] += R * r[0] * np.cos(theta)
+        poly[3][0] -= R * r[3] * np.sin(theta)
+        poly[3][1] -= R * r[3] * np.cos(theta)
+        theta = np.arctan2((poly[2][0] - poly[1][0]),
+                           (poly[2][1] - poly[1][1]))
+        poly[1][0] += R * r[1] * np.sin(theta)
+        poly[1][1] += R * r[1] * np.cos(theta)
+        poly[2][0] -= R * r[2] * np.sin(theta)
+        poly[2][1] -= R * r[2] * np.cos(theta)
+    else:
+        theta = np.arctan2((poly[3][0] - poly[0][0]),
+                           (poly[3][1] - poly[0][1]))
+        poly[0][0] += R * r[0] * np.sin(theta)
+        poly[0][1] += R * r[0] * np.cos(theta)
+        poly[3][0] -= R * r[3] * np.sin(theta)
+        poly[3][1] -= R * r[3] * np.cos(theta)
+        theta = np.arctan2((poly[2][0] - poly[1][0]),
+                           (poly[2][1] - poly[1][1]))
+        poly[1][0] += R * r[1] * np.sin(theta)
+        poly[1][1] += R * r[1] * np.cos(theta)
+        poly[2][0] -= R * r[2] * np.sin(theta)
+        poly[2][1] -= R * r[2] * np.cos(theta)
+        theta = np.arctan2((poly[1][1] - poly[0][1]),
+                           (poly[1][0] - poly[0][0]))
+        poly[0][0] += R * r[0] * np.cos(theta)
+        poly[0][1] += R * r[0] * np.sin(theta)
+        poly[1][0] -= R * r[1] * np.cos(theta)
+        poly[1][1] -= R * r[1] * np.sin(theta)
+        theta = np.arctan2((poly[2][1] - poly[3][1]),
+                           (poly[2][0] - poly[3][0]))
+        poly[3][0] += R * r[3] * np.cos(theta)
+        poly[3][1] += R * r[3] * np.sin(theta)
+        poly[2][0] -= R * r[2] * np.cos(theta)
+        poly[2][1] -= R * r[2] * np.sin(theta)
+    return poly
+
+
+def _east_fill_quad(img: np.ndarray, quad_i32: np.ndarray, val) -> None:
+    """fillPoly bbox axiom for the int32 quad (see module note)."""
+    from .kernels import fill_rect
+    fill_rect(img, int(quad_i32[:, 0].min()), int(quad_i32[:, 1].min()),
+              int(quad_i32[:, 0].max()), int(quad_i32[:, 1].max()), val)
+
+
+def east_generate_quad(im_size, polys: np.ndarray, tags,
+                       min_text_size: int = EAST_PROC_MIN_TEXT):
+    """generate_quad (:232-287): score map from the shrunk polys, the
+    per-poly ownership mask (later polys OVERWRITE earlier — geo values
+    of shared pixels are last-writer-wins), min-size/ignore zeroing of
+    the training mask, 8-channel corner offsets + short-edge-norm.
+    Quirk: the offset channels subtract the poly AFTER it was clipped to
+    [0, w] / [0, h] INCLUSIVE (:276-277) — one past the last pixel."""
+    h, w = im_size
+    poly_mask = np.zeros((h, w), dtype=np.uint8)
+    score_map = np.zeros((h, w), dtype=np.uint8)
+    geo_map = np.zeros((h, w, 9), dtype=np.float32)
+    training_mask = np.ones((h, w), dtype=np.uint8)
+    for poly_idx, poly_tag in enumerate(zip(polys, tags)):
+        poly = poly_tag[0]
+        tag = poly_tag[1]
+        r = [None, None, None, None]
+        for i in range(4):
+            dist1 = np.linalg.norm(poly[i] - poly[(i + 1) % 4])
+            dist2 = np.linalg.norm(poly[i] - poly[(i - 1) % 4])
+            r[i] = min(dist1, dist2)
+        shrinked_poly = east_shrink_poly(poly.copy(), r).astype(np.int32)
+        _east_fill_quad(score_map, shrinked_poly, 1)
+        _east_fill_quad(poly_mask, shrinked_poly, poly_idx + 1)
+        poly_h = min(np.linalg.norm(poly[0] - poly[3]),
+                     np.linalg.norm(poly[1] - poly[2]))
+        poly_w = min(np.linalg.norm(poly[0] - poly[1]),
+                     np.linalg.norm(poly[2] - poly[3]))
+        if min(poly_h, poly_w) < min_text_size:
+            _east_fill_quad(training_mask, poly.astype(np.int32), 0)
+        if tag:
+            _east_fill_quad(training_mask, poly.astype(np.int32), 0)
+        xy_in_poly = np.argwhere(poly_mask == (poly_idx + 1))
+        y_in_poly = xy_in_poly[:, 0]
+        x_in_poly = xy_in_poly[:, 1]
+        poly[:, 0] = np.minimum(np.maximum(poly[:, 0], 0), w)
+        poly[:, 1] = np.minimum(np.maximum(poly[:, 1], 0), h)
+        for pno in range(4):
+            geo_channel_beg = pno * 2
+            geo_map[y_in_poly, x_in_poly, geo_channel_beg] = \
+                x_in_poly - poly[pno, 0]
+            geo_map[y_in_poly, x_in_poly, geo_channel_beg + 1] = \
+                y_in_poly - poly[pno, 1]
+        geo_map[y_in_poly, x_in_poly, 8] = \
+            1.0 / max(min(poly_h, poly_w), 1.0)
+    return score_map, geo_map, training_mask
+
+
+def east_train_crop_area(rng: np.random.RandomState, h: int, w: int,
+                         polys: np.ndarray, tags: np.ndarray,
+                         crop_background: bool = False,
+                         max_tries: int = 50,
+                         min_crop_side_ratio: float =
+                         EAST_PROC_MIN_CROP_RATIO):
+    """crop_area (:288-358), image replaced by its (h, w): the padded
+    occupancy arrays (pad = dim//10, maxx EXCLUSIVE as in the inference
+    crop), per-try x-then-y choice pairs CLIPPED to the canvas after the
+    pad shift, the all-4-corners containment test, and the background /
+    foreground return arms. Returns (new_h, new_w, polys, tags, rect)
+    where rect is the accepted (xmin, ymin, xmax, ymax) or None when the
+    tries run out (canvas returned whole)."""
+    pad_h = h // 10
+    pad_w = w // 10
+    h_array = np.zeros((h + pad_h * 2), dtype=np.int32)
+    w_array = np.zeros((w + pad_w * 2), dtype=np.int32)
+    for poly in polys:
+        poly = np.round(poly, decimals=0).astype(np.int32)
+        minx = np.min(poly[:, 0])
+        maxx = np.max(poly[:, 0])
+        w_array[minx + pad_w:maxx + pad_w] = 1
+        miny = np.min(poly[:, 1])
+        maxy = np.max(poly[:, 1])
+        h_array[miny + pad_h:maxy + pad_h] = 1
+    h_axis = np.where(h_array == 0)[0]
+    w_axis = np.where(w_array == 0)[0]
+    if len(h_axis) == 0 or len(w_axis) == 0:
+        return h, w, polys, tags, None
+    for i in range(max_tries):
+        xx = rng.choice(w_axis, size=2)
+        xmin = np.min(xx) - pad_w
+        xmax = np.max(xx) - pad_w
+        xmin = np.clip(xmin, 0, w - 1)
+        xmax = np.clip(xmax, 0, w - 1)
+        yy = rng.choice(h_axis, size=2)
+        ymin = np.min(yy) - pad_h
+        ymax = np.max(yy) - pad_h
+        ymin = np.clip(ymin, 0, h - 1)
+        ymax = np.clip(ymax, 0, h - 1)
+        if xmax - xmin < min_crop_side_ratio * w or \
+           ymax - ymin < min_crop_side_ratio * h:
+            continue
+        if polys.shape[0] != 0:
+            poly_axis_in_area = (polys[:, :, 0] >= xmin) \
+                & (polys[:, :, 0] <= xmax) \
+                & (polys[:, :, 1] >= ymin) \
+                & (polys[:, :, 1] <= ymax)
+            selected_polys = np.where(
+                np.sum(poly_axis_in_area, axis=1) == 4)[0]
+        else:
+            selected_polys = []
+        if len(selected_polys) == 0:
+            if crop_background:
+                return (int(ymax) - int(ymin) + 1,
+                        int(xmax) - int(xmin) + 1,
+                        [], [], (int(xmin), int(ymin),
+                                 int(xmax), int(ymax)))
+            else:
+                continue
+        polys = polys[selected_polys]
+        tags = tags[selected_polys]
+        polys[:, :, 0] -= xmin
+        polys[:, :, 1] -= ymin
+        return (int(ymax) - int(ymin) + 1, int(xmax) - int(xmin) + 1,
+                polys, tags, (int(xmin), int(ymin),
+                              int(xmax), int(ymax)))
+    return h, w, polys, tags, None
+
+
+def east_preprocess_dims(h: int, w: int,
+                         input_size: int = EAST_PROC_INPUT_SIZE):
+    """preprocess (:41-59) shapes only: scale = input_size / max(h, w)
+    (applied even when it upscales), cv2.resize dims = cvRound(dim *
+    scale); the normalize + zero-pad to input_size^2 carries no label
+    semantics. Returns (new_h, new_w, im_scale)."""
+    im_scale = float(input_size) / float(max(h, w))
+    return _cv_round(h * im_scale), _cv_round(w * im_scale), im_scale
+
+
+def east_process_doc(seed: int, quads: np.ndarray, tags: np.ndarray,
+                     h: int, w: int,
+                     input_size: int = EAST_PROC_INPUT_SIZE,
+                     background_ratio: float = EAST_PROC_BG_RATIO):
+    """EASTProcessTrain.__call__ (:395-436) for one document, labels +
+    target-map observables.  ``quads`` is (n, 4, 2) float32 (the
+    reference pipelines' dtype; right-angle rotation and the shrink walk
+    stay exact in-process on both differential sides).
+
+    Draw order preserved: rotate gate rand() -> [rotate ratio rand()] ->
+    scale choice -> background gate rand() -> crop choice pairs.
+
+    Returns a dict: status ('ok' | 'bg' | 'none_*'), rot_cnt, rd_scale,
+    crop rect, n_out, new_h/new_w (pre-pad resize dims), and for
+    ok/bg the ::4-subsampled score_px / mask_px / geo channel sums
+    (float64-exact sums of the float32 map — order-independent)."""
+    rng = np.random.RandomState(seed % (2 ** 31))
+    out = {"status": None, "rot_cnt": 0, "rd_scale": None,
+           "crop": None, "n_out": 0, "new_h": None, "new_w": None,
+           "score_px": None, "mask_px": None, "geo_sums": None}
+    text_polys = quads
+    text_tags = np.asarray(tags, dtype=bool)
+    if text_polys.shape[0] == 0:
+        out["status"] = "none_empty"
+        return out
+    if rng.rand() < 0.5:
+        # rotate_im_poly (:61-94): 90/180/270 via the ratio thirds; the
+        # image itself only swaps dims under odd rot90 counts
+        rand_degree_ratio = rng.rand()
+        rand_degree_cnt = 1
+        if 0.333 < rand_degree_ratio < 0.666:
+            rand_degree_cnt = 2
+        elif rand_degree_ratio > 0.666:
+            rand_degree_cnt = 3
+        import math
+        rot_degree = -90 * rand_degree_cnt
+        rot_angle = rot_degree * math.pi / 180.0
+        cx, cy = 0.5 * w, 0.5 * h
+        if rand_degree_cnt % 2 == 1:
+            nh, nw = w, h
+        else:
+            nh, nw = h, w
+        ncx, ncy = 0.5 * nw, 0.5 * nh
+        dst_polys = []
+        for i in range(text_polys.shape[0]):
+            wordBB = text_polys[i]
+            poly = []
+            for j in range(4):
+                sx, sy = wordBB[j][0], wordBB[j][1]
+                dx = math.cos(rot_angle) * (sx - cx) \
+                    - math.sin(rot_angle) * (sy - cy) + ncx
+                dy = math.sin(rot_angle) * (sx - cx) \
+                    + math.cos(rot_angle) * (sy - cy) + ncy
+                poly.append([dx, dy])
+            dst_polys.append(poly)
+        text_polys = np.array(dst_polys, dtype=np.float32)
+        h, w = nh, nw
+        out["rot_cnt"] = rand_degree_cnt
+    text_polys, text_tags = east_validate_polys(text_polys, text_tags,
+                                                h, w)
+    if text_polys.shape[0] == 0:
+        out["status"] = "none_validated"
+        return out
+    rd_scale = rng.choice(np.array(EAST_PROC_SCALES))
+    out["rd_scale"] = float(rd_scale)
+    sh, sw = _cv_round(h * rd_scale), _cv_round(w * rd_scale)
+    text_polys *= rd_scale
+    if rng.rand() < background_ratio:
+        ch, cw, polys2, tags2, rect = east_train_crop_area(
+            rng, sh, sw, text_polys, text_tags, crop_background=True)
+        out["crop"] = rect
+        if len(polys2) > 0:
+            out["status"] = "none_bg_text"
+            return out
+        nh2, nw2, _ = east_preprocess_dims(ch, cw, input_size)
+        out.update(status="bg", new_h=nh2, new_w=nw2,
+                   score_px=0, mask_px=(input_size // 4 +
+                                        (input_size % 4 > 0)) ** 2
+                   if input_size % 4 else (input_size // 4) ** 2,
+                   geo_sums=[0.0] * 9)
+        return out
+    ch, cw, polys2, tags2, rect = east_train_crop_area(
+        rng, sh, sw, text_polys, text_tags, crop_background=False)
+    out["crop"] = rect
+    if polys2.shape[0] == 0:
+        out["status"] = "none_no_polys"
+        return out
+    if np.sum((tags2 * 1.0)) >= tags2.size:
+        out["status"] = "none_all_ignored"
+        return out
+    nh2, nw2, ratio = east_preprocess_dims(ch, cw, input_size)
+    polys2[:, :, 0] *= ratio
+    polys2[:, :, 1] *= ratio
+    # crop_foreground_infor unpacks ``_, _, new_h, new_w = im.shape``
+    # from the PADDED (1, 3, input_size, input_size) tensor (:386-389),
+    # so the target canvas is always input_size^2 — not the resize dims
+    score_map, geo_map, training_mask = east_generate_quad(
+        (input_size, input_size), polys2, tags2)
+    score_sub = score_map[::4, ::4]
+    mask_sub = training_mask[::4, ::4]
+    geo_sub = geo_map[::4, ::4, :]
+    out.update(
+        status="ok", n_out=int(polys2.shape[0]), new_h=nh2, new_w=nw2,
+        score_px=int(score_sub.sum()), mask_px=int(mask_sub.sum()),
+        geo_sums=[float(np.sum(geo_sub[:, :, c], dtype=np.float64))
+                  for c in range(9)])
+    return out

@@ -247,6 +247,74 @@ def q_copy_paste(spark: SparkSession, sf_dir: str) -> DataFrame:
     return copy_paste(s)
 
 
+def q_east_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 EASTProcessTrain (east_process.py:28-436): the full seeded
+    EAST target generator per doc — right-angle rotate, validate (flip +
+    force-ignore quirk), random scale, bg/fg branch, padded text-free
+    crop, 1/max resize, generate_quad on the padded 512^2 canvas,
+    ::4-subsampled score/geo/mask observables (geo sums are float64-
+    exact sums of the float32 maps). RandomState(doc) replays the
+    reference's global stream (exec-ref differential #45). Committed-
+    fixture oracle (the RNG + raster walk is iterative)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .augments import east_process_doc
+    from .operators.grouped import grouped_map_arrow
+
+    from .pipeline import det_keep_predicate, score_keep_predicate
+    s = with_geometry(_spans_exploded(spark, sf_dir)).withColumn(
+        "ignored", ~(det_keep_predicate() & score_keep_predicate()))
+    out_schema = ("doc_id string, status string, rot_cnt long, "
+                  "rd_scale double, cx0 long, cy0 long, cx1 long, "
+                  "cy1 long, n_out long, new_h long, new_w long, "
+                  "score_px long, mask_px long, "
+                  + ", ".join(f"g{c} double" for c in range(9)))
+
+    def emit(tbl: "pa.Table") -> "pa.RecordBatch":
+        from .augments import EAST_CROP_CANVAS_MARGIN
+        from .operators.grouped import group_starts, string_codes
+
+        doc = string_codes(tbl.column("doc_id"))
+        xs = np.stack([tbl.column(c).to_numpy(zero_copy_only=False)
+                       for c in ("x1", "y1", "x2", "y2")], axis=1)
+        ign = tbl.column("ignored").to_numpy(zero_copy_only=False)
+        docs_str = tbl.column("doc_id").to_pylist()
+        starts = group_starts(doc)
+        ends = np.r_[starts[1:], len(doc)]
+        rows = []
+        for s0, e in zip(starts, ends):
+            b = xs[s0:e]
+            quads = np.stack([b[:, [0, 1]], b[:, [2, 1]], b[:, [2, 3]],
+                              b[:, [0, 3]]], axis=1).astype(np.float32)
+            h = int(b[:, 3].max()) + EAST_CROP_CANVAS_MARGIN
+            did = int(docs_str[s0][4:])
+            o = east_process_doc(did, quads, ign[s0:e].astype(bool),
+                                 h, G.PAGE_WIDTH)
+            crop = o["crop"] or (None, None, None, None)
+            g = o["geo_sums"] or [None] * 9
+            rows.append((docs_str[s0], o["status"], o["rot_cnt"],
+                         o["rd_scale"], crop[0], crop[1], crop[2],
+                         crop[3], o["n_out"], o["new_h"], o["new_w"],
+                         o["score_px"], o["mask_px"], *g))
+        types = {"doc_id": pa.string(), "status": pa.string(),
+                 "rot_cnt": pa.int64(), "rd_scale": pa.float64(),
+                 "cx0": pa.int64(), "cy0": pa.int64(),
+                 "cx1": pa.int64(), "cy1": pa.int64(),
+                 "n_out": pa.int64(), "new_h": pa.int64(),
+                 "new_w": pa.int64(), "score_px": pa.int64(),
+                 "mask_px": pa.int64(),
+                 **{f"g{c}": pa.float64() for c in range(9)}}
+        return pa.RecordBatch.from_arrays(
+            [pa.array(col, type=t)
+             for col, t in zip(zip(*rows), types.values())],
+            names=list(types))
+
+    return grouped_map_arrow(
+        s.select("doc_id", "span_idx", "x1", "y1", "x2", "y2", "ignored"),
+        ["doc_id"], ["span_idx"], emit, out_schema)
+
+
 def q_det_drop_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9 min-side filter + P10 drop_score filter, fused."""
     return _spans_kept(spark, sf_dir).select(
@@ -2303,6 +2371,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "east_crop": q_east_crop,                      # fixture oracle
         "copy_paste": q_copy_paste,                    # fixture oracle
         "pse_gt": q_pse_gt,
+        "east_gt": q_east_gt,                          # fixture oracle
         "pse_crop": q_pse_crop,                        # fixture oracle
         "kmeans_assign": CL.kmeans_assign,
         "semdedup": CL.semdedup,
@@ -2633,6 +2702,16 @@ FROM synth_final GROUP BY doc_id, kind"""
         "CAST(crop_x AS BIGINT) AS crop_x, CAST(crop_y AS BIGINT) AS crop_y, "
         "CAST(crop_w AS BIGINT) AS crop_w, CAST(crop_h AS BIGINT) AS crop_h, "
         "scale, nx1, ny1, nx2, ny2")
+    sqls["east_gt"] = _fixture_sql(
+        "east_gt",
+        "doc_id, status, CAST(rot_cnt AS BIGINT) AS rot_cnt, rd_scale, "
+        "CAST(cx0 AS BIGINT) AS cx0, CAST(cy0 AS BIGINT) AS cy0, "
+        "CAST(cx1 AS BIGINT) AS cx1, CAST(cy1 AS BIGINT) AS cy1, "
+        "CAST(n_out AS BIGINT) AS n_out, "
+        "CAST(new_h AS BIGINT) AS new_h, CAST(new_w AS BIGINT) AS new_w, "
+        "CAST(score_px AS BIGINT) AS score_px, "
+        "CAST(mask_px AS BIGINT) AS mask_px, "
+        "g0, g1, g2, g3, g4, g5, g6, g7, g8")
     sqls["copy_paste"] = _fixture_sql(
         "copy_paste",
         "doc_id, CAST(pos AS BIGINT) AS pos, pasted, "

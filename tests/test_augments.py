@@ -254,3 +254,60 @@ def test_copy_paste_distributed_matches_single_node(spark):
                 p[0, 0], p[0, 1], p[1, 0], p[1, 1],
                 p[2, 0], p[2, 1], p[3, 0], p[3, 1])
     assert got == want and len(got) > 50 and n_pasted > 0
+
+
+# ---------------------------------------------------------------------------
+# EASTProcessTrain
+# ---------------------------------------------------------------------------
+
+def test_east_validate_flips_and_force_ignores_reversed_polys():
+    """A positive-shoelace (reversed) quad is re-ordered (0,3,2,1) and
+    its tag FORCED True even when it was a care poly; sub-1-area quads
+    drop entirely."""
+    from paddleocr_spark.augments import east_validate_polys
+    good = [[10, 10], [60, 10], [60, 30], [10, 30]]
+    rev = [[10, 50], [10, 80], [70, 80], [70, 50]]   # positive area
+    tiny = [[5, 5], [5.5, 5], [5.5, 5.5], [5, 5.5]]  # |area| < 1
+    polys = np.array([good, rev, tiny], np.float32)
+    out, tags = east_validate_polys(polys, np.array([False, False, False]),
+                                    200, 200)
+    assert out.shape == (2, 4, 2)
+    assert tags.tolist() == [False, True]
+    # reversed poly came back in corrected order
+    assert out[1].tolist() == np.array(rev, np.float32)[(0, 3, 2, 1),
+                                                        :].tolist()
+
+
+def test_east_process_distributed_matches_single_node(spark):
+    from paddleocr_spark import geometry as G
+    from paddleocr_spark.augments import (EAST_CROP_CANVAS_MARGIN,
+                                          east_process_doc)
+    from paddleocr_spark.entry_queries import _spans_exploded, q_east_gt
+    from paddleocr_spark.pipeline import (det_keep_predicate,
+                                          score_keep_predicate,
+                                          with_geometry)
+
+    got = {r["doc_id"]: (r["status"], r["rot_cnt"], r["rd_scale"],
+                         r["cx0"], r["n_out"], r["score_px"],
+                         r["mask_px"], r["g8"])
+           for r in q_east_gt(spark, SF).collect()}
+    pdf = (with_geometry(_spans_exploded(spark, SF))
+           .withColumn("ignored",
+                       ~(det_keep_predicate() & score_keep_predicate()))
+           .select("doc_id", "span_idx", "x1", "y1", "x2", "y2",
+                   "ignored").toPandas()
+           .sort_values(["doc_id", "span_idx"]))
+    want = {}
+    for doc_id, g in pdf.groupby("doc_id", sort=True):
+        xs = g[["x1", "y1", "x2", "y2"]].to_numpy(dtype=np.float64)
+        quads = np.stack([xs[:, [0, 1]], xs[:, [2, 1]], xs[:, [2, 3]],
+                          xs[:, [0, 3]]], axis=1).astype(np.float32)
+        o = east_process_doc(
+            int(str(doc_id)[4:]), quads, g["ignored"].to_numpy(bool),
+            int(xs[:, 3].max()) + EAST_CROP_CANVAS_MARGIN, G.PAGE_WIDTH)
+        want[str(doc_id)] = (
+            o["status"], o["rot_cnt"], o["rd_scale"],
+            None if o["crop"] is None else o["crop"][0], o["n_out"],
+            o["score_px"], o["mask_px"],
+            None if o["geo_sums"] is None else o["geo_sums"][8])
+    assert got == want and len(got) > 40

@@ -2746,3 +2746,105 @@ def test_make_pse_gt_matches_executed_reference():
                 sys.modules.pop(m, None)
             else:
                 sys.modules[m] = v
+
+
+def test_east_process_train_matches_executed_reference():
+    """Executes the reference's ENTIRE EASTProcessTrain
+    (east_process.py:28-436) — rotate_im_poly (real np.rot90),
+    check_and_validate_polys (wrong-direction flip + force-ignore),
+    shrink_poly's arctan2 walk, generate_quad's geo/score/mask, the
+    padded random crop, preprocess — with only cv2 shimmed: resize
+    returns cvRound-dim zeros (pixels never feed the labels) and
+    fillPoly fills the int quad's bbox (the quads are axis-aligned up to
+    float epsilon; same bbox axiom as the other gt-map differentials).
+    Seeds the GLOBAL np.random per trial; augments.east_process_doc with
+    RandomState(seed) must reproduce the None/bg/ok branch, the exact
+    score/geo/mask subsampled maps, and the output shapes."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from paddleocr_spark.augments import east_process_doc
+    from paddleocr_spark.kernels import fill_rect
+
+    cv2_stub = types.ModuleType("cv2")
+
+    def _resize(img, dsize=None, dst=None, fx=None, fy=None):
+        assert dsize is None
+        return np.zeros((round(img.shape[0] * fy),
+                         round(img.shape[1] * fx)) + img.shape[2:],
+                        img.dtype)
+
+    def _fillpoly(img, pts, val):
+        for q in pts:
+            q = np.asarray(q)
+            fill_rect(img, int(q[:, 0].min()), int(q[:, 1].min()),
+                      int(q[:, 0].max()), int(q[:, 1].max()), val)
+
+    cv2_stub.resize = _resize
+    cv2_stub.fillPoly = _fillpoly
+    saved = sys.modules.get("cv2")
+    sys.modules["cv2"] = cv2_stub
+    try:
+        ns: dict = {}
+        src = open("/root/reference/ppocr/data/imaug/east_process.py").read()
+        exec(src[src.index("import math"):], ns)
+        east = ns["EASTProcessTrain"]()
+
+        rng = random.Random(24601)
+        statuses = {}
+        for trial in range(150):
+            seed = rng.randint(0, 2 ** 31 - 1)
+            n = rng.randint(1, 6)
+            h = rng.randint(60, 160)
+            w = rng.randint(60, 160)
+            quads = []
+            tags = []
+            for _ in range(n):
+                x0 = rng.uniform(0, w - 6)
+                y0 = rng.uniform(0, h - 6)
+                bw = rng.uniform(0, 60)   # sub-1-area drops included
+                bh = rng.uniform(0, 40)
+                q = [[x0, y0], [x0 + bw, y0], [x0 + bw, y0 + bh],
+                     [x0, y0 + bh]]
+                if rng.random() < 0.25:   # wrong-direction minority
+                    q = [q[0], q[3], q[2], q[1]]
+                quads.append(q)
+                tags.append(rng.random() < 0.3)
+            quads = np.array(quads, np.float32).reshape(n, 4, 2)
+
+            data = {"image": np.zeros((h, w, 3), np.uint8),
+                    "polys": quads.copy(),
+                    "ignore_tags": np.array(tags)}
+            np.random.seed(seed)
+            want = east(data)
+
+            got = east_process_doc(seed, quads.copy(), tags, h, w)
+            statuses[got["status"]] = statuses.get(got["status"], 0) + 1
+            if want is None:
+                assert got["status"].startswith("none"), (trial, seed)
+                continue
+            if got["status"] == "bg":
+                assert want["score_map"].sum() == 0 == got["score_px"]
+                assert int(want["training_mask"].sum()) == got["mask_px"]
+                assert want["image"].shape == (3, 512, 512)
+                continue
+            assert got["status"] == "ok", (trial, seed)
+            assert int(want["score_map"].sum()) == got["score_px"]
+            assert int(want["training_mask"].sum()) == got["mask_px"]
+            for c in range(9):
+                assert float(np.sum(want["geo_map"][c],
+                                    dtype=np.float64)) == \
+                    got["geo_sums"][c], (trial, seed, c)
+            assert want["image"].shape == (3, 512, 512)
+        # every branch genuinely exercised across the fuzz corpus
+        assert statuses.get("ok", 0) > 60, statuses
+        assert statuses.get("bg", 0) > 3, statuses
+        assert sum(v for k, v in statuses.items()
+                   if k.startswith("none")) > 3, statuses
+    finally:
+        if saved is None:
+            sys.modules.pop("cv2", None)
+        else:
+            sys.modules["cv2"] = saved

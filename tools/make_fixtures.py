@@ -695,6 +695,54 @@ def fx_copy_paste(con, sf_dir: str) -> pd.DataFrame:
         {"pos": "int64", "src_span": "int64"})
 
 
+def fx_east_gt(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_east_gt single-node: span geometry + P9/P10 drop
+    flags from the DuckDB twins, the seeded EAST target walk via the
+    shared kernel (augments.east_process_doc — RNG + raster walk is the
+    contract; reference parity pinned by exec-ref differential #45)."""
+    from paddleocr_spark import geometry as G
+    from paddleocr_spark.augments import (EAST_CROP_CANVAS_MARGIN,
+                                          east_process_doc)
+    from paddleocr_spark.entry_queries import oracle_sql
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE OR REPLACE VIEW {t} AS "
+                    f"SELECT * FROM read_parquet('{p}')")
+    sqls = oracle_sql()
+    geom = con.sql(sqls["span_geometry"]).df().sort_values(
+        ["doc_id", "span_idx"])
+    kept = con.sql(sqls["det_drop_filters"]).df()
+    kept_set = set(zip(kept["doc_id"], kept["span_idx"]))
+    rows = []
+    for doc_id, g in geom.groupby("doc_id", sort=True):
+        xs = g[["x1", "y1", "x2", "y2"]].to_numpy(dtype=np.float64)
+        quads = np.stack([xs[:, [0, 1]], xs[:, [2, 1]], xs[:, [2, 3]],
+                          xs[:, [0, 3]]], axis=1).astype(np.float32)
+        ign = np.array([(d, s) not in kept_set
+                        for d, s in zip(g["doc_id"], g["span_idx"])])
+        h = int(xs[:, 3].max()) + EAST_CROP_CANVAS_MARGIN
+        o = east_process_doc(int(str(doc_id)[4:]), quads, ign,
+                             h, G.PAGE_WIDTH)
+        crop = o["crop"] or (None, None, None, None)
+        gs = o["geo_sums"] or [None] * 9
+        rows.append((str(doc_id), o["status"], o["rot_cnt"],
+                     o["rd_scale"], crop[0], crop[1], crop[2], crop[3],
+                     o["n_out"], o["new_h"], o["new_w"], o["score_px"],
+                     o["mask_px"], *gs))
+    cols = (["doc_id", "status", "rot_cnt", "rd_scale", "cx0", "cy0",
+             "cx1", "cy1", "n_out", "new_h", "new_w", "score_px",
+             "mask_px"] + [f"g{c}" for c in range(9)])
+    df = pd.DataFrame(rows, columns=cols)
+    df["rot_cnt"] = df["rot_cnt"].astype("int64")
+    df["n_out"] = df["n_out"].astype("int64")
+    for c in ("cx0", "cy0", "cx1", "cy1", "new_h", "new_w",
+              "score_px", "mask_px"):
+        df[c] = df[c].astype("Int64")
+    return df
+
+
 FIXTURES = {
     "tensor_ops": fx_tensor_ops,
     "border_map": fx_border_map,
@@ -717,6 +765,7 @@ FIXTURES = {
     "east_detect": fx_east_detect,
     "east_crop": fx_east_crop,
     "copy_paste": fx_copy_paste,
+    "east_gt": fx_east_gt,
     "pse_crop": fx_pse_crop,
 }
 
