@@ -315,6 +315,85 @@ def q_east_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["doc_id"], ["span_idx"], emit, out_schema)
 
 
+def q_sast_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 SASTProcessTrain (sast_process.py:28-777): the full seeded
+    SAST target generator per doc — aspect jitter, 2048 cap, random
+    crop, random downscale, draw-consuming pixel gates, random pad,
+    TCL/TBO labels + TVO/TCO head targets on the 128^2 canvas (channel
+    sums float64-exact). RandomState(doc) replays the reference's
+    global stream (exec-ref differential #46). Committed-fixture
+    oracle (the RNG + raster walk is iterative).
+
+    Span y-coords are spread x4 before the walk: the corpus' line grid
+    is much wider than tall, and SAST's pad gate wants near-square
+    crops (min side >= input_size/2 after the 1/max resize) — at x1
+    only 2/500 docs reach the label pass; at x4, ~82 do, so the
+    ok / pad_small / all_ignored arms are all distribution-exercised."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .operators.grouped import grouped_map_arrow
+    from .pipeline import det_keep_predicate, score_keep_predicate
+    from .sast_gt import sast_process_doc
+    s = with_geometry(_spans_exploded(spark, sf_dir)).withColumn(
+        "ignored", ~(det_keep_predicate() & score_keep_predicate()))
+    gcols = ([f"b{c} double" for c in range(5)]
+             + [f"v{c} double" for c in range(9)]
+             + [f"c{c} double" for c in range(3)])
+    out_schema = ("doc_id string, status string, asp_scale double, "
+                  "cx0 long, cy0 long, cx1 long, cy1 long, "
+                  "rz_scale double, sh long, sw long, n_out long, "
+                  "score_px long, mask_sum double, " + ", ".join(gcols))
+
+    def emit(tbl: "pa.Table") -> "pa.RecordBatch":
+        from .augments import EAST_CROP_CANVAS_MARGIN
+        from .operators.grouped import group_starts, string_codes
+
+        doc = string_codes(tbl.column("doc_id"))
+        xs = np.stack([tbl.column(c).to_numpy(zero_copy_only=False)
+                       for c in ("x1", "y1", "x2", "y2")], axis=1)
+        ign = tbl.column("ignored").to_numpy(zero_copy_only=False)
+        docs_str = tbl.column("doc_id").to_pylist()
+        starts = group_starts(doc)
+        ends = np.r_[starts[1:], len(doc)]
+        rows = []
+        for s0, e in zip(starts, ends):
+            b = xs[s0:e].copy()
+            b[:, 1] *= 4
+            b[:, 3] *= 4
+            quads = np.stack([b[:, [0, 1]], b[:, [2, 1]], b[:, [2, 3]],
+                              b[:, [0, 3]]], axis=1).astype(np.float32)
+            h = int(b[:, 3].max()) + EAST_CROP_CANVAS_MARGIN
+            did = int(docs_str[s0][4:])
+            o = sast_process_doc(did, quads, ign[s0:e].astype(bool),
+                                 h, G.PAGE_WIDTH)
+            crop = o["crop"] or (None, None, None, None)
+            bs = o["tbo_sums"] or [None] * 5
+            vs = o["tvo_sums"] or [None] * 9
+            cs = o["tco_sums"] or [None] * 3
+            rows.append((docs_str[s0], o["status"], o["asp_scale"],
+                         crop[0], crop[1], crop[2], crop[3],
+                         o["rz_scale"], o["sh"], o["sw"], o["n_out"],
+                         o["score_px"], o["mask_sum"], *bs, *vs, *cs))
+        types = {"doc_id": pa.string(), "status": pa.string(),
+                 "asp_scale": pa.float64(), "cx0": pa.int64(),
+                 "cy0": pa.int64(), "cx1": pa.int64(), "cy1": pa.int64(),
+                 "rz_scale": pa.float64(), "sh": pa.int64(),
+                 "sw": pa.int64(), "n_out": pa.int64(),
+                 "score_px": pa.int64(), "mask_sum": pa.float64(),
+                 **{f"b{c}": pa.float64() for c in range(5)},
+                 **{f"v{c}": pa.float64() for c in range(9)},
+                 **{f"c{c}": pa.float64() for c in range(3)}}
+        return pa.RecordBatch.from_arrays(
+            [pa.array(col, type=t)
+             for col, t in zip(zip(*rows), types.values())],
+            names=list(types))
+
+    return grouped_map_arrow(
+        s.select("doc_id", "span_idx", "x1", "y1", "x2", "y2", "ignored"),
+        ["doc_id"], ["span_idx"], emit, out_schema)
+
+
 def q_det_drop_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9 min-side filter + P10 drop_score filter, fused."""
     return _spans_kept(spark, sf_dir).select(
@@ -2372,6 +2451,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copy_paste": q_copy_paste,                    # fixture oracle
         "pse_gt": q_pse_gt,
         "east_gt": q_east_gt,                          # fixture oracle
+        "sast_gt": q_sast_gt,                          # fixture oracle
         "pse_crop": q_pse_crop,                        # fixture oracle
         "kmeans_assign": CL.kmeans_assign,
         "semdedup": CL.semdedup,
@@ -2712,6 +2792,16 @@ FROM synth_final GROUP BY doc_id, kind"""
         "CAST(score_px AS BIGINT) AS score_px, "
         "CAST(mask_px AS BIGINT) AS mask_px, "
         "g0, g1, g2, g3, g4, g5, g6, g7, g8")
+    sqls["sast_gt"] = _fixture_sql(
+        "sast_gt",
+        "doc_id, status, asp_scale, "
+        "CAST(cx0 AS BIGINT) AS cx0, CAST(cy0 AS BIGINT) AS cy0, "
+        "CAST(cx1 AS BIGINT) AS cx1, CAST(cy1 AS BIGINT) AS cy1, "
+        "rz_scale, CAST(sh AS BIGINT) AS sh, CAST(sw AS BIGINT) AS sw, "
+        "CAST(n_out AS BIGINT) AS n_out, "
+        "CAST(score_px AS BIGINT) AS score_px, mask_sum, "
+        "b0, b1, b2, b3, b4, v0, v1, v2, v3, v4, v5, v6, v7, v8, "
+        "c0, c1, c2")
     sqls["copy_paste"] = _fixture_sql(
         "copy_paste",
         "doc_id, CAST(pos AS BIGINT) AS pos, pasted, "

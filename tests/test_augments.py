@@ -311,3 +311,72 @@ def test_east_process_distributed_matches_single_node(spark):
             o["score_px"], o["mask_px"],
             None if o["geo_sums"] is None else o["geo_sums"][8])
     assert got == want and len(got) > 40
+
+
+# ---------------------------------------------------------------------------
+# SASTProcessTrain
+# ---------------------------------------------------------------------------
+
+def test_sast_validate_reversal_arm_is_dead_under_box_convention():
+    """check_and_validate_polys gates its 16-POINT reversal on the
+    minAreaRect quad's signed area — and min_area_box returns corners
+    in the clockwise (negative-shoelace) convention regardless of the
+    input poly's order, so the arm never fires here: a reversed 4-point
+    poly validates with the box-anchored quad instead of crashing.
+    (With real cv2's ccw boxPoints order the arm WOULD fire, and its
+    16-index permutation crashes on any 4-point poly — the reference
+    runs it only on 16-point corpora.)"""
+    from paddleocr_spark.sast_gt import sast_validate_polys
+    rev = np.array([[[10, 50], [10, 80], [70, 80], [70, 50]]], np.float32)
+    polys, tags, hv = sast_validate_polys(rev, np.array([False]),
+                                          200, 200)
+    assert polys.shape == (1, 4, 2) and tags.tolist() == [False]
+
+
+def test_sast_adjust_point_rotates_vertical_quads():
+    from paddleocr_spark.sast_gt import adjust_point
+    horiz = np.array([[0, 0], [100, 0], [100, 20], [0, 20]], np.float32)
+    vert = np.array([[0, 0], [20, 0], [20, 100], [0, 100]], np.float32)
+    assert np.array_equal(adjust_point(horiz.copy()), horiz)
+    assert np.array_equal(adjust_point(vert.copy()),
+                          vert[[1, 2, 3, 0], :])
+
+
+def test_sast_gt_distributed_matches_single_node(spark):
+    from paddleocr_spark import geometry as G
+    from paddleocr_spark.augments import EAST_CROP_CANVAS_MARGIN
+    from paddleocr_spark.entry_queries import _spans_exploded, q_sast_gt
+    from paddleocr_spark.pipeline import (det_keep_predicate,
+                                          score_keep_predicate,
+                                          with_geometry)
+    from paddleocr_spark.sast_gt import sast_process_doc
+
+    got = {r["doc_id"]: (r["status"], r["asp_scale"], r["cx0"],
+                         r["rz_scale"], r["sh"], r["sw"], r["n_out"],
+                         r["score_px"], r["mask_sum"], r["v8"])
+           for r in q_sast_gt(spark, SF).collect()}
+    pdf = (with_geometry(_spans_exploded(spark, SF))
+           .withColumn("ignored",
+                       ~(det_keep_predicate() & score_keep_predicate()))
+           .select("doc_id", "span_idx", "x1", "y1", "x2", "y2",
+                   "ignored").toPandas()
+           .sort_values(["doc_id", "span_idx"]))
+    want = {}
+    n_ok = 0
+    for doc_id, g in pdf.groupby("doc_id", sort=True):
+        xs = g[["x1", "y1", "x2", "y2"]].to_numpy(dtype=np.float64)
+        xs[:, 1] *= 4
+        xs[:, 3] *= 4
+        quads = np.stack([xs[:, [0, 1]], xs[:, [2, 1]], xs[:, [2, 3]],
+                          xs[:, [0, 3]]], axis=1).astype(np.float32)
+        o = sast_process_doc(
+            int(str(doc_id)[4:]), quads, g["ignored"].to_numpy(bool),
+            int(xs[:, 3].max()) + EAST_CROP_CANVAS_MARGIN, G.PAGE_WIDTH)
+        n_ok += o["status"] == "ok"
+        want[str(doc_id)] = (
+            o["status"], o["asp_scale"],
+            None if o["crop"] is None else o["crop"][0],
+            o["rz_scale"], o["sh"], o["sw"], o["n_out"], o["score_px"],
+            o["mask_sum"],
+            None if o["tvo_sums"] is None else o["tvo_sums"][8])
+    assert got == want and len(got) > 40 and n_ok > 0

@@ -2848,3 +2848,113 @@ def test_east_process_train_matches_executed_reference():
             sys.modules.pop("cv2", None)
         else:
             sys.modules["cv2"] = saved
+
+
+def test_sast_process_train_matches_executed_reference():
+    """Executes the reference's ENTIRE SASTProcessTrain
+    (sast_process.py:28-777) — validate (minAreaRect-always quad +
+    hv tags), aspect jitter, 2048 cap, min_crop_size random crop, random
+    downscale, the pixel-only blur/brighten/darken gates (draws
+    consumed), random pad placement, generate_tcl_label (0.15 ignore
+    fill, shrunk center-line, per-quad TBO walk) and
+    generate_tvo_and_tco — with cv2 shimmed: resize/GaussianBlur shape-
+    only, fillPoly as the bbox axiom, minAreaRect/boxPoints via
+    pixelops.min_area_box (the CT-differential convention). Seeds the
+    GLOBAL np.random per trial; sast_gt.sast_process_doc with
+    RandomState(seed) must reproduce the branch walk and every channel
+    sum of score/tbo/mask/tvo/tco exactly."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from paddleocr_spark.kernels import fill_rect
+    from paddleocr_spark.pixelops import min_area_box
+    from paddleocr_spark.sast_gt import sast_process_doc
+
+    cv2_stub = types.ModuleType("cv2")
+
+    def _resize(img, dsize=None, dst=None, fx=None, fy=None):
+        assert dsize is None
+        return np.zeros((round(img.shape[0] * fy),
+                         round(img.shape[1] * fx)) + img.shape[2:],
+                        img.dtype)
+
+    def _fillpoly(img, pts, val):
+        q = np.asarray(pts)
+        if q.ndim == 2:
+            q = q[None]
+        for quad in q:
+            fill_rect(img, int(quad[:, 0].min()), int(quad[:, 1].min()),
+                      int(quad[:, 0].max()), int(quad[:, 1].max()), val)
+        return img
+
+    cv2_stub.resize = _resize
+    cv2_stub.fillPoly = _fillpoly
+    cv2_stub.GaussianBlur = lambda im, ksize=None, sigmaX=0, sigmaY=0: im
+    cv2_stub.minAreaRect = lambda pts: min_area_box(pts)
+    cv2_stub.boxPoints = lambda rect: rect
+    saved = sys.modules.get("cv2")
+    sys.modules["cv2"] = cv2_stub
+    try:
+        ns: dict = {}
+        src = open("/root/reference/ppocr/data/imaug/sast_process.py").read()
+        exec(src[src.index("import math"):], ns)
+        sast = ns["SASTProcessTrain"]()
+
+        rng = random.Random(31337)
+        statuses = {}
+        for trial in range(150):
+            seed = rng.randint(0, 2 ** 31 - 1)
+            n = rng.randint(1, 5)
+            h = rng.randint(400, 900)
+            w = rng.randint(400, 900)
+            quads, tags = [], []
+            for _ in range(n):
+                x0 = rng.uniform(0, w - 20)
+                y0 = rng.uniform(0, h - 20)
+                if rng.random() < 0.3:   # vertical minority (hv_tag=0)
+                    bw, bh = rng.uniform(5, 40), rng.uniform(100, 300)
+                else:
+                    bw, bh = rng.uniform(20, 400), rng.uniform(10, 80)
+                quads.append([[x0, y0], [x0 + bw, y0],
+                              [x0 + bw, y0 + bh], [x0, y0 + bh]])
+                tags.append(rng.random() < 0.3)
+            quads = np.array(quads, np.float32).reshape(n, 4, 2)
+
+            data = {"image": np.zeros((h, w, 3), np.uint8),
+                    "polys": quads.copy(),
+                    "ignore_tags": np.array(tags)}
+            np.random.seed(seed)
+            want = sast(data)
+
+            got = sast_process_doc(seed, quads.copy(), tags, h, w)
+            statuses[got["status"]] = statuses.get(got["status"], 0) + 1
+            if want is None:
+                assert got["status"].startswith("none"), (trial, seed)
+                continue
+            assert got["status"] == "ok", (trial, seed)
+            assert int(want["score_map"].sum()) == got["score_px"]
+            assert float(np.sum(want["training_mask"],
+                                dtype=np.float64)) == got["mask_sum"]
+            for c in range(5):   # border_map is (5, h, w) post-transpose
+                assert float(np.sum(want["border_map"][c],
+                                    dtype=np.float64)) == \
+                    got["tbo_sums"][c], (trial, seed, c)
+            for c in range(9):
+                assert float(np.sum(want["tvo_map"][c],
+                                    dtype=np.float64)) == \
+                    got["tvo_sums"][c], (trial, seed, c)
+            for c in range(3):
+                assert float(np.sum(want["tco_map"][c],
+                                    dtype=np.float64)) == \
+                    got["tco_sums"][c], (trial, seed, c)
+            assert want["image"].shape == (3, 512, 512)
+        assert statuses.get("ok", 0) > 40, statuses
+        assert sum(v for k, v in statuses.items()
+                   if k.startswith("none")) > 10, statuses
+    finally:
+        if saved is None:
+            sys.modules.pop("cv2", None)
+        else:
+            sys.modules["cv2"] = saved

@@ -743,6 +743,57 @@ def fx_east_gt(con, sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def fx_sast_gt(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_sast_gt single-node: span geometry + P9/P10 drop
+    flags from the DuckDB twins, the seeded SAST target walk via the
+    shared kernel (sast_gt.sast_process_doc — RNG + raster walk is the
+    contract; reference parity pinned by exec-ref differential #46)."""
+    from paddleocr_spark import geometry as G
+    from paddleocr_spark.augments import EAST_CROP_CANVAS_MARGIN
+    from paddleocr_spark.entry_queries import oracle_sql
+    from paddleocr_spark.sast_gt import sast_process_doc
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE OR REPLACE VIEW {t} AS "
+                    f"SELECT * FROM read_parquet('{p}')")
+    sqls = oracle_sql()
+    geom = con.sql(sqls["span_geometry"]).df().sort_values(
+        ["doc_id", "span_idx"])
+    kept = con.sql(sqls["det_drop_filters"]).df()
+    kept_set = set(zip(kept["doc_id"], kept["span_idx"]))
+    rows = []
+    for doc_id, g in geom.groupby("doc_id", sort=True):
+        xs = g[["x1", "y1", "x2", "y2"]].to_numpy(dtype=np.float64)
+        xs[:, 1] *= 4        # q_sast_gt's x4 vertical spread
+        xs[:, 3] *= 4
+        quads = np.stack([xs[:, [0, 1]], xs[:, [2, 1]], xs[:, [2, 3]],
+                          xs[:, [0, 3]]], axis=1).astype(np.float32)
+        ign = np.array([(d, s) not in kept_set
+                        for d, s in zip(g["doc_id"], g["span_idx"])])
+        h = int(xs[:, 3].max()) + EAST_CROP_CANVAS_MARGIN
+        o = sast_process_doc(int(str(doc_id)[4:]), quads, ign,
+                             h, G.PAGE_WIDTH)
+        crop = o["crop"] or (None, None, None, None)
+        bs = o["tbo_sums"] or [None] * 5
+        vs = o["tvo_sums"] or [None] * 9
+        cs = o["tco_sums"] or [None] * 3
+        rows.append((str(doc_id), o["status"], o["asp_scale"],
+                     crop[0], crop[1], crop[2], crop[3], o["rz_scale"],
+                     o["sh"], o["sw"], o["n_out"], o["score_px"],
+                     o["mask_sum"], *bs, *vs, *cs))
+    cols = (["doc_id", "status", "asp_scale", "cx0", "cy0", "cx1", "cy1",
+             "rz_scale", "sh", "sw", "n_out", "score_px", "mask_sum"]
+            + [f"b{c}" for c in range(5)] + [f"v{c}" for c in range(9)]
+            + [f"c{c}" for c in range(3)])
+    df = pd.DataFrame(rows, columns=cols)
+    df["n_out"] = df["n_out"].astype("int64")
+    for c in ("cx0", "cy0", "cx1", "cy1", "sh", "sw", "score_px"):
+        df[c] = df[c].astype("Int64")
+    return df
+
+
 FIXTURES = {
     "tensor_ops": fx_tensor_ops,
     "border_map": fx_border_map,
@@ -766,6 +817,7 @@ FIXTURES = {
     "east_crop": fx_east_crop,
     "copy_paste": fx_copy_paste,
     "east_gt": fx_east_gt,
+    "sast_gt": fx_sast_gt,
     "pse_crop": fx_pse_crop,
 }
 
