@@ -315,6 +315,65 @@ def q_east_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["doc_id"], ["span_idx"], emit, out_schema)
 
 
+def q_fce_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 FCENetTargets (fce_targets.py:25-686): the deterministic FCE
+    target generator per doc — head/tail edges, resampled sidelines,
+    shrunk center regions, Fourier-contour signatures (numpy fft), the
+    three FPN level stacks; per-(doc, level) rows carry pixel counts and
+    the 22 float64-exact Fourier channel sums (exec-ref differential
+    #47 compares full maps). Span y-coords are spread x2 so the
+    open-interval level gates (max(bw,bh)/h) split across all three
+    levels (143/49/143-ish docs at x2; nearly all spans exceed
+    proportion 1.0 at x1 on short docs). Committed-fixture oracle (the
+    fft is not SQL-expressible)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .fce_gt import fce_targets_doc
+    from .operators.grouped import grouped_map_arrow
+    from .pipeline import det_keep_predicate, score_keep_predicate
+    s = with_geometry(_spans_exploded(spark, sf_dir)).withColumn(
+        "ignored", ~(det_keep_predicate() & score_keep_predicate()))
+    out_schema = ("doc_id string, level long, text_px long, "
+                  "center_px long, eff_px long, "
+                  + ", ".join(f"r{c} double" for c in range(11)) + ", "
+                  + ", ".join(f"i{c} double" for c in range(11)))
+
+    def emit(tbl: "pa.Table") -> "pa.RecordBatch":
+        from .augments import EAST_CROP_CANVAS_MARGIN
+        from .operators.grouped import group_starts, string_codes
+
+        doc = string_codes(tbl.column("doc_id"))
+        xs = np.stack([tbl.column(c).to_numpy(zero_copy_only=False)
+                       for c in ("x1", "y1", "x2", "y2")], axis=1)
+        ign = tbl.column("ignored").to_numpy(zero_copy_only=False)
+        docs_str = tbl.column("doc_id").to_pylist()
+        starts = group_starts(doc)
+        ends = np.r_[starts[1:], len(doc)]
+        rows = []
+        for s0, e in zip(starts, ends):
+            b = xs[s0:e].copy()
+            b[:, 1] *= 2
+            b[:, 3] *= 2
+            quads = np.stack([b[:, [0, 1]], b[:, [2, 1]], b[:, [2, 3]],
+                              b[:, [0, 3]]], axis=1).astype(np.float32)
+            h = int(b[:, 3].max()) + EAST_CROP_CANVAS_MARGIN
+            tags = [bool(v) for v in ign[s0:e]]   # `is True` quirk
+            out = fce_targets_doc(quads, tags, h, G.PAGE_WIDTH)
+            for lv, (t_px, c_px, e_px, reals, imags) in enumerate(out):
+                rows.append((docs_str[s0], lv, t_px, c_px, e_px,
+                             *reals, *imags))
+        names = (["doc_id", "level", "text_px", "center_px", "eff_px"]
+                 + [f"r{c}" for c in range(11)]
+                 + [f"i{c}" for c in range(11)])
+        return pa.record_batch([pa.array(c) for c in zip(*rows)],
+                               names=names)
+
+    return grouped_map_arrow(
+        s.select("doc_id", "span_idx", "x1", "y1", "x2", "y2", "ignored"),
+        ["doc_id"], ["span_idx"], emit, out_schema)
+
+
 def q_sast_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R6 SASTProcessTrain (sast_process.py:28-777): the full seeded
     SAST target generator per doc — aspect jitter, 2048 cap, random
@@ -2452,6 +2511,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pse_gt": q_pse_gt,
         "east_gt": q_east_gt,                          # fixture oracle
         "sast_gt": q_sast_gt,                          # fixture oracle
+        "fce_gt": q_fce_gt,                            # fixture oracle
         "pse_crop": q_pse_crop,                        # fixture oracle
         "kmeans_assign": CL.kmeans_assign,
         "semdedup": CL.semdedup,
@@ -2792,6 +2852,14 @@ FROM synth_final GROUP BY doc_id, kind"""
         "CAST(score_px AS BIGINT) AS score_px, "
         "CAST(mask_px AS BIGINT) AS mask_px, "
         "g0, g1, g2, g3, g4, g5, g6, g7, g8")
+    sqls["fce_gt"] = _fixture_sql(
+        "fce_gt",
+        "doc_id, CAST(level AS BIGINT) AS level, "
+        "CAST(text_px AS BIGINT) AS text_px, "
+        "CAST(center_px AS BIGINT) AS center_px, "
+        "CAST(eff_px AS BIGINT) AS eff_px, "
+        + ", ".join(f"r{c}" for c in range(11)) + ", "
+        + ", ".join(f"i{c}" for c in range(11)))
     sqls["sast_gt"] = _fixture_sql(
         "sast_gt",
         "doc_id, status, asp_scale, "

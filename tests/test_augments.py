@@ -380,3 +380,59 @@ def test_sast_gt_distributed_matches_single_node(spark):
             o["mask_sum"],
             None if o["tvo_sums"] is None else o["tvo_sums"][8])
     assert got == want and len(got) > 40 and n_ok > 0
+
+
+# ---------------------------------------------------------------------------
+# FCENetTargets
+# ---------------------------------------------------------------------------
+
+def test_fce_is_true_quirk_numpy_bools_are_silently_care():
+    """generate_targets splits on ``tag is True`` — an np.bool_ True
+    fails the identity test, so numpy-typed tags are treated as care
+    polys (verbatim reference behavior; callers pass Python bools)."""
+    from paddleocr_spark.fce_gt import fce_targets_doc
+    q = np.array([[[20, 30], [200, 30], [200, 80], [20, 80]]], np.float32)
+    py = fce_targets_doc(q.copy(), [True], 400, 400)
+    npb = fce_targets_doc(q.copy(), list(np.array([True])), 400, 400)
+    # the poly's proportion (max(181,51)/400 ~ 0.45) lands in level 1
+    # python True -> ignored: zeroes the effective mask, no text px
+    assert py[1][0] == 0 and py[1][2] < (400 // 16) ** 2
+    # np.bool_ True -> silently care: text px appear, mask untouched
+    assert npb[1][0] > 0 and npb[1][2] == (400 // 16) ** 2
+
+
+def test_fce_gt_distributed_matches_single_node(spark):
+    from paddleocr_spark import geometry as G
+    from paddleocr_spark.augments import EAST_CROP_CANVAS_MARGIN
+    from paddleocr_spark.entry_queries import _spans_exploded, q_fce_gt
+    from paddleocr_spark.fce_gt import fce_targets_doc
+    from paddleocr_spark.pipeline import (det_keep_predicate,
+                                          score_keep_predicate,
+                                          with_geometry)
+
+    got = {(r["doc_id"], r["level"]):
+           (r["text_px"], r["center_px"], r["eff_px"], r["r5"], r["i5"])
+           for r in q_fce_gt(spark, SF).collect()}
+    pdf = (with_geometry(_spans_exploded(spark, SF))
+           .withColumn("ignored",
+                       ~(det_keep_predicate() & score_keep_predicate()))
+           .select("doc_id", "span_idx", "x1", "y1", "x2", "y2",
+                   "ignored").toPandas()
+           .sort_values(["doc_id", "span_idx"]))
+    want = {}
+    text_seen = 0
+    for doc_id, g in pdf.groupby("doc_id", sort=True):
+        xs = g[["x1", "y1", "x2", "y2"]].to_numpy(dtype=np.float64)
+        xs[:, 1] *= 2
+        xs[:, 3] *= 2
+        quads = np.stack([xs[:, [0, 1]], xs[:, [2, 1]], xs[:, [2, 3]],
+                          xs[:, [0, 3]]], axis=1).astype(np.float32)
+        tags = [bool(v) for v in g["ignored"]]
+        out = fce_targets_doc(
+            quads, tags, int(xs[:, 3].max()) + EAST_CROP_CANVAS_MARGIN,
+            G.PAGE_WIDTH)
+        for lv, (t_px, c_px, e_px, reals, imags) in enumerate(out):
+            want[(str(doc_id), lv)] = (t_px, c_px, e_px,
+                                       reals[5], imags[5])
+            text_seen += t_px > 0
+    assert got == want and len(got) > 120 and text_seen > 0

@@ -2958,3 +2958,95 @@ def test_sast_process_train_matches_executed_reference():
             sys.modules.pop("cv2", None)
         else:
             sys.modules["cv2"] = saved
+
+
+def test_fce_targets_matches_executed_reference():
+    """Executes the reference's ENTIRE FCENetTargets
+    (fce_targets.py:25-686) — head/tail discovery, sideline resampling,
+    shrunk center-region boxes, Fourier signatures (real numpy fft),
+    normalize/clockwise, the three level stacks — with cv2 shimmed:
+    fillPoly as the bbox axiom (all filled shapes on the rect path are
+    axis-aligned) and boundingRect as the inclusive bbox. The operator
+    is fully deterministic (no RNG); fce_gt.fce_targets_doc must
+    reproduce every channel sum of every level map exactly, and the
+    maps themselves are compared array-equal."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from paddleocr_spark.fce_gt import fce_targets_doc, generate_level_targets
+    from paddleocr_spark.kernels import fill_rect
+
+    cv2_stub = types.ModuleType("cv2")
+
+    def _fillpoly(img, pts, val):
+        for p in pts:
+            p = np.asarray(p).reshape(-1, 2)
+            fill_rect(img, int(p[:, 0].min()), int(p[:, 1].min()),
+                      int(p[:, 0].max()), int(p[:, 1].max()), val)
+
+    def _brect(pts):
+        p = np.asarray(pts).reshape(-1, 2)
+        x, y = int(p[:, 0].min()), int(p[:, 1].min())
+        return (x, y, int(p[:, 0].max()) - x + 1,
+                int(p[:, 1].max()) - y + 1)
+
+    cv2_stub.fillPoly = _fillpoly
+    cv2_stub.boundingRect = _brect
+    saved = sys.modules.get("cv2")
+    sys.modules["cv2"] = cv2_stub
+    try:
+        ns: dict = {}
+        src = open("/root/reference/ppocr/data/imaug/fce_targets.py").read()
+        exec(src[src.index("import cv2"):], ns)
+        fce = ns["FCENetTargets"]()
+
+        rng = random.Random(5150)
+        level_hits = [0, 0, 0]
+        for trial in range(60):
+            n = rng.randint(1, 6)
+            h = rng.randint(200, 1200)
+            w = rng.randint(400, 1100)
+            quads, tags = [], []
+            for _ in range(n):
+                x0 = rng.uniform(0, w * 0.6)
+                y0 = rng.uniform(0, h * 0.7)
+                # size spread across the three level proportion ranges
+                frac = rng.choice([0.1, 0.22, 0.4, 0.6, 0.9])
+                bw = min(w - x0 - 1, frac * h * rng.uniform(0.8, 1.2))
+                bh = rng.uniform(8, max(9, 0.4 * bw))
+                if rng.random() < 0.3:
+                    bw, bh = bh, min(bw, h - y0 - 1)   # vertical minority
+                quads.append([[x0, y0], [x0 + bw, y0],
+                              [x0 + bw, y0 + bh], [x0, y0 + bh]])
+                tags.append(rng.random() < 0.3)
+            quads = np.array(quads, np.float32).reshape(n, 4, 2)
+
+            results = {"image": np.zeros((h, w, 3), np.uint8),
+                       "polys": quads.copy(),
+                       "ignore_tags": list(tags)}
+            want = fce(results)
+
+            care = [p for p, t in zip(quads, tags) if not t]
+            ignore = [p for p, t in zip(quads, tags) if t]
+            mine_maps = generate_level_targets((h, w), care, ignore)
+            got = fce_targets_doc(quads.copy(), tags, h, w)
+            for lv, key in enumerate(("p3_maps", "p4_maps", "p5_maps")):
+                assert np.array_equal(want[key], mine_maps[lv]), (trial, lv)
+                t_px, c_px, e_px, reals, imags = got[lv]
+                assert int(want[key][0].sum()) == t_px
+                assert int(want[key][1].sum()) == c_px
+                level_hits[lv] += t_px > 0
+                assert int(want[key][2].sum()) == e_px
+                for c in range(11):
+                    assert float(np.sum(want[key][3 + c],
+                                        dtype=np.float64)) == reals[c]
+                    assert float(np.sum(want[key][14 + c],
+                                        dtype=np.float64)) == imags[c]
+        assert all(hits > 5 for hits in level_hits), level_hits
+    finally:
+        if saved is None:
+            sys.modules.pop("cv2", None)
+        else:
+            sys.modules["cv2"] = saved

@@ -794,6 +794,48 @@ def fx_sast_gt(con, sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def fx_fce_gt(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_fce_gt single-node: span geometry + drop flags
+    from the DuckDB twins, the deterministic FCE target walk via the
+    shared kernel (fce_gt.fce_targets_doc — the fft signature is not
+    SQL-expressible; reference parity pinned by exec-ref differential
+    #47)."""
+    from paddleocr_spark import geometry as G
+    from paddleocr_spark.augments import EAST_CROP_CANVAS_MARGIN
+    from paddleocr_spark.entry_queries import oracle_sql
+    from paddleocr_spark.fce_gt import fce_targets_doc
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE OR REPLACE VIEW {t} AS "
+                    f"SELECT * FROM read_parquet('{p}')")
+    sqls = oracle_sql()
+    geom = con.sql(sqls["span_geometry"]).df().sort_values(
+        ["doc_id", "span_idx"])
+    kept = con.sql(sqls["det_drop_filters"]).df()
+    kept_set = set(zip(kept["doc_id"], kept["span_idx"]))
+    rows = []
+    for doc_id, g in geom.groupby("doc_id", sort=True):
+        xs = g[["x1", "y1", "x2", "y2"]].to_numpy(dtype=np.float64)
+        xs[:, 1] *= 2        # q_fce_gt's x2 vertical spread
+        xs[:, 3] *= 2
+        quads = np.stack([xs[:, [0, 1]], xs[:, [2, 1]], xs[:, [2, 3]],
+                          xs[:, [0, 3]]], axis=1).astype(np.float32)
+        tags = [bool((d, s) not in kept_set)
+                for d, s in zip(g["doc_id"], g["span_idx"])]
+        h = int(xs[:, 3].max()) + EAST_CROP_CANVAS_MARGIN
+        out = fce_targets_doc(quads, tags, h, G.PAGE_WIDTH)
+        for lv, (t_px, c_px, e_px, reals, imags) in enumerate(out):
+            rows.append((str(doc_id), lv, t_px, c_px, e_px,
+                         *reals, *imags))
+    cols = (["doc_id", "level", "text_px", "center_px", "eff_px"]
+            + [f"r{c}" for c in range(11)] + [f"i{c}" for c in range(11)])
+    return pd.DataFrame(rows, columns=cols).astype(
+        {"level": "int64", "text_px": "int64", "center_px": "int64",
+         "eff_px": "int64"})
+
+
 FIXTURES = {
     "tensor_ops": fx_tensor_ops,
     "border_map": fx_border_map,
@@ -818,6 +860,7 @@ FIXTURES = {
     "copy_paste": fx_copy_paste,
     "east_gt": fx_east_gt,
     "sast_gt": fx_sast_gt,
+    "fce_gt": fx_fce_gt,
     "pse_crop": fx_pse_crop,
 }
 
