@@ -297,6 +297,8 @@ def q_east_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
                          o["rd_scale"], crop[0], crop[1], crop[2],
                          crop[3], o["n_out"], o["new_h"], o["new_w"],
                          o["score_px"], o["mask_px"], *g))
+        if not rows:
+            return None
         types = {"doc_id": pa.string(), "status": pa.string(),
                  "rot_cnt": pa.int64(), "rd_scale": pa.float64(),
                  "cx0": pa.int64(), "cy0": pa.int64(),
@@ -363,6 +365,8 @@ def q_fce_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
             for lv, (t_px, c_px, e_px, reals, imags) in enumerate(out):
                 rows.append((docs_str[s0], lv, t_px, c_px, e_px,
                              *reals, *imags))
+        if not rows:
+            return None
         names = (["doc_id", "level", "text_px", "center_px", "eff_px"]
                  + [f"r{c}" for c in range(11)]
                  + [f"i{c}" for c in range(11)])
@@ -434,6 +438,8 @@ def q_sast_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
                          crop[0], crop[1], crop[2], crop[3],
                          o["rz_scale"], o["sh"], o["sw"], o["n_out"],
                          o["score_px"], o["mask_sum"], *bs, *vs, *cs))
+        if not rows:
+            return None
         types = {"doc_id": pa.string(), "status": pa.string(),
                  "asp_scale": pa.float64(), "cx0": pa.int64(),
                  "cy0": pa.int64(), "cx1": pa.int64(), "cy1": pa.int64(),
@@ -2172,6 +2178,8 @@ def q_pse_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k, (rate, painted, px) in enumerate(per_scale, start=1):
                 rows.append((docs_str[s], k, float(rate), painted, px,
                              bool(scaled), nh, nw, n_ign, mask_px))
+        if not rows:
+            return None
         names = ["doc_id", "k", "rate", "n_painted", "kernel_px",
                  "scaled", "new_h", "new_w", "n_ignored", "mask_px"]
         return pa.record_batch([pa.array(c) for c in zip(*rows)],
