@@ -46,6 +46,7 @@ from pyspark.sql.window import Window
 from . import geometry as G
 from . import synth as S
 from .functions import clustering as CL
+from .functions import content as MC
 from .functions import curation as CU
 from .functions import dedup as D
 from .functions import retrieval as R
@@ -2521,6 +2522,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sast_gt": q_sast_gt,                          # fixture oracle
         "fce_gt": q_fce_gt,                            # fixture oracle
         "pse_crop": q_pse_crop,                        # fixture oracle
+        "main_content": MC.main_content,
         "kmeans_assign": CL.kmeans_assign,
         "semdedup": CL.semdedup,
         "dup_span_docs": R.dup_span_docs,
@@ -3449,6 +3451,160 @@ SELECT doc_id,
         AND sym <= {T.GOPHER_MAX_SYMBOL_WORD_RATIO}
         AND noal <= {T.GOPHER_MAX_NO_ALPHA_WORD_FRAC}) AS gopher_pass
 FROM gr"""
+
+    # main_content twin: predicts every block feature CLOSED-FORM from the
+    # HTML-generator formulas in functions/content.py (it never parses the
+    # serialized page, so Spark's serialize->regex-parse path is itself
+    # hash-gated), then replays jusText classify+revise with DuckDB window
+    # functions. Keep the (did, b, k) formulas in lockstep with
+    # content.synth_html_expr.
+    _mc_stop = "[" + ", ".join(f"'{w}'" for w in MC.STOPLIST) + "]"
+    _mc_tok = f"""
+      CASE WHEN role = 'p' AND did % 17 = 9 AND b = 2 AND k = 0 THEN '©2026'
+           WHEN role = 'p' AND (did + b) % 2 = 0 AND (k + b) % 3 = 0
+             THEN list_extract({_mc_stop}, (did + k) % 8 + 1)
+           WHEN role = 'p' AND (did + b) % 2 = 1 AND (k + b) % 5 = 0
+             THEN list_extract({_mc_stop}, (did + k) % 8 + 1)
+           ELSE list_extract(wl, (did * 13 + b * 29 + k) % W + 1) END"""
+    _mc_linked = """
+      CASE WHEN role IN ('nav', 'footer') THEN k % 2 = 0
+           WHEN role = 'aside' THEN k % 3 = 0
+           WHEN role = 'p' THEN (did + 17 * b + 3 * k) % 37 = 3
+           ELSE false END"""
+    sqls["main_content"] = f"""
+WITH mc0 AS (
+  SELECT doc_id, CAST(doc_id AS INTEGER) AS did, {_WORDS} AS wl
+  FROM documents
+), mc1 AS (
+  SELECT doc_id, did, wl, len(wl) AS W, 6 + did % 7 AS nb
+  FROM mc0 WHERE len(wl) >= 1
+), mcb AS (
+  SELECT doc_id, did, wl, W, nb, unnest(range(0, nb)) AS b FROM mc1
+), mcr AS (
+  SELECT *, CASE WHEN b = 0 THEN 'nav'
+                 WHEN b = nb - 1 THEN 'footer'
+                 WHEN (did + b) % 5 = 2 THEN 'h'
+                 WHEN (did * 3 + b) % 11 = 7 THEN 'aside'
+                 ELSE 'p' END AS role
+  FROM mcb
+), mcn AS (
+  SELECT *, CASE role WHEN 'nav' THEN 6 WHEN 'footer' THEN 5
+                 WHEN 'h' THEN 2 + (did + b) % 3
+                 WHEN 'aside' THEN 4 + (did + b) % 4
+                 ELSE 8 + (did * 7 + b * 5) % 56 END AS nw
+  FROM mcr
+), mct AS (
+  SELECT doc_id, did, b, role, nw,
+         list_transform(range(0, nw), k -> {_mc_tok}) AS toks,
+         list_transform(range(0, nw), k ->
+             CASE WHEN ({_mc_linked}) THEN 1 ELSE 0 END) AS lks
+  FROM mcn
+), mcf AS (
+  SELECT doc_id, CAST(b AS BIGINT) AS block_idx,
+         CASE WHEN role IN ('nav', 'aside') THEN 'div'
+              WHEN role = 'footer' THEN 'footer'
+              WHEN role = 'h' THEN CASE WHEN b = 1 THEN 'h1' ELSE 'h2' END
+              ELSE 'p' END AS tag,
+         array_to_string(toks, ' ') AS text,
+         role = 'h' AS heading,
+         length(array_to_string(toks, ' ')) AS len_text,
+         nw AS n_words,
+         coalesce(list_sum(list_transform(range(0, nw), k ->
+             list_extract(lks, k + 1) * length(list_extract(toks, k + 1)))),
+             0) AS link_chars,
+         len(list_filter(toks, x -> list_contains({_mc_stop}, x))) AS stop_n
+  FROM mct
+), mcd AS (
+  SELECT *, CAST(link_chars AS DOUBLE) / len_text AS link_d,
+         CAST(stop_n AS DOUBLE) / n_words AS stop_d
+  FROM mcf
+), mccf AS (
+  SELECT *, CASE
+      WHEN link_d > {MC.MAX_LINK_DENSITY} THEN 'bad'
+      WHEN contains(text, '©') OR contains(text, '&copy') THEN 'bad'
+      WHEN len_text < {MC.LENGTH_LOW} THEN
+          CASE WHEN link_chars > 0 THEN 'bad' ELSE 'short' END
+      WHEN stop_d >= {MC.STOPWORDS_HIGH} THEN
+          CASE WHEN len_text > {MC.LENGTH_HIGH} THEN 'good' ELSE 'neargood' END
+      WHEN stop_d >= {MC.STOPWORDS_LOW} THEN 'neargood'
+      ELSE 'bad' END AS cf
+  FROM mcd
+), mcs1 AS (
+  SELECT *, sum(len_text) OVER (PARTITION BY doc_id ORDER BY block_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM mccf
+), mcs2 AS (
+  SELECT *, cum - len_text AS cum_prev
+  FROM mcs1
+), mcs3 AS (
+  SELECT *,
+      min(CASE WHEN cf = 'good' THEN cum_prev END) OVER
+          (PARTITION BY doc_id ORDER BY block_idx
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ng_cum0
+  FROM mcs2
+), mcs4 AS (
+  SELECT *, CASE WHEN heading AND cf = 'short'
+                  AND ng_cum0 - cum <= {MC.MAX_HEADING_DISTANCE}
+             THEN 'neargood' ELSE cf END AS cls1
+  FROM mcs3
+), mcs5 AS (
+  SELECT *,
+      coalesce(last_value(CASE WHEN cls1 IN ('good', 'bad') THEN cls1 END
+          IGNORE NULLS) OVER (PARTITION BY doc_id ORDER BY block_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') AS p_ign,
+      coalesce(first_value(CASE WHEN cls1 IN ('good', 'bad') THEN cls1 END
+          IGNORE NULLS) OVER (PARTITION BY doc_id ORDER BY block_idx
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') AS n_ign,
+      coalesce(last_value(CASE WHEN cls1 IN ('good', 'bad', 'neargood')
+          THEN cls1 END IGNORE NULLS) OVER (PARTITION BY doc_id
+          ORDER BY block_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') AS p_ng,
+      coalesce(first_value(CASE WHEN cls1 IN ('good', 'bad', 'neargood')
+          THEN cls1 END IGNORE NULLS) OVER (PARTITION BY doc_id
+          ORDER BY block_idx
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') AS n_ng
+  FROM mcs4
+), mcs6 AS (
+  SELECT *, CASE WHEN cls1 != 'short' THEN cls1
+      WHEN p_ign = 'good' AND n_ign = 'good' THEN 'good'
+      WHEN p_ign = 'bad' AND n_ign = 'bad' THEN 'bad'
+      WHEN (p_ign = 'bad' AND p_ng = 'neargood')
+        OR (n_ign = 'bad' AND n_ng = 'neargood') THEN 'good'
+      ELSE 'bad' END AS cls2
+  FROM mcs5
+), mcs7 AS (
+  SELECT *,
+      coalesce(last_value(CASE WHEN cls2 IN ('good', 'bad') THEN cls2 END
+          IGNORE NULLS) OVER (PARTITION BY doc_id ORDER BY block_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') AS p2,
+      coalesce(first_value(CASE WHEN cls2 IN ('good', 'bad') THEN cls2 END
+          IGNORE NULLS) OVER (PARTITION BY doc_id ORDER BY block_idx
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') AS n2
+  FROM mcs6
+), mcs8 AS (
+  SELECT *, CASE WHEN cls2 = 'neargood' THEN
+          CASE WHEN p2 = 'bad' AND n2 = 'bad' THEN 'bad' ELSE 'good' END
+      ELSE cls2 END AS cls3
+  FROM mcs7
+), mcs9 AS (
+  SELECT *, min(CASE WHEN cls3 = 'good' THEN cum_prev END) OVER
+          (PARTITION BY doc_id ORDER BY block_idx
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ng_cum3
+  FROM mcs8
+), mcs10 AS (
+  SELECT *, CASE WHEN heading AND cls3 = 'bad' AND cf != 'bad'
+                  AND ng_cum3 - cum <= {MC.MAX_HEADING_DISTANCE}
+             THEN 'good' ELSE cls3 END AS final
+  FROM mcs9
+)
+SELECT doc_id, block_idx, tag, text,
+       cf AS cf_class, final AS final_class,
+       final = 'good' AS kept,
+       CAST(len_text AS BIGINT) AS len_text,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(link_d, 4) + 0 AS link_density,
+       round(stop_d, 4) + 0 AS stop_density
+FROM mcs10"""
 
     sqls["dedup_exact"] = f"""
 WITH {_CORPUS_CTE.lstrip()}
