@@ -47,6 +47,7 @@ from . import geometry as G
 from . import synth as S
 from .functions import clustering as CL
 from .functions import content as MC
+from .functions import pq as PQ
 from .functions import curation as CU
 from .functions import dedup as D
 from .functions import retrieval as R
@@ -2523,6 +2524,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fce_gt": q_fce_gt,                            # fixture oracle
         "pse_crop": q_pse_crop,                        # fixture oracle
         "main_content": MC.main_content,
+        "pq_codes": PQ.pq_codes,
+        "pq_adc_topk": PQ.pq_adc_topk,
         "kmeans_assign": CL.kmeans_assign,
         "semdedup": CL.semdedup,
         "dup_span_docs": R.dup_span_docs,
@@ -5836,6 +5839,85 @@ WITH {_lloyd_ctes(
     "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings")}
 SELECT vec_id, cid AS cluster FROM a2
 ORDER BY vec_id"""
+
+    # Product quantization (functions/pq.py): the same Lloyd replay with
+    # the subspace id carried as a key — M codebooks in one dataflow.
+    # Slices are dim-agnostic via len(e) // M (DuckDB slices are 1-based
+    # end-INCLUSIVE). Keep in lockstep with pq._train.
+    _pq_dist = ("list_sum(list_transform(list_zip({a}, {b}), "
+                "p -> (p[1] - p[2]) * (p[1] - p[2])))")
+    _pq_ctes = f"""pv AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), psl AS (
+    SELECT vec_id, sub,
+           e[sub * (len(e) // {PQ.PQ_M}) + 1
+             : (sub + 1) * (len(e) // {PQ.PQ_M})] AS sv
+    FROM (SELECT vec_id, unnest(range(0, {PQ.PQ_M})) AS sub, e FROM pv)
+), pc0 AS (
+    SELECT sub, CAST(rn - 1 AS BIGINT) AS cid, sv AS c FROM (
+        SELECT sub, sv,
+               row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+        FROM psl) WHERE rn <= {PQ.PQ_K}
+), pd1 AS (
+    SELECT psl.vec_id, psl.sub, pc0.cid, psl.sv,
+           {_pq_dist.format(a="psl.sv", b="pc0.c")} AS d
+    FROM psl JOIN pc0 USING (sub)
+), pa1 AS (
+    SELECT vec_id, sub, cid, sv FROM pd1
+    QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                               ORDER BY d, cid) = 1
+), pc1 AS (
+    SELECT sub, cid, pos, avg(x) AS m
+    FROM (SELECT sub, cid, unnest(sv) AS x,
+                 generate_subscripts(sv, 1) AS pos
+          FROM pa1)
+    GROUP BY sub, cid, pos
+), pc1l AS (
+    SELECT sub, cid, list(m ORDER BY pos) AS c FROM pc1 GROUP BY sub, cid
+), pa2 AS (
+    SELECT vec_id, sub, cid FROM (
+        SELECT psl.vec_id, psl.sub, pc1l.cid,
+               {_pq_dist.format(a="psl.sv", b="pc1l.c")} AS d
+        FROM psl JOIN pc1l USING (sub))
+    QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                               ORDER BY d, cid) = 1
+)"""
+
+    sqls["pq_codes"] = f"""
+WITH {_pq_ctes}
+SELECT vec_id, CAST(sub AS BIGINT) AS sub, cid AS code
+FROM pa2 ORDER BY vec_id, sub"""
+
+    sqls["pq_adc_topk"] = f"""
+WITH {_pq_ctes},
+pq AS (
+    SELECT vec_id AS query_id, sub, sv AS qv FROM psl
+    WHERE vec_id < {PQ.PQ_QUERIES}
+), pdt AS (
+    SELECT pq.query_id, pq.sub, pc1l.cid,
+           {_pq_dist.format(a="pq.qv", b="pc1l.c")} AS d
+    FROM pq JOIN pc1l USING (sub)
+), pj AS (
+    SELECT pdt.query_id, pa2.vec_id, pa2.sub, pdt.d
+    FROM pa2 JOIN pdt ON pa2.sub = pdt.sub AND pa2.cid = pdt.cid
+    WHERE pa2.vec_id != pdt.query_id
+), ppv AS (
+    SELECT query_id, vec_id,
+           sum(CASE WHEN sub = 0 THEN d END) AS d0,
+           sum(CASE WHEN sub = 1 THEN d END) AS d1,
+           sum(CASE WHEN sub = 2 THEN d END) AS d2,
+           sum(CASE WHEN sub = 3 THEN d END) AS d3
+    FROM pj GROUP BY query_id, vec_id
+), prk AS (
+    SELECT query_id, vec_id, ((((0.0 + d0) + d1) + d2) + d3) AS adc,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY ((((0.0 + d0) + d1) + d2) + d3),
+                                       vec_id) AS rnk
+    FROM ppv
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id,
+       round(adc, 4) + 0 AS adc
+FROM prk WHERE rnk <= {PQ.PQ_TOPK_K}"""
 
     # SemDeDup: Lloyd over the dup-injected corpus, ascending rounded
     # cosine-to-centroid rank (ties -> vec_id), upper-triangular max of

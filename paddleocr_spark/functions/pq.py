@@ -1,0 +1,168 @@
+"""Product quantization (Jégou et al. 2011) — the 10^12-scale ANN codec.
+
+Completes the FAISS-canon similarity stack next to ``similarity.py``'s
+IVF coarse quantizer: PQ splits each embedding into ``PQ_M`` subvectors,
+k-means-trains an independent ``PQ_K``-centroid codebook per subspace,
+and stores each vector as M small codes. At 10^12 vectors that is M
+bytes per vector instead of dim×4 — the representation that makes the
+corpus memory-resident — and queries score against the codes via
+asymmetric distance computation (ADC): one (M × K) distance table per
+query, then a table-lookup sum per vector, never a full-vector read.
+
+Everything is deterministic so the DuckDB twin replays it exactly, with
+the same choices as ``clustering.py``'s Lloyd (fixed-id init, (dist,
+cid) argmin tie order, per-dimension mean re-assembly). The one
+structural upgrade over running M separate k-means: the subspace id is
+DATA, not a plan axis — subvectors explode into (vec_id, sub, sv) rows
+and every Lloyd stage carries ``sub`` in its keys, so the M codebooks
+train in ONE dataflow whose plan size is independent of M.
+
+Scale shape: codebooks are a (M·K)-row broadcast; training is one
+corpus scan per Lloyd pass with map-side-combinable aggregates; coding
+is one scan + broadcast join; ADC is a broadcast of (queries × M × K)
+distances joined on (sub, code) with a fixed-order 4-term sum — no
+shuffle wider than the final per-query top-k (TakeOrderedAndProject).
+Demo sizes: M=4, K=16 (4-bit codes); production uses K=256/8-bit and
+IVF-PQ residuals, same dataflow.
+
+Float caveat (same as clustering.py, documented not hidden): centroid
+means and distance sums differ across engines at ~1e-16 relative;
+integer code flips / top-k rank flips need near-exact ties, which
+uniform-random embeddings make vanishingly unlikely. The gate hashes
+integer codes and 4dp-rounded distances.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .similarity import _vecs, embeddings_meta
+
+#: Subspaces (codes per vector). dim must divide evenly.
+PQ_M = 4
+#: Centroids per subspace codebook (4-bit demo; 256 in production).
+PQ_K = 16
+#: Lloyd passes per subspace (assign, update, assign — same as kmeans).
+PQ_ITERS = 2
+#: ADC query vectors (vec_id < PQ_QUERIES) and results per query.
+PQ_QUERIES = 3
+PQ_TOPK_K = 10
+
+#: Squared L2 between two double arrays, index-order left fold — the
+#: IEEE sum order the DuckDB twin's list_sum/list_transform reproduces.
+def _sqdist(a: str = "sv", b: str = "c") -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            f"0D, (acc, v) -> acc + v)")
+
+
+_SQDIST = _sqdist()
+
+
+def _subvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, sub, sv): the M dsub-dim double subvectors per vector."""
+    _, _, dim = embeddings_meta(sf_dir)
+    assert dim % PQ_M == 0, (dim, PQ_M)
+    dsub = dim // PQ_M
+    return (_vecs(spark, sf_dir)
+            .select("vec_id",
+                    F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+                    .alias("e"))
+            .select("vec_id",
+                    F.posexplode(F.expr(
+                        f"transform(sequence(0, {PQ_M - 1}), "
+                        f"s -> slice(e, s * {dsub} + 1, {dsub}))"))
+                    .alias("sub", "sv")))
+
+
+def _init_codebooks(sv: DataFrame, k: int) -> DataFrame:
+    """(sub, cid, c): subvectors of the k smallest vec_ids, per subspace."""
+    w = Window.partitionBy("sub").orderBy("vec_id")
+    return (sv.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("sub", (F.col("rn") - 1).cast("long").alias("cid"),
+                    F.col("sv").alias("c")))
+
+
+def _assign(sv: DataFrame, books: DataFrame) -> DataFrame:
+    """Nearest centroid per (vec_id, sub); ties → smaller cid."""
+    d = (sv.join(F.broadcast(books), "sub")
+         .select("vec_id", "sub", "cid", "sv", F.expr(_SQDIST).alias("d")))
+    return (d.groupBy("vec_id", "sub")
+            .agg(F.min_by("cid", F.struct("d", "cid")).alias("cid"),
+                 F.first("sv").alias("sv")))
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """Per-(sub, cluster) per-dimension mean, re-assembled in order."""
+    dims = (assigned.select("sub", "cid",
+                            F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "cid", "pos").agg(F.avg("x").alias("m")))
+    return (dims.groupBy("sub", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                 .alias("sm"))
+            .select("sub", "cid",
+                    F.expr("transform(sm, s -> s.m)").alias("c")))
+
+
+def _train(spark: SparkSession, sf_dir: str,
+           k: int = PQ_K, iters: int = PQ_ITERS
+           ) -> tuple[DataFrame, DataFrame]:
+    """(final codes frame incl. sv, codebooks the last assign used)."""
+    sv = _subvecs(spark, sf_dir)
+    books = _init_codebooks(sv, k)
+    assigned = _assign(sv, books)
+    for _ in range(iters - 1):
+        books = _update(assigned)
+        assigned = _assign(assigned.select("vec_id", "sub", "sv"), books)
+    return assigned, books
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector PQ codes: (vec_id, sub, code), M rows per vector."""
+    assigned, _ = _train(spark, sf_dir)
+    return (assigned.select("vec_id",
+                            F.col("sub").cast("long").alias("sub"),
+                            F.col("cid").alias("code"))
+            .orderBy("vec_id", "sub"))
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str,
+                n_queries: int = PQ_QUERIES,
+                k: int = PQ_TOPK_K) -> DataFrame:
+    """ADC top-k: per query, the k nearest vectors BY CODE distance.
+
+    dtable = squared L2 from each query subvector to every codebook
+    centroid (queries × M × K rows, broadcast); each vector's ADC
+    distance is the fixed-order sum of its M table lookups (pivot to
+    d0..d{M-1}, then a left-to-right add — never a float sum whose
+    partial-aggregation order the engine picks). Output: (query_id,
+    rank, vec_id, adc) with adc rounded 4dp.
+    """
+    assigned, books = _train(spark, sf_dir)
+    codes = assigned.select("vec_id", "sub", F.col("cid").alias("code"))
+
+    queries = (_subvecs(spark, sf_dir)
+               .where(F.col("vec_id") < n_queries)
+               .select(F.col("vec_id").alias("query_id"), "sub",
+                       F.col("sv").alias("qv")))
+    dtable = (queries.join(books, "sub")
+              .select("query_id", "sub", "cid",
+                      F.expr(_sqdist("qv", "c")).alias("d")))
+
+    per_sub = (codes.join(F.broadcast(dtable),
+                          (codes.sub == dtable.sub)
+                          & (codes.code == dtable.cid))
+               .where(F.col("vec_id") != F.col("query_id"))
+               .select("query_id", "vec_id", codes.sub, "d"))
+    pivoted = (per_sub.groupBy("query_id", "vec_id")
+               .pivot("sub", list(range(PQ_M))).agg(F.first("d")))
+    adc = F.lit(0.0)
+    for s in range(PQ_M):
+        adc = adc + F.col(str(s))
+    scored = pivoted.select("query_id", "vec_id", adc.alias("adc"))
+    w = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    "vec_id", F.round("adc", 4).alias("adc")))
