@@ -2526,6 +2526,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": MC.main_content,
         "pq_codes": PQ.pq_codes,
         "pq_adc_topk": PQ.pq_adc_topk,
+        "ivfpq_topk": PQ.ivfpq_topk,
         "kmeans_assign": CL.kmeans_assign,
         "semdedup": CL.semdedup,
         "dup_span_docs": R.dup_span_docs,
@@ -5846,8 +5847,10 @@ ORDER BY vec_id"""
     # end-INCLUSIVE). Keep in lockstep with pq._train.
     _pq_dist = ("list_sum(list_transform(list_zip({a}, {b}), "
                 "p -> (p[1] - p[2]) * (p[1] - p[2])))")
-    _pq_ctes = f"""pv AS (
-    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+
+    def _pq_chain(base: str) -> str:
+        return f"""pv AS (
+    {base}
 ), psl AS (
     SELECT vec_id, sub,
            e[sub * (len(e) // {PQ.PQ_M}) + 1
@@ -5883,13 +5886,15 @@ ORDER BY vec_id"""
                                ORDER BY d, cid) = 1
 )"""
 
+    _pq_base = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings"
+
     sqls["pq_codes"] = f"""
-WITH {_pq_ctes}
+WITH {_pq_chain(_pq_base)}
 SELECT vec_id, CAST(sub AS BIGINT) AS sub, cid AS code
 FROM pa2 ORDER BY vec_id, sub"""
 
     sqls["pq_adc_topk"] = f"""
-WITH {_pq_ctes},
+WITH {_pq_chain(_pq_base)},
 pq AS (
     SELECT vec_id AS query_id, sub, sv AS qv FROM psl
     WHERE vec_id < {PQ.PQ_QUERIES}
@@ -5916,6 +5921,77 @@ pq AS (
     FROM ppv
 )
 SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id,
+       round(adc, 4) + 0 AS adc
+FROM prk WHERE rnk <= {PQ.PQ_TOPK_K}"""
+
+    # IVFADC (pq.ivfpq_topk): coarse cosine assign (the ann_ivf CTEs) →
+    # residual vectors → the SAME PQ chain over residuals → probe
+    # nprobe cells → per-cell residual distance table → fixed-order ADC.
+    _pq_res = ("list_transform(list_zip(CAST({a} AS DOUBLE[]), "
+               "CAST({b} AS DOUBLE[])), p -> p[1] - p[2])")
+    sqls["ivfpq_topk"] = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+{cents_cte},
+{assign_cte.lstrip()},
+rd AS (
+    SELECT a.vec_id, a.centroid_id,
+           {_pq_res.format(a='v.embedding', b='c.c')} AS e
+    FROM assign a JOIN v USING (vec_id) JOIN c USING (centroid_id)
+),
+{_pq_chain("SELECT vec_id, e FROM rd")},
+q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings
+      WHERE vec_id < {PQ.PQ_QUERIES}),
+probes AS (
+    SELECT query_id, centroid_id,
+           {_pq_res.format(a='qq', b='cc')} AS e
+    FROM (
+        SELECT q.query_id, q.q AS qq, c.centroid_id, c.c AS cc,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   {_COS_RAW.format(a='q.q', b='c.c')} DESC,
+                   c.centroid_id) AS rn
+        FROM q CROSS JOIN c
+    ) WHERE rn <= {PQ.IVFPQ_NPROBE}
+),
+qsl AS (
+    SELECT query_id, centroid_id, sub,
+           e[sub * (len(e) // {PQ.PQ_M}) + 1
+             : (sub + 1) * (len(e) // {PQ.PQ_M})] AS qv
+    FROM (SELECT query_id, centroid_id,
+                 unnest(range(0, {PQ.PQ_M})) AS sub, e
+          FROM probes)
+),
+pdt AS (
+    SELECT qsl.query_id, qsl.centroid_id, qsl.sub, pc1l.cid,
+           {_pq_dist.format(a="qsl.qv", b="pc1l.c")} AS d
+    FROM qsl JOIN pc1l USING (sub)
+),
+pcc AS (
+    SELECT pa2.vec_id, rd.centroid_id, pa2.sub, pa2.cid
+    FROM pa2 JOIN rd USING (vec_id)
+),
+pj AS (
+    SELECT pdt.query_id, pcc.vec_id, pcc.centroid_id, pcc.sub, pdt.d
+    FROM pcc JOIN pdt ON pcc.centroid_id = pdt.centroid_id
+                     AND pcc.sub = pdt.sub AND pcc.cid = pdt.cid
+    WHERE pcc.vec_id != pdt.query_id
+),
+ppv AS (
+    SELECT query_id, vec_id, centroid_id,
+           sum(CASE WHEN sub = 0 THEN d END) AS d0,
+           sum(CASE WHEN sub = 1 THEN d END) AS d1,
+           sum(CASE WHEN sub = 2 THEN d END) AS d2,
+           sum(CASE WHEN sub = 3 THEN d END) AS d3
+    FROM pj GROUP BY query_id, vec_id, centroid_id
+),
+prk AS (
+    SELECT query_id, vec_id, centroid_id,
+           ((((0.0 + d0) + d1) + d2) + d3) AS adc,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY ((((0.0 + d0) + d1) + d2) + d3),
+                                       vec_id) AS rnk
+    FROM ppv
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id, centroid_id,
        round(adc, 4) + 0 AS adc
 FROM prk WHERE rnk <= {PQ.PQ_TOPK_K}"""
 

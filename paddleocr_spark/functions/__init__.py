@@ -77,7 +77,25 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _tokenizer("bpe_merges"),
         "sessionize": _entry("q_sessionize"),
         "asof_join": _entry("q_asof_join"),
+        # round-4 seventh continuation: jusText DOM heuristics + PQ ANN
+        "main_content": _content("main_content"),
+        "pq_adc_topk": _pq("pq_adc_topk"),
+        "ivfpq_topk": _pq("ivfpq_topk"),
     }
+
+
+def _content(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from . import content
+        return getattr(content, name)(spark, sf_dir)
+    return run
+
+
+def _pq(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from . import pq
+        return getattr(pq, name)(spark, sf_dir)
+    return run
 
 
 def _curation(name: str) -> Callable[[SparkSession, str], DataFrame]:

@@ -59,20 +59,26 @@ def _sqdist(a: str = "sv", b: str = "c") -> str:
 _SQDIST = _sqdist()
 
 
+def _subvecs_frame(vecs: DataFrame, dim: int) -> DataFrame:
+    """(vec_id, sub, sv) from a (vec_id, e:array<double>) frame."""
+    assert dim % PQ_M == 0, (dim, PQ_M)
+    dsub = dim // PQ_M
+    return vecs.select(
+        "vec_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {PQ_M - 1}), "
+            f"s -> slice(e, s * {dsub} + 1, {dsub}))"))
+        .alias("sub", "sv"))
+
+
 def _subvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, sub, sv): the M dsub-dim double subvectors per vector."""
     _, _, dim = embeddings_meta(sf_dir)
-    assert dim % PQ_M == 0, (dim, PQ_M)
-    dsub = dim // PQ_M
-    return (_vecs(spark, sf_dir)
-            .select("vec_id",
-                    F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-                    .alias("e"))
-            .select("vec_id",
-                    F.posexplode(F.expr(
-                        f"transform(sequence(0, {PQ_M - 1}), "
-                        f"s -> slice(e, s * {dsub} + 1, {dsub}))"))
-                    .alias("sub", "sv")))
+    doubled = (_vecs(spark, sf_dir)
+               .select("vec_id",
+                       F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+                       .alias("e")))
+    return _subvecs_frame(doubled, dim)
 
 
 def _init_codebooks(sv: DataFrame, k: int) -> DataFrame:
@@ -105,17 +111,21 @@ def _update(assigned: DataFrame) -> DataFrame:
                     F.expr("transform(sm, s -> s.m)").alias("c")))
 
 
-def _train(spark: SparkSession, sf_dir: str,
-           k: int = PQ_K, iters: int = PQ_ITERS
-           ) -> tuple[DataFrame, DataFrame]:
+def _train_frame(sv: DataFrame, k: int = PQ_K, iters: int = PQ_ITERS
+                 ) -> tuple[DataFrame, DataFrame]:
     """(final codes frame incl. sv, codebooks the last assign used)."""
-    sv = _subvecs(spark, sf_dir)
     books = _init_codebooks(sv, k)
     assigned = _assign(sv, books)
     for _ in range(iters - 1):
         books = _update(assigned)
         assigned = _assign(assigned.select("vec_id", "sub", "sv"), books)
     return assigned, books
+
+
+def _train(spark: SparkSession, sf_dir: str,
+           k: int = PQ_K, iters: int = PQ_ITERS
+           ) -> tuple[DataFrame, DataFrame]:
+    return _train_frame(_subvecs(spark, sf_dir), k, iters)
 
 
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,3 +176,115 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str,
             .where(F.col("rank") <= k)
             .select("query_id", F.col("rank").cast("long").alias("rank"),
                     "vec_id", F.round("adc", 4).alias("adc")))
+
+
+# ---------------------------------------------------------------------------
+# IVFADC: the coarse quantizer + residual PQ composition (Jégou et al.
+# 2011 §V) — the production billion-scale recipe both halves exist for.
+# ---------------------------------------------------------------------------
+
+#: Coarse cells probed per query (tolerates the true neighbour living
+#: one cell over — the recall lever of every IVF deployment).
+IVFPQ_NPROBE = 2
+
+
+def _doubled_col(col: str) -> F.Column:
+    return F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))")
+
+
+def _residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, centroid_id, e): each vector minus its coarse centroid.
+
+    The coarse level is :func:`~.similarity.ivf_assign`'s cosine assign
+    (deterministic strided centroids) — classic IVFADC quantizes with L2
+    end-to-end, but the composition mechanics (assign → residual → PQ →
+    probe-scoped ADC) are metric-agnostic and staying on the existing
+    assign keeps the twin formulas shared.
+    """
+    from .similarity import ivf_assign, ivf_centroids
+
+    assign = ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
+    vecs = _vecs(spark, sf_dir).select(
+        "vec_id", _doubled_col("embedding").alias("ve"))
+    cents = ivf_centroids(spark, sf_dir).select(
+        "centroid_id", _doubled_col("c").alias("ce"))
+    return (vecs.join(assign, "vec_id")
+            .join(F.broadcast(cents), "centroid_id")
+            .select("vec_id", "centroid_id",
+                    F.expr("zip_with(ve, ce, (x, y) -> x - y)").alias("e")))
+
+
+def ivfpq_topk(spark: SparkSession, sf_dir: str,
+               n_queries: int = PQ_QUERIES,
+               nprobe: int = IVFPQ_NPROBE,
+               k: int = PQ_TOPK_K) -> DataFrame:
+    """IVF-PQ search: probe nprobe coarse cells, ADC on residual codes.
+
+    Index build: coarse assign → residual per vector → ONE shared PQ
+    codebook set over all residuals (the paper's choice — per-cell
+    codebooks don't fit memory at scale) → M codes per vector. Query:
+    top-``nprobe`` coarse cells by the assign's own metric, a per-probed-
+    cell residual distance table (queries × nprobe × M × K rows,
+    broadcast), and the fixed-order ADC sum over each candidate's codes —
+    only vectors in probed cells ever produce rows, which is the whole
+    point: search cost scales with nprobe/√N of the corpus, not N.
+    Output: (query_id, rank, vec_id, centroid_id, adc).
+    """
+    from .similarity import cosine_col, ivf_centroids
+
+    _, _, dim = embeddings_meta(sf_dir)
+    res = _residuals(spark, sf_dir)
+    assigned, books = _train_frame(
+        _subvecs_frame(res.select("vec_id", "e"), dim))
+    codes = (assigned.select("vec_id", "sub", F.col("cid").alias("code"))
+             .join(res.select("vec_id", "centroid_id"), "vec_id"))
+
+    cents = ivf_centroids(spark, sf_dir)
+    queries = (_vecs(spark, sf_dir)
+               .where(F.col("vec_id") < n_queries)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q")))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("pcos").desc(), F.col("centroid_id"))
+    probes = (queries.crossJoin(F.broadcast(cents))
+              .select("query_id", "centroid_id", "q", "c",
+                      cosine_col("q", "c").alias("pcos"))
+              .withColumn("rn", F.row_number().over(wp))
+              .where(F.col("rn") <= nprobe)
+              .select("query_id", "centroid_id",
+                      F.expr("zip_with(transform(q, x -> CAST(x AS "
+                             "DOUBLE)), transform(c, x -> CAST(x AS "
+                             "DOUBLE)), (x, y) -> x - y)").alias("e")))
+
+    # one row per (query_id, probed centroid, sub): the ADC table keys
+    dsub = dim // PQ_M
+    qsub = probes.select(
+        F.col("query_id"), "centroid_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {PQ_M - 1}), "
+            f"s -> slice(e, s * {dsub} + 1, {dsub}))"))
+        .alias("sub", "qv"))
+    dtable = (qsub.join(books, "sub")
+              .select("query_id", "centroid_id", "sub", "cid",
+                      F.expr(_sqdist("qv", "c")).alias("d")))
+
+    per_sub = (codes.join(F.broadcast(dtable),
+                          (codes.centroid_id == dtable.centroid_id)
+                          & (codes.sub == dtable.sub)
+                          & (codes.code == dtable.cid))
+               .where(F.col("vec_id") != F.col("query_id"))
+               .select("query_id", "vec_id", codes.centroid_id, codes.sub,
+                       "d"))
+    pivoted = (per_sub.groupBy("query_id", "vec_id", "centroid_id")
+               .pivot("sub", list(range(PQ_M))).agg(F.first("d")))
+    adc = F.lit(0.0)
+    for s in range(PQ_M):
+        adc = adc + F.col(str(s))
+    scored = pivoted.select("query_id", "vec_id", "centroid_id",
+                            adc.alias("adc"))
+    w = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    "vec_id", "centroid_id",
+                    F.round("adc", 4).alias("adc")))

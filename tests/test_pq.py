@@ -6,14 +6,17 @@ import numpy as np
 import pyarrow.parquet as paq
 
 from paddleocr_spark.functions.pq import (
+    IVFPQ_NPROBE,
     PQ_ITERS,
     PQ_K,
     PQ_M,
     PQ_QUERIES,
     PQ_TOPK_K,
+    ivfpq_topk,
     pq_adc_topk,
     pq_codes,
 )
+from paddleocr_spark.functions.similarity import ivf_centroid_every
 
 SF = "/root/testdata/sf0.001"
 
@@ -97,6 +100,57 @@ def test_adc_topk_matches_numpy(spark):
         got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
     for q in range(PQ_QUERIES):
         assert [v for _, v in sorted(got[q])] == want[q], q
+
+
+def test_ivfpq_matches_numpy(spark):
+    """Full plain-numpy IVFADC replay: coarse cosine assign → residuals →
+    shared PQ codebooks → nprobe probing → fixed-order ADC → top-k."""
+    ids, e = _load()
+    n = len(ids)
+    every = ivf_centroid_every(n)
+    cent_ids = [int(v) for v in ids if int(v) % every == 1]
+    cents = np.stack([e[int(np.flatnonzero(ids == c)[0])]
+                      for c in cent_ids])
+
+    def cos(a, b):
+        return (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    # coarse assign: cosine desc, tie -> smaller centroid_id (cent_ids
+    # ascend and argmax returns the first max, which is the smaller id)
+    sims = np.array([[cos(e[i], cents[j]) for j in range(len(cent_ids))]
+                     for i in range(n)])
+    coarse = sims.argmax(axis=1)
+    residuals = e - cents[coarse]
+
+    codes, books = _train_numpy(residuals)
+    dsub = e.shape[1] // PQ_M
+    want = {}
+    for q in range(PQ_QUERIES):
+        qi = int(np.flatnonzero(ids == q)[0])
+        probe_order = sorted(range(len(cent_ids)),
+                             key=lambda j: (-sims[qi, j], cent_ids[j]))
+        probed = probe_order[:IVFPQ_NPROBE]
+        cand = []
+        for j in probed:
+            qr = e[qi] - cents[j]
+            dt = [((qr[s * dsub:(s + 1) * dsub][None, :] - books[s]) ** 2)
+                  .sum(axis=1) for s in range(PQ_M)]
+            for i in range(n):
+                if coarse[i] != j or int(ids[i]) == q:
+                    continue
+                adc = 0.0
+                for s in range(PQ_M):
+                    adc = adc + dt[s][codes[i, s]]
+                cand.append((adc, int(ids[i]), cent_ids[j]))
+        cand.sort()
+        want[q] = [(r + 1, v, c)
+                   for r, (_, v, c) in enumerate(cand[:PQ_TOPK_K])]
+    got = {}
+    for r in ivfpq_topk(spark, SF).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["centroid_id"]))
+    for q in range(PQ_QUERIES):
+        assert sorted(got[q]) == want[q], q
 
 
 def test_compression_is_real(spark):
