@@ -241,8 +241,18 @@ def utf8_decompose(docs: DataFrame) -> DataFrame:
     """Flatten synthesized Korean text to a compatibility-jamo stream
     (kernels.decompose_hangul_by_utf8 twin): every syllable becomes
     cho+jung+jong with '@' for an absent final; non-Hangul passes
-    through. Output: (doc_id, jamo)."""
-    d = docs.withColumn("ktext", F.expr(korean_text_expr()))
+    through. Output: (doc_id, jamo).
+
+    Widened BEFORE the projection: the synth + decompose HOFs are
+    per-char interpreted work (~3.7 M jamo at sf0.1) attached to the
+    scan stage, and documents.parquet arrives as ONE task — measured
+    3.2 s single-threaded vs ~0.2 s wide. A repartition placed after
+    this function (the pre-fix layout) runs the HOFs before the
+    exchange and parallelizes nothing."""
+    from ..pipeline import ensure_input_parallelism
+
+    d = ensure_input_parallelism(docs).withColumn(
+        "ktext", F.expr(korean_text_expr()))
     code = f"(ascii(c) - {HANGUL_LO})"
     jong = f"({code} % 28)"
     junk = f"((({code} - {jong}) div 28) % 21)"
@@ -280,8 +290,7 @@ def utf8_compose(docs: DataFrame) -> DataFrame:
     adversarial jamo streams (not just roundtrip ones).
 
     Output: (doc_id, composed, ps array<double> rounded 4dp)."""
-    d = utf8_decompose(docs)
-    sc = docs.sparkSession.sparkContext
+    d = utf8_decompose(docs)  # arrives wide (decompose widens its input)
     schema = "doc_id long, composed string, ps array<double>"
 
     def batches(it):
@@ -302,10 +311,7 @@ def utf8_compose(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {"doc_id": ids, "composed": texts, "ps": pss})
 
-    # CPU-bound Python stage: widen so the kernel runs at full
-    # parallelism (pipeline.ensure_input_parallelism rationale)
-    return d.repartition(sc.defaultParallelism).mapInPandas(
-        batches, schema=schema)
+    return d.mapInPandas(batches, schema=schema)
 
 
 def rec_ensemble(docs: DataFrame) -> DataFrame:
