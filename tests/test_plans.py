@@ -78,3 +78,20 @@ def test_grouped_arrow_family_has_single_hash_exchange(spark):
     plan = _plan(df)
     assert "MapInArrow" in plan
     assert "FlatMapGroupsInPandas" not in plan   # the old applyInPandas node
+
+
+def test_utf8_chain_widens_before_per_char_hofs(spark):
+    """utf8_decompose: the widening exchange must sit BELOW the per-char
+    HOF projection (projection above exchange in the plan tree), so the
+    ~740 chars/doc of interpreted transform() work runs wide instead of
+    inside the single-file scan task. The pre-fix layout (repartition
+    after the projection) ran 3.2 s single-threaded at sf0.1; regression
+    here re-serializes the whole jamo chain."""
+    from paddleocr_spark.functions.grapheme import docs_table, utf8_decompose
+    df = utf8_decompose(docs_table(spark, SF))
+    plan = _plan(df)
+    assert "Exchange" in plan and "transform(" in plan
+    # toString is root-first: parent nodes print before children, so the
+    # projection (parent) must appear before the exchange (child).
+    assert plan.index("transform(") < plan.index("Exchange")
+    assert "REPARTITION_BY_NUM" in plan          # AQE-coalesce-exempt
