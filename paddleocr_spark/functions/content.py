@@ -170,7 +170,13 @@ def main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     final classes, and the rounded feature densities; ``kept`` marks the
     main-content selection (final class 'good').
     """
-    base = (docs_table(spark, sf_dir)
+    from ..pipeline import ensure_input_parallelism
+
+    # Widen BEFORE the synth/regex projections: the HTML serialize +
+    # block regex-parse are per-char work attached to the scan stage,
+    # and the sf corpus arrives as ONE file/task (the utf8-chain lesson,
+    # PERF.md). At production scale the scan is already wide → no-op.
+    base = (ensure_input_parallelism(docs_table(spark, sf_dir))
             .select("doc_id",
                     F.col("doc_id").cast("int").alias("did"),
                     words_col().alias("wl"))

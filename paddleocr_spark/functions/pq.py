@@ -91,7 +91,16 @@ def _init_codebooks(sv: DataFrame, k: int) -> DataFrame:
 
 
 def _assign(sv: DataFrame, books: DataFrame) -> DataFrame:
-    """Nearest centroid per (vec_id, sub); ties → smaller cid."""
+    """Nearest centroid per (vec_id, sub); ties → smaller cid.
+
+    AQE coalesces the agg's byte-tiny shuffle to one partition, so the
+    next assign's sqdist folds run single-task at test SF — measured,
+    and measured AGAIN that re-widening here makes things WORSE (an
+    AQE-exempt hash repartition per Lloyd stage added ~1 s per query at
+    sf0.1: exchange + 32-task scheduling overhead exceeds the
+    single-task HOF work on 8 k rows). At 10^12 vectors the agg output
+    is wide on its own and neither problem exists; the residual test-SF
+    cost is driver/stage overhead, not executor arithmetic."""
     d = (sv.join(F.broadcast(books), "sub")
          .select("vec_id", "sub", "cid", "sv", F.expr(_SQDIST).alias("d")))
     return (d.groupBy("vec_id", "sub")

@@ -50,8 +50,16 @@ TOPK_K = 10
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-            .select("vec_id", "embedding"))
+    """Embeddings scan, widened: the table arrives as ONE file/task at
+    test SFs, and every consumer stacks interpreted HOF arithmetic
+    (cosine crossJoins, residual zip_with, sqdist folds) straight onto
+    the scan stage — measured 1.3 s single-threaded for ivf_assign at
+    sf0.1 vs ~0.1 s wide (the utf8-chain lesson, PERF.md). At 10^12
+    vectors the scan is already wide → no-op check."""
+    from ..pipeline import ensure_input_parallelism
+    return ensure_input_parallelism(
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .select("vec_id", "embedding"))
 
 
 #: (n_vecs, n_dups, dim) per sf_dir — the corpora are immutable test data.
