@@ -2075,6 +2075,45 @@ def _shrink_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.col("y0") + F.col("bh")).alias("y1"), "tag")
 
 
+def q_docx_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 recovery sink made LITERAL (round 4): each document's ordered
+    spans → a spec-valid .docx container (docxcodec.build_docx — the
+    convert_info_docx walk, ppstructure/recovery/recovery_to_doc.py:
+    31-80: title→heading, figure→picture, table→w:tbl via
+    table_process.py's HtmlToDocx, else paragraph) → parsed BACK from
+    the container bytes (pure zipfile + ElementTree) to the ordered
+    (kind, payload) stream. The twin computes the same stream straight
+    from the synth SQL, so a writer/parser defect that loses, reorders,
+    or corrupts any span breaks hash parity; the XML-escape adversarial
+    arm (payloads full of <b>/&/quotes) is pinned in tests/test_docx.py.
+    One wide Arrow pass, one container per doc, no shuffle."""
+    import pandas as pd
+
+    from .docxcodec import build_docx, parse_docx
+    from .pipeline import ensure_input_parallelism
+
+    docs = synth_spans(ensure_input_parallelism(_docs(spark, sf_dir)))
+
+    def go(it):
+        for pdf in it:
+            ids, ords, kinds, payloads = [], [], [], []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                stream = [(s["kind"],
+                           s["media_ref"] if s["kind"] == "media"
+                           else (s["text"] or ""))
+                          for s in spans]
+                for i, (k, p) in enumerate(parse_docx(build_docx(stream))):
+                    ids.append(doc_id)
+                    ords.append(i)
+                    kinds.append(k)
+                    payloads.append(p)
+            yield pd.DataFrame({"doc_id": ids, "ord": ords,
+                                "kind": kinds, "payload": payloads})
+
+    return docs.mapInPandas(
+        go, schema="doc_id string, ord long, kind string, payload string")
+
+
 def q_pse_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R6 RandomCropImgMask (random_crop_data.py:183-234) — the stdlib-
     ``random`` RNG dialect — chained over the MakeShrinkMap rasters:
@@ -2523,6 +2562,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sast_gt": q_sast_gt,                          # fixture oracle
         "fce_gt": q_fce_gt,                            # fixture oracle
         "pse_crop": q_pse_crop,                        # fixture oracle
+        "docx_recovery": q_docx_recovery,
         "main_content": MC.main_content,
         "pq_codes": PQ.pq_codes,
         "pq_adc_topk": PQ.pq_adc_topk,
@@ -2791,6 +2831,16 @@ def oracle_sql() -> dict[str, str]:
     sqls["explode_spans"] = f"""
 WITH {SYNTH_CTE.lstrip()}
 SELECT doc_id, span_idx, kind, text, media_ref, CAST("offset" AS BIGINT) AS "offset"
+FROM synth_spans"""
+
+    # the docx container roundtrip must reproduce the ordered stream the
+    # synth SQL computes directly (payload = media_ref for media spans,
+    # the span text otherwise; ord = array position = span_idx)
+    sqls["docx_recovery"] = f"""
+WITH {SYNTH_CTE.lstrip()}
+SELECT doc_id, CAST(span_idx AS BIGINT) AS ord, kind,
+       CASE WHEN kind = 'media' THEN media_ref
+            ELSE coalesce(text, '') END AS payload
 FROM synth_spans"""
 
     sqls["span_geometry"] = f"""
