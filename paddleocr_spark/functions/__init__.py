@@ -81,6 +81,8 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": _content("main_content"),
         "pq_adc_topk": _pq("pq_adc_topk"),
         "ivfpq_topk": _pq("ivfpq_topk"),
+        # round-4 closing: the literal S11 docx container sink
+        "docx_recovery": _entry("q_docx_recovery"),
     }
 
 
