@@ -1287,9 +1287,19 @@ def q_grapheme_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fork grapheme layer: decompose→compose roundtrip with the
     prob-carrying dialect (korean_grapheme_label.py:35-104): >=2 unknown
     jamo → max-prob verbatim passthrough, <=1 → (11,0,0) defaults,
-    empty → a single space."""
+    empty → a single space.
+
+    The conf array<double> is serialized to a canonical comma-joined
+    4-decimal string: the driver's canonicalizer sorts result columns
+    with pandas (list cells are unhashable → r4 gate err), so gate
+    outputs must be atomic-typed (pinned by
+    tests/test_plans.py::test_registry_outputs_are_atomic)."""
     from .functions.grapheme import grapheme_compose
-    return grapheme_compose(_docs(spark, sf_dir).select("doc_id", "text"))
+    d = grapheme_compose(_docs(spark, sf_dir).select("doc_id", "text"))
+    return d.select(
+        "doc_id", "composed",
+        F.expr("concat_ws(',', transform(conf, x -> "
+               "cast(cast(x as decimal(6,4)) as string)))").alias("conf"))
 
 
 def q_grapheme_compose_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1324,9 +1334,17 @@ def q_utf8_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     (korean_compose_by_utf8.py:60-94) — cho+jung starts a syllable and
     CONSUMES an optional JONGSUNG-member final (including '@'). The
     sequential scan runs as an Arrow-batched row kernel (the HOF-fold
-    form measured O(n²); see PERF.md)."""
+    form measured O(n²); see PERF.md).
+
+    The ps array<double> is serialized to a canonical comma-joined
+    4-decimal string — gate outputs must be atomic-typed for the
+    driver's pandas canonicalizer (same trap as grapheme_compose)."""
     from .functions.grapheme import utf8_compose
-    return utf8_compose(_docs(spark, sf_dir).select("doc_id", "text"))
+    d = utf8_compose(_docs(spark, sf_dir).select("doc_id", "text"))
+    return d.select(
+        "doc_id", "composed",
+        F.expr("concat_ws(',', transform(ps, x -> "
+               "cast(cast(x as decimal(6,4)) as string)))").alias("ps"))
 
 
 def q_rec_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4626,8 +4644,9 @@ SELECT doc_id,
            coalesce(array_to_string(list_transform(
                generate_series(1, {g_n}), k -> {g_ch}), ''), '') END
            AS composed,
-       list_transform(generate_series(1, {g_n}),
-                      k -> round({g_conf}, 4)) AS conf
+       array_to_string(list_transform(generate_series(1, {g_n}),
+                      k -> CAST(CAST(round({g_conf}, 4) AS DECIMAL(6,4))
+                                AS VARCHAR)), ',') AS conf
 FROM dec"""
 
     g_lch = (f"CASE WHEN {gip} = 0 OR {gmp} = 0 THEN {gi_ch} "
@@ -4740,9 +4759,12 @@ per AS (
     FROM off
 )
 SELECT kt.doc_id, kt.ktext AS composed,
-       coalesce(agg.ps, []) AS ps
+       coalesce(agg.ps, '') AS ps
 FROM kt LEFT JOIN (
-    SELECT doc_id, list(pk ORDER BY k) AS ps FROM per GROUP BY doc_id
+    SELECT doc_id,
+           array_to_string(list(CAST(CAST(pk AS DECIMAL(6,4)) AS VARCHAR)
+                                ORDER BY k), ',') AS ps
+    FROM per GROUP BY doc_id
 ) agg USING (doc_id)"""
 
     u_c1 = "substring(ktext, CAST(k AS INT), 1)"

@@ -95,3 +95,26 @@ def test_utf8_chain_widens_before_per_char_hofs(spark):
     # projection (parent) must appear before the exchange (child).
     assert plan.index("transform(") < plan.index("Exchange")
     assert "REPARTITION_BY_NUM" in plan          # AQE-coalesce-exempt
+
+
+def test_registry_outputs_are_atomic(spark):
+    """Every queries() entry emits only atomic-typed columns.
+
+    The driver's correctness gate canonicalizes results with pandas
+    sort_values over every column; array/struct/map cells are unhashable
+    there (the r4 `grapheme_compose` gate err — a harness failure, not a
+    semantics bug). Complex intermediates are fine; the FINAL select of
+    a gate query must serialize them (comma-joined 4dp decimals is the
+    house pattern, see q_grapheme_compose / q_utf8_compose)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    import __spark_entry__ as entry
+
+    offenders = {}
+    for name, fn in entry.queries().items():
+        df = fn(spark, SF)
+        bad = [f.name for f in df.schema.fields
+               if isinstance(f.dataType, (ArrayType, StructType, MapType))]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
