@@ -2390,6 +2390,13 @@ def q_border_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LMDB_FIXTURE_ROOT = "/tmp/paddleocr_spark_lmdb"
 _LMDB_W, _LMDB_H = 40, 26
+# Driver-memory bound on fixture synthesis: only the LOWEST doc_ids per
+# parity are collected and written (lowest-first makes the 1-based
+# file_idx enumeration identical to row_number over the capped set, so
+# the closed-form twin just adds `file_idx <= cap`).  4096/env covers
+# every gate SF's behavior arms while keeping the collect O(1) in
+# corpus size — the fixture is test scaffolding, never a 10^12 path.
+_LMDB_MAX_DOCS_PER_ENV = 4096
 
 
 def _lmdb_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -2400,19 +2407,27 @@ def _lmdb_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     image rides the F_BIGDATA overflow path); every 31st doc_id omits
     its label key to exercise the reference's missing-label skip.
     Fixture synthesis scaffolding, like render_ref_gif — the operator
-    under test is the reader."""
+    under test is the reader.  The collect is bounded to the lowest
+    _LMDB_MAX_DOCS_PER_ENV doc_ids per parity (computed distributed,
+    ONE window exchange) so synthesis stays driver-safe at any SF."""
     import numpy as np
+    from pyspark.sql.window import Window
 
     from .imagecodecs import encode_pnm
     from .sources.lmdbfile import write_mdb
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    dest = os.path.join(_LMDB_FIXTURE_ROOT, tag)
+    dest = os.path.join(
+        _LMDB_FIXTURE_ROOT, f"{tag}-cap{_LMDB_MAX_DOCS_PER_ENV}")
     if all(os.path.exists(os.path.join(dest, e, "data.mdb"))
            for e in ("env_a", "env_b")):
         return dest
-    rows = _docs(spark, sf_dir).select(
-        "doc_id", F.substring("text", 1, 20).alias("t")).collect()
+    w = Window.partitionBy(F.col("doc_id") % 2).orderBy("doc_id")
+    rows = (_docs(spark, sf_dir)
+            .select("doc_id", F.substring("text", 1, 20).alias("t"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _LMDB_MAX_DOCS_PER_ENV)
+            .select("doc_id", "t").collect())
     xs = np.arange(_LMDB_W)[None, :, None]
     ys = np.arange(_LMDB_H)[:, None, None]
     tmp = f"{dest}.tmp-{os.getpid()}"
@@ -5202,7 +5217,7 @@ SELECT lmdb_idx, file_idx,
        CAST(list_sum({gexpr}) AS BIGINT) AS sum_gray,
        CAST(list_min({gexpr}) AS BIGINT) AS min_gray,
        CAST(list_max({gexpr}) AS BIGINT) AS max_gray
-FROM r WHERE doc_id % 31 != 0"""
+FROM r WHERE doc_id % 31 != 0 AND file_idx <= {_LMDB_MAX_DOCS_PER_ENV}"""
 
     sqls["border_map"] = _fixture_sql(
         "border_map",
