@@ -1811,6 +1811,35 @@ def q_layout_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _media_refs(spark, sf_dir).mapInPandas(go, schema=schema)
 
 
+def q_rec_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 deterministic rec-resize subset (round 5; previously enum):
+    the 12 deterministic ``*ResizeImg`` operator variants of
+    ppocr/data/imaug/rec_img_aug.py:255-721 — CTC pad/nopad, chinese
+    grow-width, SAR divisor-snap (Python banker's round pinned), SRN
+    width ladder + post-resize BGR2GRAY, ABINet float64 ImageNet norm,
+    gray /128−1 arms, PREN/VL hard resizes, SPIN bicubic, RFL gray —
+    over real decoded pixels (paddleocr_spark/recresize.py). Fixture
+    oracle (float32 chains are not SQL-restatable; tools/
+    make_fixtures.py re-assembles them single-node, sf0.01 only)."""
+    import pandas as pd
+
+    from .recresize import rec_resize_for_ref
+
+    cols = ["media_ref", "variant", "out_c", "out_h", "out_w",
+            "valid_ratio", "resize_w", "mean", "vmin", "vmax"]
+    schema = ("media_ref string, variant string, out_c long, out_h long, "
+              "out_w long, valid_ratio double, resize_w long, "
+              "mean double, vmin double, vmax double")
+
+    def go(it):
+        for pdf in it:
+            rows = [r for ref in pdf["media_ref"]
+                    for r in rec_resize_for_ref(ref)]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return _media_refs(spark, sf_dir).mapInPandas(go, schema=schema)
+
+
 def q_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2's PDF branch, text-side (round 4): media refs → deterministic
     REAL PDF bytes (xref table, pages tree, FlateDecode content streams
@@ -2640,6 +2669,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2e_label_encode": q_e2e_label_encode,
         "gif_frames": q_gif_frames,
         "tensor_ops": q_tensor_ops,
+        "rec_resize": q_rec_resize,
         "media_decode_real": q_media_decode_real,
         "utf8_decompose": q_utf8_decompose,
         "grapheme_decompose": q_grapheme_decompose,
@@ -3019,6 +3049,12 @@ FROM synth_final GROUP BY doc_id, kind"""
         "CAST(res_h AS BIGINT) AS res_h, CAST(res_w AS BIGINT) AS res_w, "
         "CAST(pad_h AS BIGINT) AS pad_h, CAST(pad_w AS BIGINT) AS pad_w, "
         "mean, vmin, vmax, ratio_h, ratio_w")
+    sqls["rec_resize"] = _fixture_sql(
+        "rec_resize",
+        "media_ref, variant, CAST(out_c AS BIGINT) AS out_c, "
+        "CAST(out_h AS BIGINT) AS out_h, CAST(out_w AS BIGINT) AS out_w, "
+        "valid_ratio, CAST(resize_w AS BIGINT) AS resize_w, "
+        "mean, vmin, vmax")
     sqls["table_xlsx"] = _fixture_sql(
         "table_xlsx",
         "CAST(t_id AS BIGINT) AS t_id, CAST(n_rows AS BIGINT) AS n_rows, "

@@ -472,6 +472,16 @@ def fx_tensor_ops(con, sf_dir: str) -> pd.DataFrame:
         "mean", "vmin", "vmax", "ratio_h", "ratio_w"])
 
 
+def fx_rec_resize(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_rec_resize single-node (see fx_tensor_ops)."""
+    from paddleocr_spark.recresize import rec_resize_for_ref
+    rows = [r for ref in _media_refs_single_node(con, sf_dir)
+            for r in rec_resize_for_ref(ref)]
+    return pd.DataFrame(rows, columns=[
+        "media_ref", "variant", "out_c", "out_h", "out_w", "valid_ratio",
+        "resize_w", "mean", "vmin", "vmax"])
+
+
 def fx_table_xlsx(con, sf_dir: str) -> pd.DataFrame:
     """entry_queries.q_table_xlsx single-node: the table HTML comes from
     table_html's own DuckDB oracle SQL (independent of the Spark walk);
@@ -838,6 +848,7 @@ def fx_fce_gt(con, sf_dir: str) -> pd.DataFrame:
 
 FIXTURES = {
     "tensor_ops": fx_tensor_ops,
+    "rec_resize": fx_rec_resize,
     "border_map": fx_border_map,
     "rotate_crop": fx_rotate_crop,
     "layout_preprocess": fx_layout_preprocess,
