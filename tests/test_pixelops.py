@@ -204,3 +204,71 @@ def test_normalize_image_matches_elementwise_formula_bit_for_bit():
                 v = np.float32(img[y, x, ch]) * scale
                 want[y, x, ch] = (v - mean[ch]) / std[ch]
     assert got.dtype == np.float32 and np.array_equal(got, want)
+
+
+def test_resize_hist_matches_resize_bilinear():
+    """resize_hist_u8 must equal np.bincount over the actual
+    resize_bilinear output, per channel, bit-for-bit — the histogram IS
+    the resized plane's value distribution, not an approximation — for
+    odd sizes, degenerate 1×1, upscale and downscale, and across block
+    boundaries (block smaller / larger than out_h)."""
+    from paddleocr_spark.pixelops import resize_bilinear, resize_hist_u8
+
+    rng = np.random.default_rng(31)
+    cases = [((1, 1), (800, 608)), ((3, 17), (800, 608)),
+             ((16, 9), (800, 608)), ((40, 33), (800, 608)),
+             ((64, 64), (31, 47)), ((200, 150), (37, 53))]
+    for (h, w), (oh, ow) in cases:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        ref = resize_bilinear(img, oh, ow)
+        for block in (5, 64, 4096):
+            hist = resize_hist_u8(img, oh, ow, block=block)
+            for c in range(3):
+                assert np.array_equal(
+                    hist[c],
+                    np.bincount(ref[:, :, c].ravel(), minlength=256)), (
+                        (h, w), (oh, ow), block, c)
+
+
+def test_normalize_lut_monotone_and_exact():
+    """The D6 normalize LUT is built BY normalize_image (same scalar
+    roundings) and is monotone nondecreasing per channel — the premise
+    of the histogram min/max shortcut in layout_preprocess_for_ref."""
+    from paddleocr_spark.pixelops import _normalize_lut, normalize_image
+
+    lut = _normalize_lut()
+    ramp = np.broadcast_to(np.arange(256, dtype=np.uint8)[:, None, None],
+                           (256, 1, 3)).copy()
+    full = normalize_image(ramp, order="hwc")
+    for c in range(3):
+        assert lut[c].dtype == np.float32
+        assert np.array_equal(lut[c], full[:, 0, c])
+        assert np.all(np.diff(lut[c]) >= 0), c
+
+
+def test_layout_preprocess_stats_match_naive_chain():
+    """layout_preprocess_for_ref's histogram-derived stat rows vs a
+    naive full-tensor recomputation (resize → normalize → to_chw →
+    positional reductions): vmin/vmax must match EXACTLY pre-rounding
+    (monotone LUT); the histogram-dot mean must agree with the
+    positional float64 pairwise mean to 1e-9 before the shared 4dp
+    rounding (they differ only in float64 summation order)."""
+    from paddleocr_spark.imagecodecs import render_ref_image
+    from paddleocr_spark.pixelops import (decode_image_op,
+                                          layout_preprocess_for_ref,
+                                          normalize_image, resize_op,
+                                          to_chw)
+
+    for ref in ("media://img/00003", "media://img/00042"):
+        _, buf = render_ref_image(ref)
+        img = decode_image_op(buf, "RGB")
+        resized, _ = resize_op(img, (800, 608))
+        chw = to_chw(normalize_image(resized, order="hwc"))
+        got = layout_preprocess_for_ref(ref)
+        for c in range(3):
+            r = got[c]
+            assert r[:4] == (ref, c, 800, 608)
+            naive_mean = float(chw[c].mean(dtype=np.float64))
+            assert abs(r[4] - round(naive_mean, 4)) <= 1e-9, (ref, c)
+            assert r[5] == round(float(chw[c].min()), 4), (ref, c)
+            assert r[6] == round(float(chw[c].max()), 4), (ref, c)
