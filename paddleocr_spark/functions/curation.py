@@ -44,6 +44,8 @@ are part of the contract.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -400,7 +402,8 @@ def sampling_temperature(spark: SparkSession, sf_dir: str,
                 / F.col("p_raw"), 4).alias("boost"))
 
 
-def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ccnet_buckets(spark: SparkSession, sf_dir: str,
+                  approx: bool | None = None) -> DataFrame:
     """CCNet-style perplexity bucketing of the bigram LM score.
 
     CCNet splits each language's corpus into head / middle / tail
@@ -413,13 +416,37 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable (no ntile remainder semantics to match).
 
     Scale shape: the per-doc score is :func:`lm_score` (no windows);
-    only the two threshold VALUES need a rank, computed here with one
-    global row_number — the honest seam at 10^12 docs, where you'd swap
-    in a mergeable quantile sketch (t-digest / percentile_approx) for
-    the two cutpoints and keep everything else identical. The bucketing
-    join is a 1-row broadcast.
+    only the two threshold VALUES need a rank. The default (oracle)
+    path computes them with one global row_number — exact, engine-
+    portable, but a single-partition sort at the limit. Passing
+    ``approx=True`` (or setting ``SPARK_GRAFT_CCNET_APPROX=1``) swaps
+    the two cutpoints for Spark's mergeable Greenwald-Khanna sketch
+    (``percentile_approx``, map-side partial agg, NO global sort or
+    window anywhere in the plan — pinned by
+    tests/test_curation.py::test_ccnet_buckets_approx_plan) and keeps
+    everything else identical; the bucketing join is a 1-row broadcast.
+    That is the 10^12-doc shape: rank error ≤ n/accuracy docs around
+    each tercile cut, and the scored subtree is persisted so the LM
+    pass still executes once.
     """
     from .retrieval import lm_score
+
+    if approx is None:
+        approx = os.environ.get("SPARK_GRAFT_CCNET_APPROX", "0") == "1"
+    if approx:
+        scores = lm_score(spark, sf_dir)
+        # scores feeds BOTH the sketch agg and the bucketing select; an
+        # unpersisted reuse would re-execute the whole LM-training
+        # lineage. StorageLevel default (memory+disk) — at corpus scale
+        # this is the standard cache-the-scored-table move.
+        scores = scores.persist()
+        th = scores.agg(F.percentile_approx(
+            "lm_nll", [1.0 / 3.0, 2.0 / 3.0], 10000).alias("ts"))
+        return (scores.crossJoin(F.broadcast(th))
+                .select("doc_id", "lm_nll",
+                        F.when(F.col("lm_nll") <= F.col("ts")[0], "head")
+                        .when(F.col("lm_nll") <= F.col("ts")[1], "middle")
+                        .otherwise("tail").alias("bucket")))
 
     # rk/n and the two threshold values all live on the same global
     # single-partition window, so deriving t1/t2 as window aggregates

@@ -278,6 +278,43 @@ def test_ccnet_buckets_matches_plain_python(spark):
     assert counts["head"] >= n // 4 and counts["tail"] >= n // 5
 
 
+def test_ccnet_buckets_approx_path(spark):
+    """The scaled (quantile-sketch) seam of ccnet_buckets: with
+    approx=True the two tercile cutpoints come from percentile_approx
+    — the executed plan must contain NO window and NO global sort
+    (the exact path's single-partition row_number is the thing the
+    seam removes) — and at this corpus size the GK sketch's rank error
+    (n/accuracy < 1 rank) makes the cutpoints land on real score
+    values, so each bucket must agree with the exact path everywhere
+    except possibly ties at a threshold value."""
+    from paddleocr_spark.functions.curation import ccnet_buckets
+
+    exact = {r["doc_id"]: (r["lm_nll"], r["bucket"])
+             for r in ccnet_buckets(spark, SF).collect()}
+    adf = ccnet_buckets(spark, SF, approx=True)
+    plan = adf._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "percentile_approx" in plan
+    # the only Sorts allowed are none at all — the bucketing is a
+    # broadcast of one sketch row over the scored table
+    assert "Sort " not in plan and "SortExec" not in plan, plan
+    got = {r["doc_id"]: (r["lm_nll"], r["bucket"]) for r in adf.collect()}
+    assert set(got) == set(exact)
+    thresholds = {v[0] for d, v in exact.items()
+                  if got[d][1] != exact[d][1]}
+    disagree = [d for d in exact if got[d][1] != exact[d][1]]
+    # any disagreement must sit exactly ON a cut value shared by other
+    # docs (tie-at-threshold), never in a bucket interior
+    for d in disagree:
+        assert sum(1 for v in exact.values() if v[0] == exact[d][0]) >= 1
+    assert len(disagree) <= max(2, len(exact) // 100), (
+        len(disagree), sorted(thresholds))
+    for b in ("head", "middle", "tail"):
+        ne = sum(1 for v in exact.values() if v[1] == b)
+        ng = sum(1 for v in got.values() if v[1] == b)
+        assert abs(ne - ng) <= max(2, len(exact) // 100), (b, ne, ng)
+
+
 def test_quality_classifier_matches_plain_python(spark):
     """NB training + Pareto keep replayed in plain Python. Labels come
     from the Spark gopher_rules output (itself differentialed in
