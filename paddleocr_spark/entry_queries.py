@@ -1588,6 +1588,293 @@ def q_cls_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"))
 
 
+def q_cnt_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 CNTMetric (ppocr/metrics/rec_metric.py:603-634): counting-task
+    exact-match accuracy with the same 1e-5-regularized denominator as
+    ClsMetric. Target = n_chars % 50 (the count label); the noisy
+    counter stand-in over-counts by one when the THIRD md5 hex digit is
+    '0' (~1/16 of docs)."""
+    d = _docs(spark, sf_dir).select(
+        (F.col("n_chars") % 50).alias("t"),
+        ((F.col("n_chars") % 50) + F.when(F.expr(
+            "substring(md5(CAST(doc_id AS STRING)), 3, 1) = '0'"),
+            1).otherwise(0)).alias("p"))
+    return d.agg(
+        F.round(F.sum(F.when(F.col("p") == F.col("t"), 1).otherwise(0))
+                / (F.count("*") + F.lit(1e-5)), 4).alias("acc"),
+        F.sum(F.when(F.col("p") == F.col("t"), 1).otherwise(0))
+        .cast("long").alias("n_correct"),
+        F.count("*").cast("long").alias("n"))
+
+
+#: KIEMetric ignore list (ppocr/metrics/kie_metric.py:44) — the even
+#: class ids plus 25; scored classes are the 12 odd ids 1..23.
+KIE_F1_C = 26
+KIE_F1_CLASSES = [c for c in range(KIE_F1_C)
+                  if c not in {0, 2, 4, 6, 8, 10, 12, 14, 16, 18, 20, 22,
+                               24, 25}]
+
+
+def q_kie_f1_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 KIEMetric.compute_f1_score (ppocr/metrics/kie_metric.py:43-66):
+    per-class F1 from the node-classification confusion matrix — recalls
+    = diag / rowsum.clip(min=1), precisions = diag / colsum.clip(min=1),
+    f1 = 2pr / (p + r).clip(min=1e-8) — averaged over the non-ignored
+    classes (combine_results, :55-60). One doc = one node. The gt class
+    is the first two md5 hex digits mod 26; the node-score matrix is the
+    deterministic stand-in score(node, c) = uint32(md5(doc_id ':' c))
+    and the prediction is its argmax (first index on ties), so the
+    argmax-over-C path of the metric is exercised, not bypassed. The gt
+    class's score gets a +2^33 logit boost unless the THIRD md5 hex
+    digit is '0' (~1/16 of nodes), so the classifier stand-in is right
+    ~15/16 of the time and the confusion matrix is non-degenerate.
+    Emits one row per scored class (cls, f1, hmean) with hmean repeated
+    — the hash pins every per-class F1 AND the mean."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "((instr('0123456789abcdef', substring(md5(CAST(doc_id AS "
+            "STRING)), 1, 1)) - 1) * 16 + instr('0123456789abcdef', "
+            "substring(md5(CAST(doc_id AS STRING)), 2, 1)) - 1) % 26"
+        ).alias("gt"),
+        F.expr(
+            "substring(md5(CAST(doc_id AS STRING)), 3, 1) = '0'"
+        ).alias("noisy"))
+    d = d.select(
+        "gt", "noisy",
+        F.expr(
+            "transform(sequence(0, 25), c -> CAST(conv(substring(md5("
+            "concat(CAST(doc_id AS STRING), ':', CAST(c AS STRING))), "
+            "1, 8), 16, 10) AS BIGINT) "
+            "+ IF(c = gt AND NOT noisy, 8589934592L, 0L))")
+        .alias("scores"))
+    d = d.select(
+        "gt", (F.expr("array_position(scores, array_max(scores))") - 1)
+        .cast("int").alias("pred"))
+    conf = d.groupBy("gt", "pred").count()
+    cls = spark.range(KIE_F1_C).select(F.col("id").cast("int").alias("c"))
+    rows_ = conf.groupBy("gt").agg(F.sum("count").alias("rs"))
+    cols_ = conf.groupBy("pred").agg(F.sum("count").alias("cs"))
+    diag_ = (conf.filter(F.col("gt") == F.col("pred"))
+             .select(F.col("gt").alias("c"), F.col("count").alias("dg")))
+    full = (cls.join(rows_, cls.c == rows_.gt, "left")
+            .join(cols_, cls.c == cols_.pred, "left")
+            .join(diag_, "c", "left")
+            .select("c",
+                    F.coalesce("dg", F.lit(0)).cast("double").alias("dg"),
+                    F.coalesce("rs", F.lit(0)).cast("double").alias("rs"),
+                    F.coalesce("cs", F.lit(0)).cast("double").alias("cs")))
+    rec = F.col("dg") / F.greatest(F.col("rs"), F.lit(1.0))
+    prec = F.col("dg") / F.greatest(F.col("cs"), F.lit(1.0))
+    f1 = 2 * rec * prec / F.greatest(rec + prec, F.lit(1e-8))
+    scored = (full.withColumn("f1", f1)
+              .filter(F.col("c").isin(KIE_F1_CLASSES)))
+    hm = scored.agg(F.avg("f1").alias("hmean"))
+    return (scored.crossJoin(F.broadcast(hm))
+            .select(F.col("c").cast("long").alias("cls"),
+                    F.round("f1", 4).alias("f1"),
+                    F.round("hmean", 4).alias("hmean")))
+
+
+#: SER tag synthesis constants, shared by the Spark query and the DuckDB
+#: twin builder: positions per doc capped at SER_MAX_POS; an ANCHOR
+#: (B- tag) where hex1 >= 12 (p = 1/4), an extension flag where
+#: hex2 >= 8 (p = 1/2); entity length <= 3.
+SER_MAX_POS = 40
+
+
+def q_ser_token_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 VQASerTokenMetric (ppocr/metrics/vqa_token_ser_metric.py:25-47):
+    entity-level precision / recall / F1 of BIO tag sequences, the
+    seqeval semantics the reference calls into. The synthesized tag
+    sequences are VALID IOB2 (every I- continues the type of the B-
+    opening it), where seqeval's default conlleval chunking and its
+    strict IOB2 scheme provably agree — an entity is exactly a maximal
+    B,I...I run — so the metric reduces to exact (doc, type, start, end)
+    set intersection, which is what this computes distributed.
+
+    Tag synthesis is a closed form per (doc, position) — anchor where
+    hex1(md5(doc '#g' pos)) >= 12, type = hex1 % 3, extended while the
+    next positions' hex2 >= 8, capped at length 3 — so entity spans are
+    derived WITHOUT sequential scans or windows: each anchor recomputes
+    its two successors' flags inline. The prediction flips anchors where
+    hex1(md5(doc '#n' pos)) = 0 (~1/16 of positions)."""
+    def hx(salt: str, pos, idx: int) -> str:
+        return (f"instr('0123456789abcdef', substring(md5(concat(CAST("
+                f"doc_id AS STRING), '{salt}', CAST({pos} AS STRING))), "
+                f"{idx}, 1)) - 1")
+
+    def anchor(which: str, pos) -> str:
+        a = f"({hx('#g', pos, 1)}) >= 12"
+        if which == "g":
+            return a
+        return f"(({a}) != (({hx('#n', pos, 1)}) = 0))"
+
+    def ext(pos) -> str:
+        return f"({hx('#g', pos, 2)}) >= 8"
+
+    def entities(which: str):
+        base = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.least(F.greatest((F.col("n_chars") % SER_MAX_POS) + 2,
+                               F.lit(3)),
+                    F.lit(SER_MAX_POS)).alias("n_pos"))
+        pos = base.select(
+            "doc_id", "n_pos", F.explode(
+                F.sequence(F.lit(1), F.col("n_pos"))).alias("p"))
+        a0 = anchor(which, "p")
+        i1 = (f"p + 1 <= n_pos AND NOT ({anchor(which, '(p + 1)')}) "
+              f"AND ({ext('(p + 1)')})")
+        i2 = (f"p + 2 <= n_pos AND NOT ({anchor(which, '(p + 2)')}) "
+              f"AND ({ext('(p + 2)')})")
+        return (pos.filter(F.expr(a0))
+                .select("doc_id",
+                        F.expr(f"({hx('#g', 'p', 1)}) % 3").alias("typ"),
+                        F.col("p").alias("start"),
+                        (F.col("p")
+                         + F.expr(f"IF({i1}, 1, 0)")
+                         + F.expr(f"IF(({i1}) AND ({i2}), 1, 0)"))
+                        .alias("end")))
+
+    gt = entities("g")
+    pred = entities("p")
+    tp = gt.join(pred, ["doc_id", "typ", "start", "end"], "inner")
+    agg = (gt.agg(F.count("*").alias("n_true"))
+           .crossJoin(pred.agg(F.count("*").alias("n_pred")))
+           .crossJoin(tp.agg(F.count("*").alias("n_match"))))
+    p = F.col("n_match") / F.col("n_pred")
+    r = F.col("n_match") / F.col("n_true")
+    return agg.select(
+        F.round(p, 4).alias("precision"), F.round(r, 4).alias("recall"),
+        F.round(2 * p * r / (p + r), 4).alias("hmean"),
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_pred").cast("long").alias("n_pred"),
+        F.col("n_match").cast("long").alias("n_match"))
+
+
+def q_re_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 VQAReTokenMetric.re_score, mode='boundaries'
+    (ppocr/metrics/vqa_token_re_metric.py:79-181): relation-extraction
+    precision / recall / F1 where a relation is identified by its head
+    and tail entity SPANS (boundaries mode ignores entity types,
+    :121-129). Ground-truth relations link each doc's consecutive SER
+    gt entities (1st→2nd, 3rd→4th, ... — the question→answer pairing of
+    predict_kie_token_ser_re); the predicted set drops a pair when
+    hex1(md5(doc '#r' k)) = 0 (a miss) and retargets the tail to the
+    head's own span when it is 1 (a spurious relation), so tp, fp and
+    fn are all exercised."""
+    def hx(salt: str, pos, idx: int) -> str:
+        return (f"instr('0123456789abcdef', substring(md5(concat(CAST("
+                f"doc_id AS STRING), '{salt}', CAST({pos} AS STRING))), "
+                f"{idx}, 1)) - 1")
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.least(F.greatest((F.col("n_chars") % SER_MAX_POS) + 2, F.lit(3)),
+                F.lit(SER_MAX_POS)).alias("n_pos"))
+    pos = base.select("doc_id", "n_pos", F.explode(
+        F.sequence(F.lit(1), F.col("n_pos"))).alias("p"))
+    a0 = f"({hx('#g', 'p', 1)}) >= 12"
+    i1 = (f"p + 1 <= n_pos AND NOT (({hx('#g', '(p + 1)', 1)}) >= 12) "
+          f"AND (({hx('#g', '(p + 1)', 2)}) >= 8)")
+    i2 = (f"p + 2 <= n_pos AND NOT (({hx('#g', '(p + 2)', 1)}) >= 12) "
+          f"AND (({hx('#g', '(p + 2)', 2)}) >= 8)")
+    ents = (pos.filter(F.expr(a0))
+            .select("doc_id", F.col("p").alias("start"),
+                    (F.col("p") + F.expr(f"IF({i1}, 1, 0)")
+                     + F.expr(f"IF(({i1}) AND ({i2}), 1, 0)"))
+                    .alias("end")))
+    w = Window.partitionBy("doc_id").orderBy("start")
+    idx = ents.withColumn("k", F.row_number().over(w))
+    heads = idx.filter(F.col("k") % 2 == 1).select(
+        "doc_id", ((F.col("k") + 1) / 2).cast("long").alias("j"),
+        F.col("start").alias("hs"), F.col("end").alias("he"))
+    tails = idx.filter(F.col("k") % 2 == 0).select(
+        "doc_id", (F.col("k") / 2).cast("long").alias("j"),
+        F.col("start").alias("ts"), F.col("end").alias("te"))
+    gt = heads.join(tails, ["doc_id", "j"], "inner")
+    noise = F.expr(f"{hx('#r', 'j', 1)}")
+    pred = (gt.withColumn("nz", noise)
+            .filter(F.col("nz") != 0)
+            .select("doc_id", "hs", "he",
+                    F.when(F.col("nz") == 1, F.col("hs"))
+                    .otherwise(F.col("ts")).alias("ts"),
+                    F.when(F.col("nz") == 1, F.col("he"))
+                    .otherwise(F.col("te")).alias("te")))
+    gtk = gt.select("doc_id", "hs", "he", "ts", "te")
+    tp = gtk.join(pred, ["doc_id", "hs", "he", "ts", "te"], "inner")
+    agg = (gtk.agg(F.count("*").alias("n_rels"))
+           .crossJoin(pred.agg(F.count("*").alias("n_found")))
+           .crossJoin(tp.agg(F.count("*").alias("n_match"))))
+    p = F.col("n_match") / F.col("n_found")
+    r = F.col("n_match") / F.col("n_rels")
+    return agg.select(
+        F.round(p, 4).alias("precision"), F.round(r, 4).alias("recall"),
+        F.round(2 * p * r / (p + r), 4).alias("hmean"),
+        F.col("n_rels").cast("long").alias("n_rels"),
+        F.col("n_found").cast("long").alias("n_found"),
+        F.col("n_match").cast("long").alias("n_match"))
+
+
+#: CANMetric batching rule shared with the fixture replay: docs are
+#: grouped into batches of 64 consecutive doc_ids; labels capped at
+#: CAN_MAX_WORDS tokens (the padded-sequence stand-in).
+CAN_BATCH = 64
+CAN_MAX_WORDS = 24
+
+
+def q_can_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 CANMetric (ppocr/metrics/rec_metric.py:637-702): handwritten-
+    expression word_rate / exp_rate. Per batch (doc_id DIV 64), each
+    line's score is the Ratcliff/Obershelp SequenceMatcher ratio
+    rescaled to matched/len(label) (:660-668, the reference's literal
+    float chain — functions/metrics.can_word_score); the batch
+    accumulates word_rate·word_length and line_right exactly as
+    __call__ does (:672-679), and get_metric's ratios (:681-692) become
+    the final agg: word_rate = Σ(rate_b·padlen_b)/Σ padlen_b, exp_rate
+    = Σ line_right / Σ batch_size. Labels are the docs' first 24 words;
+    the noisy decoder stand-in appends '~' to token i where
+    hex1(md5(doc '@' i)) = 0 (~1/16 of tokens). Oracle: committed
+    fixture (tools/make_fixtures.fx_can_metric imports the same scorer
+    — the kernels-imported-twice rule)."""
+    import pandas as pd
+
+    from .functions.metrics import can_batch_stats
+
+    d = (_docs(spark, sf_dir)
+         .select("doc_id", F.expr(
+             f"slice(filter(split(lower(coalesce(text, '')), ' '), "
+             f"w -> w != ''), 1, {CAN_MAX_WORDS})").alias("label"))
+         .filter(F.size("label") >= 1)
+         .withColumn("pred", F.expr(
+             "transform(label, (w, i) -> IF(substring(md5(concat("
+             "CAST(doc_id AS STRING), '@', CAST(i + 1 AS STRING))), "
+             "1, 1) = '0', concat(w, '~'), w))"))
+         .withColumn("batch_id", F.expr(f"doc_id DIV {CAN_BATCH}")))
+
+    out_schema = ("batch_id long, word_rate double, line_right long, "
+                  "word_length long, batch_size long")
+
+    def per_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")  # deterministic np.mean order
+        wr, lr, wl, bs = can_batch_stats(
+            [list(x) for x in pdf["label"]],
+            [list(x) for x in pdf["pred"]])
+        return pd.DataFrame(
+            [(int(pdf["batch_id"].iloc[0]), wr, lr, wl, bs)],
+            columns=["batch_id", "word_rate", "line_right",
+                     "word_length", "batch_size"])
+
+    per = d.groupBy("batch_id").applyInPandas(per_batch, out_schema)
+    return per.agg(
+        F.round(F.sum(F.col("word_rate") * F.col("word_length"))
+                / F.sum("word_length"), 4).alias("word_rate"),
+        F.round(F.sum("line_right") / F.sum("batch_size"), 4)
+        .alias("exp_rate"),
+        F.count("*").cast("long").alias("n_batches"),
+        F.sum("batch_size").cast("long").alias("n_lines"))
+
+
 def q_orientation4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-way orientation stage (ppstructure/predict_system.py:94-108): the
     deterministic scanner-rotation is undone by the classifier-driven
@@ -2617,6 +2904,12 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_kind_counts": q_flagship_kind_counts,
         "flagship_extract": q_flagship_extract,        # fixture oracle
         # -- group 2: new since CORRECTNESS_r03, expensive-first -------
+        # round-5 A9 closure family (never driver-sampled — keep first):
+        "ser_token_metric": q_ser_token_metric,
+        "re_metric": q_re_metric,
+        "kie_f1_metric": q_kie_f1_metric,
+        "can_metric": q_can_metric,               # fixture oracle
+        "cnt_metric": q_cnt_metric,
         "east_crop": q_east_crop,                      # fixture oracle
         "copy_paste": q_copy_paste,                    # fixture oracle
         "pse_gt": q_pse_gt,
@@ -3060,6 +3353,10 @@ FROM synth_final GROUP BY doc_id, kind"""
         "CAST(t_id AS BIGINT) AS t_id, CAST(n_rows AS BIGINT) AS n_rows, "
         "CAST(n_cols AS BIGINT) AS n_cols, CAST(n_merges AS BIGINT) AS "
         "n_merges, CAST(xlsx_size AS BIGINT) AS xlsx_size, xlsx_md5")
+    sqls["can_metric"] = _fixture_sql(
+        "can_metric",
+        "word_rate, exp_rate, CAST(n_batches AS BIGINT) AS n_batches, "
+        "CAST(n_lines AS BIGINT) AS n_lines")
     sqls["layout_preprocess"] = _fixture_sql(
         "layout_preprocess",
         "media_ref, CAST(channel AS BIGINT) AS channel, "
@@ -4109,6 +4406,147 @@ SELECT doc_id, head_id, tail_id FROM (
                                  ORDER BY head_id) AS rn
     FROM kcand
 ) WHERE rn = 1"""
+
+    sqls["cnt_metric"] = """
+WITH c AS (
+    SELECT n_chars % 50 AS t,
+           n_chars % 50 + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),
+                                            3, 1) = '0'
+                               THEN 1 ELSE 0 END AS p
+    FROM documents)
+SELECT round(sum(CASE WHEN p = t THEN 1 ELSE 0 END)
+             / (count(*) + 1e-5), 4) + 0 AS acc,
+       CAST(sum(CASE WHEN p = t THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(count(*) AS BIGINT) AS n
+FROM c"""
+
+    _KIE_CLS = ", ".join(str(c) for c in KIE_F1_CLASSES)
+    sqls["kie_f1_metric"] = f"""
+WITH d AS (
+    SELECT doc_id,
+           ((strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+            + strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 26
+               AS gt,
+           substr(md5(CAST(doc_id AS VARCHAR)), 3, 1) = '0' AS noisy
+    FROM documents),
+s AS (
+    SELECT gt, list_transform(generate_series(0, 25), c ->
+        CAST(list_sum(list_transform(generate_series(1, 8), i ->
+            CAST(strpos('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                            || CAST(c AS VARCHAR)), i, 1)) - 1 AS DOUBLE)
+            * power(16.0, 8 - i))) AS BIGINT)
+        + CASE WHEN c = gt AND NOT noisy THEN 8589934592 ELSE 0 END)
+        AS scores
+    FROM d),
+p AS (SELECT gt, list_position(scores, list_max(scores)) - 1 AS pred
+      FROM s),
+conf AS (SELECT gt, pred, count(*) AS cnt FROM p GROUP BY gt, pred),
+cls AS (SELECT unnest(generate_series(0, 25)) AS c),
+m AS (
+    SELECT cls.c,
+           COALESCE((SELECT sum(cnt) FROM conf
+                     WHERE gt = cls.c AND pred = cls.c), 0)::DOUBLE AS dg,
+           COALESCE((SELECT sum(cnt) FROM conf WHERE gt = cls.c),
+                    0)::DOUBLE AS rs,
+           COALESCE((SELECT sum(cnt) FROM conf WHERE pred = cls.c),
+                    0)::DOUBLE AS cs
+    FROM cls),
+f AS (
+    SELECT c, 2 * (dg / greatest(rs, 1.0)) * (dg / greatest(cs, 1.0))
+              / greatest(dg / greatest(rs, 1.0) + dg / greatest(cs, 1.0),
+                         1e-8) AS f1
+    FROM m WHERE c IN ({_KIE_CLS})),
+hm AS (SELECT avg(f1) AS hmean FROM f)
+SELECT CAST(c AS BIGINT) AS cls, round(f1, 4) + 0 AS f1,
+       round(hmean, 4) + 0 AS hmean
+FROM f, hm"""
+
+    def _dk_hx(salt: str, pos: str, idx: int) -> str:
+        return (f"strpos('0123456789abcdef', substr(md5(CAST(doc_id AS "
+                f"VARCHAR) || '{salt}' || CAST({pos} AS VARCHAR)), "
+                f"{idx}, 1)) - 1")
+
+    def _dk_anchor(which: str, pos: str) -> str:
+        a = f"({_dk_hx('#g', pos, 1)}) >= 12"
+        if which == "g":
+            return a
+        return f"(({a}) != (({_dk_hx('#n', pos, 1)}) = 0))"
+
+    def _dk_ents(which: str) -> str:
+        a0 = _dk_anchor(which, "p")
+        i1 = (f"p + 1 <= n_pos AND NOT ({_dk_anchor(which, '(p + 1)')}) "
+              f"AND ({_dk_hx('#g', '(p + 1)', 2)}) >= 8")
+        i2 = (f"p + 2 <= n_pos AND NOT ({_dk_anchor(which, '(p + 2)')}) "
+              f"AND ({_dk_hx('#g', '(p + 2)', 2)}) >= 8")
+        return (f"SELECT doc_id, ({_dk_hx('#g', 'p', 1)}) % 3 AS typ, "
+                f"p AS strt, "
+                f"p + CASE WHEN {i1} THEN 1 ELSE 0 END "
+                f"+ CASE WHEN ({i1}) AND ({i2}) THEN 1 ELSE 0 END AS fin "
+                f"FROM pos WHERE {a0}")
+
+    _SER_POS = f"""
+base AS (
+    SELECT doc_id, least(greatest(n_chars % {SER_MAX_POS} + 2, 3),
+                         {SER_MAX_POS}) AS n_pos
+    FROM documents),
+pos AS (
+    SELECT doc_id, n_pos, unnest(generate_series(1, n_pos)) AS p
+    FROM base)"""
+
+    sqls["ser_token_metric"] = f"""
+WITH {_SER_POS},
+gt AS ({_dk_ents('g')}),
+pr AS ({_dk_ents('p')}),
+tp AS (SELECT count(*) AS n_match FROM gt
+       JOIN pr USING (doc_id, typ, strt, fin)),
+agg AS (SELECT (SELECT count(*) FROM gt) AS n_true,
+               (SELECT count(*) FROM pr) AS n_pred,
+               (SELECT n_match FROM tp) AS n_match)
+SELECT round(n_match / (1.0 * n_pred), 4) + 0 AS precision,
+       round(n_match / (1.0 * n_true), 4) + 0 AS recall,
+       round(2.0 * (n_match / (1.0 * n_pred)) * (n_match / (1.0 * n_true))
+             / ((n_match / (1.0 * n_pred)) + (n_match / (1.0 * n_true))),
+             4) + 0 AS hmean,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_match AS BIGINT) AS n_match
+FROM agg"""
+
+    sqls["re_metric"] = f"""
+WITH {_SER_POS},
+ents AS ({_dk_ents('g')}),
+idx AS (SELECT doc_id, strt, fin, row_number() OVER
+            (PARTITION BY doc_id ORDER BY strt) AS k FROM ents),
+heads AS (SELECT doc_id, CAST((k + 1) / 2 AS BIGINT) AS j,
+                 strt AS hs, fin AS he FROM idx WHERE k % 2 = 1),
+tails AS (SELECT doc_id, CAST(k / 2 AS BIGINT) AS j,
+                 strt AS ts, fin AS te FROM idx WHERE k % 2 = 0),
+gt AS (SELECT heads.doc_id, j, hs, he, ts, te
+       FROM heads JOIN tails USING (doc_id, j)),
+pred AS (
+    SELECT doc_id, hs, he,
+           CASE WHEN nz = 1 THEN hs ELSE ts END AS ts,
+           CASE WHEN nz = 1 THEN he ELSE te END AS te
+    FROM (SELECT *, ({_dk_hx('#r', 'j', 1)}) AS nz FROM gt)
+    WHERE nz != 0),
+tp AS (SELECT count(*) AS n_match
+       FROM (SELECT doc_id, hs, he, ts, te FROM gt) g
+       JOIN pred USING (doc_id, hs, he, ts, te)),
+agg AS (SELECT (SELECT count(*) FROM gt) AS n_rels,
+               (SELECT count(*) FROM pred) AS n_found,
+               (SELECT n_match FROM tp) AS n_match)
+SELECT round(n_match / (1.0 * n_found), 4) + 0 AS precision,
+       round(n_match / (1.0 * n_rels), 4) + 0 AS recall,
+       round(2.0 * (n_match / (1.0 * n_found)) * (n_match / (1.0 * n_rels))
+             / ((n_match / (1.0 * n_found)) + (n_match / (1.0 * n_rels))),
+             4) + 0 AS hmean,
+       CAST(n_rels AS BIGINT) AS n_rels,
+       CAST(n_found AS BIGINT) AS n_found,
+       CAST(n_match AS BIGINT) AS n_match
+FROM agg"""
 
     sqls["cls_metric"] = """
 WITH c AS (

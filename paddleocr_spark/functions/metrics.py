@@ -269,3 +269,34 @@ def det_eval(gt: DataFrame, det: DataFrame) -> DataFrame:
         F.round(F.when(p + r == 0, 0.0).otherwise(2 * p * r / (p + r)), 4)
         .alias("hmean"),
         "n_images")
+
+
+# ---------------------------------------------------------------------------
+# CANMetric (handwritten-expression recognition) — rec_metric.py:637-702
+# ---------------------------------------------------------------------------
+
+def can_word_score(label: list[str], pred: list[str]) -> float:
+    """CANMetric's per-line word score (rec_metric.py:660-668): difflib
+    SequenceMatcher (Ratcliff/Obershelp, autojunk off) ratio rescaled by
+    ``ratio * (len(s1) + len(s2)) / len(s1) / 2`` — algebraically
+    M / len(label) (matched elements over label length), kept as the
+    reference's literal float chain so last-ulp behavior matches the
+    single-node replay."""
+    from difflib import SequenceMatcher
+
+    m = SequenceMatcher(None, label, pred, autojunk=False)
+    return m.ratio() * (len(label) + len(pred)) / len(label) / 2
+
+
+def can_batch_stats(labels: list[list[str]], preds: list[list[str]]):
+    """One CANMetric ``__call__`` over a batch (rec_metric.py:651-679):
+    word_scores per line, ``word_rate`` = np.mean(scores), ``line_right``
+    = #{score == 1}, and the batch's padded word_length = max label
+    length (the stand-in for word_label.shape[1]). Returns
+    (word_rate, line_right, word_length, batch_size) — exactly the
+    quantities the reference accumulates into word_right / exp_right."""
+    scores = [can_word_score(l, p) for l, p in zip(labels, preds)]
+    word_rate = float(np.mean(scores))
+    line_right = sum(1 for s in scores if s == 1)
+    word_length = max(len(l) for l in labels)
+    return word_rate, line_right, word_length, len(labels)

@@ -131,3 +131,112 @@ def test_det_eval_distributed_equals_kernel(spark):
     assert row["hmean"] == pytest.approx(
         2 * row["precision"] * row["recall"]
         / (row["precision"] + row["recall"]), abs=2e-4)
+
+
+def _md5_hex(s: str, idx: int) -> int:
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[idx - 1], 16)
+
+
+def _ser_tags(doc_id: int, n_pos: int, which: str) -> list[str]:
+    """Plain-python replay of q_ser_token_metric's closed-form tag
+    synthesis, emitted as an actual IOB2 tag SEQUENCE (the shape the
+    reference feeds seqeval)."""
+    def anchor(p):
+        a = _md5_hex(f"{doc_id}#g{p}", 1) >= 12
+        if which == "g":
+            return a
+        return a != (_md5_hex(f"{doc_id}#n{p}", 1) == 0)
+
+    def ext(p):
+        return _md5_hex(f"{doc_id}#g{p}", 2) >= 8
+
+    tags = ["O"] * (n_pos + 1)           # 1-indexed
+    for p in range(1, n_pos + 1):
+        if anchor(p):
+            t = _md5_hex(f"{doc_id}#g{p}", 1) % 3
+            tags[p] = f"B-t{t}"
+            q = p + 1
+            while q <= min(p + 2, n_pos) and not anchor(q) and ext(q):
+                tags[q] = f"I-t{t}"
+                q += 1
+    return tags[1:]
+
+
+def _conlleval_entities(tags: list[str]) -> set[tuple]:
+    """Independent entity chunker implementing seqeval's default
+    (conlleval) rules for BIO input: chunk starts at B-, or at I- whose
+    predecessor is O / a different type; ends before O / B- / a type
+    change. On VALID IOB2 this equals maximal B,I..I runs."""
+    out, start, cur = set(), None, None
+    for i, tag in enumerate(tags + ["O"]):
+        pre, typ = (tag[0], tag[2:]) if tag != "O" else ("O", "")
+        if start is not None and (pre == "O" or pre == "B" or typ != cur):
+            out.add((cur, start, i - 1))
+            start = None
+        if pre == "B" or (pre == "I" and start is None):
+            start, cur = i, typ
+    return out
+
+
+def test_ser_token_metric_matches_tag_sequence_replay(spark):
+    """The distributed closed-form entity derivation must equal chunking
+    the ACTUAL IOB2 tag sequences with conlleval rules — i.e. the no-
+    windows Spark construction really is the seqeval entity metric."""
+    import pandas as pd
+
+    from paddleocr_spark.entry_queries import (SER_MAX_POS,
+                                               q_ser_token_metric)
+
+    docs = pd.read_parquet(SF + "/documents.parquet")
+    n_true = n_pred = n_match = 0
+    for _, row in docs.iterrows():
+        n_pos = min(max(int(row.n_chars) % SER_MAX_POS + 2, 3), SER_MAX_POS)
+        g = {(t, s + 1, e + 1) for t, s, e in
+             _conlleval_entities(_ser_tags(int(row.doc_id), n_pos, "g"))}
+        p = {(t, s + 1, e + 1) for t, s, e in
+             _conlleval_entities(_ser_tags(int(row.doc_id), n_pos, "p"))}
+        n_true += len(g)
+        n_pred += len(p)
+        n_match += len(g & p)
+    got = q_ser_token_metric(spark, SF).collect()[0]
+    assert (got["n_true"], got["n_pred"], got["n_match"]) == (
+        n_true, n_pred, n_match)
+    assert got["precision"] == pytest.approx(n_match / n_pred, abs=1e-4)
+    assert got["recall"] == pytest.approx(n_match / n_true, abs=1e-4)
+
+
+def test_kie_f1_metric_matches_plain_python(spark):
+    """compute_f1_score (kie_metric.py:43-66) replayed: confusion matrix
+    from the same md5-derived gt/argmax-pred, clip-regularized per-class
+    P/R/F1, mean over the non-ignored classes."""
+    import hashlib
+
+    import pandas as pd
+
+    from paddleocr_spark.entry_queries import (KIE_F1_C, KIE_F1_CLASSES,
+                                               q_kie_f1_metric)
+
+    docs = pd.read_parquet(SF + "/documents.parquet")
+    hist = np.zeros((KIE_F1_C, KIE_F1_C))
+    for d in docs.doc_id:
+        h = hashlib.md5(str(int(d)).encode()).hexdigest()
+        gt = (int(h[0], 16) * 16 + int(h[1], 16)) % 26
+        noisy = h[2] == "0"
+        scores = [
+            int(hashlib.md5(f"{int(d)}:{c}".encode()).hexdigest()[:8], 16)
+            + (2 ** 33 if (c == gt and not noisy) else 0)
+            for c in range(KIE_F1_C)]
+        pred = int(np.argmax(scores))
+        hist[gt, pred] += 1
+    diag = np.diag(hist)
+    recalls = diag / hist.sum(1).clip(min=1)
+    precisions = diag / hist.sum(0).clip(min=1)
+    f1 = 2 * recalls * precisions / (recalls + precisions).clip(min=1e-8)
+    want = {c: f1[c] for c in KIE_F1_CLASSES}
+    got = {r["cls"]: r["f1"] for r in q_kie_f1_metric(spark, SF).collect()}
+    assert set(got) == set(want)
+    for c in want:
+        assert got[c] == pytest.approx(want[c], abs=1e-4), c
+    hm = q_kie_f1_metric(spark, SF).collect()[0]["hmean"]
+    assert hm == pytest.approx(np.mean(list(want.values())), abs=1e-4)

@@ -505,6 +505,45 @@ def fx_table_xlsx(con, sf_dir: str) -> pd.DataFrame:
         "t_id", "n_rows", "n_cols", "n_merges", "xlsx_size", "xlsx_md5"])
 
 
+def fx_can_metric(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_can_metric single-node: same label/pred token
+    synthesis replayed in plain python (md5 per 1-based token position),
+    same 64-doc batching, the SAME scorer imported from
+    functions/metrics.can_batch_stats (kernels-imported-twice), and the
+    same final ratios, with Spark's HALF_UP rounding."""
+    import hashlib
+
+    from paddleocr_spark.entry_queries import CAN_BATCH, CAN_MAX_WORDS
+    from paddleocr_spark.functions.metrics import can_batch_stats
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    batches: dict[int, list[tuple[int, list, list]]] = {}
+    for did, text in zip(docs.doc_id, docs.text):
+        label = [w for w in str(text or "").lower().split(" ") if w]
+        label = label[:CAN_MAX_WORDS]
+        if not label:
+            continue
+        pred = [
+            w + "~" if hashlib.md5(
+                f"{int(did)}@{i + 1}".encode()).hexdigest()[0] == "0"
+            else w for i, w in enumerate(label)]
+        batches.setdefault(int(did) // CAN_BATCH, []).append(
+            (int(did), label, pred))
+    num = den = lines = right = 0.0
+    for b in sorted(batches):
+        rows = sorted(batches[b])
+        wr, lr, wl, bs = can_batch_stats(
+            [r[1] for r in rows], [r[2] for r in rows])
+        num += wr * wl
+        den += wl
+        right += lr
+        lines += bs
+    return pd.DataFrame([(f_round(num / den), f_round(right / lines),
+                          len(batches), int(lines))],
+                        columns=["word_rate", "exp_rate", "n_batches",
+                                 "n_lines"])
+
+
 def fx_layout_preprocess(con, sf_dir: str) -> pd.DataFrame:
     """entry_queries.q_layout_preprocess single-node (see fx_tensor_ops)."""
     from paddleocr_spark.pixelops import layout_preprocess_for_ref
@@ -847,6 +886,7 @@ def fx_fce_gt(con, sf_dir: str) -> pd.DataFrame:
 
 
 FIXTURES = {
+    "can_metric": fx_can_metric,
     "tensor_ops": fx_tensor_ops,
     "rec_resize": fx_rec_resize,
     "border_map": fx_border_map,
