@@ -2098,6 +2098,32 @@ def q_layout_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _media_refs(spark, sf_dir).mapInPandas(go, schema=schema)
 
 
+def q_sr_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/SR SRMetric PSNR + SSIM (ppocr/metrics/sr_metric.py:26-155;
+    round 5, previously scoped out with the SR model plumbing): the full
+    gaussian-window SSIM (11-tap sigma-1.5 separable conv, C1/C2
+    stabilizers, map mean) and 255-domain PSNR over a deterministic
+    super-resolution pair per rendered blob — hr = gray 32x64 resize,
+    sr = the same target re-upscaled from a 16x32 downscale (the model
+    forward is the only nondeterministic reference piece). Per-ref rows
+    pin every pair; SRMetric.get_metric's 6dp rounding is applied
+    per-pair. Fixture oracle, sf0.01 only."""
+    import pandas as pd
+
+    from .pixelops import sr_pair_for_ref
+
+    cols = ["media_ref", "psnr", "ssim"]
+
+    def go(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                [sr_pair_for_ref(ref) for ref in pdf["media_ref"]],
+                columns=cols)
+
+    return _media_refs(spark, sf_dir).mapInPandas(
+        go, schema="media_ref string, psnr double, ssim double")
+
+
 def q_rec_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R6 deterministic rec-resize subset (round 5; previously enum):
     the 12 deterministic ``*ResizeImg`` operator variants of
@@ -2906,6 +2932,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- group 2: new since CORRECTNESS_r03, expensive-first -------
         # round-5 A9 closure family (never driver-sampled — keep first):
         "ser_token_metric": q_ser_token_metric,
+        "sr_metric": q_sr_metric,                 # fixture oracle
         "re_metric": q_re_metric,
         "kie_f1_metric": q_kie_f1_metric,
         "can_metric": q_can_metric,               # fixture oracle
@@ -3353,6 +3380,8 @@ FROM synth_final GROUP BY doc_id, kind"""
         "CAST(t_id AS BIGINT) AS t_id, CAST(n_rows AS BIGINT) AS n_rows, "
         "CAST(n_cols AS BIGINT) AS n_cols, CAST(n_merges AS BIGINT) AS "
         "n_merges, CAST(xlsx_size AS BIGINT) AS xlsx_size, xlsx_md5")
+    sqls["sr_metric"] = _fixture_sql(
+        "sr_metric", "media_ref, psnr, ssim")
     sqls["can_metric"] = _fixture_sql(
         "can_metric",
         "word_rate, exp_rate, CAST(n_batches AS BIGINT) AS n_batches, "

@@ -685,3 +685,85 @@ def _normalize_lut() -> list:
         full = normalize_image(ramp, order="hwc")
         _NORM_LUT = [np.ascontiguousarray(full[:, 0, c]) for c in range(3)]
     return _NORM_LUT
+
+
+# ---------------------------------------------------------------------------
+# SRMetric — PSNR + SSIM (ppocr/metrics/sr_metric.py:26-155)
+# ---------------------------------------------------------------------------
+
+def _ssim_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    """SSIM.gaussian + create_window (sr_metric.py:34-45): normalized
+    1-D gaussian; the 2-D window is its outer product, so the conv2d is
+    separable into two 1-D passes."""
+    g = np.exp(-((np.arange(window_size) - window_size // 2) ** 2)
+               / (2.0 * sigma ** 2))
+    return g / g.sum()
+
+
+def _conv_sep(img: np.ndarray, g: np.ndarray) -> np.ndarray:
+    """Zero-padded 'same' 2-D convolution with the separable gaussian —
+    the F.conv2d(padding=window_size//2, groups=channel) of
+    sr_metric.py:50-63, per 2-D plane. The 11-tap kernel is symmetric,
+    so convolution == correlation; computed as 11 shifted-slice
+    accumulations per axis (images here are tiny)."""
+    k = g.shape[0]
+    half = k // 2
+    out = img
+    for axis in (0, 1):
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (half, half)
+        p = np.pad(out, pad)
+        acc = np.zeros_like(img, dtype=np.float64)
+        n = img.shape[axis]
+        for t in range(k):
+            sl = [slice(None), slice(None)]
+            sl[axis] = slice(t, t + n)
+            acc += g[t] * p[tuple(sl)]
+        out = acc
+    return out
+
+
+def ssim_pair(img1: np.ndarray, img2: np.ndarray) -> float:
+    """SSIM._ssim (sr_metric.py:48-75) over one [0, 1]-ranged grayscale
+    plane: local means/variances/covariance via the gaussian window,
+    C1 = 0.01^2, C2 = 0.03^2, mean of the ssim map."""
+    g = _ssim_window()
+    mu1 = _conv_sep(img1, g)
+    mu2 = _conv_sep(img2, g)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = _conv_sep(img1 * img1, g) - mu1_sq
+    s2 = _conv_sep(img2 * img2, g) - mu2_sq
+    s12 = _conv_sep(img1 * img2, g) - mu1_mu2
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    ssim_map = ((2 * mu1_mu2 + c1) * (2 * s12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
+    return float(ssim_map.mean())
+
+
+def psnr_pair(img1: np.ndarray, img2: np.ndarray) -> float:
+    """SRMetric.calculate_psnr (sr_metric.py:113-118): images in [0, 1],
+    MSE in the 255 domain, 20 log10(255 / sqrt(mse)); inf when equal."""
+    mse = float(((img1 * 255.0 - img2 * 255.0) ** 2).mean())
+    if mse == 0:
+        return float("inf")
+    return float(20.0 * np.log10(255.0 / np.sqrt(mse)))
+
+
+def sr_pair_for_ref(ref: str) -> tuple:
+    """One SRMetric __call__ pair (sr_metric.py:126-134) over a rendered
+    blob: hr = the gray [0, 1] 32x64 bilinear resize of the decoded
+    image; sr = the same target re-upscaled from a 16x32 downscale (the
+    deterministic super-resolution stand-in — the model's output is the
+    only nondeterministic piece of the reference's SR path). Returns
+    (ref, psnr, ssim) with the per-pair values 6dp-rounded the way
+    get_metric rounds the averages, so the fixture twin is
+    engine-portable."""
+    from .imagecodecs import render_ref_image
+    from .recresize import cvt_bgr2gray
+
+    _, buf = render_ref_image(ref)
+    gray = cvt_bgr2gray(imread_color(buf))
+    hr = resize_bilinear(gray, 32, 64).astype(np.float64) / 255.0
+    lr = resize_bilinear(gray, 16, 32)
+    sr = resize_bilinear(lr, 32, 64).astype(np.float64) / 255.0
+    return (ref, round(psnr_pair(sr, hr), 6), round(ssim_pair(sr, hr), 6))

@@ -272,3 +272,32 @@ def test_layout_preprocess_stats_match_naive_chain():
             assert abs(r[4] - round(naive_mean, 4)) <= 1e-9, (ref, c)
             assert r[5] == round(float(chw[c].min()), 4), (ref, c)
             assert r[6] == round(float(chw[c].max()), 4), (ref, c)
+
+
+def test_ssim_separable_conv_matches_naive_2d():
+    """_conv_sep (two 1-D gaussian passes) must equal the naive zero-
+    padded 2-D convolution with the outer-product window up to float64
+    roundoff, and ssim/psnr must satisfy their identities."""
+    from paddleocr_spark.pixelops import (_conv_sep, _ssim_window,
+                                          psnr_pair, ssim_pair)
+
+    g = _ssim_window()
+    assert g.shape == (11,) and abs(g.sum() - 1.0) < 1e-12
+    w2 = np.outer(g, g)
+    rng = np.random.default_rng(11)
+    img = rng.random((20, 33))
+    got = _conv_sep(img, g)
+    pad = np.pad(img, 5)
+    want = np.empty_like(img)
+    for y in range(img.shape[0]):
+        for x in range(img.shape[1]):
+            want[y, x] = (pad[y:y + 11, x:x + 11] * w2).sum()
+    assert np.allclose(got, want, atol=1e-12)
+    assert ssim_pair(img, img) == 1.0
+    assert psnr_pair(img, img) == float("inf")
+    other = rng.random((20, 33))
+    s = ssim_pair(img, other)
+    assert -1.0 <= s < 1.0
+    mse = float(((img * 255 - other * 255) ** 2).mean())
+    assert psnr_pair(img, other) == pytest.approx(
+        20 * np.log10(255 / np.sqrt(mse)))

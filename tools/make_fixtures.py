@@ -544,6 +544,14 @@ def fx_can_metric(con, sf_dir: str) -> pd.DataFrame:
                                  "n_lines"])
 
 
+def fx_sr_metric(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_sr_metric single-node (see fx_tensor_ops)."""
+    from paddleocr_spark.pixelops import sr_pair_for_ref
+    rows = [sr_pair_for_ref(ref)
+            for ref in _media_refs_single_node(con, sf_dir)]
+    return pd.DataFrame(rows, columns=["media_ref", "psnr", "ssim"])
+
+
 def fx_layout_preprocess(con, sf_dir: str) -> pd.DataFrame:
     """entry_queries.q_layout_preprocess single-node (see fx_tensor_ops)."""
     from paddleocr_spark.pixelops import layout_preprocess_for_ref
@@ -887,6 +895,7 @@ def fx_fce_gt(con, sf_dir: str) -> pd.DataFrame:
 
 FIXTURES = {
     "can_metric": fx_can_metric,
+    "sr_metric": fx_sr_metric,
     "tensor_ops": fx_tensor_ops,
     "rec_resize": fx_rec_resize,
     "border_map": fx_border_map,
