@@ -1914,14 +1914,29 @@ def _media_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning expression) and loses its AQE exemption with it, so the
     partitioning key must be a DIFFERENT expression (xxhash64 of the
     ref); and plain round-robin gets coalesced right back (the cell_match
-    lesson)."""
-    return (synth_spans(_docs(spark, sf_dir))
-            .select(F.explode("spans").alias("s"))
-            .filter(F.col("s.kind") == "media")
-            .select(F.col("s.media_ref").alias("media_ref"))
-            .distinct()
-            .repartition(spark.sparkContext.defaultParallelism * 2,
-                         F.xxhash64("media_ref")))
+    lesson).
+
+    Session-cached (round 5): EIGHT decode-family gate queries
+    (media_decode_real, gif_frames, pdf_pages, tensor_ops, rotate_crop,
+    layout_preprocess, rec_resize, sr_metric) each start from this same
+    distinct-ref table; persisting it per (session, sf_dir) computes the
+    span-explode + distinct exchange once per gate run (~2 s each at
+    sf0.1) instead of once per query. The production analog is the
+    content-addressed media table materialized once per corpus snapshot.
+    The persisted table keeps its 2x-parallelism hash partitioning, so
+    downstream mapInPandas stages stay wide."""
+    from .functions.dedup import _cached
+
+    def build() -> DataFrame:
+        return (synth_spans(_docs(spark, sf_dir))
+                .select(F.explode("spans").alias("s"))
+                .filter(F.col("s.kind") == "media")
+                .select(F.col("s.media_ref").alias("media_ref"))
+                .distinct()
+                .repartition(spark.sparkContext.defaultParallelism * 2,
+                             F.xxhash64("media_ref")))
+
+    return _cached(spark, sf_dir, "media_refs", build)
 
 
 def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:

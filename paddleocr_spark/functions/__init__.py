@@ -83,6 +83,10 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": _pq("ivfpq_topk"),
         # round-4 closing: the literal S11 docx container sink
         "docx_recovery": _entry("q_docx_recovery"),
+        # round-5 additions: A9 metric closure representatives
+        "ser_token_metric": _entry("q_ser_token_metric"),
+        "sr_metric": _entry("q_sr_metric"),
+        "can_metric": _entry("q_can_metric"),
     }
 
 
