@@ -1106,6 +1106,92 @@ def q_det_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return det_eval(gt, det)
 
 
+def q_det_fce_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DetFCEMetric (ppocr/metrics/det_metric.py:81-178; round 5,
+    previously only the plain DetMetric was covered): the same
+    DetectionIoUEvaluator greedy matching swept over the 10 score
+    thresholds 0.0..0.9 (reset(), :168) — dets below the threshold are
+    dropped BEFORE matching, so each threshold gets its own greedy
+    assignment — plus get_metric's two folds (:135-165): hmean_max =
+    max over thresholds, and AP = Σ max_precision_so_far · (pre_recall
+    − recall) walked in threshold order with pre_recall = 1,
+    max_precision = 0 (the reference's literal fold, including that
+    max_precision lags by one step).
+
+    Distributed shape: each (doc, threshold) pair becomes a PSEUDO-DOC
+    key for the same grouped-Arrow greedy kernel J4 uses — 10× the
+    groups, zero new kernel code — then one agg per threshold and a
+    10-row window for the folds. Same gt/det universe as q_det_eval;
+    det score = ((det_id * 7) % 10) / 10 + 0.05, never equal to a
+    threshold. Greedy matching is iterative → committed fixture oracle.
+    Emits (thr, precision, recall, hmean, hmean_max, ap), folds
+    repeated per row so the hash pins the curve AND both folds."""
+    from .functions.metrics import det_eval_per_doc
+
+    li = _lineitem(spark, sf_dir).filter(F.col("l_linenumber") <= 4)
+    base = li.select(
+        F.format_string("doc_%04d", F.col("l_orderkey") % 200)
+        .alias("doc_id"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("oid"),
+        ((F.col("l_partkey") % 40) * 30).cast("double").alias("x1"),
+        ((F.col("l_suppkey") % 30) * 30).cast("double").alias("y1"),
+        F.col("l_linenumber").alias("ln"))
+    thrs = spark.range(10).select((F.col("id") * 0.1).alias("thr"))
+    gt = (base.crossJoin(F.broadcast(thrs))
+          .select(F.concat("doc_id", F.lit("#"),
+                           F.format_number("thr", 1)).alias("doc_id"),
+                  F.col("thr").alias("g_thr"),
+                  F.col("oid").alias("gt_id"), "x1", "y1",
+                  (F.col("x1") + 25).alias("x2"),
+                  (F.col("y1") + 18).alias("y2"),
+                  (F.col("oid") % 11 == 0).alias("ignore")))
+    shift = F.when(F.col("ln") <= 3, F.lit(3.0)).otherwise(F.lit(7000.0))
+    score = ((F.col("oid") * 7) % 10) / 10.0 + 0.05
+    det = (base.withColumn("score", score)
+           .crossJoin(F.broadcast(thrs))
+           .filter(F.col("score") >= F.col("thr"))
+           .select(F.concat("doc_id", F.lit("#"),
+                            F.format_number("thr", 1)).alias("doc_id"),
+                   F.col("oid").alias("det_id"),
+                   (F.col("x1") + shift).alias("x1"),
+                   (F.col("y1") + shift).alias("y1"),
+                   (F.col("x1") + shift + 25).alias("x2"),
+                   (F.col("y1") + shift + 18).alias("y2")))
+    per = det_eval_per_doc(gt.drop("g_thr"), det)
+    # NOTE: pseudo-docs whose det set is empty at a high threshold still
+    # exist (every doc appears in gt for every threshold), so per-doc
+    # rows cover the full (doc, thr) grid and the per-threshold sums
+    # match the reference's append-per-image accounting.
+    by_thr = (per.withColumn(
+        "thr", F.expr("CAST(substring_index(doc_id, '#', -1) AS DOUBLE)"))
+        .groupBy("thr")
+        .agg(F.sum("matched").cast("double").alias("m"),
+             F.sum("det_care").cast("double").alias("d"),
+             F.sum("gt_care").cast("double").alias("g")))
+    p = F.when(F.col("d") == 0, 0.0).otherwise(F.col("m") / F.col("d"))
+    r = F.when(F.col("g") == 0, 0.0).otherwise(F.col("m") / F.col("g"))
+    curve = by_thr.select(
+        "thr", p.alias("precision"), r.alias("recall"),
+        F.when(p + r == 0, 0.0).otherwise(2 * p * r / (p + r))
+        .alias("hmean"))
+    w = Window.orderBy("thr")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    folded = curve.select(
+        "thr", "precision", "recall", "hmean",
+        (F.coalesce(F.max("precision").over(wprev), F.lit(0.0))
+         * (F.lag("recall", 1, 1.0).over(w) - F.col("recall")))
+        .alias("ap_term"))
+    tot = folded.agg(F.max("hmean").alias("hmean_max"),
+                     F.sum("ap_term").alias("ap"))
+    return (folded.crossJoin(F.broadcast(tot))
+            .select(F.round("thr", 1).alias("thr"),
+                    F.round("precision", 4).alias("precision"),
+                    F.round("recall", 4).alias("recall"),
+                    F.round("hmean", 4).alias("hmean"),
+                    F.round("hmean_max", 4).alias("hmean_max"),
+                    F.round("ap", 4).alias("ap")))
+
+
 def q_teds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 TEDS: tree-edit-distance similarity over deterministic table-html
     pairs built from documents (pred mutates one header cell and drops the
@@ -2948,6 +3034,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 A9 closure family (never driver-sampled — keep first):
         "ser_token_metric": q_ser_token_metric,
         "sr_metric": q_sr_metric,                 # fixture oracle
+        "det_fce_metric": q_det_fce_metric,       # fixture oracle
         "re_metric": q_re_metric,
         "kie_f1_metric": q_kie_f1_metric,
         "can_metric": q_can_metric,               # fixture oracle
@@ -3397,6 +3484,9 @@ FROM synth_final GROUP BY doc_id, kind"""
         "n_merges, CAST(xlsx_size AS BIGINT) AS xlsx_size, xlsx_md5")
     sqls["sr_metric"] = _fixture_sql(
         "sr_metric", "media_ref, psnr, ssim")
+    sqls["det_fce_metric"] = _fixture_sql(
+        "det_fce_metric",
+        "thr, precision, recall, hmean, hmean_max, ap")
     sqls["can_metric"] = _fixture_sql(
         "can_metric",
         "word_rate, exp_rate, CAST(n_batches AS BIGINT) AS n_batches, "

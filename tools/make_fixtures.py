@@ -188,6 +188,58 @@ def fx_det_eval(con, sf_dir: str) -> pd.DataFrame:
         "n_images": np.int64(n_images)}])
 
 
+def fx_det_fce_metric(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_det_fce_metric single-node: the same greedy
+    kernel per (doc, threshold) with dets filtered below threshold
+    BEFORE matching, per-threshold combine, then the reference's
+    literal hmean-max and AP folds (det_metric.py:135-165)."""
+    base = con.sql(f"""
+        SELECT printf('doc_%04d', l_orderkey % 200) AS doc_id,
+               l_orderkey * 10 + l_linenumber AS oid,
+               CAST((l_partkey % 40) * 30 AS DOUBLE) AS x1,
+               CAST((l_suppkey % 30) * 30 AS DOUBLE) AS y1,
+               l_linenumber AS ln
+        FROM read_parquet('{os.path.join(sf_dir, "lineitem.parquet")}')
+        WHERE l_linenumber <= 4
+    """).df()
+    thrs = [0.1 * t for t in range(10)]
+    sums = {t: [0, 0, 0] for t in thrs}          # m, d, g
+    for _, grp in base.groupby("doc_id", sort=True):
+        grp = grp.sort_values("oid", kind="stable")
+        gt = np.column_stack([grp["x1"], grp["y1"],
+                              grp["x1"] + 25, grp["y1"] + 18])
+        ignore = (grp["oid"] % 11 == 0).to_numpy()
+        shift = np.where(grp["ln"] <= 3, 3.0, 7000.0)
+        det = np.column_stack([grp["x1"] + shift, grp["y1"] + shift,
+                               grp["x1"] + shift + 25,
+                               grp["y1"] + shift + 18])
+        score = ((grp["oid"] * 7) % 10).to_numpy() / 10.0 + 0.05
+        for t in thrs:
+            keep = score >= t
+            gc, dc, mm = det_match_counts(gt, ignore, det[keep])
+            sums[t][0] += mm
+            sums[t][1] += dc
+            sums[t][2] += gc
+    rows = []
+    for t in thrs:
+        m, d, g = sums[t]
+        p = 0.0 if d == 0 else m / d
+        r = 0.0 if g == 0 else m / g
+        h = 0.0 if p + r == 0 else 2 * p * r / (p + r)
+        rows.append((t, p, r, h))
+    hmean_max = max(h for _, _, _, h in rows)
+    max_precision, pre_recall, ap = 0.0, 1.0, 0.0
+    for _, p, r, _ in rows:                      # reference fold order
+        ap += max_precision * (pre_recall - r)
+        max_precision = max(max_precision, p)
+        pre_recall = r
+    return pd.DataFrame(
+        [(f_round(t, 1), f_round(p), f_round(r), f_round(h),
+          f_round(hmean_max), f_round(ap)) for t, p, r, h in rows],
+        columns=["thr", "precision", "recall", "hmean", "hmean_max",
+                 "ap"])
+
+
 def fx_teds(con, sf_dir: str) -> pd.DataFrame:
     """entry_queries.q_teds single-node: pairs in DuckDB, teds_score +
     Python round per pair (matching the Arrow UDF's rounding)."""
@@ -896,6 +948,7 @@ def fx_fce_gt(con, sf_dir: str) -> pd.DataFrame:
 FIXTURES = {
     "can_metric": fx_can_metric,
     "sr_metric": fx_sr_metric,
+    "det_fce_metric": fx_det_fce_metric,
     "tensor_ops": fx_tensor_ops,
     "rec_resize": fx_rec_resize,
     "border_map": fx_border_map,
