@@ -1192,6 +1192,58 @@ def q_det_fce_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("ap", 4).alias("ap")))
 
 
+def q_table_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableMetric with compute_bbox_metric=True
+    (ppocr/metrics/table_metric.py:70-160; round 5 — previously only
+    its TableStructureMetric half was covered as A7): the structure
+    accuracy composed with a full DetMetric pass over the per-table
+    cell boxes. gt = the J1 grid cells with ignore all-false
+    (prepare_bbox_metric_input:110-116 hardcodes ignore_tags 0); det =
+    the predicted cell boxes — the gt grid jittered 3 px for the
+    table's first (t%5)+6 cells (IoU ≈ 0.95, matches) and displaced
+    7000 px for the rest (misses), so per-table counts differ and
+    precision/recall land strictly inside (0, 1) with the greedy
+    matching exercised, not bypassed. Matched per TABLE by
+    the J4 greedy evaluator and combined globally. Output keys follow
+    get_metric's prefix rule (:129-138, main_indicator 'acc' != the
+    bbox metric's 'hmean' → bbox keys get the bbox_metric_ prefix).
+    The greedy half is iterative → committed fixture oracle (the
+    structure half's value equals the table_token_acc gate, re-derived
+    in the fixture from its own SQL twin)."""
+    from .functions.metrics import det_eval
+    from .operators.table import table_token_acc
+
+    struct_ = table_token_acc(spark, sf_dir).select(
+        F.col("token_acc").alias("acc"),
+        F.col("n_tables"))
+    boxes, cells = _cm_boxes_cells(spark, sf_dir)
+    gt = cells.select(
+        F.format_string("t_%04d", F.col("t_id").cast("int"))
+        .alias("doc_id"),
+        F.col("cell_id").alias("gt_id"),
+        F.col("cx1").alias("x1"), F.col("cy1").alias("y1"),
+        F.col("cx2").alias("x2"), F.col("cy2").alias("y2"),
+        F.lit(False).alias("ignore"))
+    # per-table varying hit count: table t matches its first (t%5)+6
+    # cells, so the combine sums genuinely different per-image counts
+    shift = F.when(F.col("cell_id") <= (F.col("t_id") % 5) + 5,
+                   F.lit(3.0)).otherwise(F.lit(7000.0))
+    det = cells.select(
+        F.format_string("t_%04d", F.col("t_id").cast("int"))
+        .alias("doc_id"),
+        F.col("cell_id").alias("det_id"),
+        (F.col("cx1") + shift).alias("x1"),
+        (F.col("cy1") + shift).alias("y1"),
+        (F.col("cx2") + shift).alias("x2"),
+        (F.col("cy2") + shift).alias("y2"))
+    bbox = det_eval(gt, det).select(
+        F.col("precision").alias("bbox_metric_precision"),
+        F.col("recall").alias("bbox_metric_recall"),
+        F.col("hmean").alias("bbox_metric_hmean"),
+        F.col("n_images").alias("n_bbox_images"))
+    return struct_.crossJoin(F.broadcast(bbox))
+
+
 def q_teds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 TEDS: tree-edit-distance similarity over deterministic table-html
     pairs built from documents (pred mutates one header cell and drops the
@@ -3035,6 +3087,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ser_token_metric": q_ser_token_metric,
         "sr_metric": q_sr_metric,                 # fixture oracle
         "det_fce_metric": q_det_fce_metric,       # fixture oracle
+        "table_metric": q_table_metric,           # fixture oracle
         "re_metric": q_re_metric,
         "kie_f1_metric": q_kie_f1_metric,
         "can_metric": q_can_metric,               # fixture oracle
@@ -3487,6 +3540,11 @@ FROM synth_final GROUP BY doc_id, kind"""
     sqls["det_fce_metric"] = _fixture_sql(
         "det_fce_metric",
         "thr, precision, recall, hmean, hmean_max, ap")
+    sqls["table_metric"] = _fixture_sql(
+        "table_metric",
+        "acc, CAST(n_tables AS BIGINT) AS n_tables, "
+        "bbox_metric_precision, bbox_metric_recall, bbox_metric_hmean, "
+        "CAST(n_bbox_images AS BIGINT) AS n_bbox_images")
     sqls["can_metric"] = _fixture_sql(
         "can_metric",
         "word_rate, exp_rate, CAST(n_batches AS BIGINT) AS n_batches, "

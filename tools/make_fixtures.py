@@ -240,6 +240,46 @@ def fx_det_fce_metric(con, sf_dir: str) -> pd.DataFrame:
                  "ap"])
 
 
+def fx_table_metric(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_table_metric single-node: structure half from the
+    table_token_acc SQL twin (run verbatim over registered views — the
+    independent DuckDB restatement, not the Spark code); bbox half from
+    det_match_counts over the J1 cell/box universe per table, combined
+    with DetMetric's ratios."""
+    from paddleocr_spark.entry_queries import oracle_sql
+
+    for t in ("documents", "lineitem"):
+        con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')")
+    st = con.sql(oracle_sql()["table_token_acc"]).df()
+    t_ids = sorted(con.sql(
+        "SELECT DISTINCT l_orderkey % 50 AS t_id FROM lineitem "
+        "WHERE l_linenumber <= 4").df()["t_id"])
+    cells = np.array([[(c % 4) * 200.0, (c // 4) * 250.0,
+                       (c % 4) * 200.0 + 199, (c // 4) * 250.0 + 249]
+                      for c in range(12)])
+    no_ign = np.zeros(len(cells), dtype=bool)
+    m = d = g = n_img = 0
+    for t in t_ids:
+        shift = np.where(np.arange(12) <= (t % 5) + 5, 3.0, 7000.0)
+        det = cells + shift[:, None]
+        gc, dc, mm = det_match_counts(cells, no_ign, det)
+        m += mm
+        d += dc
+        g += gc
+        n_img += 1
+    p = 0.0 if d == 0 else m / d
+    r = 0.0 if g == 0 else m / g
+    h = 0.0 if p + r == 0 else 2 * p * r / (p + r)
+    return pd.DataFrame([{
+        "acc": st["token_acc"].iloc[0],
+        "n_tables": np.int64(st["n_tables"].iloc[0]),
+        "bbox_metric_precision": f_round(p),
+        "bbox_metric_recall": f_round(r),
+        "bbox_metric_hmean": f_round(h),
+        "n_bbox_images": np.int64(n_img)}])
+
+
 def fx_teds(con, sf_dir: str) -> pd.DataFrame:
     """entry_queries.q_teds single-node: pairs in DuckDB, teds_score +
     Python round per pair (matching the Arrow UDF's rounding)."""
@@ -949,6 +989,7 @@ FIXTURES = {
     "can_metric": fx_can_metric,
     "sr_metric": fx_sr_metric,
     "det_fce_metric": fx_det_fce_metric,
+    "table_metric": fx_table_metric,
     "tensor_ops": fx_tensor_ops,
     "rec_resize": fx_rec_resize,
     "border_map": fx_border_map,
