@@ -1458,6 +1458,54 @@ def q_grapheme_ned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grapheme_ned(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
+def q_rec_metric_grapheme(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fork RecMetric_GraphemeLabel_All (rec_metric.py:532-600): the
+    recursive dict dispatcher that runs one RecMetric per grapheme
+    channel — character / initial / medial / final — and flattens
+    get_metric results to '|{key}|{metric}' entries. Channels come from
+    the D-jamo decomposition (grapheme_decompose); pairs per channel
+    follow the grapheme_ned universe (tgt emptied %13; pred = '' %11,
+    = tgt %3, else tgt minus its FIRST char — edit distance exactly 1,
+    which keeps the norm-edit term engine-portable without a
+    levenshtein call). Per channel: RecMetric's exact-match acc and
+    norm_edit_dis = 1 − Σned/(n + 1e-5), ignore_space=True. Emits 4
+    rows (channel, acc, norm_edit_dis, n) ordered by channel."""
+    from .functions.grapheme import grapheme_decompose
+
+    dec = grapheme_decompose(_docs(spark, sf_dir).select("doc_id", "text"))
+    chan = dec.select("doc_id", F.expr(
+        "stack(4, 'character', ktext, 'initial', initial, "
+        "'medial', medial, 'final', final) AS (channel, raw)"))
+    pairs = chan.select(
+        "doc_id", "channel",
+        F.expr("CASE WHEN doc_id % 13 = 0 THEN '' ELSE raw END")
+        .alias("tgt0"))
+    pairs = pairs.select(
+        "channel",
+        F.expr("replace(CASE WHEN doc_id % 11 = 0 THEN '' "
+               "WHEN doc_id % 3 = 0 THEN tgt0 "
+               "ELSE substring(tgt0, 2) END, ' ', '')").alias("pred"),
+        F.expr("replace(tgt0, ' ', '')").alias("tgt"))
+    ned = (F.when(F.col("pred") == F.col("tgt"), F.lit(0.0))
+           .when((F.length("pred") == 0) | (F.length("tgt") == 0),
+                 F.lit(1.0))
+           .otherwise(1.0 / F.greatest(F.length("pred"),
+                                       F.length("tgt"))))
+    eps = 1e-5
+    agg = pairs.groupBy("channel").agg(
+        F.sum(F.when(F.col("pred") == F.col("tgt"), 1).otherwise(0))
+        .cast("double").alias("correct"),
+        F.sum(ned).alias("ned_sum"),
+        F.count("*").cast("double").alias("n"))
+    return (agg.select(
+        "channel",
+        F.round(F.col("correct") / (F.col("n") + eps), 4).alias("acc"),
+        F.round(1.0 - F.col("ned_sum") / (F.col("n") + eps), 4)
+        .alias("norm_edit_dis"),
+        F.col("n").cast("long").alias("n"))
+        .orderBy("channel"))
+
+
 def q_utf8_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fork utf8string dialect: flatten synthesized Korean text to a
     compatibility-jamo stream (korean_compose_by_utf8.py:16-31; '@' for
@@ -3088,6 +3136,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_metric": q_sr_metric,                 # fixture oracle
         "det_fce_metric": q_det_fce_metric,       # fixture oracle
         "table_metric": q_table_metric,           # fixture oracle
+        "rec_metric_grapheme": q_rec_metric_grapheme,
         "re_metric": q_re_metric,
         "kie_f1_metric": q_kie_f1_metric,
         "can_metric": q_can_metric,               # fixture oracle
@@ -5378,6 +5427,46 @@ SELECT round(sum(eq) / (count(*) + 0.00001), 4) + 0 AS acc,
        round(1.0 - sum(g_dist) / (count(*) + 0.00001), 4) + 0 AS g_ned,
        count(*) AS n
 FROM per"""
+
+    sqls["rec_metric_grapheme"] = f"""{g_dec},
+chan AS (
+    SELECT kt.doc_id, 'character' AS channel, kt.ktext AS raw FROM kt
+    UNION ALL
+    SELECT doc_id, 'initial', initial FROM dec
+    UNION ALL
+    SELECT doc_id, 'medial', medial FROM dec
+    UNION ALL
+    SELECT doc_id, 'final', final FROM dec
+),
+pairs AS (
+    SELECT channel,
+           CASE WHEN doc_id % 13 = 0 THEN '' ELSE raw END AS tgt0,
+           doc_id
+    FROM chan
+),
+s AS (
+    SELECT channel,
+           replace(CASE WHEN doc_id % 11 = 0 THEN ''
+                        WHEN doc_id % 3 = 0 THEN tgt0
+                        ELSE substring(tgt0, 2) END, ' ', '') AS pred,
+           replace(tgt0, ' ', '') AS tgt
+    FROM pairs
+),
+per AS (
+    SELECT channel,
+           CASE WHEN pred = tgt THEN 1 ELSE 0 END AS eq,
+           CASE WHEN pred = tgt THEN 0.0
+                WHEN length(pred) = 0 OR length(tgt) = 0 THEN 1.0
+                ELSE 1.0 / greatest(length(pred), length(tgt)) END
+               AS ned
+    FROM s
+)
+SELECT channel,
+       round(sum(eq) / (count(*) + 0.00001), 4) + 0 AS acc,
+       round(1.0 - sum(ned) / (count(*) + 0.00001), 4) + 0
+           AS norm_edit_dis,
+       count(*) AS n
+FROM per GROUP BY channel ORDER BY channel"""
 
     # --- utf8string dialect: flat compatibility-jamo streams + greedy
     #     re-composition + the ensemble layer (korean_compose_by_utf8
