@@ -1244,6 +1244,73 @@ def q_table_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return struct_.crossJoin(F.broadcast(bbox))
 
 
+def _ct_universe(spark: SparkSession, sf_dir: str):
+    """Shared CT gt/det synthesis: each lineitem row is a SITE whose
+    l_linenumber picks the match regime the Deteval walk must classify —
+    ln=1 a jittered one-to-one pair, ln=2 one gt split into two half
+    dets (one-to-many, the fsc_k fractional credit), ln=3 two half gts
+    under one wide det (many-to-one), ln=4 a displaced miss whose gt is
+    '###' don't-care for oid%3=0 (exercises detection_filtering). Sites
+    are spread on a 300x200 grid; occasional collisions just make
+    harder inputs — both engines see identical geometry."""
+    li = _lineitem(spark, sf_dir).filter(F.col("l_linenumber") <= 4)
+    base = li.select(
+        F.format_string("doc_%04d", F.col("l_orderkey") % 200)
+        .alias("doc_id"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("oid"),
+        (F.col("l_linenumber")).alias("ln"),
+        ((F.col("l_partkey") % 37) * 300).cast("double").alias("x"),
+        ((F.col("l_suppkey") % 23) * 200).cast("double").alias("y"))
+    gt = base.select(
+        "doc_id", "oid", "ln", "x", "y",
+        F.expr("""
+            CASE ln
+              WHEN 3 THEN array(array(x, y, x + 50, y + 40),
+                               array(x + 50, y, x + 100, y + 40))
+              ELSE array(array(x, y, x + 100, y + 40))
+            END""").alias("boxes"),
+        F.expr("ln = 4 AND oid % 3 = 0").alias("dc"))
+    gt = gt.select(
+        "doc_id", F.posexplode("boxes").alias("k", "b"), "oid", "dc"
+    ).select("doc_id", (F.col("oid") * 10 + F.col("k")).alias("gt_id"),
+             F.col("b")[0].alias("x1"), F.col("b")[1].alias("y1"),
+             F.col("b")[2].alias("x2"), F.col("b")[3].alias("y2"), "dc")
+    det = base.select(
+        "doc_id", "oid", "ln", "x", "y",
+        F.expr("""
+            CASE ln
+              WHEN 1 THEN array(array(x + 3, y + 3, x + 103, y + 43))
+              WHEN 2 THEN array(array(x, y, x + 50, y + 40),
+                               array(x + 50, y, x + 100, y + 40))
+              WHEN 3 THEN array(array(x, y, x + 100, y + 40))
+              ELSE array(array(x + 7000, y + 7000, x + 7100, y + 7040))
+            END""").alias("boxes"))
+    det = det.select(
+        "doc_id", F.posexplode("boxes").alias("k", "b"), "oid"
+    ).select("doc_id", (F.col("oid") * 10 + F.col("k")).alias("det_id"),
+             F.col("b")[0].alias("x1"), F.col("b")[1].alias("y1"),
+             F.col("b")[2].alias("x2"), F.col("b")[3].alias("y2"))
+    return gt, det
+
+
+def q_ct_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTMetric (ppocr/metrics/ct_metric.py:26-52 → Deteval.py
+    get_score_C :276-394 + combine_results :395-705, rec_flag=False;
+    round 5 — the last previously-uncovered metric class): per-doc
+    sigma/tau tables over axis-aligned rects (the documented bbox
+    axiom — the reference's Polygon3 intersections are exact closed
+    forms on axis-aligned inputs), don't-care detection filtering, then
+    the one-to-one / one-to-many / many-to-one matching walk with
+    tr=0.7 tp=0.6 fsc_k=0.8 k=2 and the global ratio combine. The
+    synthetic universe plants all three regimes per doc plus misses and
+    '###' gts (_ct_universe). Iterative matching → committed fixture
+    oracle; kernel quirks pinned in tests/test_metrics.py."""
+    from .functions.metrics import ct_eval
+
+    gt, det = _ct_universe(spark, sf_dir)
+    return ct_eval(gt, det)
+
+
 def q_teds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 TEDS: tree-edit-distance similarity over deterministic table-html
     pairs built from documents (pred mutates one header cell and drops the
@@ -3137,6 +3204,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_fce_metric": q_det_fce_metric,       # fixture oracle
         "table_metric": q_table_metric,           # fixture oracle
         "rec_metric_grapheme": q_rec_metric_grapheme,
+        "ct_metric": q_ct_metric,                 # fixture oracle
         "re_metric": q_re_metric,
         "kie_f1_metric": q_kie_f1_metric,
         "can_metric": q_can_metric,               # fixture oracle
@@ -3589,6 +3657,11 @@ FROM synth_final GROUP BY doc_id, kind"""
     sqls["det_fce_metric"] = _fixture_sql(
         "det_fce_metric",
         "thr, precision, recall, hmean, hmean_max, ap")
+    sqls["ct_metric"] = _fixture_sql(
+        "ct_metric",
+        "precision, recall, f_score, "
+        "CAST(total_num_gt AS BIGINT) AS total_num_gt, "
+        "CAST(total_num_det AS BIGINT) AS total_num_det")
     sqls["table_metric"] = _fixture_sql(
         "table_metric",
         "acc, CAST(n_tables AS BIGINT) AS n_tables, "

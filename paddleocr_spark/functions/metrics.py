@@ -323,3 +323,194 @@ def can_batch_stats(labels: list[list[str]], preds: list[list[str]]):
     line_right = sum(1 for s in scores if s == 1)
     word_length = max(len(l) for l in labels)
     return word_rate, line_right, word_length, len(labels)
+
+
+# ---------------------------------------------------------------------------
+# CTMetric — get_score_C + combine_results (ppocr/metrics/ct_metric.py:26-52,
+# ppocr/utils/e2e_metric/Deteval.py:276-705, rec_flag=False)
+# ---------------------------------------------------------------------------
+
+def _rect_inter(a: np.ndarray, b: np.ndarray) -> float:
+    w = min(a[2], b[2]) - max(a[0], b[0])
+    h = min(a[3], b[3]) - max(a[1], b[1])
+    return float(w * h) if w > 0 and h > 0 else 0.0
+
+
+def ct_sigma_tau(gt: np.ndarray, dc: np.ndarray, det: np.ndarray):
+    """get_score_C (Deteval.py:276-394) over axis-aligned rects — the
+    documented bbox axiom: the reference computes polygon intersections
+    via Polygon3; with axis-aligned inputs the same areas are exact
+    closed forms, so no rasterization axiom enters the differential.
+
+    Steps transcribed: detection_filtering drops every det whose
+    don't-care area-precision (inter / det area) exceeds 0.5 against
+    any '###' gt (:304-329); '###' gts are then removed (:356-360);
+    sigma = inter / gt_area and tau = inter / det_area tables over the
+    survivors (:331-345, zero-area guards included). Returns
+    (sigma, tau) float64 arrays of shape (n_gt_care, n_det_kept)."""
+    gt = np.asarray(gt, dtype=float).reshape(-1, 4)
+    det = np.asarray(det, dtype=float).reshape(-1, 4)
+    dc = np.asarray(dc, dtype=bool)
+    keep = np.ones(len(det), dtype=bool)
+    for i in np.flatnonzero(dc):
+        for j in range(len(det)):
+            if not keep[j]:
+                continue
+            da = max(det[j, 2] - det[j, 0], 0.0) * max(
+                det[j, 3] - det[j, 1], 0.0)
+            prec = 0.0 if da == 0 else _rect_inter(gt[i], det[j]) / da
+            if prec > 0.5:
+                keep[j] = False
+    det = det[keep]
+    gt = gt[~dc]
+    sigma = np.zeros((len(gt), len(det)))
+    tau = np.zeros((len(gt), len(det)))
+    for i in range(len(gt)):
+        ga = max(gt[i, 2] - gt[i, 0], 0.0) * max(gt[i, 3] - gt[i, 1], 0.0)
+        for j in range(len(det)):
+            da = max(det[j, 2] - det[j, 0], 0.0) * max(
+                det[j, 3] - det[j, 1], 0.0)
+            inter = _rect_inter(gt[i], det[j])
+            sigma[i, j] = 0.0 if ga == 0 else inter / ga
+            tau[i, j] = 0.0 if da == 0 else inter / da
+    return sigma, tau
+
+
+def ct_match_counts(sigma: np.ndarray, tau: np.ndarray):
+    """combine_results' per-image matching walk (Deteval.py:395-657,
+    rec_flag=False — the CTMetric path): one-to-one, then one-to-many,
+    then many-to-one, with tr=0.7, tp=0.6, fsc_k=0.8, k=2. Quirks kept:
+    one-to-one does NOT consult det_flag; its det-side uniqueness is
+    counted over the full candidate COLUMNS; one-to-many requires ≥ k
+    sigma>0 dets before looking at tau-qualified ones; the fractional
+    fsc_k contributions weight precision by the candidate count.
+    Returns (num_gt, num_det, recall_acc, precision_acc)."""
+    tr, tp, fsc_k, k = 0.7, 0.6, 0.8, 2
+    num_gt, num_det = sigma.shape
+    rec = prec = 0.0
+    gt_flag = np.zeros(num_gt, dtype=bool)
+    det_flag = np.zeros(num_det, dtype=bool)
+    # one_to_one (:417-485)
+    for g in range(num_gt):
+        gs = np.flatnonzero(sigma[g, :] > tr)
+        gtt = np.flatnonzero(tau[g, :] > tp)
+        ds = int((sigma[:, gs] > tr).sum()) if gs.size else 0
+        dt = int((tau[:, gtt] > tp).sum()) if gtt.size else 0
+        if len(gs) == 1 and len(gtt) == 1 and ds == 1 and dt == 1:
+            rec += 1.0
+            prec += 1.0
+            gt_flag[g] = True
+            det_flag[np.flatnonzero(sigma[g, :] > tr)] = True
+    # one_to_many (:487-538)
+    for g in range(num_gt):
+        if gt_flag[g]:
+            continue
+        if int((sigma[g, :] > 0).sum()) >= k:
+            qual = np.flatnonzero((tau[g, :] >= tp) & ~det_flag)
+            if len(qual) == 1:
+                if tau[g, qual[0]] >= tp and sigma[g, qual[0]] >= tr:
+                    rec += 1.0
+                    prec += 1.0
+                    gt_flag[g] = True
+                    det_flag[qual] = True
+            elif float(sigma[g, qual].sum()) >= tr:
+                gt_flag[g] = True
+                det_flag[qual] = True
+                rec += fsc_k
+                prec += len(qual) * fsc_k
+    # many_to_one (:540-617)
+    for d in range(num_det):
+        if det_flag[d]:
+            continue
+        if int((tau[:, d] > 0).sum()) >= k:
+            qual = np.flatnonzero((sigma[:, d] >= tp) & ~gt_flag)
+            if len(qual) == 1:
+                if tau[qual[0], d] >= tp and sigma[qual[0], d] >= tr:
+                    rec += 1.0
+                    prec += 1.0
+                    gt_flag[qual] = True
+                    det_flag[d] = True
+            elif float(tau[qual, d].sum()) >= tp:
+                det_flag[d] = True
+                gt_flag[qual] = True
+                rec += len(qual) * fsc_k
+                prec += fsc_k
+    return num_gt, num_det, rec, prec
+
+
+CT_EVAL_SCHEMA = ("doc_id string, num_gt long, num_det long, "
+                  "rec_acc double, prec_acc double")
+
+
+def ct_eval(gt: DataFrame, det: DataFrame) -> DataFrame:
+    """CTMetric end-to-end (ct_metric.py:26-52): per-doc get_score_C
+    (ct_sigma_tau) + the combine_results matching walk (ct_match_counts)
+    as ONE grouped-Arrow kernel call per doc_id, then the global ratio
+    agg (Deteval.py:659-705, rec_flag=False so the e2e string terms are
+    skipped and hit_str_count is 0).
+
+    gt: (doc_id, gt_id, x1, y1, x2, y2, dc:boolean);
+    det: (doc_id, det_id, x1, y1, x2, y2).
+    Returns one row (precision, recall, f_score, total_num_gt,
+    total_num_det)."""
+    g = gt.select("doc_id", F.col("gt_id").alias("oid"),
+                  "x1", "y1", "x2", "y2",
+                  F.col("dc").cast("boolean").alias("dc"),
+                  F.lit("gt").alias("side"))
+    d = det.select("doc_id", F.col("det_id").alias("oid"),
+                   "x1", "y1", "x2", "y2",
+                   F.lit(False).alias("dc"), F.lit("det").alias("side"))
+    both = g.unionByName(d)
+
+    def emit(tbl):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..operators.grouped import group_starts, string_codes
+        doc_codes = string_codes(tbl.column("doc_id"))
+        is_gt = pc.equal(tbl.column("side"), "gt").combine_chunks(
+        ).to_numpy(zero_copy_only=False)
+        pts = np.stack([tbl.column(c).to_numpy() for c in
+                        ("x1", "y1", "x2", "y2")], axis=1).astype(float)
+        dc = tbl.column("dc").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(bool)
+        starts = group_starts(doc_codes)
+        ends = np.append(starts[1:], len(doc_codes))
+        ngs, nds, rs, ps = [], [], [], []
+        for s, e in zip(starts, ends):
+            mask = is_gt[s:e]
+            sigma, tau = ct_sigma_tau(pts[s:e][mask], dc[s:e][mask],
+                                      pts[s:e][~mask])
+            ng, nd, r, p = ct_match_counts(sigma, tau)
+            ngs.append(ng)
+            nds.append(nd)
+            rs.append(r)
+            ps.append(p)
+        doc_ids = pc.take(tbl.column("doc_id").combine_chunks(),
+                          pa.array(starts.astype(np.int64)))
+        return pa.RecordBatch.from_arrays(
+            [doc_ids, pa.array(np.asarray(ngs, dtype=np.int64)),
+             pa.array(np.asarray(nds, dtype=np.int64)),
+             pa.array(np.asarray(rs)), pa.array(np.asarray(ps))],
+            names=["doc_id", "num_gt", "num_det", "rec_acc", "prec_acc"])
+
+    from ..operators.grouped import grouped_map_arrow
+    per_doc = grouped_map_arrow(both, ["doc_id"], ["side", "oid"],
+                                emit, CT_EVAL_SCHEMA)
+    # NOTE (faithful accounting): total_num_gt counts gts AFTER the
+    # '###' removal and total_num_det counts dets AFTER the don't-care
+    # filtering — get_score_C returns the filtered tables and
+    # combine_results reads num_gt/num_det off their shapes.
+    agg = per_doc.agg(F.sum("rec_acc").alias("r"),
+                      F.sum("prec_acc").alias("p"),
+                      F.sum("num_gt").cast("double").alias("g"),
+                      F.sum("num_det").cast("double").alias("d"))
+    rec = F.when(F.col("g") == 0, 0.0).otherwise(F.col("r") / F.col("g"))
+    prc = F.when(F.col("d") == 0, 0.0).otherwise(F.col("p") / F.col("d"))
+    return agg.select(
+        F.round(prc, 4).alias("precision"), F.round(rec, 4).alias("recall"),
+        F.round(F.when(prc + rec == 0, 0.0)
+                .otherwise(2 * prc * rec / (prc + rec)), 4)
+        .alias("f_score"),
+        F.col("g").cast("long").alias("total_num_gt"),
+        F.col("d").cast("long").alias("total_num_det"))

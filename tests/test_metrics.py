@@ -240,3 +240,40 @@ def test_kie_f1_metric_matches_plain_python(spark):
         assert got[c] == pytest.approx(want[c], abs=1e-4), c
     hm = q_kie_f1_metric(spark, SF).collect()[0]["hmean"]
     assert hm == pytest.approx(np.mean(list(want.values())), abs=1e-4)
+
+
+def test_ct_match_counts_regimes():
+    """The three Deteval matching regimes + don't-care filtering, on
+    hand geometry: one-to-one credits 1/1, one-to-many credits fsc_k
+    recall and per-candidate fsc_k precision, many-to-one the mirror;
+    a '###' gt removes itself AND the det covering it."""
+    from paddleocr_spark.functions.metrics import (ct_match_counts,
+                                                   ct_sigma_tau)
+
+    gt = np.array([[0, 0, 100, 40]])
+    det = np.array([[3, 3, 103, 43]])
+    s, t = ct_sigma_tau(gt, np.array([False]), det)
+    assert ct_match_counts(s, t) == (1, 1, 1.0, 1.0)
+
+    det2 = np.array([[0, 0, 50, 40], [50, 0, 100, 40]])
+    s, t = ct_sigma_tau(gt, np.array([False]), det2)
+    ng, nd, r, p = ct_match_counts(s, t)
+    assert (ng, nd) == (1, 2)
+    assert r == pytest.approx(0.8) and p == pytest.approx(1.6)
+
+    gt2 = np.array([[0, 0, 50, 40], [50, 0, 100, 40]])
+    det1 = np.array([[0, 0, 100, 40]])
+    s, t = ct_sigma_tau(gt2, np.array([False, False]), det1)
+    ng, nd, r, p = ct_match_counts(s, t)
+    assert (ng, nd) == (2, 1)
+    assert r == pytest.approx(1.6) and p == pytest.approx(0.8)
+
+    # dc gt removes the overlapping det and itself
+    s, t = ct_sigma_tau(np.array([[0, 0, 100, 40]]), np.array([True]),
+                        np.array([[0, 0, 100, 40]]))
+    assert s.shape == (0, 0) and ct_match_counts(s, t) == (0, 0, 0.0, 0.0)
+
+    # a miss: far-off det stays counted but contributes nothing
+    s, t = ct_sigma_tau(gt, np.array([False]),
+                        np.array([[7000, 7000, 7100, 7040]]))
+    assert ct_match_counts(s, t) == (1, 1, 0.0, 0.0)

@@ -280,6 +280,69 @@ def fx_table_metric(con, sf_dir: str) -> pd.DataFrame:
         "n_bbox_images": np.int64(n_img)}])
 
 
+def fx_ct_metric(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_ct_metric single-node: the same site synthesis in
+    DuckDB + plain python, the SAME sigma/tau + matching kernels
+    (kernels-imported-twice), the ratio combine re-implemented."""
+    from paddleocr_spark.functions.metrics import (ct_match_counts,
+                                                   ct_sigma_tau)
+
+    base = con.sql(f"""
+        SELECT printf('doc_%04d', l_orderkey % 200) AS doc_id,
+               l_orderkey * 10 + l_linenumber AS oid,
+               l_linenumber AS ln,
+               CAST((l_partkey % 37) * 300 AS DOUBLE) AS x,
+               CAST((l_suppkey % 23) * 200 AS DOUBLE) AS y
+        FROM read_parquet('{os.path.join(sf_dir, "lineitem.parquet")}')
+        WHERE l_linenumber <= 4
+    """).df()
+    # gt/det tables keyed by (oid*10 + k) and SORTED by that id — the
+    # distributed kernel orders group rows by ["side", "oid"], and the
+    # matching walk is order-sensitive, so the replay must present the
+    # same row order.
+    docs: dict[str, dict] = {}
+    for row in base.itertuples(index=False):
+        d = docs.setdefault(row.doc_id, {"gt": [], "det": []})
+        x, y, ln, oid = row.x, row.y, int(row.ln), int(row.oid)
+        if ln == 3:
+            d["gt"] += [(oid * 10, [x, y, x + 50, y + 40], False),
+                        (oid * 10 + 1, [x + 50, y, x + 100, y + 40], False)]
+        else:
+            d["gt"].append((oid * 10, [x, y, x + 100, y + 40],
+                            ln == 4 and oid % 3 == 0))
+        if ln == 1:
+            d["det"].append((oid * 10, [x + 3, y + 3, x + 103, y + 43]))
+        elif ln == 2:
+            d["det"] += [(oid * 10, [x, y, x + 50, y + 40]),
+                         (oid * 10 + 1, [x + 50, y, x + 100, y + 40])]
+        elif ln == 3:
+            d["det"].append((oid * 10, [x, y, x + 100, y + 40]))
+        else:
+            d["det"].append((oid * 10,
+                             [x + 7000, y + 7000, x + 7100, y + 7040]))
+    g = dd = r = p = 0.0
+    for doc in sorted(docs):
+        v = docs[doc]
+        gts = sorted(v["gt"])
+        dets = sorted(v["det"])
+        sigma, tau = ct_sigma_tau(
+            np.array([b for _, b, _ in gts]),
+            np.array([f for _, _, f in gts], dtype=bool),
+            np.array([b for _, b in dets]))
+        ng, nd, rr, pp = ct_match_counts(sigma, tau)
+        g += ng
+        dd += nd
+        r += rr
+        p += pp
+    rec = 0.0 if g == 0 else r / g
+    prc = 0.0 if dd == 0 else p / dd
+    f = 0.0 if prc + rec == 0 else 2 * prc * rec / (prc + rec)
+    return pd.DataFrame([{
+        "precision": f_round(prc), "recall": f_round(rec),
+        "f_score": f_round(f), "total_num_gt": np.int64(g),
+        "total_num_det": np.int64(dd)}])
+
+
 def fx_teds(con, sf_dir: str) -> pd.DataFrame:
     """entry_queries.q_teds single-node: pairs in DuckDB, teds_score +
     Python round per pair (matching the Arrow UDF's rounding)."""
@@ -990,6 +1053,7 @@ FIXTURES = {
     "sr_metric": fx_sr_metric,
     "det_fce_metric": fx_det_fce_metric,
     "table_metric": fx_table_metric,
+    "ct_metric": fx_ct_metric,
     "tensor_ops": fx_tensor_ops,
     "rec_resize": fx_rec_resize,
     "border_map": fx_border_map,
