@@ -1311,6 +1311,33 @@ def q_ct_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ct_eval(gt, det)
 
 
+def q_e2e_deteval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2EMetric mode-A, the path the reference ACTUALLY wires
+    (ppocr/metrics/e2e_metric.py:39-69 → Deteval.py get_socre_A
+    :24-160 + combine_results rec_flag=True :395-705; round 5 —
+    q_e2e_metric covers the sibling eval_end2end.py report): per-doc
+    2dp HALF-EVEN-rounded sigma/tau tables, the three-regime matching
+    walk WITH per-match string hits (exact, then case-folded — the
+    asymmetric break quirks transcribed in metrics.ct_match_counts),
+    and the full final report including seqerr and the e2e P/R/F over
+    hit counts. Same site geometry as ct_metric; gt text 'w<oid>' ('' =
+    don't-care where ct used the dc flag); det text exact for oid%3=0,
+    case-swapped for %3=1 (the lower() fallback fires), else wrong.
+    Iterative matching → committed fixture oracle."""
+    from .functions.metrics import e2e_deteval
+
+    gt, det = _ct_universe(spark, sf_dir)
+    gt = gt.withColumn(
+        "txt", F.expr("IF(dc, '', concat('w', CAST(gt_id AS STRING)))")
+    ).drop("dc")
+    det = det.withColumn(
+        "txt", F.expr(
+            "CASE det_id % 3 WHEN 0 THEN concat('w', CAST(det_id AS "
+            "STRING)) WHEN 1 THEN concat('W', CAST(det_id AS STRING)) "
+            "ELSE concat('x', CAST(det_id AS STRING)) END"))
+    return e2e_deteval(gt, det)
+
+
 def q_teds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 TEDS: tree-edit-distance similarity over deterministic table-html
     pairs built from documents (pred mutates one header cell and drops the
@@ -3205,6 +3232,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_metric": q_table_metric,           # fixture oracle
         "rec_metric_grapheme": q_rec_metric_grapheme,
         "ct_metric": q_ct_metric,                 # fixture oracle
+        "e2e_deteval": q_e2e_deteval,             # fixture oracle
         "re_metric": q_re_metric,
         "kie_f1_metric": q_kie_f1_metric,
         "can_metric": q_can_metric,               # fixture oracle
@@ -3657,6 +3685,12 @@ FROM synth_final GROUP BY doc_id, kind"""
     sqls["det_fce_metric"] = _fixture_sql(
         "det_fce_metric",
         "thr, precision, recall, hmean, hmean_max, ap")
+    sqls["e2e_deteval"] = _fixture_sql(
+        "e2e_deteval",
+        "precision, recall, f_score, seqerr, recall_e2e, precision_e2e, "
+        "f_score_e2e, CAST(total_num_gt AS BIGINT) AS total_num_gt, "
+        "CAST(total_num_det AS BIGINT) AS total_num_det, "
+        "CAST(hit_str_count AS BIGINT) AS hit_str_count")
     sqls["ct_metric"] = _fixture_sql(
         "ct_metric",
         "precision, recall, f_score, "

@@ -376,20 +376,40 @@ def ct_sigma_tau(gt: np.ndarray, dc: np.ndarray, det: np.ndarray):
     return sigma, tau
 
 
-def ct_match_counts(sigma: np.ndarray, tau: np.ndarray):
-    """combine_results' per-image matching walk (Deteval.py:395-657,
-    rec_flag=False — the CTMetric path): one-to-one, then one-to-many,
-    then many-to-one, with tr=0.7, tp=0.6, fsc_k=0.8, k=2. Quirks kept:
-    one-to-one does NOT consult det_flag; its det-side uniqueness is
-    counted over the full candidate COLUMNS; one-to-many requires ≥ k
-    sigma>0 dets before looking at tau-qualified ones; the fractional
-    fsc_k contributions weight precision by the candidate count.
-    Returns (num_gt, num_det, recall_acc, precision_acc)."""
+def ct_match_counts(sigma: np.ndarray, tau: np.ndarray,
+                    gt_strs: list | None = None,
+                    det_strs: list | None = None):
+    """combine_results' per-image matching walk (Deteval.py:395-657):
+    one-to-one, then one-to-many, then many-to-one, with tr=0.7,
+    tp=0.6, fsc_k=0.8, k=2. Quirks kept: one-to-one does NOT consult
+    det_flag; its det-side uniqueness is counted over the full
+    candidate COLUMNS; one-to-many requires ≥ k sigma>0 dets before
+    looking at tau-qualified ones; the fractional fsc_k contributions
+    weight precision by the candidate count.
+
+    With ``gt_strs``/``det_strs`` (rec_flag=True — the E2EMetric
+    get_socre_A path) the per-match string hits are counted too,
+    including the asymmetric break quirks: one-to-many compares only
+    the FIRST tau-qualified candidate's string; many_to_one's
+    one-to-one-ish branch always breaks after the first gt while its
+    fractional branch keeps scanning when the strings differ even
+    case-folded (:571-608). Returns (num_gt, num_det, recall_acc,
+    precision_acc, hit_str_num) — hit_str_num is 0 on the
+    rec_flag=False (CTMetric) path."""
     tr, tp, fsc_k, k = 0.7, 0.6, 0.8, 2
+    rec_flag = gt_strs is not None
     num_gt, num_det = sigma.shape
     rec = prec = 0.0
+    hits = 0
     gt_flag = np.zeros(num_gt, dtype=bool)
     det_flag = np.zeros(num_det, dtype=bool)
+
+    def str_hit(g: int, d: int) -> int:
+        gs, ps = gt_strs[g], det_strs[d]
+        if ps == gs or ps.lower() == gs.lower():
+            return 1
+        return 0
+
     # one_to_one (:417-485)
     for g in range(num_gt):
         gs = np.flatnonzero(sigma[g, :] > tr)
@@ -400,7 +420,10 @@ def ct_match_counts(sigma: np.ndarray, tau: np.ndarray):
             rec += 1.0
             prec += 1.0
             gt_flag[g] = True
-            det_flag[np.flatnonzero(sigma[g, :] > tr)] = True
+            matched = np.flatnonzero(sigma[g, :] > tr)
+            if rec_flag:
+                hits += str_hit(g, int(matched[0]))
+            det_flag[matched] = True
     # one_to_many (:487-538)
     for g in range(num_gt):
         if gt_flag[g]:
@@ -413,9 +436,15 @@ def ct_match_counts(sigma: np.ndarray, tau: np.ndarray):
                     prec += 1.0
                     gt_flag[g] = True
                     det_flag[qual] = True
+                    if rec_flag:
+                        hits += str_hit(g, int(qual[0]))
             elif float(sigma[g, qual].sum()) >= tr:
                 gt_flag[g] = True
                 det_flag[qual] = True
+                # the reference compares only the FIRST candidate's
+                # string here (:519-529)
+                if rec_flag and qual.size:
+                    hits += str_hit(g, int(qual[0]))
                 rec += fsc_k
                 prec += len(qual) * fsc_k
     # many_to_one (:540-617)
@@ -430,12 +459,26 @@ def ct_match_counts(sigma: np.ndarray, tau: np.ndarray):
                     prec += 1.0
                     gt_flag[qual] = True
                     det_flag[d] = True
+                    if rec_flag and qual.size:
+                        # :571-588 — break after the FIRST gt either way
+                        hits += str_hit(int(qual[0]), d)
             elif float(tau[qual, d].sum()) >= tp:
                 det_flag[d] = True
                 gt_flag[qual] = True
+                if rec_flag:
+                    # :589-608 — exact match breaks; case-fold match
+                    # breaks; a plain mismatch keeps scanning
+                    for gi in qual:
+                        gsd, psd = gt_strs[int(gi)], det_strs[d]
+                        if psd == gsd:
+                            hits += 1
+                            break
+                        if psd.lower() == gsd.lower():
+                            hits += 1
+                            break
                 rec += len(qual) * fsc_k
                 prec += fsc_k
-    return num_gt, num_det, rec, prec
+    return num_gt, num_det, rec, prec, hits
 
 
 CT_EVAL_SCHEMA = ("doc_id string, num_gt long, num_det long, "
@@ -481,7 +524,7 @@ def ct_eval(gt: DataFrame, det: DataFrame) -> DataFrame:
             mask = is_gt[s:e]
             sigma, tau = ct_sigma_tau(pts[s:e][mask], dc[s:e][mask],
                                       pts[s:e][~mask])
-            ng, nd, r, p = ct_match_counts(sigma, tau)
+            ng, nd, r, p, _ = ct_match_counts(sigma, tau)
             ngs.append(ng)
             nds.append(nd)
             rs.append(r)
@@ -514,3 +557,132 @@ def ct_eval(gt: DataFrame, det: DataFrame) -> DataFrame:
         .alias("f_score"),
         F.col("g").cast("long").alias("total_num_gt"),
         F.col("d").cast("long").alias("total_num_det"))
+
+
+def e2e_sigma_tau(gt: np.ndarray, gt_care: np.ndarray, det: np.ndarray):
+    """get_socre_A's per-image tables (Deteval.py:24-160) over
+    axis-aligned rects: dets overlapping a don't-care gt (text '' →
+    the '#' mark of gt_reading_mod :38-63) at iod > 0.5 are dropped,
+    '#' gts removed, then sigma = round(inter / gt_area, 2) and tau =
+    round(inter / det_area, 2) — numpy's HALF-EVEN 2dp rounding, which
+    get_socre_A applies and get_score_C does not (:83-95 vs :331-345).
+    Returns (sigma, tau, kept_det_mask)."""
+    gt = np.asarray(gt, dtype=float).reshape(-1, 4)
+    det = np.asarray(det, dtype=float).reshape(-1, 4)
+    care = np.asarray(gt_care, dtype=bool)
+    keep = np.ones(len(det), dtype=bool)
+    for i in np.flatnonzero(~care):
+        for j in range(len(det)):
+            if not keep[j]:
+                continue
+            da = max(det[j, 2] - det[j, 0], 0.0) * max(
+                det[j, 3] - det[j, 1], 0.0)
+            iod = 0.0 if da == 0 else _rect_inter(gt[i], det[j]) / da
+            if iod > 0.5:
+                keep[j] = False
+    det_k = det[keep]
+    gt_k = gt[care]
+    sigma = np.zeros((len(gt_k), len(det_k)))
+    tau = np.zeros((len(gt_k), len(det_k)))
+    for i in range(len(gt_k)):
+        ga = max(gt_k[i, 2] - gt_k[i, 0], 0.0) * max(
+            gt_k[i, 3] - gt_k[i, 1], 0.0)
+        for j in range(len(det_k)):
+            da = max(det_k[j, 2] - det_k[j, 0], 0.0) * max(
+                det_k[j, 3] - det_k[j, 1], 0.0)
+            inter = _rect_inter(gt_k[i], det_k[j])
+            sigma[i, j] = np.round(inter / ga, 2)
+            tau[i, j] = 0 if da == 0.0 else np.round(inter / da, 2)
+    return sigma, tau, keep
+
+
+E2E_DETEVAL_SCHEMA = ("doc_id string, num_gt long, num_det long, "
+                      "rec_acc double, prec_acc double, hits long")
+
+
+def e2e_deteval(gt: DataFrame, det: DataFrame) -> DataFrame:
+    """E2EMetric mode-A via Deteval (e2e_metric.py:39-69 →
+    get_socre_A + combine_results rec_flag=True): per-doc 2dp-rounded
+    sigma/tau tables + the matching walk WITH string hits, then the
+    full final report (Deteval.py:659-705) — detection
+    precision/recall/f_score, seqerr = 1 − hits/recall_acc, and the
+    end-to-end recall/precision/f_score over hit counts.
+
+    gt: (doc_id, gt_id, x1, y1, x2, y2, txt — '' marks don't-care);
+    det: (doc_id, det_id, x1, y1, x2, y2, txt)."""
+    g = gt.select("doc_id", F.col("gt_id").alias("oid"),
+                  "x1", "y1", "x2", "y2", "txt",
+                  F.lit("gt").alias("side"))
+    d = det.select("doc_id", F.col("det_id").alias("oid"),
+                   "x1", "y1", "x2", "y2", "txt",
+                   F.lit("det").alias("side"))
+    both = g.unionByName(d)
+
+    def emit(tbl):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..operators.grouped import group_starts, string_codes
+        doc_codes = string_codes(tbl.column("doc_id"))
+        is_gt = pc.equal(tbl.column("side"), "gt").combine_chunks(
+        ).to_numpy(zero_copy_only=False)
+        pts = np.stack([tbl.column(c).to_numpy() for c in
+                        ("x1", "y1", "x2", "y2")], axis=1).astype(float)
+        txts = tbl.column("txt").to_pylist()
+        starts = group_starts(doc_codes)
+        ends = np.append(starts[1:], len(doc_codes))
+        rows = []
+        for s, e in zip(starts, ends):
+            mask = is_gt[s:e]
+            gtt = [txts[s + i] or "" for i in np.flatnonzero(mask)]
+            dtt = [txts[s + i] or "" for i in np.flatnonzero(~mask)]
+            care = np.array([t != "" for t in gtt], dtype=bool)
+            sigma, tau, keep = e2e_sigma_tau(
+                pts[s:e][mask], care, pts[s:e][~mask])
+            gt_strs = [t for t, c in zip(gtt, care) if c]
+            det_strs = [t for t, kp in zip(dtt, keep) if kp]
+            ng, nd, r, p, h = ct_match_counts(sigma, tau,
+                                              gt_strs, det_strs)
+            rows.append((ng, nd, r, p, h))
+        doc_ids = pc.take(tbl.column("doc_id").combine_chunks(),
+                          pa.array(starts.astype(np.int64)))
+        cols = list(zip(*rows)) if rows else [[]] * 5
+        return pa.RecordBatch.from_arrays(
+            [doc_ids,
+             pa.array(np.asarray(cols[0], dtype=np.int64)),
+             pa.array(np.asarray(cols[1], dtype=np.int64)),
+             pa.array(np.asarray(cols[2], dtype=np.float64)),
+             pa.array(np.asarray(cols[3], dtype=np.float64)),
+             pa.array(np.asarray(cols[4], dtype=np.int64))],
+            names=["doc_id", "num_gt", "num_det", "rec_acc", "prec_acc",
+                   "hits"])
+
+    from ..operators.grouped import grouped_map_arrow
+    per_doc = grouped_map_arrow(both, ["doc_id"], ["side", "oid"],
+                                emit, E2E_DETEVAL_SCHEMA)
+    agg = per_doc.agg(F.sum("rec_acc").alias("r"),
+                      F.sum("prec_acc").alias("p"),
+                      F.sum("hits").cast("double").alias("h"),
+                      F.sum("num_gt").cast("double").alias("g"),
+                      F.sum("num_det").cast("double").alias("d"))
+    rec = F.when(F.col("g") == 0, 0.0).otherwise(F.col("r") / F.col("g"))
+    prc = F.when(F.col("d") == 0, 0.0).otherwise(F.col("p") / F.col("d"))
+    rec_e = F.when(F.col("g") == 0, 0.0).otherwise(F.col("h") / F.col("g"))
+    prc_e = F.when(F.col("d") == 0, 0.0).otherwise(F.col("h") / F.col("d"))
+    return agg.select(
+        F.round(prc, 4).alias("precision"),
+        F.round(rec, 4).alias("recall"),
+        F.round(F.when(prc + rec == 0, 0.0)
+                .otherwise(2 * prc * rec / (prc + rec)), 4)
+        .alias("f_score"),
+        F.round(F.when(F.col("r") == 0, 1.0)
+                .otherwise(1.0 - F.col("h") / F.col("r")), 4)
+        .alias("seqerr"),
+        F.round(rec_e, 4).alias("recall_e2e"),
+        F.round(prc_e, 4).alias("precision_e2e"),
+        F.round(F.when(prc_e + rec_e == 0, 0.0)
+                .otherwise(2 * prc_e * rec_e / (prc_e + rec_e)), 4)
+        .alias("f_score_e2e"),
+        F.col("g").cast("long").alias("total_num_gt"),
+        F.col("d").cast("long").alias("total_num_det"),
+        F.col("h").cast("long").alias("hit_str_count"))

@@ -329,7 +329,7 @@ def fx_ct_metric(con, sf_dir: str) -> pd.DataFrame:
             np.array([b for _, b, _ in gts]),
             np.array([f for _, _, f in gts], dtype=bool),
             np.array([b for _, b in dets]))
-        ng, nd, rr, pp = ct_match_counts(sigma, tau)
+        ng, nd, rr, pp, _ = ct_match_counts(sigma, tau)
         g += ng
         dd += nd
         r += rr
@@ -341,6 +341,85 @@ def fx_ct_metric(con, sf_dir: str) -> pd.DataFrame:
         "precision": f_round(prc), "recall": f_round(rec),
         "f_score": f_round(f), "total_num_gt": np.int64(g),
         "total_num_det": np.int64(dd)}])
+
+
+def fx_e2e_deteval(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_e2e_deteval single-node: ct_metric's site
+    synthesis + strings, the SAME e2e_sigma_tau / ct_match_counts
+    kernels (rec_flag=True), the full final-report ratios
+    re-implemented (Deteval.py:659-705)."""
+    from paddleocr_spark.functions.metrics import (ct_match_counts,
+                                                   e2e_sigma_tau)
+
+    base = con.sql(f"""
+        SELECT printf('doc_%04d', l_orderkey % 200) AS doc_id,
+               l_orderkey * 10 + l_linenumber AS oid,
+               l_linenumber AS ln,
+               CAST((l_partkey % 37) * 300 AS DOUBLE) AS x,
+               CAST((l_suppkey % 23) * 200 AS DOUBLE) AS y
+        FROM read_parquet('{os.path.join(sf_dir, "lineitem.parquet")}')
+        WHERE l_linenumber <= 4
+    """).df()
+
+    def det_txt(i: int) -> str:
+        return (f"w{i}", f"W{i}", f"x{i}")[i % 3]
+
+    docs: dict[str, dict] = {}
+    for row in base.itertuples(index=False):
+        d = docs.setdefault(row.doc_id, {"gt": [], "det": []})
+        x, y, ln, oid = row.x, row.y, int(row.ln), int(row.oid)
+        dc = ln == 4 and oid % 3 == 0
+        if ln == 3:
+            d["gt"] += [
+                (oid * 10, [x, y, x + 50, y + 40], f"w{oid * 10}"),
+                (oid * 10 + 1, [x + 50, y, x + 100, y + 40],
+                 f"w{oid * 10 + 1}")]
+        else:
+            d["gt"].append((oid * 10, [x, y, x + 100, y + 40],
+                            "" if dc else f"w{oid * 10}"))
+        if ln == 1:
+            d["det"].append((oid * 10, [x + 3, y + 3, x + 103, y + 43]))
+        elif ln == 2:
+            d["det"] += [(oid * 10, [x, y, x + 50, y + 40]),
+                         (oid * 10 + 1, [x + 50, y, x + 100, y + 40])]
+        elif ln == 3:
+            d["det"].append((oid * 10, [x, y, x + 100, y + 40]))
+        else:
+            d["det"].append((oid * 10,
+                             [x + 7000, y + 7000, x + 7100, y + 7040]))
+    g = dd = r = p = 0.0
+    hits = 0
+    for doc in sorted(docs):
+        v = docs[doc]
+        gts = sorted(v["gt"])
+        dets = sorted(v["det"])
+        care = np.array([t != "" for _, _, t in gts], dtype=bool)
+        sigma, tau, keep = e2e_sigma_tau(
+            np.array([b for _, b, _ in gts]), care,
+            np.array([b for _, b in dets]))
+        gt_strs = [t for (_, _, t), c in zip(gts, care) if c]
+        det_strs = [det_txt(i) for (i, _), kp in zip(dets, keep) if kp]
+        ng, nd, rr, pp, hh = ct_match_counts(sigma, tau, gt_strs,
+                                             det_strs)
+        g += ng
+        dd += nd
+        r += rr
+        p += pp
+        hits += hh
+    rec = 0.0 if g == 0 else r / g
+    prc = 0.0 if dd == 0 else p / dd
+    f = 0.0 if prc + rec == 0 else 2 * prc * rec / (prc + rec)
+    seqerr = 1.0 if r == 0 else 1.0 - hits / r
+    rec_e = 0.0 if g == 0 else hits / g
+    prc_e = 0.0 if dd == 0 else hits / dd
+    f_e = 0.0 if prc_e + rec_e == 0 else (
+        2 * prc_e * rec_e / (prc_e + rec_e))
+    return pd.DataFrame([{
+        "precision": f_round(prc), "recall": f_round(rec),
+        "f_score": f_round(f), "seqerr": f_round(seqerr),
+        "recall_e2e": f_round(rec_e), "precision_e2e": f_round(prc_e),
+        "f_score_e2e": f_round(f_e), "total_num_gt": np.int64(g),
+        "total_num_det": np.int64(dd), "hit_str_count": np.int64(hits)}])
 
 
 def fx_teds(con, sf_dir: str) -> pd.DataFrame:
@@ -1054,6 +1133,7 @@ FIXTURES = {
     "det_fce_metric": fx_det_fce_metric,
     "table_metric": fx_table_metric,
     "ct_metric": fx_ct_metric,
+    "e2e_deteval": fx_e2e_deteval,
     "tensor_ops": fx_tensor_ops,
     "rec_resize": fx_rec_resize,
     "border_map": fx_border_map,
