@@ -330,6 +330,16 @@ def can_batch_stats(labels: list[list[str]], preds: list[list[str]]):
 # ppocr/utils/e2e_metric/Deteval.py:276-705, rec_flag=False)
 # ---------------------------------------------------------------------------
 
+def _rect_inter_matrix(gt: np.ndarray, det: np.ndarray) -> np.ndarray:
+    """(n_gt, n_det) pairwise axis-aligned intersection areas — the
+    broadcast form of :func:`_rect_inter` (identical scalars)."""
+    w = (np.minimum(gt[:, None, 2], det[None, :, 2])
+         - np.maximum(gt[:, None, 0], det[None, :, 0]))
+    h = (np.minimum(gt[:, None, 3], det[None, :, 3])
+         - np.maximum(gt[:, None, 1], det[None, :, 1]))
+    return np.where((w > 0) & (h > 0), w * h, 0.0)
+
+
 def _rect_inter(a: np.ndarray, b: np.ndarray) -> float:
     w = min(a[2], b[2]) - max(a[0], b[0])
     h = min(a[3], b[3]) - max(a[1], b[1])
@@ -351,28 +361,31 @@ def ct_sigma_tau(gt: np.ndarray, dc: np.ndarray, det: np.ndarray):
     gt = np.asarray(gt, dtype=float).reshape(-1, 4)
     det = np.asarray(det, dtype=float).reshape(-1, 4)
     dc = np.asarray(dc, dtype=bool)
-    keep = np.ones(len(det), dtype=bool)
-    for i in np.flatnonzero(dc):
-        for j in range(len(det)):
-            if not keep[j]:
-                continue
-            da = max(det[j, 2] - det[j, 0], 0.0) * max(
-                det[j, 3] - det[j, 1], 0.0)
-            prec = 0.0 if da == 0 else _rect_inter(gt[i], det[j]) / da
-            if prec > 0.5:
-                keep[j] = False
+    # vectorized (same per-element min/max/mul/div scalars as the
+    # scalar loops this replaced; pinned by the regime hand cases and
+    # the committed ct_metric/e2e_deteval fixtures, values unchanged)
+    inter_all = _rect_inter_matrix(gt, det)
+    d_area = (np.maximum(det[:, 2] - det[:, 0], 0.0)
+              * np.maximum(det[:, 3] - det[:, 1], 0.0))
+    if dc.any() and len(det):
+        prec = np.divide(inter_all[dc], d_area[None, :],
+                         out=np.zeros((int(dc.sum()), len(det))),
+                         where=d_area[None, :] != 0)
+        keep = ~(prec > 0.5).any(axis=0)
+    else:
+        keep = np.ones(len(det), dtype=bool)
     det = det[keep]
     gt = gt[~dc]
-    sigma = np.zeros((len(gt), len(det)))
-    tau = np.zeros((len(gt), len(det)))
-    for i in range(len(gt)):
-        ga = max(gt[i, 2] - gt[i, 0], 0.0) * max(gt[i, 3] - gt[i, 1], 0.0)
-        for j in range(len(det)):
-            da = max(det[j, 2] - det[j, 0], 0.0) * max(
-                det[j, 3] - det[j, 1], 0.0)
-            inter = _rect_inter(gt[i], det[j])
-            sigma[i, j] = 0.0 if ga == 0 else inter / ga
-            tau[i, j] = 0.0 if da == 0 else inter / da
+    inter = inter_all[~dc][:, keep]
+    g_area = (np.maximum(gt[:, 2] - gt[:, 0], 0.0)
+              * np.maximum(gt[:, 3] - gt[:, 1], 0.0))
+    d_area = d_area[keep]
+    sigma = np.divide(inter, g_area[:, None],
+                      out=np.zeros_like(inter),
+                      where=g_area[:, None] != 0)
+    tau = np.divide(inter, d_area[None, :],
+                    out=np.zeros_like(inter),
+                    where=d_area[None, :] != 0)
     return sigma, tau
 
 
@@ -570,29 +583,33 @@ def e2e_sigma_tau(gt: np.ndarray, gt_care: np.ndarray, det: np.ndarray):
     gt = np.asarray(gt, dtype=float).reshape(-1, 4)
     det = np.asarray(det, dtype=float).reshape(-1, 4)
     care = np.asarray(gt_care, dtype=bool)
-    keep = np.ones(len(det), dtype=bool)
-    for i in np.flatnonzero(~care):
-        for j in range(len(det)):
-            if not keep[j]:
-                continue
-            da = max(det[j, 2] - det[j, 0], 0.0) * max(
-                det[j, 3] - det[j, 1], 0.0)
-            iod = 0.0 if da == 0 else _rect_inter(gt[i], det[j]) / da
-            if iod > 0.5:
-                keep[j] = False
-    det_k = det[keep]
+    # vectorized like ct_sigma_tau — same scalars, incl. numpy's
+    # HALF-EVEN round applied elementwise
+    inter_all = _rect_inter_matrix(gt, det)
+    d_area = (np.maximum(det[:, 2] - det[:, 0], 0.0)
+              * np.maximum(det[:, 3] - det[:, 1], 0.0))
+    dc = ~care
+    if dc.any() and len(det):
+        iod = np.divide(inter_all[dc], d_area[None, :],
+                        out=np.zeros((int(dc.sum()), len(det))),
+                        where=d_area[None, :] != 0)
+        keep = ~(iod > 0.5).any(axis=0)
+    else:
+        keep = np.ones(len(det), dtype=bool)
     gt_k = gt[care]
-    sigma = np.zeros((len(gt_k), len(det_k)))
-    tau = np.zeros((len(gt_k), len(det_k)))
-    for i in range(len(gt_k)):
-        ga = max(gt_k[i, 2] - gt_k[i, 0], 0.0) * max(
-            gt_k[i, 3] - gt_k[i, 1], 0.0)
-        for j in range(len(det_k)):
-            da = max(det_k[j, 2] - det_k[j, 0], 0.0) * max(
-                det_k[j, 3] - det_k[j, 1], 0.0)
-            inter = _rect_inter(gt_k[i], det_k[j])
-            sigma[i, j] = np.round(inter / ga, 2)
-            tau[i, j] = 0 if da == 0.0 else np.round(inter / da, 2)
+    inter = inter_all[care][:, keep]
+    g_area = (np.maximum(gt_k[:, 2] - gt_k[:, 0], 0.0)
+              * np.maximum(gt_k[:, 3] - gt_k[:, 1], 0.0))
+    d_area = d_area[keep]
+    # get_socre_A's sigma divides UNGUARDED (a 0-area gt raises there;
+    # our synthesis never makes one) — keep a guard but preserve the
+    # rounding exactly on the defined entries
+    sigma = np.round(np.divide(inter, g_area[:, None],
+                               out=np.zeros_like(inter),
+                               where=g_area[:, None] != 0), 2)
+    tau = np.round(np.divide(inter, d_area[None, :],
+                             out=np.zeros_like(inter),
+                             where=d_area[None, :] != 0), 2)
     return sigma, tau, keep
 
 
