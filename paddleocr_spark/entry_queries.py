@@ -2419,6 +2419,39 @@ def q_sr_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         go, schema="media_ref string, psnr double, ssim double")
 
 
+#: The det eval transform list of a REAL reference config
+#: (test_tipc/configs/det_r50_vd_pse_v2_0/det_r50_vd_pse.yml Eval
+#: section, DetLabelEncode removed — it is column-level here; see
+#: config.UNSUPPORTED_REASONS). Inlined so the gate does not depend on
+#: the reference checkout at run time; test_config.py verifies the
+#: same list loads from the actual YAML.
+CONFIG_GATE_TRANSFORMS: list[dict] = [
+    {"DecodeImage": {"img_mode": "BGR", "channel_first": False}},
+    {"DetResizeForTest": {"limit_side_len": 736, "limit_type": "min"}},
+    {"NormalizeImage": {"scale": "1./255.",
+                        "mean": [0.485, 0.456, 0.406],
+                        "std": [0.229, 0.224, 0.225], "order": "hwc"}},
+    {"ToCHWImage": None},
+    {"KeepKeys": {"keep_keys": ["image", "shape"]}},
+]
+
+
+def q_config_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference-config bridge end-to-end (round 5): a REAL det
+    config's Eval transform list (det_r50_vd_pse.yml) compiled by
+    config.build_transforms onto this repo's kernels and run
+    distributed (config.spark_transform, one Arrow-batched mapInPandas
+    over the shared media-refs table) — pinning that a user's YAML
+    wires to the same pixels the direct kernels produce. Fixture
+    oracle: tools/make_fixtures.fx_config_transforms replays the same
+    compiled chain single-node."""
+    from .config import build_transforms, spark_transform
+
+    ops, report = build_transforms(CONFIG_GATE_TRANSFORMS)
+    assert all(s == "ok" for _, s in report)
+    return spark_transform(_media_refs(spark, sf_dir), ops)
+
+
 def q_rec_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R6 deterministic rec-resize subset (round 5; previously enum):
     the 12 deterministic ``*ResizeImg`` operator variants of
@@ -3233,6 +3266,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_metric_grapheme": q_rec_metric_grapheme,
         "ct_metric": q_ct_metric,                 # fixture oracle
         "e2e_deteval": q_e2e_deteval,             # fixture oracle
+        "config_transforms": q_config_transforms,  # fixture oracle
         "re_metric": q_re_metric,
         "kie_f1_metric": q_kie_f1_metric,
         "can_metric": q_can_metric,               # fixture oracle
@@ -3685,6 +3719,11 @@ FROM synth_final GROUP BY doc_id, kind"""
     sqls["det_fce_metric"] = _fixture_sql(
         "det_fce_metric",
         "thr, precision, recall, hmean, hmean_max, ap")
+    sqls["config_transforms"] = _fixture_sql(
+        "config_transforms",
+        "media_ref, CAST(ndim AS BIGINT) AS ndim, "
+        "CAST(dim0 AS BIGINT) AS dim0, CAST(dim1 AS BIGINT) AS dim1, "
+        "CAST(numel AS BIGINT) AS numel, mean")
     sqls["e2e_deteval"] = _fixture_sql(
         "e2e_deteval",
         "precision, recall, f_score, seqerr, recall_e2e, precision_e2e, "

@@ -125,3 +125,26 @@ def test_spark_transform_runs_distributed(spark):
     assert r["ndim"] == 3 and r["dim1"] % 32 == 0
     rows2 = {r["media_ref"]: r for r in spark_transform(refs, ops).collect()}
     assert rows == rows2
+
+
+@needs_ref
+def test_gate_transforms_match_the_real_yaml():
+    """The inlined CONFIG_GATE_TRANSFORMS must equal the actual
+    det_r50_vd_pse.yml Eval list with only DetLabelEncode removed — the
+    gate stays honest to the file it claims to mirror."""
+    from paddleocr_spark.entry_queries import CONFIG_GATE_TRANSFORMS
+
+    cfg = load_config(DET_YML)
+    tlist = [t for t in dataset_transforms(cfg, "Eval")
+             if list(t)[0] != "DetLabelEncode"]
+    # normalize: the yaml KeepKeys keeps det-label keys our gate drops
+    assert [list(t)[0] for t in tlist] == [
+        list(t)[0] for t in CONFIG_GATE_TRANSFORMS]
+    for ours, theirs in zip(CONFIG_GATE_TRANSFORMS[:-1], tlist[:-1]):
+        name = list(ours)[0]
+        if name == "NormalizeImage":
+            assert ours[name]["scale"] == theirs[name]["scale"]
+            assert ours[name]["mean"] == theirs[name]["mean"]
+            assert ours[name]["std"] == theirs[name]["std"]
+        elif name == "DetResizeForTest":
+            assert ours[name] == theirs[name]

@@ -253,27 +253,27 @@ def test_ct_match_counts_regimes():
     gt = np.array([[0, 0, 100, 40]])
     det = np.array([[3, 3, 103, 43]])
     s, t = ct_sigma_tau(gt, np.array([False]), det)
-    assert ct_match_counts(s, t) == (1, 1, 1.0, 1.0)
+    assert ct_match_counts(s, t) == (1, 1, 1.0, 1.0, 0)
 
     det2 = np.array([[0, 0, 50, 40], [50, 0, 100, 40]])
     s, t = ct_sigma_tau(gt, np.array([False]), det2)
-    ng, nd, r, p = ct_match_counts(s, t)
+    ng, nd, r, p, _ = ct_match_counts(s, t)
     assert (ng, nd) == (1, 2)
     assert r == pytest.approx(0.8) and p == pytest.approx(1.6)
 
     gt2 = np.array([[0, 0, 50, 40], [50, 0, 100, 40]])
     det1 = np.array([[0, 0, 100, 40]])
     s, t = ct_sigma_tau(gt2, np.array([False, False]), det1)
-    ng, nd, r, p = ct_match_counts(s, t)
+    ng, nd, r, p, _ = ct_match_counts(s, t)
     assert (ng, nd) == (2, 1)
     assert r == pytest.approx(1.6) and p == pytest.approx(0.8)
 
     # dc gt removes the overlapping det and itself
     s, t = ct_sigma_tau(np.array([[0, 0, 100, 40]]), np.array([True]),
                         np.array([[0, 0, 100, 40]]))
-    assert s.shape == (0, 0) and ct_match_counts(s, t) == (0, 0, 0.0, 0.0)
+    assert s.shape == (0, 0) and ct_match_counts(s, t) == (0, 0, 0.0, 0.0, 0)
 
     # a miss: far-off det stays counted but contributes nothing
     s, t = ct_sigma_tau(gt, np.array([False]),
                         np.array([[7000, 7000, 7100, 7040]]))
-    assert ct_match_counts(s, t) == (1, 1, 0.0, 0.0)
+    assert ct_match_counts(s, t) == (1, 1, 0.0, 0.0, 0)

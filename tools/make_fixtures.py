@@ -786,6 +786,28 @@ def fx_sr_metric(con, sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["media_ref", "psnr", "ssim"])
 
 
+def fx_config_transforms(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_config_transforms single-node: the same compiled
+    chain (config.build_transforms over CONFIG_GATE_TRANSFORMS) replayed
+    per ref with transform_sample."""
+    from paddleocr_spark.config import build_transforms, transform_sample
+    from paddleocr_spark.entry_queries import CONFIG_GATE_TRANSFORMS
+    from paddleocr_spark.imagecodecs import render_ref_image
+
+    ops, _ = build_transforms(CONFIG_GATE_TRANSFORMS)
+    rows = []
+    for ref in _media_refs_single_node(con, sf_dir):
+        _, buf = render_ref_image(ref)
+        out = transform_sample({"image": buf}, ops)
+        arr = np.asarray(out[0] if isinstance(out, list) else out["image"])
+        rows.append((ref, arr.ndim, int(arr.shape[0]),
+                     int(arr.shape[1]) if arr.ndim > 1 else 0,
+                     int(arr.size),
+                     round(float(arr.mean(dtype=np.float64)), 4)))
+    return pd.DataFrame(rows, columns=["media_ref", "ndim", "dim0",
+                                       "dim1", "numel", "mean"])
+
+
 def fx_layout_preprocess(con, sf_dir: str) -> pd.DataFrame:
     """entry_queries.q_layout_preprocess single-node (see fx_tensor_ops)."""
     from paddleocr_spark.pixelops import layout_preprocess_for_ref
@@ -1134,6 +1156,7 @@ FIXTURES = {
     "table_metric": fx_table_metric,
     "ct_metric": fx_ct_metric,
     "e2e_deteval": fx_e2e_deteval,
+    "config_transforms": fx_config_transforms,
     "tensor_ops": fx_tensor_ops,
     "rec_resize": fx_rec_resize,
     "border_map": fx_border_map,
