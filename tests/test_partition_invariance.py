@@ -43,6 +43,14 @@ REPRESENTATIVE = [
     "sessionize",              # lag + running-sum session split
     "asof_join",               # union + last-ignorenulls carry-forward
     "zorder_layout",           # integer Morton keys + min/max rollup
+    # round-5 metric closure: order-sensitive per-doc walks + batched
+    # scorers — the shapes where a batch/partition boundary could leak
+    "ct_metric",               # Deteval matching walk per doc
+    "e2e_deteval",             # same walk + string hits
+    "det_fce_metric",          # pseudo-doc threshold sweep + AP window
+    "can_metric",              # applyInPandas batch scorer (sorted)
+    "rec_metric_grapheme",     # stack + per-channel agg
+    "config_transforms",       # compiled-chain mapInPandas
 ]
 
 
