@@ -2481,6 +2481,36 @@ def q_rec_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _media_refs(spark, sf_dir).mapInPandas(go, schema=schema)
 
 
+def q_rec_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 seeded train-time augment chain (round 5; previously enum with
+    a half-wrong reason — the tia warp family is PURE NUMPY in the
+    reference): RecAug = tia_distort/stretch/perspective moving-least-
+    squares warps + the six-gate BaseDataAugmentation jitter chain
+    (crop/blur/hsv/jitter/noise/reverse), ppocr/data/imaug/
+    rec_img_aug.py:26-121 + text_image_aug/*, as a pure (image, seed)
+    kernel (paddleocr_spark/recaug.py) — replayable and shardable, which
+    is what augmentation must be at 10^12 documents. Three variants per
+    blob (tia-only, bda-only, full chain), seeds crc32(ref:variant).
+    Fixture oracle (float32 MLS warps are not SQL-restatable;
+    tools/make_fixtures.py re-assembles single-node, sf0.01 only)."""
+    import pandas as pd
+
+    from .recaug import rec_aug_for_ref
+
+    cols = ["media_ref", "variant", "seed", "out_h", "out_w",
+            "mean", "vmin", "vmax", "crc"]
+    schema = ("media_ref string, variant string, seed long, out_h long, "
+              "out_w long, mean double, vmin long, vmax long, crc long")
+
+    def go(it):
+        for pdf in it:
+            rows = [r for ref in pdf["media_ref"]
+                    for r in rec_aug_for_ref(ref)]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return _media_refs(spark, sf_dir).mapInPandas(go, schema=schema)
+
+
 def q_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2's PDF branch, text-side (round 4): media refs → deterministic
     REAL PDF bytes (xref table, pages tree, FlateDecode content streams
@@ -3324,6 +3354,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_frames": q_gif_frames,
         "tensor_ops": q_tensor_ops,
         "rec_resize": q_rec_resize,
+        "rec_aug": q_rec_aug,
         "media_decode_real": q_media_decode_real,
         "utf8_decompose": q_utf8_decompose,
         "grapheme_decompose": q_grapheme_decompose,
@@ -3709,6 +3740,12 @@ FROM synth_final GROUP BY doc_id, kind"""
         "CAST(out_h AS BIGINT) AS out_h, CAST(out_w AS BIGINT) AS out_w, "
         "valid_ratio, CAST(resize_w AS BIGINT) AS resize_w, "
         "mean, vmin, vmax")
+    sqls["rec_aug"] = _fixture_sql(
+        "rec_aug",
+        "media_ref, variant, CAST(seed AS BIGINT) AS seed, "
+        "CAST(out_h AS BIGINT) AS out_h, CAST(out_w AS BIGINT) AS out_w, "
+        "mean, CAST(vmin AS BIGINT) AS vmin, "
+        "CAST(vmax AS BIGINT) AS vmax, CAST(crc AS BIGINT) AS crc")
     sqls["table_xlsx"] = _fixture_sql(
         "table_xlsx",
         "CAST(t_id AS BIGINT) AS t_id, CAST(n_rows AS BIGINT) AS n_rows, "
