@@ -1025,6 +1025,48 @@ def q_rec_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"))
 
 
+def q_distillation_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistillationMetric (distillation_metric.py:26-75), the one metric
+    file that had no gate pin: a per-model-key dispatcher that runs one
+    base metric per key in ``preds`` and merges names in get_metric —
+    the MAIN key's results land unprefixed, every other key's as
+    ``{key}_{sub_key}``. Pinned over RecMetric with keys Student (main)
+    + Teacher on divergent deterministic pred streams; output is the
+    merged long-format (metric, value) table, one grouped agg per key
+    (a union of two map-side-combinable aggregations — no extra
+    exchange vs running the metrics separately at 100 TB)."""
+    docs = _docs(spark, sf_dir)
+
+    def _pairs(key: str):
+        if key == "Student":
+            pred = (F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+                    .otherwise(F.translate("text", "ae", "ea")))
+        else:
+            pred = (F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+                    .otherwise(F.translate("text", "o", "0")))
+        return docs.select(F.col("text").alias("tgt"), pred.alias("pred"))
+
+    def _rec_metric_rows(key: str, prefix: str):
+        agg = _pairs(key).agg(
+            F.round(F.avg(
+                F.when(F.replace("pred", F.lit(" "), F.lit("")) ==
+                       F.replace("tgt", F.lit(" "), F.lit("")), 1.0)
+                .otherwise(0.0)), 4).alias("exact_acc"),
+            F.round(F.avg(
+                1.0 - F.levenshtein("pred", "tgt")
+                / F.greatest(F.length("pred"), F.length("tgt"), F.lit(1))
+                .cast("double")), 4).alias("norm_edit_sim"),
+            F.count("*").cast("double").alias("n"))
+        return agg.select(F.explode(F.create_map(
+            F.lit(prefix + "exact_acc"), F.col("exact_acc"),
+            F.lit(prefix + "norm_edit_sim"), F.col("norm_edit_sim"),
+            F.lit(prefix + "n"), F.col("n"))).alias("metric", "value"))
+
+    # main key Student unprefixed; Teacher prefixed "{key}_{sub_key}"
+    return (_rec_metric_rows("Student", "")
+            .unionAll(_rec_metric_rows("Teacher", "Teacher_")))
+
+
 def q_det_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 DetMetric.combine_results: global precision/recall/hmean from
     per-image matched counts (det_metric.py:24-79)."""
@@ -3412,6 +3454,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
         "ann_ivf_topk": SIM.ann_ivf_topk,
         "rec_metric": q_rec_metric,
+        "distillation_metric": q_distillation_metric,
         "dedup_simhash": D.dedup_simhash,
         "ann_lsh_buckets": SIM.ann_lsh_buckets,
         "media_resize": q_media_resize,
@@ -4008,6 +4051,43 @@ SELECT round(avg(CASE WHEN replace(pred, ' ', '') = replace(tgt, ' ', '')
              4) + 0 AS norm_edit_sim,
        CAST(count(*) AS BIGINT) AS n
 FROM pairs"""
+
+    sqls["distillation_metric"] = """
+WITH student AS (
+    SELECT text AS tgt,
+           CASE WHEN doc_id % 3 = 0 THEN text
+                ELSE translate(text, 'ae', 'ea') END AS pred
+    FROM documents
+), teacher AS (
+    SELECT text AS tgt,
+           CASE WHEN doc_id % 2 = 0 THEN text
+                ELSE translate(text, 'o', '0') END AS pred
+    FROM documents
+), s_agg AS (
+    SELECT round(avg(CASE WHEN replace(pred, ' ', '') =
+                               replace(tgt, ' ', '')
+                     THEN 1.0 ELSE 0.0 END), 4) + 0 AS exact_acc,
+           round(avg(1.0 - levenshtein(pred, tgt)
+                     / CAST(greatest(length(pred), length(tgt), 1)
+                            AS DOUBLE)), 4) + 0 AS norm_edit_sim,
+           CAST(count(*) AS DOUBLE) AS n
+    FROM student
+), t_agg AS (
+    SELECT round(avg(CASE WHEN replace(pred, ' ', '') =
+                               replace(tgt, ' ', '')
+                     THEN 1.0 ELSE 0.0 END), 4) + 0 AS exact_acc,
+           round(avg(1.0 - levenshtein(pred, tgt)
+                     / CAST(greatest(length(pred), length(tgt), 1)
+                            AS DOUBLE)), 4) + 0 AS norm_edit_sim,
+           CAST(count(*) AS DOUBLE) AS n
+    FROM teacher
+)
+SELECT 'exact_acc' AS metric, exact_acc AS value FROM s_agg
+UNION ALL SELECT 'norm_edit_sim', norm_edit_sim FROM s_agg
+UNION ALL SELECT 'n', n FROM s_agg
+UNION ALL SELECT 'Teacher_exact_acc', exact_acc FROM t_agg
+UNION ALL SELECT 'Teacher_norm_edit_sim', norm_edit_sim FROM t_agg
+UNION ALL SELECT 'Teacher_n', n FROM t_agg"""
 
     sqls["det_metric"] = """
 WITH d AS (

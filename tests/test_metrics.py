@@ -277,3 +277,61 @@ def test_ct_match_counts_regimes():
     s, t = ct_sigma_tau(gt, np.array([False]),
                         np.array([[7000, 7000, 7100, 7040]]))
     assert ct_match_counts(s, t) == (1, 1, 0.0, 0.0, 0)
+
+
+def test_distillation_metric_merge_matches_executed_reference():
+    """Executes the reference DistillationMetric
+    (distillation_metric.py:26-75) with a recording fake base metric —
+    its only own logic is the per-key dispatch and the get_metric name
+    merge (main key unprefixed, others '{key}_{sub}'), which is exactly
+    the emit scheme q_distillation_metric pins."""
+    src = open("/root/reference/ppocr/metrics/"
+               "distillation_metric.py").read()
+    for line in ("from .rec_metric import RecMetric",
+                 "from .det_metric import DetMetric, DetFCEMetric",
+                 "from .e2e_metric import E2EMetric",
+                 "from .cls_metric import ClsMetric",
+                 "from .vqa_token_ser_metric import VQASerTokenMetric",
+                 "from .vqa_token_re_metric import VQAReTokenMetric"):
+        assert line in src, line
+        src = src.replace(line, f"# [test-injected] {line}")
+
+    calls = []
+
+    class _FakeRec:
+        def __init__(self, main_indicator=None, **kw):
+            self.seen = 0
+
+        def reset(self):
+            self.seen = 0
+
+        def __call__(self, preds, batch, **kw):
+            self.seen += 1
+            calls.append(preds)
+
+        def get_metric(self):
+            return {"exact_acc": 0.5 + self.seen,
+                    "norm_edit_sim": 0.25, "n": 7.0}
+
+    import importlib
+    import types
+    ns = {"RecMetric": _FakeRec, "importlib": importlib}
+    exec(src, ns)
+    # importlib.import_module(__name__) resolves inside the exec'd
+    # namespace: give it a module whose attrs ARE that namespace
+    mod = types.ModuleType("ref_distillation")
+    mod.RecMetric = _FakeRec
+    import sys
+    sys.modules["ref_distillation"] = mod
+    try:
+        ns["__name__"] = "ref_distillation"
+        dm = ns["DistillationMetric"](key="Student",
+                                      base_metric_name="RecMetric")
+        dm.__call__({"Student": [1], "Teacher": [2]}, batch=[0])
+        out = dm.get_metric()
+    finally:
+        sys.modules.pop("ref_distillation", None)
+    assert out == {"exact_acc": 1.5, "norm_edit_sim": 0.25, "n": 7.0,
+                   "Teacher_exact_acc": 1.5,
+                   "Teacher_norm_edit_sim": 0.25, "Teacher_n": 7.0}
+    assert calls == [[1], [2]]
