@@ -2553,6 +2553,36 @@ def q_rec_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _media_refs(spark, sf_dir).mapInPandas(go, schema=schema)
 
 
+def q_cvaug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 ABINet/SVTR augment chain (round 5 — closes the abinet_aug
+    enum row): CVGeometry/SVTRGeometry random rotation-affine-
+    perspective warps + CVDeterioration/SVTRDeterioration noise/motion-
+    blur/gaussian-pyramid-rescale pipelines, ppocr/data/imaug/
+    abinet_aug.py:60-459 + rec_img_aug.py:102-130,223-253, as a pure
+    (image, seed) kernel (paddleocr_spark/cvaug.py) — replayable and
+    shardable. Three variants per blob (abinet, svtr aug_type 0/1),
+    seeds crc32(ref:variant); the wrapper differential executes the
+    reference's own ABINetRecAug/SVTRRecAug (tests/test_cvaug.py).
+    Fixture oracle (random-warp raster chains are not SQL-restatable;
+    tools/make_fixtures.py re-assembles single-node, sf0.01 only)."""
+    import pandas as pd
+
+    from .cvaug import cvaug_for_ref
+
+    cols = ["media_ref", "variant", "seed", "out_h", "out_w",
+            "mean", "vmin", "vmax", "crc"]
+    schema = ("media_ref string, variant string, seed long, out_h long, "
+              "out_w long, mean double, vmin long, vmax long, crc long")
+
+    def go(it):
+        for pdf in it:
+            rows = [r for ref in pdf["media_ref"]
+                    for r in cvaug_for_ref(ref)]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return _media_refs(spark, sf_dir).mapInPandas(go, schema=schema)
+
+
 def q_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2's PDF branch, text-side (round 4): media refs → deterministic
     REAL PDF bytes (xref table, pages tree, FlateDecode content streams
@@ -3397,6 +3427,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tensor_ops": q_tensor_ops,
         "rec_resize": q_rec_resize,
         "rec_aug": q_rec_aug,
+        "cvaug": q_cvaug,
         "media_decode_real": q_media_decode_real,
         "utf8_decompose": q_utf8_decompose,
         "grapheme_decompose": q_grapheme_decompose,
@@ -3785,6 +3816,12 @@ FROM synth_final GROUP BY doc_id, kind"""
         "mean, vmin, vmax")
     sqls["rec_aug"] = _fixture_sql(
         "rec_aug",
+        "media_ref, variant, CAST(seed AS BIGINT) AS seed, "
+        "CAST(out_h AS BIGINT) AS out_h, CAST(out_w AS BIGINT) AS out_w, "
+        "mean, CAST(vmin AS BIGINT) AS vmin, "
+        "CAST(vmax AS BIGINT) AS vmax, CAST(crc AS BIGINT) AS crc")
+    sqls["cvaug"] = _fixture_sql(
+        "cvaug",
         "media_ref, variant, CAST(seed AS BIGINT) AS seed, "
         "CAST(out_h AS BIGINT) AS out_h, CAST(out_w AS BIGINT) AS out_w, "
         "mean, CAST(vmin AS BIGINT) AS vmin, "

@@ -726,6 +726,16 @@ def fx_rec_aug(con, sf_dir: str) -> pd.DataFrame:
         "vmin", "vmax", "crc"])
 
 
+def fx_cvaug(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_cvaug single-node (see fx_tensor_ops)."""
+    from paddleocr_spark.cvaug import cvaug_for_ref
+    rows = [r for ref in _media_refs_single_node(con, sf_dir)
+            for r in cvaug_for_ref(ref)]
+    return pd.DataFrame(rows, columns=[
+        "media_ref", "variant", "seed", "out_h", "out_w", "mean",
+        "vmin", "vmax", "crc"])
+
+
 def fx_table_xlsx(con, sf_dir: str) -> pd.DataFrame:
     """entry_queries.q_table_xlsx single-node: the table HTML comes from
     table_html's own DuckDB oracle SQL (independent of the Spark walk);
@@ -1170,6 +1180,7 @@ FIXTURES = {
     "tensor_ops": fx_tensor_ops,
     "rec_resize": fx_rec_resize,
     "rec_aug": fx_rec_aug,
+    "cvaug": fx_cvaug,
     "border_map": fx_border_map,
     "rotate_crop": fx_rotate_crop,
     "layout_preprocess": fx_layout_preprocess,
