@@ -2553,6 +2553,63 @@ def q_rec_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _media_refs(spark, sf_dir).mapInPandas(go, schema=schema)
 
 
+def q_ct_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 CentripetalText train chain (round 5 — closes the ct_process
+    enum row): CTLabelEncode → RandomScale → MakeShrink (7-image stack,
+    Clipper-inset kernels, double-erosion inner ring) → group flip /
+    rotate / crop-pad → MakeCentripetalShift (jaccard-argmin offset
+    field), ppocr/data/imaug/ct_process.py:30-330 +
+    label_ops.py:1787-1810, as a pure (image, polys, words, seed)
+    kernel (paddleocr_spark/ctgt.py) seeded crc32(doc_id) — the
+    exec-ref differential runs the reference chain verbatim
+    (tests/test_ctgt.py). Ignored spans carry the '###' transcription
+    MakeShrink keys on. Committed-fixture oracle (the seeded raster
+    walk is iterative)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .ctgt import ct_gt_rows_for_doc
+    from .operators.grouped import grouped_map_arrow
+    from .pipeline import det_keep_predicate, score_keep_predicate
+    s = with_geometry(_spans_exploded(spark, sf_dir)).withColumn(
+        "ignored", ~(det_keep_predicate() & score_keep_predicate()))
+    out_schema = ("doc_id string, gi_sum long, tm_sum long, "
+                  "gki_sum long, gk_sum long, tmd_sum long, "
+                  "dist_px long, dist_x double, dist_y double, "
+                  "img_crc long")
+    names = ["doc_id", "gi_sum", "tm_sum", "gki_sum", "gk_sum",
+             "tmd_sum", "dist_px", "dist_x", "dist_y", "img_crc"]
+
+    def emit(tbl: "pa.Table") -> "pa.RecordBatch":
+        from .augments import EAST_CROP_CANVAS_MARGIN
+        from .operators.grouped import group_starts, string_codes
+
+        doc = string_codes(tbl.column("doc_id"))
+        xs = np.stack([tbl.column(c).to_numpy(zero_copy_only=False)
+                       for c in ("x1", "y1", "x2", "y2")], axis=1)
+        ign = tbl.column("ignored").to_numpy(zero_copy_only=False)
+        docs_str = tbl.column("doc_id").to_pylist()
+        starts = group_starts(doc)
+        ends = np.r_[starts[1:], len(doc)]
+        rows = []
+        for s0, e in zip(starts, ends):
+            b = xs[s0:e].copy()
+            b[:, 1] *= 2
+            b[:, 3] *= 2
+            h = int(b[:, 3].max()) + EAST_CROP_CANVAS_MARGIN
+            rows.append(ct_gt_rows_for_doc(
+                docs_str[s0], b, ign[s0:e].astype(bool), h,
+                G.PAGE_WIDTH))
+        if not rows:
+            return None
+        return pa.record_batch([pa.array(c) for c in zip(*rows)],
+                               names=names)
+
+    return grouped_map_arrow(
+        s.select("doc_id", "span_idx", "x1", "y1", "x2", "y2", "ignored"),
+        ["doc_id"], ["span_idx"], emit, out_schema)
+
+
 def q_cvaug(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R6 ABINet/SVTR augment chain (round 5 — closes the abinet_aug
     enum row): CVGeometry/SVTRGeometry random rotation-affine-
@@ -3428,6 +3485,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_resize": q_rec_resize,
         "rec_aug": q_rec_aug,
         "cvaug": q_cvaug,
+        "ct_gt": q_ct_gt,
         "media_decode_real": q_media_decode_real,
         "utf8_decompose": q_utf8_decompose,
         "grapheme_decompose": q_grapheme_decompose,
@@ -3820,6 +3878,15 @@ FROM synth_final GROUP BY doc_id, kind"""
         "CAST(out_h AS BIGINT) AS out_h, CAST(out_w AS BIGINT) AS out_w, "
         "mean, CAST(vmin AS BIGINT) AS vmin, "
         "CAST(vmax AS BIGINT) AS vmax, CAST(crc AS BIGINT) AS crc")
+    sqls["ct_gt"] = _fixture_sql(
+        "ct_gt",
+        "doc_id, CAST(gi_sum AS BIGINT) AS gi_sum, "
+        "CAST(tm_sum AS BIGINT) AS tm_sum, "
+        "CAST(gki_sum AS BIGINT) AS gki_sum, "
+        "CAST(gk_sum AS BIGINT) AS gk_sum, "
+        "CAST(tmd_sum AS BIGINT) AS tmd_sum, "
+        "CAST(dist_px AS BIGINT) AS dist_px, dist_x, dist_y, "
+        "CAST(img_crc AS BIGINT) AS img_crc")
     sqls["cvaug"] = _fixture_sql(
         "cvaug",
         "media_ref, variant, CAST(seed AS BIGINT) AS seed, "

@@ -87,6 +87,9 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ser_token_metric": _entry("q_ser_token_metric"),
         "sr_metric": _entry("q_sr_metric"),
         "can_metric": _entry("q_can_metric"),
+        # round-5 closing: the seeded train-augment chains
+        "rec_aug": _entry("q_rec_aug"),
+        "cvaug": _entry("q_cvaug"),
     }
 
 

@@ -726,6 +726,41 @@ def fx_rec_aug(con, sf_dir: str) -> pd.DataFrame:
         "vmin", "vmax", "crc"])
 
 
+def fx_ct_gt(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_ct_gt single-node: span geometry + P9/P10 drop
+    flags from the DuckDB twins, the seeded CT target chain via the
+    shared kernel (ctgt.ct_gt_rows_for_doc — reference parity pinned by
+    the exec-ref differential in tests/test_ctgt.py)."""
+    from paddleocr_spark import geometry as G
+    from paddleocr_spark.augments import EAST_CROP_CANVAS_MARGIN
+    from paddleocr_spark.ctgt import ct_gt_rows_for_doc
+    from paddleocr_spark.entry_queries import oracle_sql
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE OR REPLACE VIEW {t} AS "
+                    f"SELECT * FROM read_parquet('{p}')")
+    sqls = oracle_sql()
+    geom = con.sql(sqls["span_geometry"]).df().sort_values(
+        ["doc_id", "span_idx"])
+    kept = con.sql(sqls["det_drop_filters"]).df()
+    kept_set = set(zip(kept["doc_id"], kept["span_idx"]))
+    rows = []
+    for doc_id, g in geom.groupby("doc_id", sort=True):
+        xs = g[["x1", "y1", "x2", "y2"]].to_numpy(dtype=np.float64)
+        xs[:, 1] *= 2        # q_ct_gt's x2 vertical spread
+        xs[:, 3] *= 2
+        ign = np.array([(d, s) not in kept_set
+                        for d, s in zip(g["doc_id"], g["span_idx"])])
+        h = int(xs[:, 3].max()) + EAST_CROP_CANVAS_MARGIN
+        rows.append(ct_gt_rows_for_doc(str(doc_id), xs, ign, h,
+                                       G.PAGE_WIDTH))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "gi_sum", "tm_sum", "gki_sum", "gk_sum", "tmd_sum",
+        "dist_px", "dist_x", "dist_y", "img_crc"])
+
+
 def fx_cvaug(con, sf_dir: str) -> pd.DataFrame:
     """entry_queries.q_cvaug single-node (see fx_tensor_ops)."""
     from paddleocr_spark.cvaug import cvaug_for_ref
@@ -1181,6 +1216,7 @@ FIXTURES = {
     "rec_resize": fx_rec_resize,
     "rec_aug": fx_rec_aug,
     "cvaug": fx_cvaug,
+    "ct_gt": fx_ct_gt,
     "border_map": fx_border_map,
     "rotate_crop": fx_rotate_crop,
     "layout_preprocess": fx_layout_preprocess,
