@@ -2610,6 +2610,66 @@ def q_ct_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["doc_id"], ["span_idx"], emit, out_schema)
 
 
+def q_drrg_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 DRRG target generator (round 5 — closes the drrg_targets enum
+    row): head/tail edge scoring, sideline resampling, shrunk center-
+    region raster maps + top/bot height + sin/cos fields, center-line
+    text components, locality-aware NMS, attribute jitter and the
+    random-component fallback, ppocr/data/imaug/drrg_targets.py:25-699,
+    as a pure (polys, tags, size, seed) kernel
+    (paddleocr_spark/drrg_gt.py) seeded crc32(doc_id) — the exec-ref
+    differential runs the reference source verbatim
+    (tests/test_drrg_gt.py). Committed-fixture oracle (seeded raster +
+    NMS walk is iterative)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .drrg_gt import drrg_gt_rows_for_doc
+    from .operators.grouped import grouped_map_arrow
+    from .pipeline import det_keep_predicate, score_keep_predicate
+    s = with_geometry(_spans_exploded(spark, sf_dir)).withColumn(
+        "ignored", ~(det_keep_predicate() & score_keep_predicate()))
+    names = ["doc_id", "text_px", "eff_px", "center_px", "top_sum",
+             "bot_sum", "sin_sum", "cos_sum", "n_comps", "ax_sum",
+             "ay_sum", "ah_sum", "aw_sum", "acos_sum", "asin_sum",
+             "albl_sum"]
+    out_schema = ("doc_id string, text_px long, eff_px long, "
+                  "center_px long, top_sum double, bot_sum double, "
+                  "sin_sum double, cos_sum double, n_comps long, "
+                  "ax_sum double, ay_sum double, ah_sum double, "
+                  "aw_sum double, acos_sum double, asin_sum double, "
+                  "albl_sum double")
+
+    def emit(tbl: "pa.Table") -> "pa.RecordBatch":
+        from .augments import EAST_CROP_CANVAS_MARGIN
+        from .operators.grouped import group_starts, string_codes
+
+        doc = string_codes(tbl.column("doc_id"))
+        xs = np.stack([tbl.column(c).to_numpy(zero_copy_only=False)
+                       for c in ("x1", "y1", "x2", "y2")], axis=1)
+        ign = tbl.column("ignored").to_numpy(zero_copy_only=False)
+        docs_str = tbl.column("doc_id").to_pylist()
+        starts = group_starts(doc)
+        ends = np.r_[starts[1:], len(doc)]
+        rows = []
+        for s0, e in zip(starts, ends):
+            b = xs[s0:e].copy()
+            b[:, 1] = np.clip(b[:, 1] * 2, 0, 940)   # cap the canvas:
+            b[:, 3] = np.clip(b[:, 3] * 2, 0, 940)   # long docs would
+            h = int(b[:, 3].max()) + EAST_CROP_CANVAS_MARGIN  # blow up
+            rows.append(drrg_gt_rows_for_doc(           # the 7 maps
+                docs_str[s0], b, ign[s0:e].astype(bool), h,
+                G.PAGE_WIDTH))
+        if not rows:
+            return None
+        return pa.record_batch([pa.array(c) for c in zip(*rows)],
+                               names=names)
+
+    return grouped_map_arrow(
+        s.select("doc_id", "span_idx", "x1", "y1", "x2", "y2", "ignored"),
+        ["doc_id"], ["span_idx"], emit, out_schema)
+
+
 def q_cvaug(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R6 ABINet/SVTR augment chain (round 5 — closes the abinet_aug
     enum row): CVGeometry/SVTRGeometry random rotation-affine-
@@ -3486,6 +3546,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_aug": q_rec_aug,
         "cvaug": q_cvaug,
         "ct_gt": q_ct_gt,
+        "drrg_gt": q_drrg_gt,
         "media_decode_real": q_media_decode_real,
         "utf8_decompose": q_utf8_decompose,
         "grapheme_decompose": q_grapheme_decompose,
@@ -3878,6 +3939,13 @@ FROM synth_final GROUP BY doc_id, kind"""
         "CAST(out_h AS BIGINT) AS out_h, CAST(out_w AS BIGINT) AS out_w, "
         "mean, CAST(vmin AS BIGINT) AS vmin, "
         "CAST(vmax AS BIGINT) AS vmax, CAST(crc AS BIGINT) AS crc")
+    sqls["drrg_gt"] = _fixture_sql(
+        "drrg_gt",
+        "doc_id, CAST(text_px AS BIGINT) AS text_px, "
+        "CAST(eff_px AS BIGINT) AS eff_px, "
+        "CAST(center_px AS BIGINT) AS center_px, top_sum, bot_sum, "
+        "sin_sum, cos_sum, CAST(n_comps AS BIGINT) AS n_comps, "
+        "ax_sum, ay_sum, ah_sum, aw_sum, acos_sum, asin_sum, albl_sum")
     sqls["ct_gt"] = _fixture_sql(
         "ct_gt",
         "doc_id, CAST(gi_sum AS BIGINT) AS gi_sum, "

@@ -761,6 +761,39 @@ def fx_ct_gt(con, sf_dir: str) -> pd.DataFrame:
         "dist_px", "dist_x", "dist_y", "img_crc"])
 
 
+def fx_drrg_gt(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_drrg_gt single-node (see fx_ct_gt)."""
+    from paddleocr_spark import geometry as G
+    from paddleocr_spark.augments import EAST_CROP_CANVAS_MARGIN
+    from paddleocr_spark.drrg_gt import drrg_gt_rows_for_doc
+    from paddleocr_spark.entry_queries import oracle_sql
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE OR REPLACE VIEW {t} AS "
+                    f"SELECT * FROM read_parquet('{p}')")
+    sqls = oracle_sql()
+    geom = con.sql(sqls["span_geometry"]).df().sort_values(
+        ["doc_id", "span_idx"])
+    kept = con.sql(sqls["det_drop_filters"]).df()
+    kept_set = set(zip(kept["doc_id"], kept["span_idx"]))
+    rows = []
+    for doc_id, g in geom.groupby("doc_id", sort=True):
+        xs = g[["x1", "y1", "x2", "y2"]].to_numpy(dtype=np.float64)
+        xs[:, 1] = np.clip(xs[:, 1] * 2, 0, 940)   # q_drrg_gt's spread
+        xs[:, 3] = np.clip(xs[:, 3] * 2, 0, 940)   # + canvas cap
+        ign = np.array([(d, s) not in kept_set
+                        for d, s in zip(g["doc_id"], g["span_idx"])])
+        h = int(xs[:, 3].max()) + EAST_CROP_CANVAS_MARGIN
+        rows.append(drrg_gt_rows_for_doc(str(doc_id), xs, ign, h,
+                                         G.PAGE_WIDTH))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "text_px", "eff_px", "center_px", "top_sum", "bot_sum",
+        "sin_sum", "cos_sum", "n_comps", "ax_sum", "ay_sum", "ah_sum",
+        "aw_sum", "acos_sum", "asin_sum", "albl_sum"])
+
+
 def fx_cvaug(con, sf_dir: str) -> pd.DataFrame:
     """entry_queries.q_cvaug single-node (see fx_tensor_ops)."""
     from paddleocr_spark.cvaug import cvaug_for_ref
@@ -1217,6 +1250,7 @@ FIXTURES = {
     "rec_aug": fx_rec_aug,
     "cvaug": fx_cvaug,
     "ct_gt": fx_ct_gt,
+    "drrg_gt": fx_drrg_gt,
     "border_map": fx_border_map,
     "rotate_crop": fx_rotate_crop,
     "layout_preprocess": fx_layout_preprocess,
