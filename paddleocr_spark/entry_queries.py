@@ -2798,8 +2798,8 @@ def q_rec_label_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix/shift/suffix/pad builder), PREN (its own unknown→2 encode),
     CAN (word tokens; the vanishing-'<EOS>' and label=None-without-drop
     quirks), ClsLabelEncode — pure JVM, NULL = the reference's sample
-    drop.  VLLabelEncode is excluded: its occlusion draw is
-    random.sample (label_ops.py:1741-1746), no deterministic contract.
+    drop.  VLLabelEncode has its own seeded-contract query
+    (q_vl_label_encode — the occlusion sample is one replayable draw).
     MultiLabelEncode = the CTC+SAR columns of rec_label_encode composed.
     """
     from .functions import labelenc as LE
@@ -2815,6 +2815,42 @@ def q_rec_label_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep += [f"{fam}_label", f"{fam}_length"]
     keep += ["rfl_cnt", "pren_label", "can_label", "cls_idx"]
     return out.select(*keep)
+
+
+def q_vl_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 closing (round 5): VLLabelEncode (label_ops.py:1726-1784)
+    under the seeded contract — the 'random.sample, no deterministic
+    contract' exclusion was wrong; a 1-element sample is one replayable
+    draw (labelenc.vl_encode_py, seed = doc_id). Raw-string occlusion
+    index, full/remaining/occluded encodes, +1 shift, 0-pad, None drop.
+    Fixture oracle (the draw is not SQL-restatable); arrays serialized
+    csv (driver-canonicalizer rule)."""
+    import pandas as pd
+
+    from .functions.labelenc import vl_encode_py
+
+    base = _encode_sample_texts(spark, sf_dir)
+    cols = ["doc_id", "change_id", "length", "length_res", "length_sub",
+            "label", "label_res", "label_sub"]
+    schema = ("doc_id long, change_id long, length long, "
+              "length_res long, length_sub long, label string, "
+              "label_res string, label_sub string")
+
+    def go(it):
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                r = vl_encode_py(text, int(did))
+                if r is None:
+                    continue
+                cid, ln, lr, ls, lab, res, sub = r
+                rows.append((int(did), cid, ln, lr, ls,
+                             ",".join(map(str, lab)),
+                             ",".join(map(str, res)),
+                             ",".join(map(str, sub))))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return base.mapInPandas(go, schema=schema)
 
 
 def q_table_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3547,6 +3583,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cvaug": q_cvaug,
         "ct_gt": q_ct_gt,
         "drrg_gt": q_drrg_gt,
+        "vl_label_encode": q_vl_label_encode,
         "media_decode_real": q_media_decode_real,
         "utf8_decompose": q_utf8_decompose,
         "grapheme_decompose": q_grapheme_decompose,
@@ -3939,6 +3976,14 @@ FROM synth_final GROUP BY doc_id, kind"""
         "CAST(out_h AS BIGINT) AS out_h, CAST(out_w AS BIGINT) AS out_w, "
         "mean, CAST(vmin AS BIGINT) AS vmin, "
         "CAST(vmax AS BIGINT) AS vmax, CAST(crc AS BIGINT) AS crc")
+    sqls["vl_label_encode"] = _fixture_sql(
+        "vl_label_encode",
+        "CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(change_id AS BIGINT) AS change_id, "
+        "CAST(length AS BIGINT) AS length, "
+        "CAST(length_res AS BIGINT) AS length_res, "
+        "CAST(length_sub AS BIGINT) AS length_sub, "
+        "label, label_res, label_sub")
     sqls["drrg_gt"] = _fixture_sql(
         "drrg_gt",
         "doc_id, CAST(text_px AS BIGINT) AS text_px, "

@@ -185,6 +185,50 @@ def _encode_py(text: str) -> list[int] | None:
     return out or None
 
 
+def vl_encode_py(text: str, seed: int):
+    """VLLabelEncode (label_ops.py:1726-1784) under the seeded
+    contract (round 5 — the 'random.sample occlusion draw, no
+    deterministic contract' exclusion reason was wrong: a 1-element
+    sample is one replayable _randbelow(len) draw).  Occludes ONE
+    character of the RAW string (index drawn before any encode), then
+    encodes the full / remaining / occluded strings with the usual
+    +1 shift and 0-pad; an out-of-dict occluded char encodes to the
+    empty list, exactly as the reference's None fallback.  Returns
+    (change_id, length, length_res, length_sub, label, label_res,
+    label_sub) or None for the reference's sample-drop."""
+    import random as _random
+
+    if text is None:
+        text = ""
+    len_str = len(text)
+    if len_str <= 0:
+        return None
+    change_id = _random.Random(seed % (2 ** 32)).sample(
+        range(len_str), 1)[0]
+    label_sub_s = text[change_id]
+    if change_id == (len_str - 1):
+        label_res_s = text[:change_id]
+    elif change_id == 0:
+        label_res_s = text[1:]
+    else:
+        label_res_s = text[:change_id] + text[change_id + 1:]
+    ids = _encode_py(text)
+    if ids is None:
+        return None
+    ids = [i + 1 for i in ids]
+    length = len(ids)
+    label = ids + [0] * (MAX_TEXT_LEN - length)
+    res = _encode_py(label_res_s)
+    res = [] if res is None else [i + 1 for i in res]
+    sub = _encode_py(label_sub_s)
+    sub = [] if sub is None else [i + 1 for i in sub]
+    length_res, length_sub = len(res), len(sub)
+    label_res = res + [0] * (MAX_TEXT_LEN - len(res))
+    label_sub = sub + [0] * (MAX_TEXT_LEN - len(sub))
+    return (change_id, length, length_res, length_sub, label,
+            label_res, label_sub)
+
+
 def ctc_encode_py(text: str):
     ids = _encode_py(text)
     if ids is None:
@@ -233,9 +277,10 @@ def det_label_encode_py(label: str):
 
 # ---------------------------------------------------------------------------
 # The rest of the deterministic rec-encoder roster (round-4 closing wave).
-# VLLabelEncode is EXCLUDED by design: it draws the occluded character
-# with random.sample (label_ops.py:1741-1746) — no deterministic contract
-# to match.  MultiLabelEncode is CTC+SAR composed (both columns here).
+# VLLabelEncode joined in round 5 under the seeded contract
+# (vl_encode_py below — its random.sample occlusion draw is one
+# replayable _randbelow).  MultiLabelEncode is CTC+SAR composed (both
+# columns here).
 # ---------------------------------------------------------------------------
 
 def _roster_label(ids_shift: int, prefix: list[int], suffix: list[int],

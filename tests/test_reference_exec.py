@@ -3050,3 +3050,49 @@ def test_fce_targets_matches_executed_reference():
             sys.modules.pop("cv2", None)
         else:
             sys.modules["cv2"] = saved
+
+
+def test_vl_label_encode_matches_executed_reference():
+    """R5: execute the reference's VLLabelEncode
+    (ppocr/data/imaug/label_ops.py:1726-1784) under seeded global
+    random against labelenc.vl_encode_py — the 1-element occlusion
+    sample, the raw-string index arithmetic (first/last/middle arms),
+    the None fallbacks for out-of-dict remainders, and the shared
+    +1-shift/0-pad encode all run from reference source."""
+    import json as _json
+    import types
+
+    from paddleocr_spark.functions import labelenc as LE
+
+    shim = {"get_logger": lambda: types.SimpleNamespace(
+        warning=lambda *a, **k: None), "json": _json}
+    ns = _exec_slice("ppocr/data/imaug/label_ops.py",
+                     "class BaseRecLabelEncode",
+                     "class CTCLabelEncode_GraphemeLabel", shim)
+    ns["sample"] = random.sample          # `from random import sample`
+    ns = _exec_slice("ppocr/data/imaug/label_ops.py",
+                     "class VLLabelEncode", "class CTLabelEncode", ns)
+    op = ns["VLLabelEncode"](25)
+
+    rng = random.Random(73)
+    pool = "abcXYZ019 .,!한글*#"
+    texts = ["", "a", "#", "a" * 25, "a" * 26, "#a#", "한글한"]
+    texts += ["".join(rng.choice(pool) for _ in range(rng.randint(0, 30)))
+              for _ in range(300)]
+    for i, t in enumerate(texts):
+        seed = 9000 + i
+        random.seed(seed)
+        want = op({"label": t})
+        got = LE.vl_encode_py(t, seed)
+        if want is None:
+            assert got is None, t
+            continue
+        assert got is not None, t
+        change_id, length, lres, lsub, label, label_res, label_sub = got
+        assert change_id == want["label_id"], t
+        assert length == int(want["length"]), t
+        assert lres == int(want["length_res"]), t
+        assert lsub == int(want["length_sub"]), t
+        assert label == want["label"].tolist(), t
+        assert label_res == want["label_res"].tolist(), t
+        assert label_sub == want["label_sub"].tolist(), t

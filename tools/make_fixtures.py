@@ -761,6 +761,35 @@ def fx_ct_gt(con, sf_dir: str) -> pd.DataFrame:
         "dist_px", "dist_x", "dist_y", "img_crc"])
 
 
+def fx_vl_label_encode(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_vl_label_encode single-node: the shared sample
+    texts via SQL, the seeded VL occlusion encode via the shared
+    kernel (labelenc.vl_encode_py — reference parity pinned by the
+    exec-ref differential)."""
+    from paddleocr_spark.functions.labelenc import vl_encode_py
+    p = os.path.join(sf_dir, "documents.parquet")
+    texts = con.sql(f"""
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN upper(substring(text, CAST(1 + doc_id % 7 AS INT),
+                                         CAST(doc_id % 30 AS INT)))
+                    ELSE substring(text, CAST(1 + doc_id % 7 AS INT),
+                                   CAST(doc_id % 30 AS INT)) END AS text
+        FROM read_parquet('{p}') ORDER BY doc_id""").df()
+    rows = []
+    for did, text in zip(texts["doc_id"], texts["text"]):
+        r = vl_encode_py(text, int(did))
+        if r is None:
+            continue
+        cid, ln, lr, ls, lab, res, sub = r
+        rows.append((int(did), cid, ln, lr, ls,
+                     ",".join(map(str, lab)), ",".join(map(str, res)),
+                     ",".join(map(str, sub))))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "change_id", "length", "length_res", "length_sub",
+        "label", "label_res", "label_sub"])
+
+
 def fx_drrg_gt(con, sf_dir: str) -> pd.DataFrame:
     """entry_queries.q_drrg_gt single-node (see fx_ct_gt)."""
     from paddleocr_spark import geometry as G
@@ -1251,6 +1280,7 @@ FIXTURES = {
     "cvaug": fx_cvaug,
     "ct_gt": fx_ct_gt,
     "drrg_gt": fx_drrg_gt,
+    "vl_label_encode": fx_vl_label_encode,
     "border_map": fx_border_map,
     "rotate_crop": fx_rotate_crop,
     "layout_preprocess": fx_layout_preprocess,
