@@ -2610,6 +2610,34 @@ def q_ct_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["doc_id"], ["span_idx"], emit, out_schema)
 
 
+def q_randaug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 RandAugment (round 5 — the last in-repo augment enum row):
+    the 14-op ImageNet policy over PIL ops (shear/translate/rotate +
+    the ImageEnhance/ImageOps families),
+    ppocr/data/imaug/randaugment.py:26-143, as a pure (image, seed)
+    kernel (paddleocr_spark/randaug.py) with the PIL rasters re-derived
+    from public semantics; the exec-ref differential executes the
+    reference module verbatim (tests/test_randaug.py). Four seeds per
+    blob so the prob gate and an op spread are live. Fixture oracle
+    (the raster chains are not SQL-restatable)."""
+    import pandas as pd
+
+    from .randaug import randaug_for_ref
+
+    cols = ["media_ref", "seed", "out_h", "out_w", "mean", "vmin",
+            "vmax", "crc"]
+    schema = ("media_ref string, seed long, out_h long, out_w long, "
+              "mean double, vmin long, vmax long, crc long")
+
+    def go(it):
+        for pdf in it:
+            rows = [r for ref in pdf["media_ref"]
+                    for r in randaug_for_ref(ref)]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return _media_refs(spark, sf_dir).mapInPandas(go, schema=schema)
+
+
 def q_drrg_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R6 DRRG target generator (round 5 — closes the drrg_targets enum
     row): head/tail edge scoring, sideline resampling, shrunk center-
@@ -3584,6 +3612,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ct_gt": q_ct_gt,
         "drrg_gt": q_drrg_gt,
         "vl_label_encode": q_vl_label_encode,
+        "randaug": q_randaug,
         "media_decode_real": q_media_decode_real,
         "utf8_decompose": q_utf8_decompose,
         "grapheme_decompose": q_grapheme_decompose,
@@ -3973,6 +4002,12 @@ FROM synth_final GROUP BY doc_id, kind"""
     sqls["rec_aug"] = _fixture_sql(
         "rec_aug",
         "media_ref, variant, CAST(seed AS BIGINT) AS seed, "
+        "CAST(out_h AS BIGINT) AS out_h, CAST(out_w AS BIGINT) AS out_w, "
+        "mean, CAST(vmin AS BIGINT) AS vmin, "
+        "CAST(vmax AS BIGINT) AS vmax, CAST(crc AS BIGINT) AS crc")
+    sqls["randaug"] = _fixture_sql(
+        "randaug",
+        "media_ref, CAST(seed AS BIGINT) AS seed, "
         "CAST(out_h AS BIGINT) AS out_h, CAST(out_w AS BIGINT) AS out_w, "
         "mean, CAST(vmin AS BIGINT) AS vmin, "
         "CAST(vmax AS BIGINT) AS vmax, CAST(crc AS BIGINT) AS crc")

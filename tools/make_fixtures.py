@@ -761,6 +761,16 @@ def fx_ct_gt(con, sf_dir: str) -> pd.DataFrame:
         "dist_px", "dist_x", "dist_y", "img_crc"])
 
 
+def fx_randaug(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_randaug single-node (see fx_tensor_ops)."""
+    from paddleocr_spark.randaug import randaug_for_ref
+    rows = [r for ref in _media_refs_single_node(con, sf_dir)
+            for r in randaug_for_ref(ref)]
+    return pd.DataFrame(rows, columns=[
+        "media_ref", "seed", "out_h", "out_w", "mean", "vmin", "vmax",
+        "crc"])
+
+
 def fx_vl_label_encode(con, sf_dir: str) -> pd.DataFrame:
     """entry_queries.q_vl_label_encode single-node: the shared sample
     texts via SQL, the seeded VL occlusion encode via the shared
@@ -1281,6 +1291,7 @@ FIXTURES = {
     "ct_gt": fx_ct_gt,
     "drrg_gt": fx_drrg_gt,
     "vl_label_encode": fx_vl_label_encode,
+    "randaug": fx_randaug,
     "border_map": fx_border_map,
     "rotate_crop": fx_rotate_crop,
     "layout_preprocess": fx_layout_preprocess,
