@@ -2610,6 +2610,74 @@ def q_ct_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["doc_id"], ["span_idx"], emit, out_schema)
 
 
+def q_pg_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 PGNet target generator (round 5 — the LAST target-generation
+    enum row): 16-point poly validation with the direction-reversal
+    quirk, aspect/scale jitters, blur/brightness gates, random 512-pad
+    placement, TCL shrink-along-width geometry, per-quad TBO offset
+    fields, direction maps, CTC labels over the 36-char lexicon, and
+    the v2 projection point-gather, ppocr/data/imaug/
+    pg_process.py:24-1034 + ppocr/utils/e2e_utils/
+    extract_textpoint_fast.py:157-296, as a pure (image, polys, tags,
+    texts, seed) kernel (paddleocr_spark/pg_gt.py) seeded
+    crc32(doc_id); the exec-ref differential runs both reference files
+    verbatim, both gather modes (tests/test_pg_gt.py). Span y-coords
+    are spread x6 (capped 940) so the near-square 512-pad gate keeps a
+    healthy live fraction while the drop arms stay exercised; per-span
+    texts are derived deterministically from (kind, span_idx).
+    Committed-fixture oracle (the seeded raster walk is iterative)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .operators.grouped import grouped_map_arrow
+    from .pg_gt import pg_gt_rows_for_doc
+    from .pipeline import det_keep_predicate, score_keep_predicate
+    s = with_geometry(_spans_exploded(spark, sf_dir)).withColumn(
+        "ignored", ~(det_keep_predicate() & score_keep_predicate()))
+    names = ["doc_id", "live", "img_sum", "tcl_sum", "tcl_label_sum",
+             "border_sum", "direction_sum", "mask_sum", "pos_px",
+             "pos_sum", "label_sum"]
+    out_schema = ("doc_id string, live long, img_sum double, "
+                  "tcl_sum double, tcl_label_sum double, "
+                  "border_sum double, direction_sum double, "
+                  "mask_sum double, pos_px long, pos_sum double, "
+                  "label_sum double")
+
+    def emit(tbl: "pa.Table") -> "pa.RecordBatch":
+        from .augments import EAST_CROP_CANVAS_MARGIN
+        from .operators.grouped import group_starts, string_codes
+
+        doc = string_codes(tbl.column("doc_id"))
+        xs = np.stack([tbl.column(c).to_numpy(zero_copy_only=False)
+                       for c in ("x1", "y1", "x2", "y2")], axis=1)
+        ign = tbl.column("ignored").to_numpy(zero_copy_only=False)
+        kinds = tbl.column("kind").to_pylist()
+        sidx = tbl.column("span_idx").to_numpy(zero_copy_only=False)
+        docs_str = tbl.column("doc_id").to_pylist()
+        starts = group_starts(doc)
+        ends = np.r_[starts[1:], len(doc)]
+        rows = []
+        for s0, e in zip(starts, ends):
+            b = xs[s0:e].copy()
+            b[:, 1] = np.clip(b[:, 1] * 6, 0, 940)
+            b[:, 3] = np.clip(b[:, 3] * 6, 0, 940)
+            h = int(b[:, 3].max()) + EAST_CROP_CANVAS_MARGIN
+            texts = [f"{kinds[s0 + j].upper()}#{int(sidx[s0 + j])}"
+                     for j in range(e - s0)]
+            rows.append(pg_gt_rows_for_doc(
+                docs_str[s0], b, ign[s0:e].astype(bool), texts, h,
+                G.PAGE_WIDTH))
+        if not rows:
+            return None
+        return pa.record_batch([pa.array(c) for c in zip(*rows)],
+                               names=names)
+
+    return grouped_map_arrow(
+        s.select("doc_id", "span_idx", "kind", "x1", "y1", "x2", "y2",
+                 "ignored"),
+        ["doc_id"], ["span_idx"], emit, out_schema)
+
+
 def q_randaug(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R6 RandAugment (round 5 — the last in-repo augment enum row):
     the 14-op ImageNet policy over PIL ops (shear/translate/rotate +
@@ -3613,6 +3681,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drrg_gt": q_drrg_gt,
         "vl_label_encode": q_vl_label_encode,
         "randaug": q_randaug,
+        "pg_gt": q_pg_gt,
         "media_decode_real": q_media_decode_real,
         "utf8_decompose": q_utf8_decompose,
         "grapheme_decompose": q_grapheme_decompose,
@@ -4005,6 +4074,11 @@ FROM synth_final GROUP BY doc_id, kind"""
         "CAST(out_h AS BIGINT) AS out_h, CAST(out_w AS BIGINT) AS out_w, "
         "mean, CAST(vmin AS BIGINT) AS vmin, "
         "CAST(vmax AS BIGINT) AS vmax, CAST(crc AS BIGINT) AS crc")
+    sqls["pg_gt"] = _fixture_sql(
+        "pg_gt",
+        "doc_id, CAST(live AS BIGINT) AS live, img_sum, tcl_sum, "
+        "tcl_label_sum, border_sum, direction_sum, mask_sum, "
+        "CAST(pos_px AS BIGINT) AS pos_px, pos_sum, label_sum")
     sqls["randaug"] = _fixture_sql(
         "randaug",
         "media_ref, CAST(seed AS BIGINT) AS seed, "

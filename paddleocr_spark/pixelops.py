@@ -210,6 +210,26 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     c = p.shape[2]
     ty3 = ty[:, None, None]
     rows = p[y0] * (1 - ty3) + p[y1] * ty3          # (out_h, w, c)
+    if w * out_w > 1_000_000:
+        # big-source path: the 1-sparse matmul trick costs O(w·out_w)
+        # dense FLOPs per row — a plain gather-lerp is bit-identical
+        # (each matmul dot has exactly ONE nonzero term plus exact
+        # zero adds, so it rounds once either way, same as the two
+        # products + one add below) and linear in out_w.  The matmul
+        # path stays for the small-source upscales it was built for
+        # (layout_preprocess), where the cached weight matrices beat
+        # fancy-index gathers.
+        x0g, x1g, txg = _lin_coords(out_w, w)
+        acc3 = rows[:, x0g, :] * (1 - txg)[None, :, None]
+        acc3 += rows[:, x1g, :] * txg[None, :, None]
+        if img.dtype == np.uint8:
+            acc3 += 0.5
+            out = acc3.astype(np.uint8)
+        else:
+            out = acc3.astype(img.dtype)
+        if squeeze:
+            out = out[..., 0]
+        return np.ascontiguousarray(out)
     w0, w1 = _col_weights(w, out_w)
     flat = rows.transpose(0, 2, 1).reshape(-1, w)   # (out_h*c, w)
     # Sum the two 1-sparse matmuls in place and round BEFORE the layout

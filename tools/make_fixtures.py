@@ -761,6 +761,43 @@ def fx_ct_gt(con, sf_dir: str) -> pd.DataFrame:
         "dist_px", "dist_x", "dist_y", "img_crc"])
 
 
+def fx_pg_gt(con, sf_dir: str) -> pd.DataFrame:
+    """entry_queries.q_pg_gt single-node (see fx_ct_gt): span geometry
+    + drop flags via the DuckDB twins, per-span texts derived the same
+    deterministic way, the seeded PGNet walk via the shared kernel."""
+    from paddleocr_spark import geometry as G
+    from paddleocr_spark.augments import EAST_CROP_CANVAS_MARGIN
+    from paddleocr_spark.entry_queries import oracle_sql
+    from paddleocr_spark.pg_gt import pg_gt_rows_for_doc
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE OR REPLACE VIEW {t} AS "
+                    f"SELECT * FROM read_parquet('{p}')")
+    sqls = oracle_sql()
+    geom = con.sql(sqls["span_geometry"]).df().sort_values(
+        ["doc_id", "span_idx"])
+    kept = con.sql(sqls["det_drop_filters"]).df()
+    kept_set = set(zip(kept["doc_id"], kept["span_idx"]))
+    rows = []
+    for doc_id, g in geom.groupby("doc_id", sort=True):
+        xs = g[["x1", "y1", "x2", "y2"]].to_numpy(dtype=np.float64)
+        xs[:, 1] = np.clip(xs[:, 1] * 6, 0, 940)   # q_pg_gt's spread
+        xs[:, 3] = np.clip(xs[:, 3] * 6, 0, 940)
+        ign = np.array([(d, s) not in kept_set
+                        for d, s in zip(g["doc_id"], g["span_idx"])])
+        texts = [f"{k.upper()}#{int(s)}"
+                 for k, s in zip(g["kind"], g["span_idx"])]
+        h = int(xs[:, 3].max()) + EAST_CROP_CANVAS_MARGIN
+        rows.append(pg_gt_rows_for_doc(str(doc_id), xs, ign, texts, h,
+                                       G.PAGE_WIDTH))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "live", "img_sum", "tcl_sum", "tcl_label_sum",
+        "border_sum", "direction_sum", "mask_sum", "pos_px", "pos_sum",
+        "label_sum"])
+
+
 def fx_randaug(con, sf_dir: str) -> pd.DataFrame:
     """entry_queries.q_randaug single-node (see fx_tensor_ops)."""
     from paddleocr_spark.randaug import randaug_for_ref
@@ -1292,6 +1329,7 @@ FIXTURES = {
     "drrg_gt": fx_drrg_gt,
     "vl_label_encode": fx_vl_label_encode,
     "randaug": fx_randaug,
+    "pg_gt": fx_pg_gt,
     "border_map": fx_border_map,
     "rotate_crop": fx_rotate_crop,
     "layout_preprocess": fx_layout_preprocess,
