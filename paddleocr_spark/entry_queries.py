@@ -3648,6 +3648,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_quality_filter": CU.adaptive_quality_filter,
         "quality_classifier": CU.quality_classifier,
         "line_dedup": CU.line_dedup,
+        "c4_clean": CU.c4_clean,
         "dedup_trim": D.dedup_trim,
         "bloom_dedup": D.bloom_dedup,
         "minhash_survivors": D.minhash_survivors,
@@ -4578,7 +4579,44 @@ SELECT doc_id, n_lines, n_dup_lines, dup_frac,
        dup_frac < {CU.LINE_DUP_DROP_FRAC} AS kept
 FROM j"""
 
+    _nibs = ", ".join(f"'{n}'" for n in CU.C4_NO_PUNCT_NIBBLES)
     _bl = " OR ".join(f"x = '{b}'" for b in CU.BLOCKLIST)
+    sqls["c4_clean"] = f"""
+WITH d AS (SELECT doc_id, {_WORDS} AS w FROM documents
+), c AS (
+    SELECT doc_id,
+           w[(i - 1) * {_lw} + 1 : least(i * {_lw}, len(w))] AS lwd
+    FROM (SELECT doc_id, w,
+                 unnest(generate_series(1, (len(w) + {_lw} - 1) // {_lw}))
+                     AS i
+          FROM d)
+), s AS (
+    SELECT doc_id, len(lwd) AS n,
+           len(lwd) >= {CU.C4_MIN_LINE_WORDS}
+               AND substring(md5(array_to_string(lwd, ' ')), 1, 1)
+                   NOT IN ({_nibs}) AS k
+    FROM c
+), pd AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(coalesce(sum(CASE WHEN k THEN 1 END), 0) AS BIGINT)
+               AS n_kept,
+           CAST(coalesce(sum(CASE WHEN k THEN n END), 0) AS BIGINT)
+               AS kept_words
+    FROM s GROUP BY doc_id
+), bl AS (
+    SELECT doc_id,
+           CAST(len(list_filter(w, x -> {_bl})) AS BIGINT) AS n_blocked
+    FROM d
+)
+SELECT d.doc_id,
+       CAST(coalesce(pd.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(coalesce(pd.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(pd.kept_words, 0) AS BIGINT) AS kept_words,
+       bl.n_blocked,
+       coalesce(pd.n_kept, 0) >= {CU.C4_MIN_KEPT_LINES}
+           AND bl.n_blocked = 0 AS kept
+FROM d LEFT JOIN pd USING (doc_id) JOIN bl USING (doc_id)"""
+
     sqls["blocklist_filter"] = f"""
 WITH d AS (SELECT doc_id, {_WORDS} AS w FROM documents)
 SELECT doc_id,

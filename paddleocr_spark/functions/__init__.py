@@ -90,6 +90,8 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 closing: the seeded train-augment chains
         "rec_aug": _entry("q_rec_aug"),
         "cvaug": _entry("q_cvaug"),
+        # round-5 final: C4 line-retention cleaning
+        "c4_clean": _curation("c4_clean"),
     }
 
 

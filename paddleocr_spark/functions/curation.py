@@ -294,6 +294,73 @@ def line_dedup(spark: SparkSession, sf_dir: str,
             .withColumn("kept", F.col("dup_frac") < LINE_DUP_DROP_FRAC))
 
 
+#: C4 line-retention thresholds (Raffel et al. 2020 §2.2): a line
+#: survives with ≥5 words and terminal punctuation; a page survives
+#: with ≥3 surviving lines and no blocklisted word.
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+#: md5 leading hex digits that mark a synthesized line as NOT ending in
+#: terminal punctuation (4/16 — ~25% of lines fail the rule, enough to
+#: exercise both arms at every SF).
+C4_NO_PUNCT_NIBBLES = ("0", "4", "8", "c")
+
+
+def c4_clean(spark: SparkSession, sf_dir: str,
+             width: int = LINE_WIDTH_WORDS) -> DataFrame:
+    """C4-style line-retention cleaning (Raffel et al. 2020 §2.2).
+
+    The published filter keeps only lines that end in terminal
+    punctuation AND have ≥ ``C4_MIN_LINE_WORDS`` words, then drops any
+    page with fewer than ``C4_MIN_KEPT_LINES`` surviving lines or any
+    blocklisted word. The corpus text carries no newlines or
+    punctuation (TESTDATA is a word stream), so — the same synthesis
+    move as :func:`line_dedup` and the LMDB fixture envs — a "line" is
+    a ``width``-word chunk (the ragged tail chunk INCLUDED, so the
+    ≥5-words arm is live) and its terminal punctuation is synthesized
+    deterministically from the chunk text: a line fails the punctuation
+    rule iff the first hex digit of ``md5(chunk)`` is in
+    ``C4_NO_PUNCT_NIBBLES``. Both engines evaluate the identical md5 on
+    the identical string, so the rule is engine-portable. Emits every
+    document with line/survivor/word counts, the blocked-word count,
+    and the page keep decision.
+
+    Scale shape: a pure higher-order-function scan — no explode, no
+    join, no shuffle; the per-line predicate and the page fold run
+    inside whole-stage codegen over the words array. At 10^12 docs this
+    is the canonical embarrassingly-parallel cleaning pass (the real C4
+    ran it as a MapReduce map side); the blocklist compiles into the
+    row predicate exactly as :func:`blocklist_filter` does.
+    """
+    lw = width
+    chunks = (f"CASE WHEN size(w) = 0 THEN "
+              f"array() "
+              f"ELSE transform(sequence(1, (size(w) + {lw} - 1) DIV {lw}), "
+              f"i -> slice(w, (i - 1) * {lw} + 1, {lw})) END")
+    nibs = ", ".join(f"'{n}'" for n in C4_NO_PUNCT_NIBBLES)
+    pred = " OR ".join(f"x = '{b}'" for b in BLOCKLIST)
+    d = (_doc_words(spark, sf_dir)
+         .select("doc_id", "w", F.expr(chunks).alias("cs"))
+         .select(
+             "doc_id",
+             F.expr("transform(cs, c -> named_struct("
+                    "'n', size(c), "
+                    f"'k', size(c) >= {C4_MIN_LINE_WORDS} AND "
+                    "substring(md5(array_join(c, ' ')), 1, 1) "
+                    f"NOT IN ({nibs})))").alias("st"),
+             F.expr(f"size(filter(w, x -> {pred}))")
+             .cast("long").alias("n_blocked")))
+    return (d.select(
+        "doc_id",
+        F.expr("size(st)").cast("long").alias("n_lines"),
+        F.expr("size(filter(st, s -> s.k))").cast("long").alias("n_kept"),
+        F.expr("aggregate(filter(st, s -> s.k), 0L, (a, s) -> a + s.n)")
+        .alias("kept_words"),
+        "n_blocked")
+        .withColumn("kept",
+                    (F.col("n_kept") >= C4_MIN_KEPT_LINES)
+                    & (F.col("n_blocked") == 0)))
+
+
 def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style word-blocklist filter.
 

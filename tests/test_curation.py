@@ -176,6 +176,41 @@ def test_line_dedup_matches_plain_python(spark):
     assert len(dropped) < len(rows) // 2
 
 
+def test_c4_clean_matches_plain_python(spark):
+    from paddleocr_spark.functions.curation import (BLOCKLIST,
+                                                    C4_MIN_KEPT_LINES,
+                                                    C4_MIN_LINE_WORDS,
+                                                    C4_NO_PUNCT_NIBBLES,
+                                                    LINE_WIDTH_WORDS,
+                                                    c4_clean)
+    W = LINE_WIDTH_WORDS
+    want = {}
+    for r in _rows():
+        w = r["w"]
+        lines = [w[i * W:(i + 1) * W]
+                 for i in range((len(w) + W - 1) // W)]
+        kept = [ln for ln in lines
+                if len(ln) >= C4_MIN_LINE_WORDS
+                and hashlib.md5(" ".join(ln).encode()).hexdigest()[0]
+                not in C4_NO_PUNCT_NIBBLES]
+        blocked = sum(1 for x in w if x in BLOCKLIST)
+        want[r["doc_id"]] = (
+            len(lines), len(kept), sum(len(ln) for ln in kept), blocked,
+            len(kept) >= C4_MIN_KEPT_LINES and blocked == 0)
+    got = {r["doc_id"]: (r["n_lines"], r["n_kept"], r["kept_words"],
+                         r["n_blocked"], r["kept"])
+           for r in c4_clean(spark, SF).collect()}
+    assert got == want
+    dropped = [d for d, v in want.items() if not v[4]]
+    # both page arms live: some docs dropped, most kept, and at least
+    # one drop must come from each rule (few survivors vs blocklist)
+    assert 0 < len(dropped) < len(want) // 2
+    assert any(want[d][3] > 0 for d in dropped)
+    assert any(want[d][1] < C4_MIN_KEPT_LINES for d in dropped)
+    short_tail = [v for v in want.values() if v[0] > 0 and v[1] < v[0]]
+    assert short_tail, "some line must fail a retention rule"
+
+
 def test_blocklist_filter_matches_plain_python(spark):
     from paddleocr_spark.functions.curation import (BLOCKLIST,
                                                     blocklist_filter)
