@@ -110,14 +110,26 @@ def worker(cores: int, corpus_path: str, sf_dir: str, full: bool,
                       F.sum(F.size("spans")).alias("spans")).collect()[0]
         return time.time() - t0, int(row["docs"]), int(row["spans"] or 0)
 
-    run()  # warmup: python workers, codegen, shuffle files
+    # Adaptive warm-up: one draw is not always enough — on a cold page
+    # cache the first draws pay parquet readahead + JIT and decay over
+    # several runs (measured 25 s -> 6 s across 3 draws on a fresh
+    # host), which poisons a best-of-N that starts too early.  Warm
+    # until two consecutive draws agree within 15% (max 4 draws), THEN
+    # take the timed set.
+    warm = [run()[0]]
+    while len(warm) < 4 and not (
+            len(warm) >= 2 and
+            abs(warm[-1] - warm[-2]) <= 0.15 * min(warm[-1], warm[-2])):
+        warm.append(run()[0])
     times = []
     for _ in range(runs):
         sec, ndocs, nspans = run()
         times.append(round(sec, 3))
     best = min(times)
     res = {
-        "cores": cores, "times": times, "flagship_sec": best,
+        "cores": cores, "times": times,
+        "warmup_times": [round(w, 3) for w in warm],
+        "flagship_sec": best,
         "docs_out": ndocs, "spans_out": nspans,
         "docs_per_sec": round(ndocs / best, 1) if best > 0 else 0.0,
     }
