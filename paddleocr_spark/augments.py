@@ -68,35 +68,50 @@ def is_poly_outside_rect(poly: np.ndarray, x: float, y: float,
 
 def split_regions(axis: np.ndarray) -> list:
     """Runs of consecutive free indices (random_crop_data.py:47-55; note
-    the trailing run is never appended — quirk preserved)."""
-    regions = []
-    min_axis = 0
-    for i in range(1, axis.shape[0]):
-        if axis[i] != axis[i - 1] + 1:
-            regions.append(axis[min_axis:i])
-            min_axis = i
-    return regions
+    the trailing run is never appended — quirk preserved).
+
+    Vectorized: run boundaries via one diff scan instead of a Python
+    loop over every free index; the split slices are identical to the
+    reference's ``axis[min_axis:i]`` windows, and the trailing run is
+    dropped exactly as the reference's loop never reaches it.
+    """
+    if axis.shape[0] == 0:
+        return []
+    breaks = np.flatnonzero(np.diff(axis) != 1)
+    return np.split(axis, breaks + 1)[:-1]
 
 
 def random_select(axis: np.ndarray, max_size: int,
                   rng: np.random.RandomState):
-    """Two draws from the free axis, clipped after (:58-64)."""
-    xx = rng.choice(axis, size=2)
-    xmin, xmax = np.min(xx), np.max(xx)
-    return (np.clip(xmin, 0, max_size - 1),
-            np.clip(xmax, 0, max_size - 1))
+    """Two draws from the free axis, clipped after (:58-64).
+
+    ``rng.choice(a, size)`` with replace=True and uniform p is defined as
+    ``a[rng.randint(0, len(a), size)]`` (numpy mtrand.pyx) — drawn
+    directly to skip choice()'s per-call validation overhead; the MT
+    stream consumption is identical (pytest-pinned).
+    """
+    i0, i1 = rng.randint(0, axis.shape[0], 2)
+    a, b = int(axis[i0]), int(axis[i1])
+    xmin, xmax = (a, b) if a <= b else (b, a)
+    hi = max_size - 1
+    return (0 if xmin < 0 else (hi if xmin > hi else xmin),
+            0 if xmax < 0 else (hi if xmax > hi else xmax))
 
 
 def region_wise_random_select(regions: list,
                               rng: np.random.RandomState):
-    """Pick two regions WITH replacement, one value from each (:67-76)."""
-    selected_index = list(rng.choice(len(regions), 2))
+    """Pick two regions WITH replacement, one value from each (:67-76).
+
+    Same randint-backed draw identity as :func:`random_select`; the
+    reference's int(choice(..., size=1)) per region is one randint each.
+    """
     selected_values = []
-    for index in selected_index:
-        # int(choice(..., size=1)) in the reference — [0] is the same
-        # value without NumPy's array→scalar deprecation
-        selected_values.append(int(rng.choice(regions[index], size=1)[0]))
-    return min(selected_values), max(selected_values)
+    for index in rng.randint(0, len(regions), 2):
+        region = regions[index]
+        selected_values.append(int(region[rng.randint(
+            0, region.shape[0], 1)[0]]))
+    a, b = selected_values
+    return (a, b) if a <= b else (b, a)
 
 
 def crop_area(h: int, w: int, text_polys: list,
@@ -110,10 +125,31 @@ def crop_area(h: int, w: int, text_polys: list,
     """
     h_array = np.zeros(h, dtype=np.int32)
     w_array = np.zeros(w, dtype=np.int32)
-    for points in text_polys:
-        points = np.round(points, decimals=0).astype(np.int32)
-        w_array[np.min(points[:, 0]):np.max(points[:, 0])] = 1
-        h_array[np.min(points[:, 1]):np.max(points[:, 1])] = 1
+    # Per-poly extrema, one vectorized pass (the reference recomputes
+    # min/max per poly per axis; np.round is monotone, so the rounded
+    # extremum equals the extremum of the rounded points — identical
+    # occupancy). Ragged polys fall back to the per-poly reduction.
+    if len(text_polys):
+        try:
+            pts = np.stack([np.asarray(p, dtype=np.float64)
+                            for p in text_polys])
+            fx_lo = pts[:, :, 0].min(axis=1)
+            fx_hi = pts[:, :, 0].max(axis=1)
+            fy_lo = pts[:, :, 1].min(axis=1)
+            fy_hi = pts[:, :, 1].max(axis=1)
+        except ValueError:
+            arrs = [np.asarray(p, dtype=np.float64) for p in text_polys]
+            fx_lo = np.array([a[:, 0].min() for a in arrs])
+            fx_hi = np.array([a[:, 0].max() for a in arrs])
+            fy_lo = np.array([a[:, 1].min() for a in arrs])
+            fy_hi = np.array([a[:, 1].max() for a in arrs])
+        x_lo = np.round(fx_lo).astype(np.int32)
+        x_hi = np.round(fx_hi).astype(np.int32)
+        y_lo = np.round(fy_lo).astype(np.int32)
+        y_hi = np.round(fy_hi).astype(np.int32)
+        for i in range(len(text_polys)):
+            w_array[x_lo[i]:x_hi[i]] = 1
+            h_array[y_lo[i]:y_hi[i]] = 1
     h_axis = np.where(h_array == 0)[0]
     w_axis = np.where(w_array == 0)[0]
     if len(h_axis) == 0 or len(w_axis) == 0:
@@ -132,13 +168,12 @@ def crop_area(h: int, w: int, text_polys: list,
         if (xmax - xmin < min_crop_side_ratio * w
                 or ymax - ymin < min_crop_side_ratio * h):
             continue
-        num_poly_in_rect = 0
-        for poly in text_polys:
-            if not is_poly_outside_rect(poly, xmin, ymin,
-                                        xmax - xmin, ymax - ymin):
-                num_poly_in_rect += 1
-                break
-        if num_poly_in_rect > 0:
+        # any-poly-intersects, vectorized (is_poly_outside_rect's
+        # predicate over all polys at once; no RNG involved, so the
+        # short-circuit `break` is observationally equivalent)
+        if len(text_polys) and bool(np.any(
+                (fx_hi >= xmin) & (fx_lo <= xmax)
+                & (fy_hi >= ymin) & (fy_lo <= ymax))):
             return xmin, ymin, xmax - xmin, ymax - ymin
     return 0, 0, w, h
 
@@ -159,21 +194,37 @@ def east_crop_doc(did: int, boxes: np.ndarray, ignored: np.ndarray,
     h = (int(boxes[:, 3].max()) if len(boxes) else 0) \
         + EAST_CROP_CANVAS_MARGIN
     w = G.PAGE_WIDTH
-    polys = [np.array([[b[0], b[1]], [b[2], b[1]],
-                       [b[2], b[3]], [b[0], b[3]]], dtype=np.float64)
-             for b in boxes]
-    care = [p for p, t in zip(polys, ignored) if not t]
+    # Boxes are axis-aligned rects, so the reference's corner polys are
+    # fully determined by (x1 y1 x2 y2); build the (n, 4, 2) corner array
+    # in one shot instead of n small allocations.
+    boxes = np.asarray(boxes, dtype=np.float64)
+    n = len(boxes)
+    polys = np.empty((n, 4, 2), dtype=np.float64)
+    if n:
+        polys[:, 0, 0] = boxes[:, 0]; polys[:, 0, 1] = boxes[:, 1]
+        polys[:, 1, 0] = boxes[:, 2]; polys[:, 1, 1] = boxes[:, 1]
+        polys[:, 2, 0] = boxes[:, 2]; polys[:, 2, 1] = boxes[:, 3]
+        polys[:, 3, 0] = boxes[:, 0]; polys[:, 3, 1] = boxes[:, 3]
+    care = polys[~np.asarray(ignored, dtype=bool)]
     crop_x, crop_y, crop_w, crop_h = crop_area(
         h, w, care, min_ratio, max_tries, rng)
     scale = min(size[0] / crop_w, size[1] / crop_h)
     sh = int(crop_h * scale)
     sw = int(crop_w * scale)
+    # Shift-and-scale all polys at once. For a rect the corner extrema
+    # are the transformed box corners (scale > 0 preserves order), so
+    # (nx1 ny1 nx2 ny2) are bit-identical to the reference's per-poly
+    # q.min()/q.max().
     kept = []
-    for i, poly in enumerate(polys):
-        q = (poly - (crop_x, crop_y)) * scale
-        if not is_poly_outside_rect(q, 0, 0, sw, sh):
-            kept.append((i, float(q[:, 0].min()), float(q[:, 1].min()),
-                         float(q[:, 0].max()), float(q[:, 1].max())))
+    if n:
+        qx1 = (boxes[:, 0] - crop_x) * scale
+        qy1 = (boxes[:, 1] - crop_y) * scale
+        qx2 = (boxes[:, 2] - crop_x) * scale
+        qy2 = (boxes[:, 3] - crop_y) * scale
+        inside = ~((qx2 < 0) | (qx1 > sw) | (qy2 < 0) | (qy1 > sh))
+        kept = [(int(i), float(qx1[i]), float(qy1[i]),
+                 float(qx2[i]), float(qy2[i]))
+                for i in np.flatnonzero(inside)]
     return int(crop_x), int(crop_y), int(crop_w), int(crop_h), scale, kept
 
 
