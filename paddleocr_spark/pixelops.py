@@ -210,15 +210,18 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     c = p.shape[2]
     ty3 = ty[:, None, None]
     rows = p[y0] * (1 - ty3) + p[y1] * ty3          # (out_h, w, c)
-    if w * out_w > 1_000_000:
-        # big-source path: the 1-sparse matmul trick costs O(w·out_w)
+    if w > 256:
+        # wide-source path: the 1-sparse matmul trick costs O(w·out_w)
         # dense FLOPs per row — a plain gather-lerp is bit-identical
         # (each matmul dot has exactly ONE nonzero term plus exact
         # zero adds, so it rounds once either way, same as the two
         # products + one add below) and linear in out_w.  The matmul
-        # path stays for the small-source upscales it was built for
-        # (layout_preprocess), where the cached weight matrices beat
-        # fancy-index gathers.
+        # path stays for the narrow-source upscales it was built for
+        # (layout_preprocess, src ≤ ~200 px wide), where the cached
+        # weight matrices beat fancy-index gathers; measured crossover
+        # is ~src_w 300 (11.8 vs 11.6 ms at 300→600), and at src_w
+        # 1000 the gather is 1.5-1.8× faster (pg_gt's 1000² canvas:
+        # 92.7 → 50.7 ms for the 940² resize).
         x0g, x1g, txg = _lin_coords(out_w, w)
         acc3 = rows[:, x0g, :] * (1 - txg)[None, :, None]
         acc3 += rows[:, x1g, :] * txg[None, :, None]

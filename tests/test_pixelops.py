@@ -177,7 +177,9 @@ def _naive_resize_bilinear(img: np.ndarray, out_h: int, out_w: int):
 def test_resize_bilinear_matches_naive_scalar_bit_for_bit():
     rng = np.random.default_rng(23)
     cases = [((7, 9, 3), (31, 17)), ((12, 11, 3), (5, 8)),
-             ((9, 13), (40, 21)), ((16, 8, 3), (16, 8))]
+             ((9, 13), (40, 21)), ((16, 8, 3), (16, 8)),
+             # wide-source shapes exercise the gather path (src_w > 256)
+             ((6, 300, 3), (9, 200)), ((5, 1000), (8, 512))]
     for shape, (oh, ow) in cases:
         u8 = rng.integers(0, 256, size=shape, dtype=np.uint8)
         got, want = P.resize_bilinear(u8, oh, ow), _naive_resize_bilinear(
