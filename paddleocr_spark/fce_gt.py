@@ -379,18 +379,23 @@ def generate_fourier_maps(img_size, text_polys,
         polygon = np.array(poly).reshape((1, -1, 2))
         _fill_polys(mask, polygon.astype(np.int32), 1)
         fourier_coeff = cal_fourier_signature(polygon[0], k)
+        # The reference blends FULL maps per channel:
+        #   map = mask * c + (1 - mask) * map
+        # With mask in {0, 1} that is exactly an indexed store: at
+        # mask==1 the value becomes float32(c) (c + 0.0 cast on
+        # assignment — same cast either way), at mask==0 the float64
+        # round-trip of the old float32 value is exact. Indexed
+        # assignment is bit-identical and O(mask px), not O(h*w)
+        # per channel (exec-ref differential #47 compares full maps).
+        yx = np.argwhere(mask > 0.5)
+        y, x = yx[:, 0], yx[:, 1]
         for i in range(-k, k + 1):
             if i != 0:
-                real_map[i + k, :, :] = mask * fourier_coeff[i + k, 0] + (
-                    1 - mask) * real_map[i + k, :, :]
-                imag_map[i + k, :, :] = mask * fourier_coeff[i + k, 1] + (
-                    1 - mask) * imag_map[i + k, :, :]
+                real_map[i + k, y, x] = fourier_coeff[i + k, 0]
+                imag_map[i + k, y, x] = fourier_coeff[i + k, 1]
             else:
-                yx = np.argwhere(mask > 0.5)
-                k_ind = np.ones((len(yx)), dtype=np.int64) * k
-                y, x = yx[:, 0], yx[:, 1]
-                real_map[k_ind, y, x] = fourier_coeff[k, 0] - x
-                imag_map[k_ind, y, x] = fourier_coeff[k, 1] - y
+                real_map[k, y, x] = fourier_coeff[k, 0] - x
+                imag_map[k, y, x] = fourier_coeff[k, 1] - y
     return real_map, imag_map
 
 
