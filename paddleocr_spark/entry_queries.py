@@ -3631,6 +3631,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pse_crop": q_pse_crop,                        # fixture oracle
         "docx_recovery": q_docx_recovery,
         "main_content": MC.main_content,
+        "readability_extract": MC.readability_extract,
+        "boilerpipe_extract": MC.boilerpipe_extract,
         "pq_codes": PQ.pq_codes,
         "pq_adc_topk": PQ.pq_adc_topk,
         "ivfpq_topk": PQ.ivfpq_topk,
@@ -4893,6 +4895,148 @@ SELECT doc_id, block_idx, tag, text,
        round(link_d, 4) + 0 AS link_density,
        round(stop_d, 4) + 0 AS stop_density
 FROM mcs10"""
+
+    # readability_extract twin: same closed-form discipline as main_content
+    # (never parses the serialized page); the comma-decoration formula and
+    # the arc90 weight tables MUST stay in lockstep with
+    # content.synth_html_readability_expr / content.readability_extract.
+    _rd_comma = "(role = 'p' AND (did * 11 + b * 7 + k * 5) % 13 = 4)"
+    sqls["readability_extract"] = f"""
+WITH rd0 AS (
+  SELECT doc_id, CAST(doc_id AS INTEGER) AS did, {_WORDS} AS wl
+  FROM documents
+), rd1 AS (
+  SELECT doc_id, did, wl, len(wl) AS W, 6 + did % 7 AS nb
+  FROM rd0 WHERE len(wl) >= 1
+), rdb AS (
+  SELECT doc_id, did, wl, W, nb, unnest(range(0, nb)) AS b FROM rd1
+), rdr AS (
+  SELECT *, CASE WHEN b = 0 THEN 'nav'
+                 WHEN b = nb - 1 THEN 'footer'
+                 WHEN (did + b) % 5 = 2 THEN 'h'
+                 WHEN (did * 3 + b) % 11 = 7 THEN 'aside'
+                 ELSE 'p' END AS role
+  FROM rdb
+), rdn AS (
+  SELECT *, CASE role WHEN 'nav' THEN 6 WHEN 'footer' THEN 5
+                 WHEN 'h' THEN 2 + (did + b) % 3
+                 WHEN 'aside' THEN 4 + (did + b) % 4
+                 ELSE 8 + (did * 7 + b * 5) % 56 END AS nw
+  FROM rdr
+), rdt AS (
+  SELECT doc_id, did, b, role, nw,
+         list_transform(range(0, nw), k -> {_mc_tok}
+             || CASE WHEN {_rd_comma} THEN ',' ELSE '' END) AS toks2,
+         list_transform(range(0, nw), k ->
+             CASE WHEN ({_mc_linked})
+                  THEN length({_mc_tok}) ELSE 0 END) AS lkch,
+         len(list_filter(range(0, nw), k -> {_rd_comma})) AS commas
+  FROM rdn
+), rdf AS (
+  SELECT doc_id, CAST(b AS BIGINT) AS block_idx,
+         CASE WHEN role IN ('nav', 'aside') THEN 'div'
+              WHEN role = 'footer' THEN 'footer'
+              WHEN role = 'h' THEN CASE WHEN b = 1 THEN 'h1' ELSE 'h2' END
+              ELSE 'p' END AS tag,
+         CASE WHEN role IN ('nav', 'aside') THEN role ELSE '' END AS klass,
+         array_to_string(toks2, ' ') AS text,
+         length(array_to_string(toks2, ' ')) AS len_text,
+         CAST(commas AS BIGINT) AS commas,
+         coalesce(list_sum(lkch), 0) AS link_chars
+  FROM rdt
+), rdw AS (
+  SELECT *,
+         CASE tag WHEN 'div' THEN 5 WHEN 'footer' THEN -3
+              WHEN 'h1' THEN -5 WHEN 'h2' THEN -5 ELSE 0 END
+         + CASE WHEN klass IN ('nav', 'aside', 'footer', 'sidebar',
+                               'comment') OR tag = 'footer'
+                THEN -25 ELSE 0 END
+         + 1 + commas
+         + least(CAST(floor(len_text / 100) AS BIGINT), 3) AS raw_score,
+         CAST(link_chars AS DOUBLE) / len_text AS link_d
+  FROM rdf
+)
+SELECT doc_id, block_idx, tag, klass, text, commas,
+       CAST(len_text AS BIGINT) AS len_text,
+       CAST(link_chars AS BIGINT) AS link_chars,
+       CAST(raw_score AS BIGINT) AS raw_score,
+       round(link_d, 4) + 0 AS link_density,
+       round(raw_score * (1.0 - link_d), 4) + 0 AS score,
+       round(raw_score * (1.0 - link_d), 4) >= {MC.READ_MIN_SCORE} AS kept
+FROM rdw"""
+
+    # boilerpipe_extract twin: closed-form features (word counts are the
+    # generator's nw; linked-word counts replay the _LINKED_BP rule), then
+    # the published NumWordsRulesClassifier tree over lag/lead. Keep in
+    # lockstep with content.synth_html_boilerpipe_expr /
+    # content.boilerpipe_extract.
+    _bp_linked = """
+      CASE WHEN role IN ('nav', 'footer') THEN k % 2 = 0
+           WHEN role = 'aside' THEN k % 3 != 2
+           WHEN role = 'p' THEN (did + 17 * b + 3 * k) % 37 = 3
+           ELSE false END"""
+    sqls["boilerpipe_extract"] = f"""
+WITH bp0 AS (
+  SELECT doc_id, CAST(doc_id AS INTEGER) AS did, {_WORDS} AS wl
+  FROM documents
+), bp1 AS (
+  SELECT doc_id, did, wl, len(wl) AS W, 6 + did % 7 AS nb
+  FROM bp0 WHERE len(wl) >= 1
+), bpb AS (
+  SELECT doc_id, did, wl, W, nb, unnest(range(0, nb)) AS b FROM bp1
+), bpr AS (
+  SELECT *, CASE WHEN b = 0 THEN 'nav'
+                 WHEN b = nb - 1 THEN 'footer'
+                 WHEN (did + b) % 5 = 2 THEN 'h'
+                 WHEN (did * 3 + b) % 11 = 7 THEN 'aside'
+                 ELSE 'p' END AS role
+  FROM bpb
+), bpn AS (
+  SELECT *, CASE role WHEN 'nav' THEN 6 WHEN 'footer' THEN 5
+                 WHEN 'h' THEN 2 + (did + b) % 3
+                 WHEN 'aside' THEN 4 + (did + b) % 4
+                 ELSE 8 + (did * 7 + b * 5) % 56 END AS nw
+  FROM bpr
+), bpf AS (
+  SELECT doc_id, CAST(b AS BIGINT) AS block_idx,
+         CASE WHEN role IN ('nav', 'aside') THEN 'div'
+              WHEN role = 'footer' THEN 'footer'
+              WHEN role = 'h' THEN CASE WHEN b = 1 THEN 'h1' ELSE 'h2' END
+              ELSE 'p' END AS tag,
+         CASE WHEN role IN ('nav', 'aside') THEN role ELSE '' END AS klass,
+         array_to_string(list_transform(range(0, nw), k -> {_mc_tok}),
+                         ' ') AS text,
+         CAST(nw AS BIGINT) AS n_words,
+         CAST(len(list_filter(range(0, nw), k -> {_bp_linked}))
+              AS BIGINT) AS linked_words
+  FROM bpn
+), bpw AS (
+  SELECT *,
+         CAST(linked_words AS DOUBLE) / n_words AS ld,
+         coalesce(lag(n_words) OVER
+             (PARTITION BY doc_id ORDER BY block_idx), 0) AS prev_nw,
+         coalesce(lead(n_words) OVER
+             (PARTITION BY doc_id ORDER BY block_idx), 0) AS next_nw,
+         coalesce(lag(CAST(linked_words AS DOUBLE) / n_words) OVER
+             (PARTITION BY doc_id ORDER BY block_idx), 0.0) AS prev_ld
+  FROM bpf
+)
+SELECT doc_id, block_idx, tag, klass, text, n_words, linked_words,
+       CAST(prev_nw AS BIGINT) AS prev_nw,
+       CAST(next_nw AS BIGINT) AS next_nw,
+       round(ld, 4) + 0 AS link_density_words,
+       round(prev_ld, 4) + 0 AS prev_link_density,
+       CASE WHEN ld <= {MC.BP_CURR_LD} THEN
+           CASE WHEN prev_ld <= {MC.BP_PREV_LD} THEN
+               CASE WHEN n_words <= 16 THEN
+                   CASE WHEN next_nw <= 15 THEN prev_nw > 4
+                        ELSE true END
+                    ELSE true END
+                ELSE
+               CASE WHEN n_words <= 40 THEN next_nw > 17 ELSE true END
+           END
+           ELSE false END AS content
+FROM bpw"""
 
     sqls["dedup_exact"] = f"""
 WITH {_CORPUS_CTE.lstrip()}

@@ -308,3 +308,243 @@ def main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_words").cast("bigint").alias("n_words"),
         F.round(link_d, 4).alias("link_density"),
         F.round(stop_d, 4).alias("stop_density"))
+
+
+# ---------------------------------------------------------------------------
+# Readability (arc90) block scoring — the second published DOM heuristic
+# ---------------------------------------------------------------------------
+
+#: Minimum final score for a block to be kept as main content (the operator
+#: knob; arc90 keeps the best candidate subtree, the flat-block variant
+#: keeps every block clearing this bar).
+READ_MIN_SCORE = 3.0
+
+#: Class names hit by the negative regex (arc90 getClassWeight's negative
+#: pattern plus Mozilla Readability's unlikely-candidate list, which is
+#: where 'aside'/'footer' removal lives in the tree-walking original).
+READ_NEG_CLASSES = ("nav", "aside", "footer", "sidebar", "comment")
+
+
+def synth_html_readability_expr() -> str:
+    """Same deterministic page as :func:`synth_html_expr`, plus a comma
+    decoration on 'p'-block tokens (``(did*11 + b*7 + k*5) % 13 == 4``,
+    appended OUTSIDE the anchor wrapper) so arc90's comma-count feature is
+    non-degenerate. Keep the comma formula in lockstep with the DuckDB
+    twin (entry_queries ``readability_extract``)."""
+    role = _ROLE.format(b="b")
+    tok = _TOK.format(role=role, b="b", k="k", stop=_sql_stop_array())
+    linked = _LINKED.format(role=role, b="b", k="k")
+    comma = f"({role} = 'p' AND (did * 11 + b * 7 + k * 5) % 13 = 4)"
+    tok_html = (f"CASE WHEN {linked} THEN concat('<a href=\"#', b, '_', k, "
+                f"'\">', {tok}, '</a>') ELSE {tok} END")
+    tok_html = (f"concat({tok_html}, "
+                f"CASE WHEN {comma} THEN ',' ELSE '' END)")
+    wn = _WN.format(role=role, b="b")
+    block = (f"concat({_OPEN.format(role=role, b='b')}, "
+             f"array_join(transform(sequence(0, {wn} - 1), "
+             f"k -> {tok_html}), ' '), "
+             f"{_CLOSE.format(role=role, b='b')})")
+    return (f"array_join(transform(sequence(0, nb - 1), b -> {block}), '')")
+
+
+def _read_blocks(spark: SparkSession, sf_dir: str,
+                 synth_expr: str) -> DataFrame:
+    """Synthesize pages with ``synth_expr`` and regex-parse them back to
+    one row per block with the raw open tag preserved (shared by the
+    readability/boilerpipe extractors)."""
+    from ..pipeline import ensure_input_parallelism
+
+    base = (ensure_input_parallelism(docs_table(spark, sf_dir))
+            .select("doc_id",
+                    F.col("doc_id").cast("int").alias("did"),
+                    words_col().alias("wl"))
+            .withColumn("W", F.size("wl"))
+            .where(F.col("W") >= 1)
+            .withColumn("nb", F.expr("6 + did % 7")))
+    html = base.select("doc_id", F.expr(synth_expr).alias("html"))
+    return (html
+            .select("doc_id",
+                    F.posexplode(F.expr(
+                        f"regexp_extract_all(html, '{_BLOCK_RE}', 0)"))
+                    .alias("block_idx", "raw"))
+            .withColumn("tag", F.expr(
+                "regexp_extract(raw, '^<([a-z0-9]+)', 1)"))
+            .withColumn("klass", F.regexp_extract(
+                "raw", r'^<[a-z0-9]+ class="([a-z]+)"', 1))
+            .withColumn("inner", F.expr(
+                "regexp_replace(regexp_replace(raw, '^<[^>]*>', ''), "
+                "'</[^>]*>$', '')"))
+            .withColumn("text", F.expr(
+                "regexp_replace(inner, '<[^>]*>', '')"))
+            .drop("raw"))
+
+
+def readability_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arc90 Readability content scoring, flattened to block granularity.
+
+    The published readability.js algorithm (arc90, later Mozilla
+    Readability) walks the DOM scoring candidate containers:
+    ``initializeNode`` seeds a score by tag (DIV +5, H1-H6 -5,
+    ADDRESS-family -3), ``getClassWeight`` adds ±25 by class/id regex,
+    each paragraph contributes ``1 + commas + min(floor(len/100), 3)``,
+    and the final candidate score is scaled by ``1 - linkDensity``. Our
+    block model is flat (no parent/child propagation — the same
+    flattening ``main_content`` applies to jusText), so every block
+    scores itself with exactly those published formulas:
+
+        raw   = tag_weight + class_weight + 1 + commas + chunks
+        score = round(raw * (1 - link_density), 4)
+        kept  = score >= READ_MIN_SCORE
+
+    with tag_weight: div +5, footer -3, h1/h2 -5, p 0; class_weight -25
+    when the class attribute is in READ_NEG_CLASSES or the tag itself is
+    ``footer`` (the tree original strips those nodes in its
+    unlikely-candidate pass before scoring).
+
+    Same serialize→regex-parse discipline as ``main_content``: the DuckDB
+    twin predicts every feature closed-form from the generator formulas
+    without parsing, so the parse path is hash-gated. Scale shape: scan →
+    HOF synth/parse in whole-stage codegen, zero exchanges (all features
+    are per-block; no window stack at all), scan-shaped at 10^12 docs.
+    """
+    feat = (_read_blocks(spark, sf_dir, synth_html_readability_expr())
+            .withColumn("len_text", F.length("text"))
+            .withColumn("commas",
+                        F.size(F.split(F.col("text"), ",")) - 1)
+            .withColumn("link_chars", F.expr(
+                f"aggregate(regexp_extract_all(inner, '{_ANCHOR_RE}', 1), "
+                f"0, (a, x) -> a + length(x))"))
+            .drop("inner"))
+
+    tag_w = (F.when(F.col("tag") == "div", 5)
+             .when(F.col("tag") == "footer", -3)
+             .when(F.col("tag").isin("h1", "h2"), -5)
+             .otherwise(0))
+    class_w = F.when(
+        F.col("klass").isin(*READ_NEG_CLASSES)
+        | (F.col("tag") == "footer"), -25).otherwise(0)
+    chunks = F.least(F.floor(F.col("len_text") / 100), F.lit(3))
+    raw_score = tag_w + class_w + 1 + F.col("commas") + chunks
+    link_d = F.col("link_chars") / F.col("len_text")
+    score = F.round(raw_score * (F.lit(1.0) - link_d), 4)
+
+    return feat.select(
+        "doc_id",
+        F.col("block_idx").cast("bigint").alias("block_idx"),
+        "tag", "klass", "text",
+        F.col("commas").cast("bigint").alias("commas"),
+        F.col("len_text").cast("bigint").alias("len_text"),
+        F.col("link_chars").cast("bigint").alias("link_chars"),
+        raw_score.cast("bigint").alias("raw_score"),
+        F.round(link_d, 4).alias("link_density"),
+        score.alias("score"),
+        (score >= READ_MIN_SCORE).alias("kept"))
+
+
+# ---------------------------------------------------------------------------
+# Boilerpipe NumWordsRulesClassifier — the third published DOM heuristic
+# ---------------------------------------------------------------------------
+
+#: Boilerpipe's published decision thresholds (Kohlschuetter, Fankhauser,
+#: Nejdl, "Boilerplate Detection using Shallow Text Features", WSDM 2010;
+#: the trained NumWordsRulesClassifier constants shipped in the public
+#: boilerpipe DefaultExtractor).
+BP_CURR_LD = 0.333333
+BP_PREV_LD = 0.555556
+
+#: Aside link rule for the boilerpipe page variant: 2 of every 3 tokens
+#: linked (k % 3 != 2), so an aside's word-level link density (~0.67)
+#: clears BP_PREV_LD and the prev-dense subtree of the classifier is
+#: reachable on the following block. Nav/footer/p/h rules are unchanged
+#: from the shared generator.
+_LINKED_BP = ("CASE WHEN {role} IN ('nav', 'footer') THEN {k} % 2 = 0 "
+              "WHEN {role} = 'aside' THEN {k} % 3 != 2 "
+              "WHEN {role} = 'p' THEN (did + 17 * {b} + 3 * {k}) % 37 = 3 "
+              "ELSE false END")
+
+
+def synth_html_boilerpipe_expr() -> str:
+    """Same deterministic page as :func:`synth_html_expr` with the
+    denser aside link rule (``_LINKED_BP``). Keep in lockstep with the
+    DuckDB twin (entry_queries ``boilerpipe_extract``)."""
+    role = _ROLE.format(b="b")
+    tok = _TOK.format(role=role, b="b", k="k", stop=_sql_stop_array())
+    linked = _LINKED_BP.format(role=role, b="b", k="k")
+    tok_html = (f"CASE WHEN {linked} THEN concat('<a href=\"#', b, '_', k, "
+                f"'\">', {tok}, '</a>') ELSE {tok} END")
+    wn = _WN.format(role=role, b="b")
+    block = (f"concat({_OPEN.format(role=role, b='b')}, "
+             f"array_join(transform(sequence(0, {wn} - 1), "
+             f"k -> {tok_html}), ' '), "
+             f"{_CLOSE.format(role=role, b='b')})")
+    return (f"array_join(transform(sequence(0, nb - 1), b -> {block}), '')")
+
+
+def boilerpipe_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerpipe main-content classification (NumWordsRulesClassifier).
+
+    The published boilerpipe DefaultExtractor classifies each text block
+    from three shallow features of the (prev, curr, next) block triple —
+    word count and word-level link density (tokens inside anchors /
+    tokens) — with the decision tree trained in the WSDM 2010 paper:
+
+        curr.linkDensity <= 0.333333
+        | prev.linkDensity <= 0.555556
+        | | curr.numWords <= 16
+        | | | next.numWords <= 15
+        | | | | prev.numWords <= 4  -> boilerplate
+        | | | | prev.numWords >  4  -> CONTENT
+        | | | next.numWords > 15    -> CONTENT
+        | | curr.numWords > 16      -> CONTENT
+        | prev.linkDensity > 0.555556
+        | | curr.numWords <= 40
+        | | | next.numWords <= 17   -> boilerplate
+        | | | next.numWords > 17    -> CONTENT
+        | | curr.numWords > 40      -> CONTENT
+        curr.linkDensity > 0.333333 -> boilerplate
+
+    Missing neighbours (document edges) are boilerpipe's empty
+    TextBlocks: numWords 0, linkDensity 0. Same serialize→regex-parse
+    discipline as the siblings; the classifier itself is lag/lead over
+    ONE doc_id exchange (the whole query has exactly one shuffle).
+    """
+    feat = (_read_blocks(spark, sf_dir, synth_html_boilerpipe_expr())
+            .withColumn("wlist", F.expr(
+                "filter(split(text, ' '), x -> x != '')"))
+            .withColumn("n_words", F.size("wlist"))
+            .withColumn("linked_words", F.expr(
+                f"size(regexp_extract_all(inner, '{_ANCHOR_RE}', 1))"))
+            .drop("inner", "wlist"))
+
+    w = Window.partitionBy("doc_id").orderBy("block_idx")
+    ld = F.col("linked_words") / F.col("n_words")
+    feat = (feat
+            .withColumn("ld", ld)
+            .withColumn("prev_nw", F.lag("n_words", 1, 0).over(w))
+            .withColumn("next_nw", F.lead("n_words", 1, 0).over(w))
+            .withColumn("prev_ld", F.lag(F.col("ld"), 1, 0.0).over(w)))
+
+    content = F.when(
+        F.col("ld") <= BP_CURR_LD,
+        F.when(
+            F.col("prev_ld") <= BP_PREV_LD,
+            F.when(F.col("n_words") <= 16,
+                   F.when(F.col("next_nw") <= 15,
+                          F.col("prev_nw") > 4)
+                   .otherwise(F.lit(True)))
+            .otherwise(F.lit(True)))
+        .otherwise(
+            F.when(F.col("n_words") <= 40, F.col("next_nw") > 17)
+            .otherwise(F.lit(True)))).otherwise(F.lit(False))
+
+    return feat.select(
+        "doc_id",
+        F.col("block_idx").cast("bigint").alias("block_idx"),
+        "tag", "klass", "text",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("linked_words").cast("bigint").alias("linked_words"),
+        F.col("prev_nw").cast("bigint").alias("prev_nw"),
+        F.col("next_nw").cast("bigint").alias("next_nw"),
+        F.round("ld", 4).alias("link_density_words"),
+        F.round("prev_ld", 4).alias("prev_link_density"),
+        content.alias("content"))
