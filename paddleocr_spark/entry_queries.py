@@ -3579,6 +3579,11 @@ def _with_coverage(name: str, fn: Callable,
     return wrapped
 
 
+def _gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.repetition import gopher_repetition
+    return gopher_repetition(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = _registry()
     names = list(reg)
@@ -3633,6 +3638,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": MC.main_content,
         "readability_extract": MC.readability_extract,
         "boilerpipe_extract": MC.boilerpipe_extract,
+        "gopher_repetition": _gopher_repetition,
         "pq_codes": PQ.pq_codes,
         "pq_adc_topk": PQ.pq_adc_topk,
         "ivfpq_topk": PQ.ivfpq_topk,
@@ -5037,6 +5043,130 @@ SELECT doc_id, block_idx, tag, klass, text, n_words, linked_words,
            END
            ELSE false END AS content
 FROM bpw"""
+
+    # gopher_repetition twin: decoration formulas + every signal mirrored
+    # from functions/repetition.py (word-granular chars, first-occurrence
+    # exemption, overlap-aware position union). Keep in lockstep.
+    from .functions import repetition as REP
+    _rp_w = CU.LINE_WIDTH_WORDS                    # line width (8)
+    _rp_p = REP.PARA_LINES * _rp_w                 # paragraph width (32)
+    _rp_tops = " ".join(
+        f"max(CASE WHEN n = {n} THEN frac END) AS top{n}," for n in (2, 3, 4))
+    _rp_dups = " ".join(
+        f"sum(CASE WHEN n = {n} THEN cov END) AS d{n}," for n in range(5, 11))
+    _rp_fracs = {
+        "dup_line_frac": ("coalesce(ln_dup / ln_n, 0.0)",
+                          REP.REP_MAX_DUP_LINE_FRAC),
+        "dup_line_char_frac": ("coalesce(ln_chars / n_chars, 0.0)",
+                               REP.REP_MAX_DUP_LINE_CHAR_FRAC),
+        "dup_para_frac": ("coalesce(pa_dup / pa_n, 0.0)",
+                          REP.REP_MAX_DUP_PARA_FRAC),
+        "dup_para_char_frac": ("coalesce(pa_chars / n_chars, 0.0)",
+                               REP.REP_MAX_DUP_PARA_CHAR_FRAC),
+        **{f"top{n}_char_frac": (f"coalesce(top{n}, 0.0)", t)
+           for n, t in REP.REP_MAX_TOP_CHAR_FRAC.items()},
+        **{f"dup{n}_char_frac": (f"coalesce(d{n} / n_chars, 0.0)", t)
+           for n, t in REP.REP_MAX_DUP_CHAR_FRAC.items()},
+    }
+    _rp_sel = " ".join(f"round({e}, 4) + 0 AS {name},"
+                       for name, (e, _) in _rp_fracs.items())
+    _rp_pass = " AND ".join(f"round({e}, 4) <= {t}"
+                            for e, t in _rp_fracs.values())
+    sqls["gopher_repetition"] = f"""
+WITH gp0 AS (
+  SELECT doc_id, CAST(doc_id AS INTEGER) AS did, {_WORDS} AS w0
+  FROM documents
+), gpc AS (
+  SELECT doc_id,
+         CASE WHEN did % 7 = 3 THEN
+                flatten(list_transform(range(1, 4), i -> w0[1:{_rp_p}]))
+              WHEN did % 11 = 5 THEN
+                list_concat(w0, flatten(list_transform(range(1, 21),
+                    i -> w0[1:2])))
+              ELSE w0 END AS w
+  FROM gp0 WHERE len(w0) >= 1
+), gpb AS (
+  SELECT doc_id, w, len(w) AS n_words,
+         coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS n_chars
+  FROM gpc
+), gpt AS (
+  SELECT doc_id, n_chars, n, g, count(*) AS c
+  FROM (
+    SELECT doc_id, n_chars, n,
+           unnest(list_transform(range(0, len(w) - n + 1),
+               i -> array_to_string(w[i + 1 : i + n], ' '))) AS g
+    FROM gpb, (SELECT unnest([2, 3, 4]) AS n)
+  ) GROUP BY ALL
+), gptop AS (
+  SELECT doc_id, n,
+         CASE WHEN c <= 1 THEN 0.0
+              ELSE (length(g) - (n - 1)) * c / n_chars END AS frac,
+         row_number() OVER (PARTITION BY doc_id, n
+                            ORDER BY c DESC, g) AS rn
+  FROM gpt
+), gptp AS (
+  SELECT doc_id, {_rp_tops.rstrip(',')}
+  FROM gptop WHERE rn = 1 GROUP BY doc_id
+), gpo AS (
+  SELECT doc_id, n, (p).i AS i, (p).g AS g
+  FROM (
+    SELECT doc_id, n,
+           unnest(list_transform(range(0, len(w) - n + 1),
+               i -> {{'i': i,
+                     'g': array_to_string(w[i + 1 : i + n], ' ')}})) AS p
+    FROM gpb, (SELECT unnest([5, 6, 7, 8, 9, 10]) AS n)
+  )
+), gpocc AS (
+  SELECT doc_id, n, i,
+         count(*) OVER (PARTITION BY doc_id, n, g) AS c,
+         min(i) OVER (PARTITION BY doc_id, n, g) AS i0
+  FROM gpo
+), gpcov AS (
+  SELECT DISTINCT doc_id, n, pos
+  FROM (SELECT doc_id, n, unnest(range(i, i + n)) AS pos
+        FROM gpocc WHERE c >= 2 AND i > i0)
+), gpcv AS (
+  SELECT doc_id, n, sum(length(w[pos + 1])) AS cov
+  FROM gpcov JOIN gpc USING (doc_id)
+  GROUP BY doc_id, n
+), gpdp AS (
+  SELECT doc_id, {_rp_dups.rstrip(',')}
+  FROM gpcv GROUP BY doc_id
+), gpl AS (
+  SELECT doc_id, sum(c) AS ln_n, sum(c - 1) AS ln_dup,
+         sum((c - 1) * (length(g) - {_rp_w - 1})) AS ln_chars
+  FROM (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(w) // {_rp_w} + 1),
+                         i -> array_to_string(
+                             w[(i - 1) * {_rp_w} + 1 : i * {_rp_w}],
+                             ' '))) AS g
+              FROM gpb WHERE n_words >= {_rp_w})
+        GROUP BY ALL)
+  GROUP BY doc_id
+), gpp AS (
+  SELECT doc_id, sum(c) AS pa_n, sum(c - 1) AS pa_dup,
+         sum((c - 1) * (length(g) - {_rp_p - 1})) AS pa_chars
+  FROM (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(w) // {_rp_p} + 1),
+                         i -> array_to_string(
+                             w[(i - 1) * {_rp_p} + 1 : i * {_rp_p}],
+                             ' '))) AS g
+              FROM gpb WHERE n_words >= {_rp_p})
+        GROUP BY ALL)
+  GROUP BY doc_id
+)
+SELECT gpb.doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       {_rp_sel.rstrip(',')},
+       ({_rp_pass}) AS repetition_pass
+FROM gpb
+LEFT JOIN gptp ON gpb.doc_id = gptp.doc_id
+LEFT JOIN gpdp ON gpb.doc_id = gpdp.doc_id
+LEFT JOIN gpl ON gpb.doc_id = gpl.doc_id
+LEFT JOIN gpp ON gpb.doc_id = gpp.doc_id"""
 
     sqls["dedup_exact"] = f"""
 WITH {_CORPUS_CTE.lstrip()}
