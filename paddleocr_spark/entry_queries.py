@@ -3639,6 +3639,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_extract": MC.readability_extract,
         "boilerpipe_extract": MC.boilerpipe_extract,
         "gopher_repetition": _gopher_repetition,
+        "interleaved_pack": CU.interleaved_pack,
         "pq_codes": PQ.pq_codes,
         "pq_adc_topk": PQ.pq_adc_topk,
         "ivfpq_topk": PQ.ivfpq_topk,
@@ -7494,6 +7495,34 @@ SELECT doc_id, source, n_words,
        CAST((cum - n_words) % {CU.SHARD_BUDGET_WORDS} AS BIGINT)
            AS shard_offset
 FROM c"""
+
+    # interleaved_pack twin: per-doc span costs straight from the synth
+    # CTE (text spans charge whitespace tokens, media spans the fixed
+    # MEDIA_TOKENS), then the pack_shards running-sum assignment.
+    sqls["interleaved_pack"] = f"""
+WITH {SYNTH_CTE.lstrip()}, ip AS (
+    SELECT doc_id, did,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_media,
+           CAST(sum(CASE WHEN kind = 'media' THEN 0
+                ELSE len(list_filter(string_split(coalesce(text, ''), ' '),
+                         w -> w != '')) END) AS BIGINT) AS n_text_tokens
+    FROM synth_spans GROUP BY doc_id, did
+), ips AS (
+    SELECT ip.doc_id, d.source, n_spans, n_media, n_text_tokens,
+           n_text_tokens + {CU.MEDIA_TOKENS} * n_media AS cost
+    FROM ip JOIN documents d ON d.doc_id = ip.did
+), ipc AS (
+    SELECT *, sum(cost) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+    FROM ips
+)
+SELECT doc_id, source, n_spans, n_media, n_text_tokens,
+       CAST(cost AS BIGINT) AS cost,
+       CAST((cum - cost) // {CU.SEQ_BUDGET_TOKENS} AS BIGINT) AS seq_id,
+       CAST((cum - cost) % {CU.SEQ_BUDGET_TOKENS} AS BIGINT) AS seq_offset
+FROM ipc"""
 
     sqls["inverted_index"] = f"""
 WITH p AS (

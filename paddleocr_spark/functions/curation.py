@@ -244,6 +244,73 @@ def pack_shards(spark: SparkSession, sf_dir: str,
         (start % budget).cast("long").alias("shard_offset"))
 
 
+#: Per-image token cost when packing interleaved documents (the
+#: Flamingo/IDEFICS perceiver-resampler latent count — every image costs
+#: a fixed 64 sequence positions regardless of resolution).
+MEDIA_TOKENS = 64
+#: Token budget of one packed training sequence.
+SEQ_BUDGET_TOKENS = 2048
+
+
+def interleaved_pack(spark: SparkSession, sf_dir: str,
+                     budget: int = SEQ_BUDGET_TOKENS,
+                     media_tokens: int = MEDIA_TOKENS) -> DataFrame:
+    """Fixed-budget sequence packing of INTERLEAVED text+media documents.
+
+    The multimodal analog of :func:`pack_shards` — the training-prep
+    step of interleaved corpora (MMC4, OBELICS): documents are laid out
+    in doc_id order within each source and cut into fixed-token-budget
+    training sequences, where a document's cost charges each text-kind
+    span its whitespace token count and each media span a FIXED
+    ``media_tokens`` positions (the Flamingo-style perceiver-resampled
+    image cost). A sequence may overhang its budget by at most one
+    document — the standard sequential-packing contract.
+
+    Emits per document: span/media/text-token counts, the total cost,
+    and the (seq_id, seq_offset) assignment. Media-heavy skew docs
+    (hundreds of media spans → 25k+ token cost) land as single-doc
+    overhanging sequences, which is exactly how the published pipelines
+    treat outliers — the salting story for the downstream shuffle is the
+    flagship's (operators/spatial.py).
+
+    Scale shape: the span-cost aggregation is one HOF over the spans
+    array (no explode); the only exchange is the per-source running-sum
+    window — the same documented seam as ``pack_shards`` (at 10^12 docs
+    the running sum runs per source-shard with a broadcast base-offset
+    join, a mechanical refinement recorded there).
+    """
+    from ..synth import synth_spans
+
+    docs = docs_table(spark, sf_dir)
+    inter = synth_spans(docs)
+    per = inter.select(
+        "doc_id",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.expr("CAST(size(filter(spans, s -> s.kind = 'media')) AS LONG)")
+        .alias("n_media"),
+        F.expr(
+            "aggregate(spans, 0L, (a, s) -> a + CASE "
+            "WHEN s.kind = 'media' THEN 0L "
+            "ELSE CAST(size(filter(split(coalesce(s.text, ''), ' '), "
+            "w -> w != '')) AS LONG) END)").alias("n_text_tokens"))
+    per = per.withColumn(
+        "cost",
+        (F.col("n_text_tokens") + media_tokens * F.col("n_media"))
+        .cast("long"))
+    src = docs.select(
+        F.format_string("doc_%07d", F.col("doc_id")).alias("doc_id"),
+        "source")
+    win = (Window.partitionBy("source").orderBy("doc_id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = per.join(src, "doc_id").withColumn(
+        "cum", F.sum("cost").over(win))
+    start = F.col("cum") - F.col("cost")
+    return cum.select(
+        "doc_id", "source", "n_spans", "n_media", "n_text_tokens", "cost",
+        F.floor(start / budget).cast("long").alias("seq_id"),
+        (start % budget).cast("long").alias("seq_offset"))
+
+
 def line_dedup(spark: SparkSession, sf_dir: str,
                width: int = LINE_WIDTH_WORDS) -> DataFrame:
     """Corpus-wide duplicated-line removal stats (RefinedWeb-style).
