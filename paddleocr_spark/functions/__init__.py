@@ -92,6 +92,12 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cvaug": _entry("q_cvaug"),
         # round-5 final: C4 line-retention cleaning
         "c4_clean": _curation("c4_clean"),
+        # round-5 continuation: DOM-heuristic trio closure, Gopher
+        # repetition block, interleaved sequence packing
+        "readability_extract": _content("readability_extract"),
+        "boilerpipe_extract": _content("boilerpipe_extract"),
+        "gopher_repetition": _repetition("gopher_repetition"),
+        "interleaved_pack": _curation("interleaved_pack"),
     }
 
 
@@ -99,6 +105,13 @@ def _content(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from . import content
         return getattr(content, name)(spark, sf_dir)
+    return run
+
+
+def _repetition(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from . import repetition
+        return getattr(repetition, name)(spark, sf_dir)
     return run
 
 

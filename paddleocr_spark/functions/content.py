@@ -404,8 +404,10 @@ def readability_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same serialize→regex-parse discipline as ``main_content``: the DuckDB
     twin predicts every feature closed-form from the generator formulas
     without parsing, so the parse path is hash-gated. Scale shape: scan →
-    HOF synth/parse in whole-stage codegen, zero exchanges (all features
-    are per-block; no window stack at all), scan-shaped at 10^12 docs.
+    HOF synth/parse; every feature is per-block (no window stack), so the
+    ONLY exchange is the small-input widening repartition — which is a
+    no-op on an already-wide production scan. Plan-audited: 1 exchange,
+    0 Python nodes.
     """
     feat = (_read_blocks(spark, sf_dir, synth_html_readability_expr())
             .withColumn("len_text", F.length("text"))
