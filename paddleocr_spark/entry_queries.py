@@ -3650,6 +3650,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": R.tfidf_terms,
         "inverted_index": R.inverted_index,
         "lm_score": R.lm_score,
+        "kn_lm_score": R.kn_lm_score,
         "sample_stratified": R.sample_stratified,
         "decontaminate": CU.decontaminate,
         "dsir_weights": CU.dsir_weights,
@@ -7385,6 +7386,41 @@ WITH d AS (
     FROM sc GROUP BY doc_id
 )
 SELECT d.doc_id, coalesce(pd.lm_nll, 0.0) AS lm_nll,
+       CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams
+FROM d LEFT JOIN pd USING (doc_id)"""
+
+    # kn_lm_score twin: the interpolated Kneser-Ney bigram formula in
+    # the same single-division form as functions/retrieval.kn_lm_score
+    # (identical FP op order on both engines).
+    sqls["kn_lm_score"] = f"""
+WITH d AS (
+    SELECT doc_id, {_WORDS} AS w FROM documents
+), bi AS (
+    SELECT doc_id, w[i] AS v, w[i + 1] AS u
+    FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+          FROM d WHERE len(w) >= 2)
+), big AS (
+    SELECT v, u, CAST(count(*) AS DOUBLE) AS cvu FROM bi GROUP BY v, u
+), lft AS (
+    SELECT v, sum(cvu) AS cv_dot, CAST(count(*) AS DOUBLE) AS n1p_v
+    FROM big GROUP BY v
+), rgt AS (
+    SELECT u, CAST(count(*) AS DOUBLE) AS n1p_u FROM big GROUP BY u
+), typ AS (
+    SELECT CAST(count(*) AS DOUBLE) AS btypes FROM big
+), sc AS (
+    SELECT doc_id,
+           -ln((greatest(cvu - {R.KN_DISCOUNT}, 0.0)
+                + {R.KN_DISCOUNT} * n1p_v * n1p_u / btypes) / cv_dot)
+           AS nll
+    FROM bi JOIN big USING (v, u) JOIN lft USING (v) JOIN rgt USING (u)
+    CROSS JOIN typ
+), pd AS (
+    SELECT doc_id, round(avg(nll), 4) + 0 AS kn_nll,
+           CAST(count(*) AS BIGINT) AS n_bigrams
+    FROM sc GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(pd.kn_nll, 0.0) AS kn_nll,
        CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams
 FROM d LEFT JOIN pd USING (doc_id)"""
 

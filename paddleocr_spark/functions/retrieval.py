@@ -187,6 +187,69 @@ def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("long").alias("n_bigrams")))
 
 
+#: Absolute discount for interpolated Kneser-Ney (the fixed-D variant
+#: of Chen & Goodman 1998; KenLM estimates D from count-of-counts, the
+#: fixed 0.75 is the standard textbook setting).
+KN_DISCOUNT = 0.75
+
+
+def kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM score per document.
+
+    The proper-LM upgrade of :func:`lm_score` — CCNet's actual filter
+    is a KenLM model, whose smoothing is interpolated modified
+    Kneser-Ney; this is the published bigram formulation (Chen &
+    Goodman 1998, eq. 4.medium; fixed discount D):
+
+        P(u|v) = (max(c(vu) - D, 0) + D * N1+(v.) * N1+(.u) / N1+(..))
+                 / c(v.)
+
+    where N1+(v.) = distinct continuations of v, N1+(.u) = distinct
+    left-contexts of u (the continuation probability numerator), and
+    N1+(..) = distinct bigram types. Both engines compute the single-
+    division form above verbatim so the floats agree bit-for-bit.
+    score = -mean ln P over the doc's bigram positions; docs with <2
+    words carry 0.0.
+
+    Scale shape: identical to ``lm_score`` — the model is three
+    aggregates over one exploded bigram pass (map-side combinable);
+    scoring joins positions against the bigram table on its key and the
+    unigram-sized context tables ride broadcasts. No Python, no windows.
+    """
+    d = _doc_words(spark, sf_dir)
+    bi = (d.where(F.expr("size(w) >= 2"))
+          .select("doc_id", F.explode(F.expr(
+              "transform(sequence(1, size(w) - 1), "
+              "i -> struct(w[i - 1] AS v, w[i] AS u))")).alias("p"))
+          .select("doc_id", F.col("p.v").alias("v"),
+                  F.col("p.u").alias("u")))
+    big = bi.groupBy("v", "u").agg(
+        F.count("*").cast("double").alias("cvu"))
+    left = big.groupBy("v").agg(
+        F.sum("cvu").alias("cv_dot"),
+        F.count("*").cast("double").alias("n1p_v"))
+    right = big.groupBy("u").agg(
+        F.count("*").cast("double").alias("n1p_u"))
+    types = big.agg(F.count("*").cast("double").alias("btypes"))
+    D = F.lit(KN_DISCOUNT)
+    p = (F.greatest(F.col("cvu") - D, F.lit(0.0))
+         + D * F.col("n1p_v") * F.col("n1p_u") / F.col("btypes")) \
+        / F.col("cv_dot")
+    scored = (bi.join(big, ["v", "u"])
+              .join(F.broadcast(left), "v")
+              .join(F.broadcast(right), "u")
+              .join(F.broadcast(types))
+              .select("doc_id", (-F.log(p)).alias("nll")))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.round(F.avg("nll"), 4).alias("kn_nll"),
+        F.count("*").cast("long").alias("n_bigrams"))
+    return (d.select("doc_id").join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("kn_nll", F.lit(0.0)).alias("kn_nll"),
+                    F.coalesce("n_bigrams", F.lit(0))
+                    .cast("long").alias("n_bigrams")))
+
+
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-threshold sample, stratified by language.
 

@@ -224,6 +224,44 @@ def test_lm_score_matches_plain_python(spark):
     assert min(s for s, n in want.values() if n) > 0
 
 
+def test_kn_lm_score_matches_plain_python(spark):
+    """Interpolated Kneser-Ney bigram LM: Spark == a literal Python
+    implementation of the Chen & Goodman fixed-D formula, every doc."""
+    from paddleocr_spark.functions.retrieval import KN_DISCOUNT, kn_lm_score
+    docs = _docs()
+    big: dict[tuple, float] = {}
+    for w in docs.values():
+        for a, b in zip(w, w[1:]):
+            big[(a, b)] = big.get((a, b), 0.0) + 1.0
+    cv_dot: dict[str, float] = {}
+    n1p_v: dict[str, float] = {}
+    n1p_u: dict[str, float] = {}
+    for (a, b), c in big.items():
+        cv_dot[a] = cv_dot.get(a, 0.0) + c
+        n1p_v[a] = n1p_v.get(a, 0.0) + 1.0
+        n1p_u[b] = n1p_u.get(b, 0.0) + 1.0
+    btypes = float(len(big))
+    D = KN_DISCOUNT
+
+    def p(a, b):
+        return (max(big[(a, b)] - D, 0.0)
+                + D * n1p_v[a] * n1p_u[b] / btypes) / cv_dot[a]
+
+    want = {}
+    for d, w in docs.items():
+        nll = [-math.log(p(a, b)) for a, b in zip(w, w[1:])]
+        want[d] = ((round(sum(nll) / len(nll), 4), len(nll))
+                   if nll else (0.0, 0))
+    got = {r["doc_id"]: (r["kn_nll"], r["n_bigrams"])
+           for r in kn_lm_score(spark, SF).collect()}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][1] == want[d][1], d
+        assert abs(got[d][0] - want[d][0]) <= 1e-4, (d, got[d], want[d])
+    # every scored position carries a true probability < 1 (positive nll)
+    assert min(s for s, n in want.values() if n) > 0
+
+
 def _semdedup_numpy(eps: float):
     from paddleocr_spark.functions.similarity import (VEC_DUP_EVERY,
                                                       VEC_DUP_OFFSET)
