@@ -118,3 +118,33 @@ def test_registry_outputs_are_atomic(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_round5_continuation_operator_plan_shapes(spark):
+    """The four DOM/curation additions keep their audited shapes
+    (PERF.md round-5 continuation): no Python nodes anywhere;
+    readability has only the widening exchange, boilerpipe exactly one
+    window exchange on top of it, interleaved_pack folds span costs in
+    a HOF (no explode node), and kn_lm_score broadcasts its
+    unigram-sized context tables."""
+    from paddleocr_spark.functions.content import (boilerpipe_extract,
+                                                   readability_extract)
+    from paddleocr_spark.functions.curation import interleaved_pack
+    from paddleocr_spark.functions.retrieval import kn_lm_score
+
+    for fn in (readability_extract, boilerpipe_extract,
+               interleaved_pack, kn_lm_score):
+        plan = _formatted(fn(spark, SF))
+        for py_node in ("MapInPandas", "ArrowEvalPython",
+                        "BatchEvalPython", "FlatMapGroupsInPandas"):
+            assert py_node not in plan, fn.__name__
+
+    assert _plan(readability_extract(spark, SF)).count(
+        "Exchange") == 1                       # widening repartition only
+    bp = _plan(boilerpipe_extract(spark, SF))
+    assert bp.count("Exchange") == 2           # widening + ONE window
+    assert bp.count("Window") == 1
+    ip = _formatted(interleaved_pack(spark, SF))
+    assert "Generate" not in ip                # no explode: HOF cost fold
+    kn = _plan(kn_lm_score(spark, SF))
+    assert kn.count("BroadcastExchange") >= 3  # left/right/types tables
