@@ -3584,6 +3584,11 @@ def _gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_repetition(spark, sf_dir)
 
 
+def _hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.sketches import hll_cardinality
+    return hll_cardinality(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = _registry()
     names = list(reg)
@@ -3651,6 +3656,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": R.inverted_index,
         "lm_score": R.lm_score,
         "kn_lm_score": R.kn_lm_score,
+        "hll_cardinality": _hll_cardinality,
         "sample_stratified": R.sample_stratified,
         "decontaminate": CU.decontaminate,
         "dsir_weights": CU.dsir_weights,
@@ -7423,6 +7429,56 @@ WITH d AS (
 SELECT d.doc_id, coalesce(pd.kn_nll, 0.0) AS kn_nll,
        CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams
 FROM d LEFT JOIN pd USING (doc_id)"""
+
+    # hll_cardinality twin: identical register construction (md5-derived
+    # 60-bit hash, integer bit-length ladder, integer register fold) —
+    # the estimate itself is hash-gated. Constants from functions/sketches.
+    from .functions import sketches as SK
+    _hl_low = SK.HLL_HASH_BITS - SK.HLL_P
+    _hl_top = _hl_low + 1
+    _hl_h = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(g), {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}" for i in range(15))
+    _hl_bitlen = SK._bitlen_case(f"(h % {1 << _hl_low})", _hl_low)
+    sqls["hll_cardinality"] = f"""
+WITH hd AS (
+    SELECT lang, {_WORDS} AS w FROM documents
+), hs AS (
+    SELECT lang, unnest(list_transform(range(1, len(w) - 1),
+        i -> array_to_string(w[i : i + 2], ' '))) AS g
+    FROM hd WHERE len(w) >= 3
+), hh AS (
+    SELECT lang, g, CAST({_hl_h} AS BIGINT) AS h FROM hs
+), hr AS (
+    SELECT lang, CAST(h // {1 << _hl_low} AS INT) AS b,
+           max({_hl_top} - {_hl_bitlen}) AS m_j
+    FROM hh GROUP BY lang, b
+), hf AS (
+    SELECT lang, CAST(count(*) AS DOUBLE) AS nonzero,
+           sum(CAST(1 AS BIGINT) << ({_hl_top} - m_j)) AS s_int
+    FROM hr GROUP BY lang
+), he AS (
+    SELECT lang, nonzero,
+           {SK.HLL_ALPHA * SK.HLL_M * SK.HLL_M!r}
+           / (s_int / {float(1 << _hl_top)!r}
+              + ({float(SK.HLL_M)!r} - nonzero)) AS raw
+    FROM hf
+), hx AS (
+    SELECT lang, CAST(count(DISTINCT g) AS BIGINT) AS exact FROM hs
+    GROUP BY lang
+), hz AS (
+    SELECT he.lang, hx.exact,
+           CASE WHEN raw <= {2.5 * SK.HLL_M!r}
+                 AND ({float(SK.HLL_M)!r} - nonzero) > 0
+                THEN {float(SK.HLL_M)!r}
+                     * ln({float(SK.HLL_M)!r}
+                          / ({float(SK.HLL_M)!r} - nonzero))
+                ELSE raw END AS est
+    FROM he JOIN hx ON he.lang = hx.lang
+)
+SELECT lang, exact, round(est, 4) + 0 AS hll_estimate,
+       round(abs(est - exact) / exact, 4) + 0 AS rel_err
+FROM hz"""
 
     sqls["ccnet_buckets"] = f"""
 WITH lm AS ({sqls["lm_score"]}

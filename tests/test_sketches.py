@@ -1,0 +1,91 @@
+"""HyperLogLog sketch: Spark registers/estimate vs a literal Python
+implementation of the published estimator."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from paddleocr_spark.functions.sketches import (
+    HLL_ALPHA,
+    HLL_HASH_BITS,
+    HLL_M,
+    HLL_P,
+    hll_cardinality,
+    hll_error_bound,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+LOW = HLL_HASH_BITS - HLL_P
+
+
+def py_hll(items) -> float:
+    """Flajolet et al. (2007) with the module's register construction."""
+    regs = [0] * HLL_M
+    for it in items:
+        h = int(hashlib.md5(it.encode()).hexdigest()[:15], 16)
+        b = h >> LOW
+        low = h % (1 << LOW)
+        rho = LOW + 1 - low.bit_length()
+        regs[b] = max(regs[b], rho)
+    s = sum(2.0 ** -r for r in regs)
+    raw = HLL_ALPHA * HLL_M * HLL_M / s
+    v = regs.count(0)
+    if raw <= 2.5 * HLL_M and v > 0:
+        return HLL_M * math.log(HLL_M / v)
+    return raw
+
+
+def _shingles_by_lang():
+    import duckdb
+    rows = duckdb.sql(
+        f"SELECT lang, text FROM '{SF_SMALL}/documents.parquet'").fetchall()
+    out: dict[str, list] = {}
+    for lang, text in rows:
+        w = [x for x in (text or "").lower().split(" ") if x]
+        out.setdefault(lang, []).extend(
+            " ".join(w[i:i + 3]) for i in range(len(w) - 2))
+    return out
+
+
+def test_hll_matches_plain_python(spark):
+    """Estimate and exact count per language both match the literal
+    Python reimplementation (register-for-register semantics)."""
+    sh = _shingles_by_lang()
+    got = {r["lang"]: r for r in hll_cardinality(spark, SF_SMALL).collect()}
+    assert set(got) == set(sh)
+    for lang, items in sh.items():
+        want_est = round(py_hll(items), 4)
+        want_exact = len(set(items))
+        assert got[lang]["exact"] == want_exact, lang
+        assert abs(got[lang]["hll_estimate"] - want_est) <= 1e-3, (
+            lang, got[lang]["hll_estimate"], want_est)
+
+
+def test_hll_accuracy_within_published_bound(spark):
+    """Every per-language estimate lands within 4 standard errors of the
+    exact count (SE = 1.04/sqrt(m)); with m=4096 that is ~6.5%."""
+    bound = 4 * hll_error_bound()
+    for r in hll_cardinality(spark, SF_SMALL).collect():
+        assert r["rel_err"] <= bound, (r["lang"], r["rel_err"], bound)
+        assert r["exact"] > 0 and r["hll_estimate"] > 0
+
+
+def test_hll_branches_both_reachable():
+    """The linear-counting and raw-estimate branches both fire for
+    realistic cardinalities (pure-Python; the corpus SFs then pin one
+    branch each in the cross-engine gate)."""
+    small = [f"s{i}" for i in range(500)]          # n << 2.5m
+    large = [f"l{i}" for i in range(60_000)]       # n >> 2.5m
+    e_small, e_large = py_hll(small), py_hll(large)
+    assert abs(e_small - 500) / 500 < 0.05
+    assert abs(e_large - 60_000) / 60_000 < 0.05
+    # branch witnesses: small must have zero registers, large none-ish
+    regs = [0] * HLL_M
+    for it in small:
+        h = int(hashlib.md5(it.encode()).hexdigest()[:15], 16)
+        regs[h >> LOW] = 1
+    assert regs.count(0) > 0
