@@ -3589,6 +3589,11 @@ def _hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_cardinality(spark, sf_dir)
 
 
+def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.sketches import cms_heavy_hitters
+    return cms_heavy_hitters(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = _registry()
     names = list(reg)
@@ -3657,6 +3662,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": R.lm_score,
         "kn_lm_score": R.kn_lm_score,
         "hll_cardinality": _hll_cardinality,
+        "cms_heavy_hitters": _cms_heavy_hitters,
         "sample_stratified": R.sample_stratified,
         "decontaminate": CU.decontaminate,
         "dsir_weights": CU.dsir_weights,
@@ -7479,6 +7485,43 @@ WITH hd AS (
 SELECT lang, exact, round(est, 4) + 0 AS hll_estimate,
        round(abs(est - exact) / exact, 4) + 0 AS rel_err
 FROM hz"""
+
+    # cms_heavy_hitters twin: identical row-salted md5 fold, bucket =
+    # low bits, min over D counters. Constants from functions/sketches.
+    _cm_h = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(j AS VARCHAR)"
+        f" || '|' || g), {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15))
+    sqls["cms_heavy_hitters"] = f"""
+WITH cd AS (
+    SELECT {_WORDS} AS w FROM documents
+), cs AS (
+    SELECT unnest(list_transform(range(1, len(w)),
+        i -> w[i] || ' ' || w[i + 1])) AS g
+    FROM cd WHERE len(w) >= 2
+), cn AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n FROM cs
+), cj AS (
+    SELECT unnest([0, 1, 2, 3]) AS j
+), csk AS (
+    SELECT j, CAST(CAST({_cm_h} AS BIGINT) % {SK.CMS_W} AS INT) AS b,
+           count(*) AS c
+    FROM cs, cj GROUP BY j, b
+), cc AS (
+    SELECT g, CAST(count(*) AS BIGINT) AS exact FROM cs GROUP BY g
+), ce AS (
+    SELECT g, exact, min(c) AS cms_est
+    FROM (SELECT cc.g, cc.exact, cj.j,
+                 CAST(CAST({_cm_h.replace('|| g)', '|| cc.g)')} AS BIGINT)
+                      % {SK.CMS_W} AS INT) AS b
+          FROM cc, cj) q
+    JOIN csk USING (j, b)
+    GROUP BY g, exact
+)
+SELECT g AS bigram, exact, CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - exact AS BIGINT) AS over,
+       cms_est >= {SK.CMS_PHI} * n AS heavy
+FROM ce CROSS JOIN cn"""
 
     sqls["ccnet_buckets"] = f"""
 WITH lm AS ({sqls["lm_score"]}

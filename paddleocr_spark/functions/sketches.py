@@ -127,3 +127,77 @@ def hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hll_error_bound() -> float:
     """The published standard error for m registers: 1.04 / sqrt(m)."""
     return 1.04 / math.sqrt(HLL_M)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+#: Sketch width (buckets per row) and depth (independent hash rows).
+#: eps = e/W (~1.1% of stream mass), delta = e^-D (~1.8%).
+CMS_W = 256
+CMS_D = 4
+#: Heavy-hitter threshold as a fraction of the stream length. NOTE: the
+#: width is deliberately UNDER-provisioned for this threshold (the
+#: published sizing rule wants W >= e/eps with eps <= phi, i.e. W ~ 1000
+#: here) so that collisions — and therefore the sketch's one-sided
+#: overestimate and its false-positive heavy decisions — are actually
+#: VISIBLE in the gate output and hash-pinned, rather than vanishing
+#: behind an exact-sized table at toy scale. phi sits at the median of
+#: the estimate distribution so the heavy split is informative at every
+#: SF (counts and N scale together).
+CMS_PHI = 0.003
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over the corpus word-bigram stream.
+
+    The published CM sketch (Cormode & Muthukrishnan 2005): D
+    independent hash rows of W counters; point estimate = min over rows
+    of the hashed counter; heavy hitters = items whose ESTIMATE clears
+    phi*N (the sketch's one-sided decision — no false negatives, only
+    false positives bounded by eps*N mass). Hashing is the same
+    engine-neutral md5 60-bit fold as the HLL sketch, row-salted with
+    ``j || '|' || item``, bucket = low bits.
+
+    The gate query emits, per distinct bigram: the exact count, the CMS
+    estimate, the overestimate (always >= 0 — the deterministic
+    one-sided property the oracle hash-pins), and the heavy decision.
+
+    Scale shape: ONE exploded bigram pass fans out D sketch rows
+    (D*stream rows, map-side-combinable count into D*W counters — the
+    mergeable artifact); estimates join candidates to the counter table
+    on (row, bucket) and fold with one min-aggregate. At 10^12 docs you
+    ship only the D*W counter table; the exact branch exists for the
+    oracle's error columns.
+    """
+    d = docs_table(spark, sf_dir).select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), w -> w != '')").alias("w"))
+    stream = (d.where(F.expr("size(w) >= 2"))
+              .select(F.explode(F.expr(
+                  "transform(sequence(1, size(w) - 1), "
+                  "i -> concat(w[i - 1], ' ', w[i]))")).alias("g")))
+    n_total = stream.agg(F.count("*").cast("double").alias("n"))
+    rows = stream.select(
+        "g", F.explode(F.array(*[F.lit(j) for j in range(CMS_D)]))
+        .alias("j"))
+    salted = "concat(CAST(j AS STRING), '|', g)"
+    bucket = (f"CAST(CAST({_hash60_sql(salted)} AS LONG)"
+              f" % {CMS_W} AS INT)")
+    sketch = (rows.select("j", F.expr(bucket).alias("b"))
+              .groupBy("j", "b").agg(F.count("*").alias("c")))
+    cand = (stream.groupBy("g")
+            .agg(F.count("*").cast("long").alias("exact")))
+    est = (cand.select("g", "exact", F.explode(F.array(
+               *[F.lit(j) for j in range(CMS_D)])).alias("j"))
+           .withColumn("b", F.expr(bucket))
+           .join(sketch, ["j", "b"])
+           .groupBy("g", "exact")
+           .agg(F.min("c").cast("long").alias("cms_est")))
+    return (est.join(F.broadcast(n_total))
+            .select(F.col("g").alias("bigram"), "exact", "cms_est",
+                    (F.col("cms_est") - F.col("exact")).cast("long")
+                    .alias("over"),
+                    (F.col("cms_est") >= CMS_PHI * F.col("n"))
+                    .alias("heavy")))

@@ -89,3 +89,62 @@ def test_hll_branches_both_reachable():
         h = int(hashlib.md5(it.encode()).hexdigest()[:15], 16)
         regs[h >> LOW] = 1
     assert regs.count(0) > 0
+
+
+def py_cms(stream):
+    """Literal CM sketch with the module's hashing."""
+    from paddleocr_spark.functions.sketches import CMS_D, CMS_W
+    rows = [[0] * CMS_W for _ in range(CMS_D)]
+    for g in stream:
+        for j in range(CMS_D):
+            h = int(hashlib.md5(f"{j}|{g}".encode()).hexdigest()[:15], 16)
+            rows[j][h % CMS_W] += 1
+
+    def est(g):
+        return min(rows[j][int(hashlib.md5(
+            f"{j}|{g}".encode()).hexdigest()[:15], 16) % CMS_W]
+            for j in range(CMS_D))
+    return est
+
+
+def _bigram_stream():
+    import duckdb
+    rows = duckdb.sql(
+        f"SELECT text FROM '{SF_SMALL}/documents.parquet'").fetchall()
+    out = []
+    for (text,) in rows:
+        w = [x for x in (text or "").lower().split(" ") if x]
+        out.extend(f"{a} {b}" for a, b in zip(w, w[1:]))
+    return out
+
+
+def test_cms_matches_plain_python(spark):
+    """Every bigram's estimate equals the literal Python sketch; the
+    one-sided property and the no-false-negative guarantee hold."""
+    from collections import Counter
+
+    from paddleocr_spark.functions.sketches import (CMS_PHI,
+                                                    cms_heavy_hitters)
+    stream = _bigram_stream()
+    est = py_cms(stream)
+    exact = Counter(stream)
+    thresh = CMS_PHI * len(stream)
+    got = {r["bigram"]: r
+           for r in cms_heavy_hitters(spark, SF_SMALL).collect()}
+    assert set(got) == set(exact)
+    collided = heavy_t = heavy_f = 0
+    for g, r in got.items():
+        assert r["exact"] == exact[g], g
+        assert r["cms_est"] == est(g), g
+        assert r["over"] == r["cms_est"] - r["exact"] and r["over"] >= 0
+        assert r["heavy"] == (r["cms_est"] >= thresh), g
+        # no false negatives: truly heavy items are always flagged
+        if exact[g] >= thresh:
+            assert r["heavy"], g
+        collided += r["over"] > 0
+        heavy_t += bool(r["heavy"])
+        heavy_f += not r["heavy"]
+    # the under-provisioned width makes collisions visible, and the
+    # phi threshold splits the population both ways
+    assert collided > 0
+    assert heavy_t > 0 and heavy_f > 0
