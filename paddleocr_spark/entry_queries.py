@@ -3663,6 +3663,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_lm_score": R.kn_lm_score,
         "hll_cardinality": _hll_cardinality,
         "cms_heavy_hitters": _cms_heavy_hitters,
+        "weighted_sample": R.weighted_sample,
         "sample_stratified": R.sample_stratified,
         "decontaminate": CU.decontaminate,
         "dsir_weights": CU.dsir_weights,
@@ -7522,6 +7523,31 @@ SELECT g AS bigram, exact, CAST(cms_est AS BIGINT) AS cms_est,
        CAST(cms_est - exact AS BIGINT) AS over,
        cms_est >= {SK.CMS_PHI} * n AS heavy
 FROM ce CROSS JOIN cn"""
+
+    # weighted_sample twin: identical md5-uniform + ln(u)/w key and
+    # per-lang rank (ties by doc_id).
+    _ws_h = " + ".join(
+        f"(strpos('0123456789abcdef', "
+        f"substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}" for i in range(15))
+    sqls["weighted_sample"] = f"""
+WITH wd AS (
+    SELECT doc_id, lang,
+           CAST({_ws_h} AS BIGINT) AS h,
+           CAST(len({_WORDS}) AS BIGINT) AS weight
+    FROM documents
+), wk AS (
+    SELECT doc_id, lang, weight,
+           ln((h + 1.0) / {float(1 << 60)!r}) / weight AS lnkey
+    FROM wd WHERE weight > 0
+), wr AS (
+    SELECT *, row_number() OVER (PARTITION BY lang
+        ORDER BY lnkey DESC, doc_id) AS rank
+    FROM wk
+)
+SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, weight,
+       round(lnkey, 6) + 0 AS lnkey
+FROM wr WHERE rank <= {R.WS_K}"""
 
     sqls["ccnet_buckets"] = f"""
 WITH lm AS ({sqls["lm_score"]}

@@ -250,6 +250,49 @@ def kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("long").alias("n_bigrams")))
 
 
+#: Draws kept per language stratum by the weighted sampler.
+WS_K = 20
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str,
+                    k: int = WS_K) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement, per
+    language stratum.
+
+    The published A-ES algorithm (Efraimidis & Spirakis 2006): each item
+    draws u ~ U(0,1) and takes key u^(1/w); the k largest keys are a
+    weighted sample without replacement. One distributed top-k per
+    stratum — THE way to draw weighted corpus samples at 10^12 docs
+    (e.g. temperature-weighted source mixing) without a sequential
+    reservoir. Determinism: u derives from the md5 60-bit fold
+    (``u = (h + 1) / 2^60`` — never 0), and ranking uses the monotone
+    transform ``ln(u)/w`` (identical ordering, avoids cross-engine
+    ``pow`` ulp differences); weight = the doc's word count.
+
+    Scale shape: scan → per-row key → TakeOrderedAndProject per stratum
+    (rank window over lang — one exchange); no RNG state, no driver
+    loop, reproducible at any parallelism.
+    """
+    from pyspark.sql.window import Window as W
+
+    d = _doc_words(spark, sf_dir).select(
+        "doc_id",
+        F.expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), "
+               "16, 10) AS LONG)").alias("h"),
+        F.size("w").cast("long").alias("weight"))
+    langs = docs_table(spark, sf_dir).select("doc_id", "lang")
+    keyed = (d.join(langs, "doc_id")
+             .where(F.col("weight") > 0)
+             .withColumn("u", (F.col("h") + 1.0) / float(1 << 60))
+             .withColumn("lnkey", F.log("u") / F.col("weight")))
+    win = W.partitionBy("lang").orderBy(F.col("lnkey").desc(), "doc_id")
+    return (keyed.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k)
+            .select("lang", F.col("rank").cast("long").alias("rank"),
+                    "doc_id", "weight",
+                    F.round("lnkey", 6).alias("lnkey")))
+
+
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-threshold sample, stratified by language.
 

@@ -262,6 +262,57 @@ def test_kn_lm_score_matches_plain_python(spark):
     assert min(s for s, n in want.values() if n) > 0
 
 
+def test_weighted_sample_matches_plain_python(spark):
+    """A-ES weighted sampling: Spark top-k per stratum == a literal
+    Python implementation, and the sample skews heavy as the algorithm
+    promises."""
+    import hashlib
+
+    import duckdb
+
+    from paddleocr_spark.functions.retrieval import WS_K, weighted_sample
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, lang, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    per_lang: dict[str, list] = {}
+    weights_all: dict[str, list] = {}
+    for doc_id, lang, text in rows:
+        w = len([x for x in (text or "").lower().split(" ") if x])
+        if w == 0:
+            continue
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        u = (h + 1.0) / float(1 << 60)
+        per_lang.setdefault(lang, []).append(
+            (math.log(u) / w, doc_id, w))
+        weights_all.setdefault(lang, []).append(w)
+    want = {}
+    for lang, items in per_lang.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (lnkey, doc_id, w) in enumerate(items[:WS_K], 1):
+            want[(lang, rank)] = (doc_id, w, round(lnkey, 6))
+    got = {(r["lang"], r["rank"]): (r["doc_id"], r["weight"], r["lnkey"])
+           for r in weighted_sample(spark, SF).collect()}
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][0] == want[key][0], (key, got[key], want[key])
+        assert got[key][1] == want[key][1]
+        assert abs(got[key][2] - want[key][2]) <= 1e-6
+    # the weights genuinely steer the draw: the A-ES selection must
+    # differ from the unweighted (w=1) top-k over the same uniforms
+    # (a per-draw mean-weight comparison would be a statistical claim —
+    # too noisy for k=20 with this corpus's ~2x weight spread)
+    changed = False
+    for lang, items in per_lang.items():
+        # unweighted draw over the SAME uniforms: key = ln(u) = lnkey*w
+        unweighted = {d for _, d, _ in sorted(
+            items, key=lambda t: (-(t[0] * t[2]), t[1]))[:WS_K]}
+        picked = {d for (lg, _), (d, _, _) in got.items() if lg == lang}
+        if picked != unweighted:
+            changed = True
+    assert changed
+
+
 def _semdedup_numpy(eps: float):
     from paddleocr_spark.functions.similarity import (VEC_DUP_EVERY,
                                                       VEC_DUP_OFFSET)
