@@ -98,6 +98,11 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerpipe_extract": _content("boilerpipe_extract"),
         "gopher_repetition": _repetition("gopher_repetition"),
         "interleaved_pack": _curation("interleaved_pack"),
+        # round-5 continuation 2: KN smoothing, sketches, A-ES sampling
+        "kn_lm_score": _retrieval("kn_lm_score"),
+        "hll_cardinality": _sketches("hll_cardinality"),
+        "cms_heavy_hitters": _sketches("cms_heavy_hitters"),
+        "weighted_sample": _retrieval("weighted_sample"),
     }
 
 
@@ -112,6 +117,13 @@ def _repetition(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from . import repetition
         return getattr(repetition, name)(spark, sf_dir)
+    return run
+
+
+def _sketches(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from . import sketches
+        return getattr(sketches, name)(spark, sf_dir)
     return run
 
 
