@@ -3594,6 +3594,11 @@ def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(spark, sf_dir)
 
 
+def _qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.sketches import qdigest_quantiles
+    return qdigest_quantiles(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = _registry()
     names = list(reg)
@@ -3664,6 +3669,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cardinality": _hll_cardinality,
         "cms_heavy_hitters": _cms_heavy_hitters,
         "weighted_sample": R.weighted_sample,
+        "qdigest_quantiles": _qdigest_quantiles,
         "sample_stratified": R.sample_stratified,
         "decontaminate": CU.decontaminate,
         "dsir_weights": CU.dsir_weights,
@@ -7548,6 +7554,89 @@ WITH wd AS (
 SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, weight,
        round(lnkey, 6) + 0 AS lnkey
 FROM wr WHERE rank <= {R.WS_K}"""
+
+    # qdigest_quantiles twin: the QD_L bottom-up compression levels
+    # unrolled as generated CTE chains — the same merge rule, level
+    # order, and walk ordering as functions/sketches.qdigest_quantiles,
+    # so the digest itself is hash-pinned.
+    _qd_L, _qd_K = SK.QD_L, SK.QD_K
+    _qd_ctes = [f"""qd AS (
+    SELECT lang, least(CAST(len({_WORDS}) AS INT), {(1 << _qd_L) - 1}) AS v
+    FROM documents
+), qn AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n FROM qd GROUP BY lang
+), s{_qd_L} AS MATERIALIZED (
+    SELECT lang, {_qd_L} AS lvl, CAST(v AS INT) AS idx,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM qd GROUP BY lang, v
+)"""]
+    for _lv in range(_qd_L, 0, -1):
+        _qd_ctes.append(f"""g{_lv} AS MATERIALIZED (
+    SELECT lang, idx // 2 AS pidx, sum(cnt) AS csum
+    FROM s{_lv} WHERE lvl = {_lv} GROUP BY lang, idx // 2
+), p{_lv} AS (
+    SELECT lang, idx AS pidx, cnt AS pcnt FROM s{_lv} WHERE lvl = {_lv - 1}
+), j{_lv} AS (
+    SELECT coalesce(g.lang, p.lang) AS lang,
+           coalesce(g.pidx, p.pidx) AS pidx, g.csum, p.pcnt,
+           coalesce(g.csum, 0) + coalesce(p.pcnt, 0) AS s
+    FROM g{_lv} g FULL OUTER JOIN p{_lv} p
+      ON g.lang = p.lang AND g.pidx = p.pidx
+), jt{_lv} AS MATERIALIZED (
+    SELECT j.*, CAST(ceil(qn.n / {_qd_K}) AS BIGINT) AS thr
+    FROM j{_lv} j JOIN qn ON j.lang = qn.lang
+), s{_lv - 1} AS MATERIALIZED (
+    SELECT lang, lvl, idx, cnt FROM s{_lv}
+      WHERE lvl != {_lv} AND lvl != {_lv - 1}
+    UNION ALL
+    SELECT lang, {_lv - 1}, pidx, CAST(s AS BIGINT) FROM jt{_lv}
+      WHERE (csum IS NOT NULL AND s < thr)
+         OR (csum IS NULL AND pcnt IS NOT NULL)
+    UNION ALL
+    SELECT lang, {_lv - 1}, pidx, CAST(pcnt AS BIGINT) FROM jt{_lv}
+      WHERE csum IS NOT NULL AND s >= thr AND pcnt IS NOT NULL
+    UNION ALL
+    SELECT c.lang, c.lvl, c.idx, c.cnt
+    FROM (SELECT *, idx // 2 AS pidx FROM s{_lv} WHERE lvl = {_lv}) c
+    JOIN jt{_lv} jt ON jt.lang = c.lang AND jt.pidx = c.pidx
+    WHERE jt.csum IS NOT NULL AND jt.s >= jt.thr
+)""")
+    _qd_ctes.append(f"""qnodes AS (
+    SELECT lang, lvl, idx, cnt,
+           CAST(idx * power(2, {_qd_L} - lvl) AS BIGINT) AS lo,
+           CAST((idx + 1) * power(2, {_qd_L} - lvl) - 1 AS BIGINT) AS hi
+    FROM s0
+), qwk AS (
+    SELECT *, sum(cnt) OVER (PARTITION BY lang
+        ORDER BY hi, (hi - lo), idx ROWS UNBOUNDED PRECEDING) AS cum
+    FROM qnodes
+), qq AS (
+    SELECT unnest([{', '.join(repr(float(q)) for q in SK.QD_QS)}]) AS q
+), qrk AS (
+    SELECT lang, n, q, CAST(ceil(q * n) AS BIGINT) AS rk
+    FROM qn CROSS JOIN qq
+), qe AS (
+    SELECT qwk.lang, qrk.q, qrk.n, min(hi) AS qd_est
+    FROM qwk JOIN qrk ON qwk.lang = qrk.lang
+    WHERE qwk.cum >= qrk.rk GROUP BY qwk.lang, qrk.q, qrk.n
+), qxc AS (
+    SELECT lang, v, count(*) AS c FROM qd GROUP BY lang, v
+), qxw AS (
+    SELECT *, sum(c) OVER (PARTITION BY lang ORDER BY v
+        ROWS UNBOUNDED PRECEDING) AS vcum
+    FROM qxc
+), qxe AS (
+    SELECT qxw.lang, qrk.q, min(v) AS exact
+    FROM qxw JOIN qrk ON qxw.lang = qrk.lang
+    WHERE qxw.vcum >= qrk.rk GROUP BY qxw.lang, qrk.q
+)""")
+    sqls["qdigest_quantiles"] = ("WITH " + ",\n".join(
+        c.strip() for c in _qd_ctes) + f"""
+SELECT qe.lang, CAST(qe.q AS DOUBLE) AS q, qe.n,
+       CAST(qd_est AS BIGINT) AS qd_est,
+       CAST(exact AS BIGINT) AS exact,
+       CAST(qd_est - exact AS BIGINT) AS err
+FROM qe JOIN qxe ON qe.lang = qxe.lang AND qe.q = qxe.q""")
 
     sqls["ccnet_buckets"] = f"""
 WITH lm AS ({sqls["lm_score"]}

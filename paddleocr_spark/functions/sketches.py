@@ -201,3 +201,121 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("over"),
                     (F.col("cms_est") >= CMS_PHI * F.col("n"))
                     .alias("heavy")))
+
+
+# ---------------------------------------------------------------------------
+# q-digest quantile sketch (Shrivastava, Buragohain, Agrawal, Suri 2004)
+# ---------------------------------------------------------------------------
+
+#: Universe bits: values clamped to [0, 2^QD_L).
+QD_L = 7
+#: Compression parameter: digest keeps O(k) nodes, rank error <= L*n/k.
+QD_K = 64
+#: Quantiles the gate query reports.
+QD_QS = (0.5, 0.9, 0.99)
+
+
+def qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc-length quantiles from a q-digest sketch, next to
+    the exact order statistics.
+
+    The published q-digest (Shrivastava et al. 2004): counts live on the
+    dyadic tree over the value universe; compress bottom-up, merging a
+    sibling pair into its parent while the combined count stays under
+    ceil(n/k). The result is an O(k)-node mergeable summary whose
+    quantile walk (nodes ordered by interval upper bound, smaller ranges
+    first; cumulative counts) answers any rank query with error at most
+    L*n/k ranks. Values here are per-doc word counts clamped to
+    [0, 2^QD_L); the quantile estimate is compared against the exact
+    type-1 (inverted-CDF) order statistic per language.
+
+    Determinism: the compression rule and level order are fixed, every
+    aggregate is over integers, and the walk's ordering key
+    (hi, range, idx) is total — both engines build the IDENTICAL digest,
+    so the oracle hash-pins the sketch itself, not just its accuracy.
+    The build unrolls the QD_L bottom-up levels as QD_L self-
+    aggregations (bounded by the universe depth, not the data); at
+    10^12 docs each level is one map-side-combinable aggregate over
+    <= 3k surviving nodes per group, and two shards merge by adding
+    node counts then re-compressing — the mergeable-artifact property
+    the paper proves.
+    """
+    from pyspark.sql.window import Window as W
+
+    n_top = 1 << QD_L
+    d = docs_table(spark, sf_dir).select(
+        "lang",
+        F.least(F.expr(
+            "CAST(size(filter(split(lower(text), ' '), w -> w != '')) "
+            "AS INT)"), F.lit(n_top - 1)).alias("v"))
+    strat = d.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    # leaves: level QD_L, idx = value
+    cur = (d.groupBy("lang", "v").agg(F.count("*").cast("long").alias("cnt"))
+           .select("lang", F.lit(QD_L).alias("lvl"),
+                   F.col("v").cast("int").alias("idx"), "cnt"))
+    thr = F.ceil(F.col("n") / QD_K).cast("long")
+    for lvl in range(QD_L, 0, -1):
+        ch = cur.where(F.col("lvl") == lvl)
+        par = cur.where(F.col("lvl") == lvl - 1)
+        others = cur.where(~F.col("lvl").isin(lvl, lvl - 1))
+        grp = (ch.groupBy("lang", (F.col("idx") / 2).cast("int")
+                          .alias("pidx"))
+               .agg(F.sum("cnt").alias("csum")))
+        j = (grp.join(par.select("lang", F.col("idx").alias("pidx"),
+                                 F.col("cnt").alias("pcnt")),
+                      ["lang", "pidx"], "full_outer")
+             .join(strat, "lang")
+             .withColumn("s", F.coalesce("csum", F.lit(0))
+                         + F.coalesce("pcnt", F.lit(0)))
+             .withColumn("merge", F.col("csum").isNotNull()
+                         & (F.col("s") < thr)))
+        new_parents = (j.where(F.col("merge")
+                               | (F.col("csum").isNull()
+                                  & F.col("pcnt").isNotNull()))
+                       .select("lang", F.lit(lvl - 1).alias("lvl"),
+                               F.col("pidx").alias("idx"),
+                               F.col("s").cast("long").alias("cnt")))
+        kept_parents = (j.where(~F.col("merge") & F.col("pcnt").isNotNull()
+                                & F.col("csum").isNotNull())
+                        .select("lang", F.lit(lvl - 1).alias("lvl"),
+                                F.col("pidx").alias("idx"),
+                                F.col("pcnt").cast("long").alias("cnt")))
+        kept_children = (ch.withColumn(
+            "pidx", (F.col("idx") / 2).cast("int"))
+            .join(j.where(~F.col("merge") & F.col("csum").isNotNull())
+                  .select("lang", "pidx"), ["lang", "pidx"])
+            .select("lang", "lvl", "idx", "cnt"))
+        cur = others.unionByName(new_parents).unionByName(kept_parents) \
+                    .unionByName(kept_children)
+        cur = cur.localCheckpoint(eager=False)
+    nodes = (cur.withColumn(
+        "lo", F.expr(f"CAST(idx * CAST(pow(2, {QD_L} - lvl) AS LONG) "
+                     f"AS LONG)"))
+        .withColumn("hi", F.expr(
+            f"CAST((idx + 1) * CAST(pow(2, {QD_L} - lvl) AS LONG) - 1 "
+            f"AS LONG)")))
+    w = W.partitionBy("lang").orderBy(
+        "hi", (F.col("hi") - F.col("lo")), "idx")
+    walked = nodes.withColumn("cum", F.sum("cnt").over(
+        w.rowsBetween(W.unboundedPreceding, 0)))
+    qs = spark.createDataFrame([(float(q),) for q in QD_QS], "q double")
+    ranks = (strat.crossJoin(qs)
+             .withColumn("rk", F.ceil(F.col("q") * F.col("n"))
+                         .cast("long")))
+    est = (walked.join(ranks, "lang")
+           .where(F.col("cum") >= F.col("rk"))
+           .groupBy("lang", "q", "n", "rk")
+           .agg(F.min("hi").cast("long").alias("qd_est")))
+    # exact type-1 order statistic over the raw values
+    vc = d.groupBy("lang", "v").agg(F.count("*").alias("c"))
+    wv = W.partitionBy("lang").orderBy("v")
+    vcum = vc.withColumn("vcum", F.sum("c").over(
+        wv.rowsBetween(W.unboundedPreceding, 0)))
+    exact = (vcum.join(ranks, "lang")
+             .where(F.col("vcum") >= F.col("rk"))
+             .groupBy("lang", "q")
+             .agg(F.min("v").cast("long").alias("exact")))
+    return (est.join(exact, ["lang", "q"])
+            .select("lang", "q", "n", "qd_est", "exact",
+                    (F.col("qd_est") - F.col("exact")).cast("long")
+                    .alias("err")))

@@ -148,3 +148,75 @@ def test_cms_matches_plain_python(spark):
     # phi threshold splits the population both ways
     assert collided > 0
     assert heavy_t > 0 and heavy_f > 0
+
+
+def py_qdigest(values, k):
+    """Literal q-digest build + walk with the module's rules."""
+    from collections import Counter
+
+    from paddleocr_spark.functions.sketches import QD_L
+    n = len(values)
+    thr = math.ceil(n / k)
+    nodes = {(QD_L, v): c for v, c in Counter(values).items()}
+    for lvl in range(QD_L, 0, -1):
+        children = {(lv, i): c for (lv, i), c in nodes.items() if lv == lvl}
+        by_parent = {}
+        for (_, i), c in children.items():
+            by_parent[i // 2] = by_parent.get(i // 2, 0) + c
+        for pidx, csum in sorted(by_parent.items()):
+            s = csum + nodes.get((lvl - 1, pidx), 0)
+            if s < thr:
+                nodes[(lvl - 1, pidx)] = s
+                for i in (2 * pidx, 2 * pidx + 1):
+                    nodes.pop((lvl, i), None)
+    walk = []
+    for (lv, i), c in nodes.items():
+        lo = i << (QD_L - lv)
+        hi = ((i + 1) << (QD_L - lv)) - 1
+        walk.append((hi, hi - lo, i, c))
+    walk.sort()
+    out = {}
+    for q in (0.5, 0.9, 0.99):
+        rk = math.ceil(q * n)
+        cum = 0
+        for hi, _, _, c in walk:
+            cum += c
+            if cum >= rk:
+                out[q] = hi
+                break
+    return out
+
+
+def test_qdigest_matches_plain_python(spark):
+    """Per-language digest estimates equal the literal Python build, the
+    estimate is always rank-conservative (true rank >= requested), and
+    the rank error stays within the paper's L*n/k bound."""
+    import duckdb
+
+    from paddleocr_spark.functions.sketches import (QD_K, QD_L,
+                                                    qdigest_quantiles)
+
+    rows = duckdb.sql(
+        f"SELECT lang, text FROM '{SF_SMALL}/documents.parquet'").fetchall()
+    vals: dict[str, list] = {}
+    for lang, text in rows:
+        v = min(len([x for x in (text or "").lower().split(" ") if x]),
+                (1 << QD_L) - 1)
+        vals.setdefault(lang, []).append(v)
+    got = {(r["lang"], r["q"]): r
+           for r in qdigest_quantiles(spark, SF_SMALL).collect()}
+    assert {lg for lg, _ in got} == set(vals)
+    for lang, vs in vals.items():
+        want = py_qdigest(vs, QD_K)
+        n = len(vs)
+        svals = sorted(vs)
+        for q, est in want.items():
+            r = got[(lang, q)]
+            assert r["qd_est"] == est, (lang, q, r["qd_est"], est)
+            assert r["n"] == n
+            rk = math.ceil(q * n)
+            true_rank = sum(1 for x in vs if x <= est)
+            assert true_rank >= rk, (lang, q)          # conservative
+            assert true_rank - rk <= QD_L * n / QD_K + 1, (lang, q)
+            # exact column is the type-1 order statistic
+            assert r["exact"] == svals[rk - 1], (lang, q)
