@@ -103,6 +103,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cardinality": _sketches("hll_cardinality"),
         "cms_heavy_hitters": _sketches("cms_heavy_hitters"),
         "weighted_sample": _retrieval("weighted_sample"),
+        "qdigest_quantiles": _sketches("qdigest_quantiles"),
     }
 
 
