@@ -148,3 +148,21 @@ def test_round5_continuation_operator_plan_shapes(spark):
     assert "Generate" not in ip                # no explode: HOF cost fold
     kn = _plan(kn_lm_score(spark, SF))
     assert kn.count("BroadcastExchange") >= 3  # left/right/types tables
+
+
+def test_sketch_family_plan_shapes(spark):
+    """Sketches stay JVM-side and mergeable-shaped: no Python nodes;
+    the HLL register build is a partial (map-side-combinable) max
+    aggregate, and the CMS counter build a partial count."""
+    from paddleocr_spark.functions.sketches import (cms_heavy_hitters,
+                                                    hll_cardinality,
+                                                    qdigest_quantiles)
+    for fn in (hll_cardinality, cms_heavy_hitters, qdigest_quantiles):
+        plan = _formatted(fn(spark, SF))
+        for py_node in ("MapInPandas", "ArrowEvalPython",
+                        "BatchEvalPython", "FlatMapGroupsInPandas"):
+            assert py_node not in plan, fn.__name__
+    # partial aggregation marker: Spark prints partial_max/partial_count
+    # in HashAggregate's functions list when map-side combine is planned
+    assert "partial_max" in _formatted(hll_cardinality(spark, SF))
+    assert "partial_count" in _formatted(cms_heavy_hitters(spark, SF))
