@@ -51,6 +51,17 @@ REPRESENTATIVE = [
     "can_metric",              # applyInPandas batch scorer (sorted)
     "rec_metric_grapheme",     # stack + per-channel agg
     "config_transforms",       # compiled-chain mapInPandas
+    # round-5 continuation: the shapes where layout could leak —
+    # register folds, top-k windows, running sums, iterative tree builds
+    "readability_extract",     # widening repartition + per-block scores
+    "boilerpipe_extract",      # lag/lead window triple
+    "gopher_repetition",       # position-union coverage + pivots
+    "interleaved_pack",        # per-source running-sum packing
+    "kn_lm_score",             # continuation-count broadcast joins
+    "hll_cardinality",         # integer register fold (order-free sum)
+    "cms_heavy_hitters",       # D-row counter fold + min estimate
+    "weighted_sample",         # per-stratum top-k rank
+    "qdigest_quantiles",       # 7-level iterative compression + walk
 ]
 
 
