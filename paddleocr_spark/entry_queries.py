@@ -3599,6 +3599,11 @@ def _qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qdigest_quantiles(spark, sf_dir)
 
 
+def _wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.tokenizer import wordpiece_encode
+    return wordpiece_encode(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = _registry()
     names = list(reg)
@@ -3670,6 +3675,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _cms_heavy_hitters,
         "weighted_sample": R.weighted_sample,
         "qdigest_quantiles": _qdigest_quantiles,
+        "wordpiece_encode": _wordpiece_encode,
         "sample_stratified": R.sample_stratified,
         "decontaminate": CU.decontaminate,
         "dsir_weights": CU.dsir_weights,
@@ -7630,6 +7636,64 @@ FROM wr WHERE rank <= {R.WS_K}"""
     FROM qxw JOIN qrk ON qxw.lang = qrk.lang
     WHERE qxw.vcum >= qrk.rk GROUP BY qxw.lang, qrk.q
 )""")
+    # wordpiece_encode twin: identical vocabulary thresholding and the
+    # SAME unrolled greedy-matcher step formulas (shared template in
+    # functions/tokenizer._wp_step_exprs, DuckDB spellings), chained as
+    # e0..e{WP_STEPS} CTEs (linear references — no inlining blowup).
+    from .functions import tokenizer as TKW
+    _wp_step, _wp_toks = TKW._wp_step_exprs("list_contains", "substr")
+    _wp_chain = []
+    for _wi in range(1, TKW.WP_STEPS + 1):
+        _wp_chain.append(f"""e{_wi}a AS (
+    SELECT *, {_wp_step} AS step FROM e{_wi - 1}
+), e{_wi} AS (
+    SELECT word, freq, vh, vc, pos + step AS pos, {_wp_toks} AS toks
+    FROM e{_wi}a
+)""")
+    sqls["wordpiece_encode"] = f"""
+WITH wpw AS (
+    SELECT unnest({_WORDS}) AS word FROM documents
+), wt AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS freq FROM wpw GROUP BY word
+), wtot AS (
+    SELECT sum(freq) AS tot FROM wt
+), wpp AS (
+    SELECT (c).pc AS pc, (c).head AS head, sum(freq) AS pfreq
+    FROM (
+      SELECT freq, unnest(flatten(list_transform(
+          range(1, length(word) + 1),
+          p -> list_transform(range(2, {TKW.WP_MAX_PIECE + 1}),
+              l -> {{'pc': substr(word, p, l), 'head': p = 1,
+                    'ok': p + l - 1 <= length(word)}})))) AS c
+      FROM wt)
+    WHERE (c).ok GROUP BY 1, 2
+), wkept AS (
+    SELECT pc, head FROM wpp CROSS JOIN wtot
+    WHERE pfreq >= {TKW.WP_REL_FREQ} * tot
+), wchars AS (
+    SELECT DISTINCT unnest(list_transform(range(1, length(word) + 1),
+        p -> substr(word, p, 1))) AS pc
+    FROM wt
+), vhl AS (
+    SELECT list(pc ORDER BY pc) AS vh FROM (
+      SELECT DISTINCT pc FROM (
+        SELECT pc FROM wkept WHERE head
+        UNION ALL SELECT pc FROM wchars))
+), vcl AS (
+    SELECT list(pc ORDER BY pc) AS vc FROM (
+      SELECT DISTINCT pc FROM (
+        SELECT pc FROM wkept WHERE NOT head
+        UNION ALL SELECT pc FROM wchars))
+), e0 AS (
+    SELECT word, freq, vh, vc, 0 AS pos, '' AS toks
+    FROM wt CROSS JOIN vhl CROSS JOIN vcl
+), {', '.join(_wp_chain)}
+SELECT word, freq, toks AS pieces,
+       CAST(len(string_split(toks, ' ')) AS BIGINT) AS n_pieces,
+       pos >= length(word) AS consumed
+FROM e{TKW.WP_STEPS}
+ORDER BY word"""
+
     sqls["qdigest_quantiles"] = ("WITH " + ",\n".join(
         c.strip() for c in _qd_ctes) + f"""
 SELECT qe.lang, CAST(qe.q AS DOUBLE) AS q, qe.n,

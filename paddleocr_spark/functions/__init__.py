@@ -104,6 +104,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _sketches("cms_heavy_hitters"),
         "weighted_sample": _retrieval("weighted_sample"),
         "qdigest_quantiles": _sketches("qdigest_quantiles"),
+        "wordpiece_encode": _tokenizer("wordpiece_encode"),
     }
 
 

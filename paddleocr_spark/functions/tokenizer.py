@@ -168,3 +168,112 @@ def bpe_encode(spark: SparkSession, sf_dir: str,
                   / F.col("n_words").cast("double")).otherwise(0.0)
     return out.select("doc_id", "n_words", "n_tokens",
                       F.round(fert, 4).alias("fertility"))
+
+
+# ---------------------------------------------------------------------------
+# WordPiece greedy longest-match encoding (Wu et al. 2016; BERT tokenizer)
+# ---------------------------------------------------------------------------
+
+#: Longest piece the matcher tries (BERT tries whole words; 4 keeps the
+#: vocabulary non-trivial on this corpus's short words).
+WP_MAX_PIECE = 4
+#: A multi-char piece enters the vocabulary when its occurrence-weighted
+#: frequency reaches this fraction of total word occurrences (relative,
+#: so the vocabulary is stable across SFs); single chars always enter
+#: (both head and continuation forms), so segmentation is total and the
+#: [UNK] arm is unreachable by construction.
+WP_REL_FREQ = 0.004
+#: Unrolled matcher steps; each advances >= 1 char, corpus words are
+#: <= 8 chars, so 12 leaves margin (asserted consumed in the pytest).
+WP_STEPS = 12
+
+
+def _wp_step_exprs(contains: str, substr: str):
+    """(step, toks) SQL templates shared by both engines — `contains`
+    and `substr` are the engine spellings (array_contains/list_contains,
+    substring/substr). Columns in scope: word, pos, toks, vh, vc."""
+    def arms(flag_head: bool) -> str:
+        vocab = "vh" if flag_head else "vc"
+        out = []
+        for ln in range(WP_MAX_PIECE, 1, -1):
+            out.append(
+                f"WHEN length(word) - pos >= {ln} AND "
+                f"{contains}({vocab}, {substr}(word, pos + 1, {ln})) "
+                f"THEN {ln}")
+        out.append("ELSE 1")
+        return " ".join(out)
+    step = (f"CASE WHEN pos >= length(word) THEN 0 "
+            f"WHEN pos = 0 THEN CASE {arms(True)} END "
+            f"ELSE CASE {arms(False)} END END")
+    toks = (f"CASE WHEN step = 0 THEN toks "
+            f"WHEN pos = 0 THEN {substr}(word, 1, step) "
+            f"ELSE concat(toks, ' ##', {substr}(word, pos + 1, step)) "
+            f"END")
+    return step, toks
+
+
+def wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match-first WordPiece segmentation per word type.
+
+    The published BERT WordPiece matcher (Wu et al. 2016; the
+    tokenizers library's WordPiece model): scan each word left to
+    right, at every position take the LONGEST vocabulary piece
+    (continuation pieces carry the ``##`` prefix), never backtrack.
+    The vocabulary is corpus-derived and deterministic: all single
+    characters (head + continuation forms) plus every 2..WP_MAX_PIECE
+    substring whose occurrence-weighted frequency clears
+    WP_REL_FREQ * total word occurrences.
+
+    Emits one row per word type: the segmentation, piece count, corpus
+    frequency, and the fertility contribution — the table a tokenizer
+    pipeline ships as its encode artifact (documents then join it
+    broadcast, exactly like ``bpe_encode``).
+
+    Scale shape: the matcher unrolls WP_STEPS projection steps over the
+    VOCABULARY-SIZED word-type table with the two piece arrays riding a
+    single-row broadcast cross join — one scan-shaped codegen pipeline,
+    zero shuffles after the type/vocab aggregations; the same unrolled
+    formulas run as chained CTEs on the DuckDB side.
+    """
+    wt = word_types(spark, sf_dir).select(
+        "word", F.col("n").alias("freq"))
+    total = wt.agg(F.sum("freq").alias("tot"))
+    # candidate multi-char pieces, occurrence-weighted
+    pieces = (wt.select("freq", F.explode(F.expr(
+        f"flatten(transform(sequence(1, length(word)), "
+        f"p -> transform(sequence(2, {WP_MAX_PIECE}), "
+        f"l -> struct(substring(word, p, l) AS pc, "
+        f"p = 1 AS head, p + l - 1 <= length(word) AS ok))))"))
+        .alias("c"))
+        .where(F.col("c.ok"))
+        .groupBy(F.col("c.pc").alias("pc"), F.col("c.head").alias("head"))
+        .agg(F.sum("freq").alias("pfreq")))
+    kept = (pieces.crossJoin(F.broadcast(total))
+            .where(F.col("pfreq") >= WP_REL_FREQ * F.col("tot"))
+            .select("pc", "head"))
+    chars = (wt.select(F.explode(F.expr(
+        "transform(sequence(1, length(word)), "
+        "p -> substring(word, p, 1))")).alias("pc"))
+        .distinct())
+    vh = kept.where("head").select("pc").unionByName(
+        chars.select("pc")).distinct()
+    vc = kept.where("NOT head").select("pc").unionByName(
+        chars.select("pc")).distinct()
+    voc = (vh.agg(F.sort_array(F.collect_list("pc")).alias("vh"))
+           .crossJoin(vc.agg(F.sort_array(F.collect_list("pc"))
+                             .alias("vc"))))
+    df = (wt.crossJoin(F.broadcast(voc))
+          .withColumn("pos", F.lit(0))
+          .withColumn("toks", F.lit("")))
+    step_sql, toks_sql = _wp_step_exprs("array_contains", "substring")
+    for _ in range(WP_STEPS):
+        df = (df.withColumn("step", F.expr(step_sql))
+              .withColumn("toks", F.expr(toks_sql))
+              .withColumn("pos", F.col("pos") + F.col("step"))
+              .drop("step"))
+    return (df.select(
+        "word", F.col("freq").cast("long").alias("freq"),
+        F.col("toks").alias("pieces"),
+        F.size(F.split("toks", " ")).cast("long").alias("n_pieces"),
+        (F.col("pos") >= F.length("word")).alias("consumed"))
+        .orderBy("word"))

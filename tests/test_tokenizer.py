@@ -103,3 +103,60 @@ def test_bpe_greedy_overlap_and_cascade(spark, tmp_path):
     gtoks = {r["word"]: r["tokens"]
              for r in bpe_token_counts(spark, str(tmp_path)).collect()}
     assert gtoks == {w: "|".join(t) for w, t in want_toks.items()}
+
+
+def test_wordpiece_matches_plain_python(spark):
+    """WordPiece greedy longest-match: Spark unrolled matcher == a
+    literal Python implementation of the published algorithm over the
+    same corpus-derived vocabulary, every word type."""
+    from collections import Counter
+
+    from paddleocr_spark.functions.tokenizer import (WP_MAX_PIECE,
+                                                     WP_REL_FREQ,
+                                                     wordpiece_encode)
+
+    import duckdb
+
+    words = []
+    for (text,) in duckdb.sql(
+            f"SELECT text FROM '{SF}/documents.parquet'").fetchall():
+        words.extend(x for x in (text or "").lower().split(" ") if x)
+    freq = Counter(words)
+    tot = sum(freq.values())
+    pieces: Counter = Counter()
+    for w, f in freq.items():
+        for p in range(len(w)):
+            for ln in range(2, WP_MAX_PIECE + 1):
+                if p + ln <= len(w):
+                    pieces[(w[p:p + ln], p == 0)] += f
+    chars = {c for w in freq for c in w}
+    vh = {pc for (pc, head), pf in pieces.items()
+          if head and pf >= WP_REL_FREQ * tot} | chars
+    vc = {pc for (pc, head), pf in pieces.items()
+          if not head and pf >= WP_REL_FREQ * tot} | chars
+
+    def encode(w: str) -> list[str]:
+        out, pos = [], 0
+        while pos < len(w):
+            vocab = vh if pos == 0 else vc
+            for ln in range(min(WP_MAX_PIECE, len(w) - pos), 0, -1):
+                if w[pos:pos + ln] in vocab:
+                    out.append(w[pos:pos + ln] if pos == 0
+                               else "##" + w[pos:pos + ln])
+                    pos += ln
+                    break
+        return out
+
+    got = {r["word"]: r for r in wordpiece_encode(spark, SF).collect()}
+    assert set(got) == set(freq)
+    multi = 0
+    for w, f in freq.items():
+        want = encode(w)
+        r = got[w]
+        assert r["pieces"] == " ".join(want), (w, r["pieces"], want)
+        assert r["n_pieces"] == len(want) and r["freq"] == f
+        assert r["consumed"], w
+        multi += len(want) > 1
+    # the vocabulary threshold must actually split behavior: some words
+    # stay whole (or near-whole), others fragment
+    assert 0 < multi < len(freq)
