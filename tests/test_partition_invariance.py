@@ -62,6 +62,7 @@ REPRESENTATIVE = [
     "cms_heavy_hitters",       # D-row counter fold + min estimate
     "weighted_sample",         # per-stratum top-k rank
     "qdigest_quantiles",       # 7-level iterative compression + walk
+    "wordpiece_encode",        # vocab threshold + unrolled matcher
 ]
 
 
